@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the reference's runtime conventions (UTC timestamps, zstd parquet —
+  * see reference `utils/timestamps.py:12-23`, `storage/operations.py:47`) while
+  * configuring Spark the way a large cluster deployment would:
+  *   - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  *     dynamic broadcast — all essential at 100 TB where static planning of
+  *     shuffle widths is impossible.
+  *   - shuffle.partitions sized to the local core count here; on a real
+  *     cluster this is overridden per-deploy (or left to AQE's coalescing).
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${defaultCpus}]",
+              shufflePartitions: Int = defaultCpus): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // Reference semantics: validation = coercion, bad values become null
+      // (`schemas.py:117` non-strict cast). Spark 4 ANSI mode would error.
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+      // default; read as long and normalize in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.ui.enabled", "false")
+
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
+import org.apache.spark.sql.types.StructType
+
+import java.time.LocalDate
+
+/** Layered parquet table storage — the engine's catalog primitive.
+  *
+  * Reference semantics (SURVEY §2.1): tables are addressed `(layer, table)`
+  * and stored as a single parquet file or a Hive-partitioned dataset
+  * (reference `storage/paths.py:6-26`, `storage/operations.py:11-96`).
+  *
+  * Spark-first differences, deliberate (SURVEY §7.1):
+  *  - writes are real `DataFrameWriter` jobs (append is supported — the
+  *    reference's append path raises, `storage/operations.py:35-38`);
+  *  - partitioned writes use dynamic partition overwrite so an incremental
+  *    ingest rewrites only the touched `date=...` partitions instead of the
+  *    reference's read-concat-rewrite of the whole dataset
+  *    (`bronze/main.py:245-253`) — the difference between O(day) and
+  *    O(history) I/O at 100 TB;
+  *  - reads are plain `spark.read.parquet`, which natively handles both the
+  *    single-file and hive-partitioned layouts and gives predicate pushdown
+  *    + partition pruning for free.
+  */
+final case class TableRef(root: String, layer: String, name: String) {
+  def path: String = s"$root/$layer/$name"
+}
+
+object Storage {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** S1 — write a table; optional hive partitioning, zstd compression. */
+  def writeTable(df: DataFrame, ref: TableRef,
+                 mode: SaveMode = SaveMode.Overwrite,
+                 partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(mode).option("compression", "zstd")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(ref.path)
+  }
+
+  /** S2 — read a table (single file or partitioned dir, transparently). */
+  def readTable(spark: SparkSession, ref: TableRef): DataFrame =
+    spark.read.parquet(ref.path)
+
+  /** S3 — existence probe: any parquet footer under the path. */
+  def tableExists(spark: SparkSession, ref: TableRef): Boolean = {
+    val p = new Path(ref.path)
+    val f = fs(spark, ref.path)
+    f.exists(p) && {
+      val it = f.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val s = it.next()
+        found = s.isFile && s.getPath.getName.endsWith(".parquet")
+      }
+      found
+    }
+  }
+
+  /** S4 — create an empty table with an explicit schema. */
+  def initTable(spark: SparkSession, ref: TableRef, schema: StructType): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode(SaveMode.Overwrite).parquet(ref.path)
+
+  /** S5 — scalar max(date); served from parquet footer statistics, so this
+    * is a metadata-only job even over a 100 TB table. */
+  def maxDate(spark: SparkSession, ref: TableRef, dateCol: String = "date"): Option[LocalDate] =
+    readTable(spark, ref)
+      .agg(max(col(dateCol)).as("m")).collect().headOption
+      .flatMap(r => Option(r.get(0)))
+      .map {
+        case d: java.sql.Date => d.toLocalDate
+        case d: LocalDate     => d
+        case other => LocalDate.parse(other.toString.take(10))
+      }
+
+  /** S10 — drop a table (the reference's `clean` stage). */
+  def deleteTable(spark: SparkSession, ref: TableRef): Boolean =
+    fs(spark, ref.path).delete(new Path(ref.path), true)
+}
+
+/** S9 — JSON checkpoint state for incremental batch logic (reference
+  * `storage/checkpoints.py:13-70`). Driver-side key→string map; this is
+  * batch watermark state, not Spark streaming checkpoints.
+  */
+object Checkpoints {
+  import java.nio.charset.StandardCharsets
+  import java.nio.file.{Files, Paths}
+
+  private def esc(s: String) = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  def save(path: String, state: Map[String, String]): Unit = {
+    val json = state.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{\n  ", ",\n  ", "\n}")
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.write(p, json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Minimal flat-object JSON parse — enough for the checkpoint format. */
+  def load(path: String): Map[String, String] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        .findAllMatchIn(s)
+        .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+    }
+  }
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s(i + 1) match {
+          case 'n' => b += '\n'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case o   => b += o; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.result()
+  }
+}
