@@ -50,7 +50,7 @@ object Tables {
   def bars(spark: SparkSession, sfDir: String): DataFrame =
     lineitem(spark, sfDir)
       .groupBy(
-        concat(lit("T"), col("l_partkey")).as("ticker"),
+        concat(lit("T"), col("l_partkey") % 100).as("ticker"),
         to_date(col("l_shipdate")).as("date"))
       .agg(
         min(col("l_extendedprice")).as("open"),
@@ -63,7 +63,7 @@ object Tables {
   /** DuckDB CTE text equivalent of [[bars]] — prepend to oracle SQL. */
   val barsSql: String =
     """WITH bars AS (
-      |  SELECT 'T' || l_partkey AS ticker,
+      |  SELECT 'T' || (l_partkey % 100) AS ticker,
       |         CAST(l_shipdate AS DATE) AS date,
       |         MIN(l_extendedprice) AS open,
       |         MAX(l_extendedprice) AS high,

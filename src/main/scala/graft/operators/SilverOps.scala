@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions => F, ProductAgg}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Silver-layer transforms: retroactive split adjustment, time-bucket
+  * roll-ups, technical indicators (reference `silver/` — SURVEY §2.3-§2.5).
+  *
+  * Scale notes (100 TB): every operator here shuffles at most once, on
+  * `ticker` (window functions) or `(ticker, bucket)` (roll-ups). The splits
+  * dim is tiny (~500 rows in the reference) and always broadcast, so split
+  * adjustment adds zero shuffles. The reference's manual 250/500-ticker
+  * batching loops (`silver/main.py:133-146`) are deliberately absent —
+  * partitioning replaces them (SURVEY §4).
+  */
+object SilverOps {
+
+  private val D2 = DecimalType(18, 2)
+  private val D6 = DecimalType(18, 6)
+
+  /** J1+J2+A3+F8/F10 — retroactive split adjustment
+    * (`silver/splits.py:17-105`).
+    *
+    * For every bar dated before a split's execution date, price scales by
+    * `split_from/split_to` and volume by its inverse (floor-cast to long,
+    * `silver/splits.py:92-97`). Multiple splits compound via the exact
+    * product aggregate. Implemented as: broadcast-join bars×splits on
+    * ticker, conditional factor, product per (ticker,date), then adjust —
+    * the factor is computed in a narrow plan and joined back, so bar columns
+    * are never fanned out through the aggregate (SURVEY A4's cleaner shape).
+    *
+    * `splits` schema: (ticker, execution_date, split_from, split_to).
+    */
+  def applySplits(bars: DataFrame, splits: DataFrame): DataFrame = {
+    val factors = bars.select("ticker", "date")
+      .join(broadcast(splits), Seq("ticker"), "inner")
+      .withColumn("factor",
+        when(col("date") < col("execution_date"),
+          col("split_from").cast("double") / col("split_to").cast("double"))
+          .otherwise(lit(1.0)))
+      .groupBy("ticker", "date")
+      .agg(ProductAgg.product(col("factor")).as("adj_factor"))
+
+    bars.join(factors, Seq("ticker", "date"), "left")
+      .withColumn("adj_factor", coalesce(col("adj_factor"), lit(1.0)))
+      .select(col("ticker"), col("date"),
+        (col("open") * col("adj_factor")).as("open"),
+        (col("high") * col("adj_factor")).as("high"),
+        (col("low") * col("adj_factor")).as("low"),
+        (col("close") * col("adj_factor")).as("close"),
+        floor(col("volume") / col("adj_factor")).cast("long").as("volume"),
+        col("transactions"))
+  }
+
+  /** W7/W8 + A2 — weekly/monthly OHLCV roll-up (`silver/aggregates.py`).
+    *
+    * open/close use `min_by`/`max_by` on date — order-correct first/last
+    * regardless of physical row order (SURVEY §7.4 #4: Spark's `first()` in
+    * groupBy is nondeterministic; never use it).
+    *
+    * @param bucket "week" (Sunday-anchored, §7.4 #1) or "month"
+    */
+  def rollup(daily: DataFrame, bucket: String): DataFrame = {
+    val b = bucket match {
+      case "week"  => F.weekBucket(col("date"))
+      case "month" => F.monthBucket(col("date"))
+      case other   => throw new IllegalArgumentException(s"bucket: $other")
+    }
+    daily
+      .groupBy(col("ticker"), b.as("date"))
+      .agg(
+        min_by(col("open"), col("date")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("date")).as("close"),
+        sum(col("volume")).cast("long").as("volume"),
+        sum(col("transactions")).cast("long").as("transactions"))
+  }
+
+  /** W1-W4 — the indicator suite (`silver/indicators.py`): SMA 20/50/200,
+    * previous close, ATR 14, volume MA 20 + ratio. One shuffle on ticker;
+    * all windows share the same partitioning so Spark plans a single sort.
+    *
+    * Numeric determinism: rolling means are computed as
+    * `cast(decimal-sum as double) / n` — the decimal sum is exact and
+    * order-independent, so Spark and any oracle agree bit-for-bit (a plain
+    * windowed AVG over doubles is summation-order-dependent).
+    */
+  def indicators(daily: DataFrame): DataFrame = {
+    val w = F.tickerWindow()
+
+    def smaStrict(c: org.apache.spark.sql.Column, n: Int) = {
+      val frame = w.rowsBetween(-(n - 1), 0)
+      when(count(c).over(frame) === n,
+        sum(c.cast(D2)).over(frame).cast("double") / n)
+    }
+
+    val withPrev = daily
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+    val withTr = withPrev
+      .withColumn("true_range",
+        F.trueRange(col("high"), col("low"), col("prev_close")))
+    val atrFrame = w.rowsBetween(-13, 0)
+    val volFrame = w.rowsBetween(-19, 0)
+
+    withTr
+      .withColumn("sma_20", smaStrict(col("close"), 20))
+      .withColumn("sma_50", smaStrict(col("close"), 50))
+      .withColumn("sma_200", smaStrict(col("close"), 200))
+      .withColumn("atr_14",
+        when(count(col("true_range")).over(atrFrame) === 14,
+          sum(col("true_range").cast(D6)).over(atrFrame).cast("double") / 14))
+      .withColumn("volume_ma_20",
+        when(count(col("volume")).over(volFrame) === 20,
+          floor(sum(col("volume")).over(volFrame).cast("double") / 20).cast("long")))
+      .withColumn("volume_ratio",
+        when(col("volume_ma_20").isNotNull && col("volume_ma_20") > 0,
+          col("volume").cast("double") / col("volume_ma_20").cast("double")))
+      .drop("prev_close_tmp")
+  }
+}

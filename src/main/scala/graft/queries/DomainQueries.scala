@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{GoldOps, PatternOps, SilverOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's stock-market pipeline semantics (SURVEY §2.3-§2.5, §2.11)
+  * exercised over the shared fixtures via the canonical [[Tables.bars]]
+  * mapping, with synthetic splits derived deterministically from the ticker
+  * id so the DuckDB oracle can rebuild the identical dim.
+  */
+object DomainQueries {
+
+  /** Synthetic splits dim: every 5th ticker has a forward split (1:2..1:4)
+    * executing mid-history; every 15th a second 1:2 split 400 days later —
+    * exercising the multi-split product compounding path. */
+  def syntheticSplits(s: SparkSession): DataFrame = {
+    val first = s.range(0, 100, 5).select(
+      concat(lit("T"), col("id")).as("ticker"),
+      date_add(to_date(lit("1994-01-01")), ((col("id") * 37) % 1000).cast("int"))
+        .as("execution_date"),
+      lit(1.0).as("split_from"),
+      (lit(2) + col("id") % 3).cast("double").as("split_to"))
+    val second = s.range(0, 100, 15).select(
+      concat(lit("T"), col("id")).as("ticker"),
+      date_add(to_date(lit("1994-01-01")), (((col("id") * 37) % 1000) + 400).cast("int"))
+        .as("execution_date"),
+      lit(1.0).as("split_from"),
+      lit(2.0).as("split_to"))
+    first.unionByName(second)
+  }
+
+  private val splitsSql =
+    """splits AS (
+      |  SELECT 'T' || k AS ticker,
+      |         DATE '1994-01-01' + CAST((k*37) % 1000 AS INTEGER) AS execution_date,
+      |         1.0 AS split_from, CAST(2 + (k % 3) AS DOUBLE) AS split_to
+      |  FROM range(0, 100, 5) t(k)
+      |  UNION ALL
+      |  SELECT 'T' || k, DATE '1994-01-01' + CAST((k*37) % 1000 + 400 AS INTEGER),
+      |         1.0, 2.0
+      |  FROM range(0, 100, 15) t(k)
+      |)""".stripMargin
+
+  /** Indicators CTE over bars — mirrors [[SilverOps.indicators]] exactly:
+    * strict min-periods rolling means via decimal sums, floored volume MA. */
+  private val indSql =
+    """ind AS (
+      |  SELECT ticker, date, close, high, low, volume,
+      |    LAG(close, 1) OVER wt AS prev_close,
+      |    CASE WHEN COUNT(close) OVER w20 = 20
+      |         THEN CAST(SUM(CAST(close AS DECIMAL(18,2))) OVER w20 AS DOUBLE) / 20 END AS sma_20,
+      |    CASE WHEN COUNT(close) OVER w50 = 50
+      |         THEN CAST(SUM(CAST(close AS DECIMAL(18,2))) OVER w50 AS DOUBLE) / 50 END AS sma_50,
+      |    CASE WHEN COUNT(volume) OVER w20 = 20
+      |         THEN CAST(FLOOR(CAST(SUM(volume) OVER w20 AS DOUBLE) / 20) AS BIGINT) END AS volume_ma_20
+      |  FROM bars
+      |  WINDOW
+      |    wt AS (PARTITION BY ticker ORDER BY date),
+      |    w20 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+      |    w50 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+      |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // J1+J2+A3+F10 — retroactive split adjustment over bars.
+    "q_split_adjust" -> ((s, dir) =>
+      SilverOps.applySplits(Tables.bars(s, dir), syntheticSplits(s))
+        .select(col("ticker"), col("date"), col("close"), col("volume"))),
+
+    // W1+W2 — strict SMA 20/50 + previous close (lag).
+    "q_sma" -> ((s, dir) =>
+      SilverOps.indicators(Tables.bars(s, dir))
+        .select("ticker", "date", "close", "prev_close", "sma_20", "sma_50")),
+
+    // W3 — ATR(14) over derived true range.
+    "q_atr" -> ((s, dir) =>
+      SilverOps.indicators(Tables.bars(s, dir))
+        .select("ticker", "date", "true_range", "atr_14")),
+
+    // W4 — volume MA(20) with floor cast + volume ratio.
+    "q_volratio" -> ((s, dir) =>
+      SilverOps.indicators(Tables.bars(s, dir))
+        .select("ticker", "date", "volume", "volume_ma_20", "volume_ratio")),
+
+    // W5/W6+F4+F9 — anchored VWAP YTD/QTD + boolean signals.
+    "q_vwap_signals" -> ((s, dir) =>
+      GoldOps.vwapSignals(Tables.bars(s, dir))),
+
+    // W7+A2 — Sunday-anchored weekly OHLCV roll-up (order-correct
+    // first/last via min_by/max_by).
+    "q_weekly_rollup" -> ((s, dir) =>
+      SilverOps.rollup(Tables.bars(s, dir), "week")),
+
+    // W8+A2 — monthly roll-up.
+    "q_monthly_rollup" -> ((s, dir) =>
+      SilverOps.rollup(Tables.bars(s, dir), "month")),
+
+    // HVC — daily-grain high-volume closes (volume ≥ 3× MA20).
+    "q_hvc_daily" -> ((s, dir) =>
+      PatternOps.highVolumeCloses(SilverOps.indicators(Tables.bars(s, dir)))
+        .select("ticker", "date", "close", "volume", "volume_ma_20", "volume_ratio")),
+
+    // W9+F12 — stair-stepping: consecutive ascending HVC islands (≥2 steps
+    // here so the small fixtures yield rows; threshold is a parameter).
+    "q_stairstep" -> ((s, dir) =>
+      PatternOps.stairPatterns(
+        PatternOps.highVolumeCloses(
+          SilverOps.indicators(Tables.bars(s, dir)), threshold = 1.5),
+        ascending = true, minSteps = 2)),
+
+    // Falling-down-stairs + best-per-ticker ranking.
+    "q_falling_best" -> ((s, dir) =>
+      PatternOps.bestPatternPerTicker(
+        PatternOps.stairPatterns(
+          PatternOps.highVolumeCloses(
+            SilverOps.indicators(Tables.bars(s, dir)), threshold = 1.5),
+          ascending = false, minSteps = 2)))
+  )
+
+  private def withBars(extra: String, body: String) =
+    Tables.barsSql + (if (extra.nonEmpty) ",\n" + extra else "") + "\n" + body
+
+  /** HVC CTE at a given ratio threshold (shared by pattern oracles). */
+  private def hvcSql(threshold: String) =
+    s"""hvc AS (
+       |  SELECT ticker, date, close, volume, volume_ma_20,
+       |         CAST(volume AS DOUBLE) / CAST(volume_ma_20 AS DOUBLE) AS volume_ratio
+       |  FROM ind
+       |  WHERE volume_ma_20 IS NOT NULL AND volume_ma_20 > 0
+       |    AND CAST(volume AS DOUBLE) / CAST(volume_ma_20 AS DOUBLE) >= $threshold
+       |)""".stripMargin
+
+  /** Island decomposition + per-pattern summary (direction parametrised). */
+  private def stairsSql(cmp: String, minSteps: Int) =
+    s"""flagged AS (
+       |  SELECT *, LAG(close, 1) OVER (PARTITION BY ticker ORDER BY date) AS prev_close
+       |  FROM hvc),
+       |brk AS (
+       |  SELECT *, CASE WHEN prev_close IS NULL OR NOT (close $cmp prev_close)
+       |                 THEN 1 ELSE 0 END AS brk FROM flagged),
+       |isl AS (
+       |  SELECT *, SUM(brk) OVER (PARTITION BY ticker ORDER BY date
+       |    ROWS UNBOUNDED PRECEDING) AS island FROM brk),
+       |pat AS (
+       |  SELECT ticker, COUNT(*) AS hvc_count,
+       |    MIN(date) AS start_date, MAX(date) AS end_date,
+       |    ARG_MIN(close, date) AS first_close, ARG_MAX(close, date) AS last_close,
+       |    STRING_AGG(STRFTIME(date, '%Y-%m-%d'), ',' ORDER BY date) AS dates_str,
+       |    STRING_AGG(CAST(CAST(close AS DECIMAL(18,2)) AS VARCHAR), ',' ORDER BY date) AS closes_str,
+       |    (ARG_MAX(close, date) / ARG_MIN(close, date) - 1.0) * 100.0 AS gain_pct
+       |  FROM isl GROUP BY ticker, island
+       |  HAVING COUNT(*) >= $minSteps
+       |)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_split_adjust" -> withBars(
+      s"""$splitsSql,
+         |factors AS (
+         |  SELECT b.ticker, b.date, PRODUCT(
+         |    CASE WHEN b.date < s.execution_date
+         |         THEN s.split_from / s.split_to ELSE 1.0 END) AS adj_factor
+         |  FROM bars b JOIN splits s ON b.ticker = s.ticker
+         |  GROUP BY b.ticker, b.date
+         |)""".stripMargin,
+      """SELECT b.ticker, b.date,
+        |  b.close * COALESCE(f.adj_factor, 1.0) AS close,
+        |  CAST(FLOOR(b.volume / COALESCE(f.adj_factor, 1.0)) AS BIGINT) AS volume
+        |FROM bars b LEFT JOIN factors f
+        |  ON b.ticker = f.ticker AND b.date = f.date""".stripMargin),
+
+    "q_sma" -> withBars(indSql,
+      "SELECT ticker, date, close, prev_close, sma_20, sma_50 FROM ind"),
+
+    "q_atr" -> withBars(
+      """tr AS (
+        |  SELECT ticker, date,
+        |    LAG(close, 1) OVER wt AS prev_close, high, low
+        |  FROM bars WINDOW wt AS (PARTITION BY ticker ORDER BY date)),
+        |trv AS (
+        |  SELECT ticker, date,
+        |    CASE WHEN prev_close IS NULL THEN high - low
+        |         ELSE GREATEST(high - low, ABS(high - prev_close), ABS(low - prev_close))
+        |    END AS true_range
+        |  FROM tr)""".stripMargin,
+      """SELECT ticker, date, true_range,
+        |  CASE WHEN COUNT(true_range) OVER w14 = 14
+        |       THEN CAST(SUM(CAST(true_range AS DECIMAL(18,6))) OVER w14 AS DOUBLE) / 14
+        |  END AS atr_14
+        |FROM trv
+        |WINDOW w14 AS (PARTITION BY ticker ORDER BY date
+        |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "q_volratio" -> withBars(indSql,
+      """SELECT ticker, date, volume, volume_ma_20,
+        |  CASE WHEN volume_ma_20 IS NOT NULL AND volume_ma_20 > 0
+        |       THEN CAST(volume AS DOUBLE) / CAST(volume_ma_20 AS DOUBLE) END AS volume_ratio
+        |FROM ind""".stripMargin),
+
+    "q_vwap_signals" -> withBars(
+      """base AS (
+        |  SELECT ticker, date, close, volume,
+        |    CAST(YEAR(date) AS INTEGER) AS year,
+        |    CAST(QUARTER(date) AS INTEGER) AS quarter,
+        |    CAST(close AS DECIMAL(18,2)) * volume AS pv
+        |  FROM bars WHERE close IS NOT NULL AND volume > 0),
+        |cums AS (
+        |  SELECT *,
+        |    SUM(pv) OVER wy AS cum_pv_ytd, SUM(volume) OVER wy AS cum_vol_ytd,
+        |    SUM(pv) OVER wq AS cum_pv_qtd, SUM(volume) OVER wq AS cum_vol_qtd
+        |  FROM base
+        |  WINDOW
+        |    wy AS (PARTITION BY ticker, year ORDER BY date ROWS UNBOUNDED PRECEDING),
+        |    wq AS (PARTITION BY ticker, year, quarter ORDER BY date ROWS UNBOUNDED PRECEDING))""".stripMargin,
+      """SELECT ticker, date, year, quarter, close, volume,
+        |  CAST(cum_pv_ytd AS DOUBLE) / CAST(cum_vol_ytd AS DOUBLE) AS ytd_vwap,
+        |  CAST(cum_pv_qtd AS DOUBLE) / CAST(cum_vol_qtd AS DOUBLE) AS qtd_vwap,
+        |  close > CAST(cum_pv_ytd AS DOUBLE) / CAST(cum_vol_ytd AS DOUBLE) AS above_ytd_vwap,
+        |  close > CAST(cum_pv_qtd AS DOUBLE) / CAST(cum_vol_qtd AS DOUBLE) AS above_qtd_vwap,
+        |  close > CAST(cum_pv_ytd AS DOUBLE) / CAST(cum_vol_ytd AS DOUBLE)
+        |    AND close > CAST(cum_pv_qtd AS DOUBLE) / CAST(cum_vol_qtd AS DOUBLE) AS above_both
+        |FROM cums""".stripMargin),
+
+    "q_weekly_rollup" -> withBars("",
+      """SELECT ticker, date - CAST(DAYOFWEEK(date) AS INTEGER) AS date,
+        |  ARG_MIN(open, date) AS open, MAX(high) AS high, MIN(low) AS low,
+        |  ARG_MAX(close, date) AS close,
+        |  CAST(SUM(volume) AS BIGINT) AS volume,
+        |  CAST(SUM(transactions) AS BIGINT) AS transactions
+        |FROM bars GROUP BY 1, 2""".stripMargin),
+
+    "q_monthly_rollup" -> withBars("",
+      """SELECT ticker, CAST(DATE_TRUNC('month', date) AS DATE) AS date,
+        |  ARG_MIN(open, date) AS open, MAX(high) AS high, MIN(low) AS low,
+        |  ARG_MAX(close, date) AS close,
+        |  CAST(SUM(volume) AS BIGINT) AS volume,
+        |  CAST(SUM(transactions) AS BIGINT) AS transactions
+        |FROM bars GROUP BY 1, 2""".stripMargin),
+
+    "q_hvc_daily" -> withBars(indSql + ",\n" + hvcSql("3.0"),
+      "SELECT ticker, date, close, volume, volume_ma_20, volume_ratio FROM hvc"),
+
+    "q_stairstep" -> withBars(
+      indSql + ",\n" + hvcSql("1.5") + ",\n" + stairsSql(">", 2),
+      """SELECT ticker, hvc_count, start_date, end_date, first_close, last_close,
+        |  dates_str, closes_str, gain_pct FROM pat""".stripMargin),
+
+    "q_falling_best" -> withBars(
+      indSql + ",\n" + hvcSql("1.5") + ",\n" + stairsSql("<", 2),
+      """SELECT ticker, hvc_count, start_date, end_date, first_close, last_close,
+        |  dates_str, closes_str, gain_pct FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY ticker
+        |    ORDER BY hvc_count DESC, end_date DESC, start_date DESC) AS rn
+        |  FROM pat) WHERE rn = 1""".stripMargin)
+  )
+}
