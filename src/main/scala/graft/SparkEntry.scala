@@ -17,8 +17,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ DomainQueries.queries
+    RelationalQueries.queries ++ DomainQueries.queries ++ TextQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ DomainQueries.oracles
+    RelationalQueries.oracles ++ DomainQueries.oracles ++ TextQueries.oracles
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training corpora: exact, MinHash+LSH, SimHash and
+  * n-gram Jaccard (builder brief — first-class alongside SURVEY §2).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a shuffle on the md5 fingerprint — uniformly hashed,
+  *    skew-free, map-side-combined;
+  *  - MinHash/LSH avoids the O(n²) pair space: candidates come from a join
+  *    on (band, band_hash) buckets, so the shuffle carries k·|docs| rows,
+  *    and only bucket-colliding pairs are verified with exact Jaccard;
+  *  - SimHash reduces each doc to one integer; near-dup search is then a
+  *    bucket join on the simhash (optionally rotated for Hamming tolerance);
+  *  - all hashing is md5-derived — deterministic, seedless, identically
+  *    computable by any engine (the DuckDB oracles rebuild it verbatim).
+  */
+object DedupOps {
+
+  /** Exact dedup: group by normalized-text fingerprint, keep the smallest
+    * doc id as canonical; emits (keep_id, n_copies, fingerprint). */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame =
+    TextOps.fingerprint(docs, textCol)
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("fingerprint"))
+
+  /** MinHash signature: k independent min-hashes over word n-gram shingles.
+    * Hash i of shingle s = first 16 hex chars of md5("i:s"); the signature
+    * component is the lexicographic min — string ordering is total and
+    * engine-independent. Null signature ⇔ the doc has no shingle. */
+  def minhashSignatures(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextOps.shingles(col(textCol), shingleN).as("shs"))
+    (0 until k).foldLeft(base) { (acc, i) =>
+      acc.withColumn(s"sig_$i",
+        array_min(transform(col("shs"),
+          s => substring(md5(concat(lit(s"$i:"), s).cast("binary")), 1, 16))))
+    }.drop("shs")
+  }
+
+  /** LSH banding over a MinHash signature: `bands` bands of `rowsPerBand`
+    * signature components, hashed to a bucket id. Docs sharing any
+    * (band, bucket) are candidate near-duplicates. */
+  def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*).cast("binary")).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .filter(col("bucket").isNotNull)
+  }
+
+  /** Candidate pairs from LSH buckets, verified with exact Jaccard over the
+    * shingle sets. Returns (id_a, id_b, jaccard) for every bucket-colliding
+    * pair — callers threshold as needed. */
+  def minhashNearDups(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                      shingleN: Int = 3, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = minhashSignatures(docs, k, shingleN, textCol, idCol)
+    val bandRows = lshBands(sigs, bands, rowsPerBand)
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val shingleRows = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.shingles(col(textCol), shingleN)).as("sh"))
+    jaccardOnPairs(cand, shingleRows)
+  }
+
+  /** n-gram Jaccard near-dup pairs WITHOUT MinHash: candidates are pairs
+    * sharing ≥1 shingle (inverted-index join — still avoids the full cross
+    * product), verified exactly. `minJaccard` prunes the long random tail. */
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 2,
+                        minJaccard: Double = 0.0,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val shingleRows = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.shingles(col(textCol), shingleN)).as("sh"))
+    val cand = shingleRows.as("a")
+      .join(shingleRows.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    jaccardOnPairs(cand, shingleRows)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Exact Jaccard for given candidate pairs over exploded shingle rows. */
+  private def jaccardOnPairs(pairs: DataFrame, shingleRows: DataFrame): DataFrame = {
+    val sizes = shingleRows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shingleRows.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(shingleRows.as("sb"),
+        col("id_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.withColumnRenamed("n", "na").withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("n", "nb").withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash (16-bit): per word, take 4 hex chars of md5; each bit votes
+    * ±1; the sign of each bit's vote total forms the hash. Near-identical
+    * docs agree on most bits. Two narrow shuffles on doc_id. */
+  def simhash(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val wordRows = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.words(col(textCol))).as("w"))
+    val bits = wordRows
+      .withColumn("h4", substring(md5(col("w").cast("binary")), 1, 4))
+      .select(col("doc_id"), col("h4"),
+        explode(sequence(lit(0), lit(15))).as("j"))
+    val hexChar = col("h4").substr(floor(col("j") / 4).cast("int") + 1, lit(1))
+    val hexVal = when(ascii(hexChar) >= 97, ascii(hexChar) - 87)
+      .otherwise(ascii(hexChar) - 48)
+    val bit = floor(hexVal / pow(lit(2), col("j") % 4)).cast("long") % 2
+    bits
+      .withColumn("vote", bit * 2 - 1)
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, pow(lit(2), col("j"))).otherwise(lit(0.0)))
+        .cast("long").as("simhash"))
+  }
+}

@@ -1,0 +1,301 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal) over the `documents` and `embeddings` fixtures, each with a
+  * DuckDB oracle that rebuilds the identical md5-derived hashing.
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_text_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCountWs(col("text")).as("ws_tokens"),
+        TextOps.tokenCountRegex(col("text")).cast("int").as("re_tokens"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      TextOps.qualityMetrics(Tables.documents(s, dir))
+        .select("doc_id", "n_chars_calc", "n_words", "mean_word_len",
+          "punct_ratio", "space_ratio")),
+
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.langId(Tables.documents(s, dir))
+        .select("doc_id", "lang", "score_en", "score_de", "score_fr",
+          "score_es", "lang_guess")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir))
+        .select("doc_id", "fingerprint", "shard_key")),
+
+    "q_dedup_exact" -> ((s, dir) =>
+      DedupOps.exactDedup(Tables.documents(s, dir))),
+
+    "q_minhash_sig" -> ((s, dir) =>
+      DedupOps.minhashSignatures(Tables.documents(s, dir))),
+
+    "q_minhash_pairs" -> ((s, dir) =>
+      DedupOps.minhashNearDups(Tables.documents(s, dir))),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 300),
+        shingleN = 2, minJaccard = 0.05)),
+
+    "q_simhash" -> ((s, dir) =>
+      DedupOps.simhash(Tables.documents(s, dir))),
+
+    "q_cosine_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilarityOps.bruteForceKnn(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      SimilarityOps.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
+
+    "q_lsh_buckets" -> ((s, dir) =>
+      SimilarityOps.lshBuckets(Tables.embeddings(s, dir))),
+
+    "q_mm_meta" -> ((s, dir) =>
+      MultimodalOps.payloadMetadata(
+        MultimodalOps.withPayload(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_bytes"), col("digest"), col("magic")))
+  )
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  /** words + distinct n-shingles CTEs (DuckDB lists are 1-based). */
+  private def shingleCte(n: Int, docFilter: String = "") = {
+    val terms = (0 until n).map(k => s"w[i${if (k > 0) s"+$k" else ""}]")
+      .mkString(" || ' ' || ")
+    s"""words AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents $docFilter),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= $n
+       |         THEN list_distinct(list_transform(range(1, len(w) - ${n - 2}),
+       |              i -> $terms))
+       |         ELSE CAST([] AS VARCHAR[]) END AS shs
+       |  FROM words)""".stripMargin
+  }
+
+  private val sigCols = (0 until 8).map(i =>
+    s"list_min(list_transform(shs, s -> substr(md5('$i:' || s), 1, 16))) AS sig_$i")
+    .mkString(",\n    ")
+
+  private val sigCte =
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM sh)""".stripMargin
+
+  private val bandsCte = {
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig_${2 * b} || sig_${2 * b + 1}) AS bucket FROM sig WHERE sig_${2 * b} IS NOT NULL")
+      .mkString("\n  UNION ALL ")
+    s"bands AS (\n  $bands)"
+  }
+
+  /** Exact-jaccard verification over candidate pairs (expects CTEs `cand`
+    * with (id_a, id_b) and `sh` with (doc_id, shs)). */
+  private val jaccardTail =
+    """shr AS (SELECT doc_id, UNNEST(shs) AS s FROM sh),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY 1),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN shr a ON a.doc_id = c.id_a
+      |  JOIN shr b ON b.doc_id = c.id_b AND b.s = a.s
+      |  GROUP BY 1, 2)
+      |SELECT c.id_a, c.id_b,
+      |  ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
+      |        CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6) AS jaccard
+      |FROM cand c
+      |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      |JOIN sizes sa ON sa.doc_id = c.id_a
+      |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin
+
+  private def markerSql(pat: String): String = {
+    val needle = s" $pat "
+    s"(length(' ' || lower(text) || ' ') - length(regexp_replace(' ' || lower(text) || ' ', '$needle', '', 'g'))) / ${needle.length}"
+  }
+
+  private def langScoreSql(markers: Seq[String]): String =
+    "CAST(" + markers.map(markerSql).mkString(" + ") + " AS DOUBLE)"
+
+  /** LSH plane weights as literal rows — same md5-derived constants the
+    * Scala side computes; i is 1-based to match DuckDB list indexing. */
+  private lazy val planesValues: String = {
+    val rows = for (p <- 0 until 8; i <- 0 until 64) yield {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p:$i".getBytes("UTF-8"))
+        .take(2).map("%02x".format(_)).mkString
+      val w = Integer.parseInt(hex, 16) / 32768.0 - 1.0
+      s"($p,${i + 1},$w)"
+    }
+    rows.mkString(",")
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+')) AS INTEGER) AS re_tokens
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars_calc,
+        |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_words,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(lower(trim(text)), '\s+')) AS mean_word_len,
+        |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / length(text) AS space_ratio
+        |FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  ${langScoreSql(Seq("the", "and", "of"))} AS score_en,
+         |  ${langScoreSql(Seq("der", "und", "die"))} AS score_de,
+         |  ${langScoreSql(Seq("le", "la", "et"))} AS score_fr,
+         |  ${langScoreSql(Seq("el", "los", "y"))} AS score_es,
+         |  CASE
+         |    WHEN ${langScoreSql(Seq("the", "and", "of"))} > 0
+         |     AND ${langScoreSql(Seq("the", "and", "of"))} >= ${langScoreSql(Seq("der", "und", "die"))}
+         |     AND ${langScoreSql(Seq("the", "and", "of"))} >= ${langScoreSql(Seq("le", "la", "et"))}
+         |     AND ${langScoreSql(Seq("the", "and", "of"))} >= ${langScoreSql(Seq("el", "los", "y"))} THEN 'en'
+         |    WHEN ${langScoreSql(Seq("der", "und", "die"))} > 0
+         |     AND ${langScoreSql(Seq("der", "und", "die"))} >= ${langScoreSql(Seq("the", "and", "of"))}
+         |     AND ${langScoreSql(Seq("der", "und", "die"))} >= ${langScoreSql(Seq("le", "la", "et"))}
+         |     AND ${langScoreSql(Seq("der", "und", "die"))} >= ${langScoreSql(Seq("el", "los", "y"))} THEN 'de'
+         |    WHEN ${langScoreSql(Seq("le", "la", "et"))} > 0
+         |     AND ${langScoreSql(Seq("le", "la", "et"))} >= ${langScoreSql(Seq("the", "and", "of"))}
+         |     AND ${langScoreSql(Seq("le", "la", "et"))} >= ${langScoreSql(Seq("der", "und", "die"))}
+         |     AND ${langScoreSql(Seq("le", "la", "et"))} >= ${langScoreSql(Seq("el", "los", "y"))} THEN 'fr'
+         |    WHEN ${langScoreSql(Seq("el", "los", "y"))} > 0
+         |     AND ${langScoreSql(Seq("el", "los", "y"))} >= ${langScoreSql(Seq("the", "and", "of"))}
+         |     AND ${langScoreSql(Seq("el", "los", "y"))} >= ${langScoreSql(Seq("der", "und", "die"))}
+         |     AND ${langScoreSql(Seq("el", "los", "y"))} >= ${langScoreSql(Seq("le", "la", "et"))} THEN 'es'
+         |    ELSE 'und' END AS lang_guess
+         |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 4) AS shard_key
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, fingerprint
+        |FROM (SELECT doc_id,
+        |        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |      FROM documents)
+        |GROUP BY fingerprint""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""WITH ${shingleCte(3)},
+         |$sigCte
+         |SELECT * FROM sig""".stripMargin,
+
+    "q_minhash_pairs" ->
+      s"""WITH ${shingleCte(3)},
+         |$sigCte,
+         |$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |$jaccardTail""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH ${shingleCte(2, "WHERE doc_id < 300")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM (SELECT doc_id, UNNEST(shs) AS s FROM sh) a
+         |  JOIN (SELECT doc_id, UNNEST(shs) AS s FROM sh) b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id),
+         |$jaccardTail
+         |WHERE ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
+         |      CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6) >= 0.05""".stripMargin,
+
+    "q_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |wb AS (SELECT doc_id, substr(md5(w), 1, 4) AS h4 FROM words),
+        |bits AS (SELECT doc_id, h4, i AS j FROM wb, range(0, 16) t(i)),
+        |hv AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN ASCII(substr(h4, CAST(FLOOR(j / 4.0) AS INTEGER) + 1, 1)) >= 97
+        |         THEN ASCII(substr(h4, CAST(FLOOR(j / 4.0) AS INTEGER) + 1, 1)) - 87
+        |         ELSE ASCII(substr(h4, CAST(FLOOR(j / 4.0) AS INTEGER) + 1, 1)) - 48
+        |    END AS hexval
+        |  FROM bits),
+        |votes AS (
+        |  SELECT doc_id, j,
+        |    SUM((CAST(FLOOR(hexval / POW(2, j % 4)) AS BIGINT) % 2) * 2 - 1) AS v
+        |  FROM hv GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN v > 0 THEN POW(2, j) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY 1""".stripMargin,
+
+    "q_cosine_knn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |    SUM(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+        |    SUM(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qq,
+        |    SUM(CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS nn
+        |  FROM e q, e n, range(1, 65) t(i)
+        |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, nid, ROUND(dot / (SQRT(qq) * SQRT(nn)), 6) AS cosine
+        |  FROM pairs)
+        |SELECT qid, nid, cosine, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, nid) AS rn
+        |  FROM scored) WHERE rn <= 5""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    SUM(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+        |    SUM(CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS aa,
+        |    SUM(CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS bb
+        |  FROM e a, e b, range(1, 65) t(i)
+        |  WHERE a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT id_a, id_b, ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) AS cosine
+        |  FROM pairs)
+        |WHERE cosine >= 0.4""".stripMargin,
+
+    "q_lsh_buckets" ->
+      s"""WITH planes(p, i, w) AS (SELECT * FROM (VALUES $planesValues)),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |dots AS (
+         |  SELECT e.vec_id, pl.p,
+         |    SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w) AS d
+         |  FROM e, planes pl GROUP BY 1, 2)
+         |SELECT vec_id,
+         |  CAST(SUM(CASE WHEN ROUND(d, 6) > 0 THEN POW(2, p) ELSE 0 END) AS BIGINT) AS bucket
+         |FROM dots GROUP BY 1""".stripMargin,
+
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS digest,
+        |  substr(hex(CAST(text AS BLOB)), 1, 8) AS magic
+        |FROM documents""".stripMargin
+  )
+}

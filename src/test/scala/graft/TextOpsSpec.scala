@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("exact dedup keeps min id and counts copies") {
+    val docs = Seq(
+      (1L, "hello  world"), (2L, "Hello world"), (3L, "different text"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.exactDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // normalization lowercases + collapses whitespace → 1 and 2 collide
+    assert(out(1L) === 2L)
+    assert(out(3L) === 1L)
+  }
+
+  test("identical docs get identical minhash signatures and collide in LSH") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "a completely unrelated sentence about spark engines"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDups(docs).collect()
+    assert(pairs.length === 1)
+    val p = pairs.head
+    assert(p.getLong(0) === 1L && p.getLong(1) === 2L)
+    assert(p.getDouble(2) === 1.0)
+  }
+
+  test("simhash is identical for identical docs, different for unrelated") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "omicron sigma tau upsilon phi"))
+      .toDF("doc_id", "text")
+    val h = DedupOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+    assert(h.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("brute-force knn: neighbors ordered, self excluded, k respected") {
+    val e = Tables.embeddings(spark, sf)
+    val knn = SimilarityOps.bruteForceKnn(e, e.filter($"vec_id" < 3), 5)
+    val rows = knn.collect()
+    assert(rows.length === 15)
+    assert(rows.forall(r => r.getLong(0) !== r.getLong(1)))
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { g =>
+      val cos = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cos.sameElements(cos.sorted.reverse))
+    }
+  }
+
+  test("lsh knn results are a subset of brute-force candidates with exact cosines") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 5)
+    val bf = SimilarityOps.bruteForceKnn(e, q, 1000)
+      .select("qid", "nid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = SimilarityOps.lshKnn(e, q, 5).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bf.contains(key) && bf(key) === r.getDouble(2))
+    }
+  }
+
+  test("multimodal decode stub: deterministic features with the declared schema") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val payloads = MultimodalOps.withPayload(docs)
+    val feats = MultimodalOps.decodeStub(spark, payloads)
+    assert(feats.schema === MultimodalOps.featureSchema)
+    val rows = feats.collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      assert(r.getInt(1) > 0)
+      assert(r.getAs[scala.collection.Seq[Float]](3).length === 8)
+    }
+    // determinism: second run produces identical bytes→features
+    val again = MultimodalOps.decodeStub(spark, payloads).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("language id emits a guess for every doc") {
+    val out = TextOps.langId(Tables.documents(spark, sf))
+    assert(out.filter($"lang_guess".isNull).count() === 0)
+  }
+}
