@@ -1,0 +1,21 @@
+package graft
+
+/** Plan audit tool: prints the formatted physical plan for selected queries
+  * so pushdown / broadcast / codegen spans can be inspected.
+  * Usage: runMain graft.Explain [queryName ...]  (default: a headline set)
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_scan_filter", "q1_agg", "q_left_join", "q_split_adjust",
+        "q_vwap_signals", "q_sma", "q_minhash_pairs", "q_cosine_knn")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -17,8 +17,10 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ DomainQueries.queries ++ TextQueries.queries
+    RelationalQueries.queries ++ DomainQueries.queries ++
+      TextQueries.queries ++ EventQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ DomainQueries.oracles ++ TextQueries.oracles
+    RelationalQueries.oracles ++ DomainQueries.oracles ++
+      TextQueries.oracles ++ EventQueries.oracles
 }

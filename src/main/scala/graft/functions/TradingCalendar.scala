@@ -1,0 +1,73 @@
+package graft.functions
+
+import java.time.{DayOfWeek, LocalDate, Month}
+import java.time.temporal.TemporalAdjusters
+
+/** NYSE trading calendar (reference `utils/calendar.py:13-116` — SURVEY F13).
+  *
+  * The reference delegates to `pandas_market_calendars`; there is no JVM
+  * equivalent, so the rules are implemented directly: weekends plus the nine
+  * NYSE full-close holidays, with Saturday→Friday / Sunday→Monday observance
+  * shifts and Easter-based Good Friday (anonymous Gregorian computus).
+  * Driver-side: the result feeds missing-date planning and can be broadcast
+  * as a lookup DataFrame for join-based filtering at scale.
+  */
+object TradingCalendar {
+
+  /** Gregorian Easter Sunday (anonymous computus). */
+  def easterSunday(year: Int): LocalDate = {
+    val a = year % 19; val b = year / 100; val c = year % 100
+    val d = b / 4; val e = b % 4; val f = (b + 8) / 25
+    val g = (b - f + 1) / 3; val h = (19 * a + b - d - g + 15) % 30
+    val i = c / 4; val k = c % 4
+    val l = (32 + 2 * e + 2 * i - h - k) % 7
+    val m = (a + 11 * h + 22 * l) / 451
+    val month = (h + l - 7 * m + 114) / 31
+    val day = ((h + l - 7 * m + 114) % 31) + 1
+    LocalDate.of(year, month, day)
+  }
+
+  private def nthWeekday(year: Int, month: Month, dow: DayOfWeek, n: Int): LocalDate =
+    LocalDate.of(year, month, 1).`with`(TemporalAdjusters.dayOfWeekInMonth(n, dow))
+
+  private def lastWeekday(year: Int, month: Month, dow: DayOfWeek): LocalDate =
+    LocalDate.of(year, month, 1).`with`(TemporalAdjusters.lastInMonth(dow))
+
+  /** Saturday→Friday, Sunday→Monday observance shift for fixed-date
+    * holidays (NYSE rule). */
+  private def observed(d: LocalDate): LocalDate = d.getDayOfWeek match {
+    case DayOfWeek.SATURDAY => d.minusDays(1)
+    case DayOfWeek.SUNDAY   => d.plusDays(1)
+    case _                  => d
+  }
+
+  /** Full-close NYSE holidays for a year. */
+  def holidays(year: Int): Set[LocalDate] = {
+    val fixed = Seq(
+      LocalDate.of(year, 1, 1),                                   // New Year
+      LocalDate.of(year, 7, 4),                                   // Independence
+      LocalDate.of(year, 12, 25)) ++                              // Christmas
+      (if (year >= 2022) Seq(LocalDate.of(year, 6, 19)) else Nil) // Juneteenth
+    val ruled = Seq(
+      nthWeekday(year, Month.JANUARY, DayOfWeek.MONDAY, 3),       // MLK (since 1998)
+      nthWeekday(year, Month.FEBRUARY, DayOfWeek.MONDAY, 3),      // Washington
+      easterSunday(year).minusDays(2),                            // Good Friday
+      lastWeekday(year, Month.MAY, DayOfWeek.MONDAY),             // Memorial
+      nthWeekday(year, Month.SEPTEMBER, DayOfWeek.MONDAY, 1),     // Labor
+      nthWeekday(year, Month.NOVEMBER, DayOfWeek.THURSDAY, 4))    // Thanksgiving
+    (fixed.map(observed) ++ ruled).toSet
+  }
+
+  def isTradingDay(d: LocalDate): Boolean =
+    d.getDayOfWeek != DayOfWeek.SATURDAY &&
+      d.getDayOfWeek != DayOfWeek.SUNDAY &&
+      !holidays(d.getYear).contains(d)
+
+  /** Trading days in [start, end] inclusive — the missing-date planner's
+    * required-dates grid (`bronze/main.py:42-53`). */
+  def tradingDays(start: LocalDate, end: LocalDate): Seq[LocalDate] =
+    Iterator.iterate(start)(_.plusDays(1))
+      .takeWhile(!_.isAfter(end))
+      .filter(isTradingDay)
+      .toSeq
+}

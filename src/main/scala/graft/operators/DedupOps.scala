@@ -28,19 +28,31 @@ object DedupOps {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col("fingerprint"))
 
+  /** Distinct shingle rows (doc_id, sh) — the shared input for signatures
+    * and Jaccard verification. Exploded form keeps all the md5 work in
+    * codegen'd expressions (array lambdas are interpreted). */
+  def shingleRows(docs: DataFrame, shingleN: Int,
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.shingles(col(textCol), shingleN)).as("sh"))
+
   /** MinHash signature: k independent min-hashes over word n-gram shingles.
     * Hash i of shingle s = first 16 hex chars of md5("i:s"); the signature
     * component is the lexicographic min — string ordering is total and
-    * engine-independent. Null signature ⇔ the doc has no shingle. */
+    * engine-independent. Null signature ⇔ the doc has no shingle.
+    *
+    * One shuffle on doc_id; the k hashes are k codegen'd aggregate columns
+    * with map-side partial mins, so the shuffle carries k·|docs| strings. */
   def minhashSignatures(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      TextOps.shingles(col(textCol), shingleN).as("shs"))
-    (0 until k).foldLeft(base) { (acc, i) =>
-      acc.withColumn(s"sig_$i",
-        array_min(transform(col("shs"),
-          s => substring(md5(concat(lit(s"$i:"), s).cast("binary")), 1, 16))))
-    }.drop("shs")
+    val sigs = shingleRows(docs, shingleN, textCol, idCol)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(substring(md5(concat(lit("0:"), col("sh")).cast("binary")), 1, 16)).as("sig_0"),
+        (1 until k).map(i =>
+          min(substring(md5(concat(lit(s"$i:"), col("sh")).cast("binary")), 1, 16)).as(s"sig_$i")): _*)
+    // left join back so shingle-less docs keep null signatures
+    docs.select(col(idCol).as("doc_id")).join(sigs, Seq("doc_id"), "left")
   }
 
   /** LSH banding over a MinHash signature: `bands` bands of `rowsPerBand`
@@ -63,6 +75,8 @@ object DedupOps {
                       shingleN: Int = 3, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     val rowsPerBand = k / bands
+    val shr = shingleRows(docs, shingleN, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(docs, k, shingleN, textCol, idCol)
     val bandRows = lshBands(sigs, bands, rowsPerBand)
     val cand = bandRows.as("a")
@@ -71,9 +85,7 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val shingleRows = docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.shingles(col(textCol), shingleN)).as("sh"))
-    jaccardOnPairs(cand, shingleRows)
+    jaccardOnPairs(cand, shr)
   }
 
   /** n-gram Jaccard near-dup pairs WITHOUT MinHash: candidates are pairs
@@ -82,14 +94,14 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 2,
                         minJaccard: Double = 0.0,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val shingleRows = docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.shingles(col(textCol), shingleN)).as("sh"))
-    val cand = shingleRows.as("a")
-      .join(shingleRows.as("b"),
+    val shr = shingleRows(docs, shingleN, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = shr.as("a")
+      .join(shr.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    jaccardOnPairs(cand, shingleRows)
+    jaccardOnPairs(cand, shr)
       .filter(col("jaccard") >= minJaccard)
   }
 

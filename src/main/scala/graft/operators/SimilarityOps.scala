@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorExpressions.array_dot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,48 +15,55 @@ import org.apache.spark.sql.functions._
   * bucket id), trading recall for a |corpus|-linear plan; IVF would slot in
   * the same way with learned centroids replacing the hyperplanes.
   *
-  * Numeric determinism: dot products are accumulated left-to-right in
-  * double via `aggregate` over `zip_with` — a fixed summation order — and
-  * cosines are rounded to 6 decimals before any ranking or thresholding,
-  * so an oracle summing in any order agrees.
+  * Hot path: dot products use the native [[graft.functions.ArrayDotProduct]]
+  * expression (one primitive loop per row), and vector norms are computed
+  * once per vector — never per pair. Cosines are rounded to 6 decimals
+  * before ranking/thresholding; summation order matches the SQL oracles, so
+  * results are bit-identical across engines.
   */
 object SimilarityOps {
 
-  /** cosine(a, b), rounded to 6 decimals. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
-  }
+  /** cosine(a, b), rounded to 6 decimals (norms computed in-row; prefer the
+    * precomputed-norm variants below in joins). */
+  def cosine(a: Column, b: Column): Column =
+    round(array_dot(a, b) / (sqrt(array_dot(a, a)) * sqrt(array_dot(b, b))), 6)
+
+  /** cosine from a precomputed-norm pair: round(dot/(na*nb), 6). */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(array_dot(a, b) / (na * nb), 6)
+
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       id: String, vec: String, norm: String): DataFrame =
+    df.select(col(idCol).as(id), col(vecCol).as(vec),
+      sqrt(array_dot(col(vecCol), col(vecCol))).as(norm))
 
   /** Exact top-k neighbors for each query vector (self-matches excluded).
     * Queries are broadcast; ranking uses the rounded cosine with the
     * neighbor id as tiebreaker — fully deterministic. */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qe")))
-    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("ne"))
-      .crossJoin(q)
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("cosine", cosine(col("qe"), col("ne")))
+    val q = broadcast(withNorm(queries, idCol, vecCol, "qid", "qe", "qn"))
+    val c = withNorm(corpus, idCol, vecCol, "nid", "ne", "nn")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nid"))
-    scored
+    c.crossJoin(q)
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cosine", cosinePre(col("qe"), col("ne"), col("qn"), col("nn")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("cosine"), col("rn"))
   }
 
   /** All pairs above a cosine threshold — embedding-space near-dup
-    * detection. O(n²); cap the input or use [[lshBuckets]] first. */
+    * detection. O(n²) pair enumeration; use [[lshBuckets]] first at scale. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = corpus.select(col(idCol), col(vecCol))
-    e.as("a").join(e.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cosine", cosine(col(s"a.$vecCol"), col(s"b.$vecCol")))
+    val a = withNorm(corpus, idCol, vecCol, "id_a", "va", "na")
+    val b = withNorm(corpus, idCol, vecCol, "id_b", "vb", "nb")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplane component: planes are derived
@@ -75,9 +83,7 @@ object SimilarityOps {
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucket = (0 until planes).map { p =>
       val plane = array((0 until dim).map(i => lit(planeComponent(p, i))): _*)
-      val d = aggregate(zip_with(col(vecCol), plane,
-        (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
-      when(round(d, 6) > 0, math.pow(2, p)).otherwise(0.0)
+      when(round(array_dot(col(vecCol), plane), 6) > 0, math.pow(2, p)).otherwise(0.0)
     }.reduce(_ + _).cast("long")
     corpus.select(col(idCol), bucket.as("bucket"))
   }
@@ -90,15 +96,17 @@ object SimilarityOps {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cb = lshBuckets(corpus, planes, dim, idCol, vecCol)
       .join(corpus, Seq(idCol))
-      .select(col(idCol).as("nid"), col(vecCol).as("ne"), col("bucket"))
     val qb = lshBuckets(queries, planes, dim, idCol, vecCol)
       .join(queries, Seq(idCol))
-      .select(col(idCol).as("qid"), col(vecCol).as("qe"), col("bucket"))
+    val cWithBucket = cb.select(col(idCol).as("nid"), col(vecCol).as("ne"),
+      sqrt(array_dot(col(vecCol), col(vecCol))).as("nn"), col("bucket"))
+    val qWithBucket = qb.select(col(idCol).as("qid"), col(vecCol).as("qe"),
+      sqrt(array_dot(col(vecCol), col(vecCol))).as("qn"), col("bucket"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nid"))
-    cb.join(broadcast(qb), Seq("bucket"))
+    cWithBucket.join(broadcast(qWithBucket), Seq("bucket"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("cosine", cosine(col("qe"), col("ne")))
+      .withColumn("cosine", cosinePre(col("qe"), col("ne"), col("qn"), col("nn")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("cosine"), col("rn"))

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.operators.{GoldOps, PatternOps, SilverOps}
+import graft.queries.DomainQueries
+import graft.sources.{Checkpoints, Storage, TableRef}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The medallion pipeline end-to-end: bronze ingest → silver transform →
+  * gold analytics, with the reference's incremental-batch control flow
+  * (reference `bronze/main.py`, `silver/main.py`, `gold/main.py` — SURVEY §3).
+  *
+  * Spark-first deltas from the reference, deliberate:
+  *  - bronze writes only the new date partitions via dynamic partition
+  *    overwrite instead of read-concat-rewrite of the whole dataset;
+  *  - no ticker batching: silver is one job per table, partitioning does
+  *    the memory management;
+  *  - append-vs-full-rewrite stays a driver decision off checkpoint state
+  *    (`silver/incremental.py:20-66`), but both paths are plain writes.
+  */
+final case class Lake(root: String) {
+  def bronze(name: String): TableRef = TableRef(root, "bronze", name)
+  def silver(name: String): TableRef = TableRef(root, "silver", name)
+  def gold(name: String): TableRef = TableRef(root, "gold", name)
+  def checkpointPath: String = s"$root/checkpoints.json"
+}
+
+object Pipeline {
+
+  /** Bronze: land the daily bars (fixture-backed stand-in for the REST
+    * ingest S6-S8), Hive-partitioned by date, plus the splits dim. */
+  def runBronze(spark: SparkSession, sfDir: String, lake: Lake): Unit = {
+    val bars = Tables.bars(spark, sfDir)
+    Storage.writeTable(bars, lake.bronze("stocks"), partitionBy = Seq("date"))
+    Storage.writeTable(DomainQueries.syntheticSplits(spark), lake.bronze("splits"))
+    val maxDate = bars.agg(max(col("date"))).first().get(0)
+    Checkpoints.save(lake.checkpointPath,
+      Checkpoints.load(lake.checkpointPath) +
+        ("bronze_stocks_last_date" -> String.valueOf(maxDate)))
+  }
+
+  /** Should silver fully rewrite? First run, or any split executed after
+    * silver's high-water mark (retroactive adjustment invalidates history). */
+  def shouldFullRewrite(spark: SparkSession, lake: Lake): Boolean = {
+    if (!Storage.tableExists(spark, lake.silver("daily_aggregates"))) return true
+    val lastSilver = Storage.maxDate(spark, lake.silver("daily_aggregates"))
+    lastSilver match {
+      case None => true
+      case Some(d) =>
+        Storage.readTable(spark, lake.bronze("splits"))
+          .filter(col("execution_date") > lit(java.sql.Date.valueOf(d)))
+          .limit(1).count() > 0
+    }
+  }
+
+  /** Silver: split-adjust, roll up to three grains, compute indicators.
+    * Append path processes only bars newer than the checkpoint; rewrite
+    * path rebuilds everything (same code, different input slice + mode). */
+  def runSilver(spark: SparkSession, lake: Lake): Unit = {
+    val full = shouldFullRewrite(spark, lake)
+    val bronze = Storage.readTable(spark, lake.bronze("stocks"))
+    val splits = Storage.readTable(spark, lake.bronze("splits"))
+
+    val (input, mode) =
+      if (full) (bronze, SaveMode.Overwrite)
+      else {
+        val last = Storage.maxDate(spark, lake.silver("daily_aggregates")).get
+        (bronze.filter(col("date") > lit(java.sql.Date.valueOf(last))), SaveMode.Append)
+      }
+
+    val daily = SilverOps.applySplits(input, splits)
+    Storage.writeTable(daily, lake.silver("daily_aggregates"), mode)
+
+    // weekly/monthly + indicators always derive from the full silver daily
+    // table (windows need history regardless of how much daily was new).
+    val allDaily = Storage.readTable(spark, lake.silver("daily_aggregates"))
+    Seq("week" -> "weekly_aggregates", "month" -> "monthly_aggregates").foreach {
+      case (b, t) => Storage.writeTable(SilverOps.rollup(allDaily, b), lake.silver(t))
+    }
+    Storage.writeTable(SilverOps.indicators(allDaily), lake.silver("daily_indicators"))
+    Storage.writeTable(
+      SilverOps.indicators(Storage.readTable(spark, lake.silver("weekly_aggregates"))),
+      lake.silver("weekly_indicators"))
+    Storage.writeTable(
+      SilverOps.indicators(Storage.readTable(spark, lake.silver("monthly_aggregates"))),
+      lake.silver("monthly_indicators"))
+
+    if (full) Checkpoints.save(lake.checkpointPath,
+      Checkpoints.load(lake.checkpointPath) +
+        ("silver_last_full_rewrite" -> java.time.Instant.now().toString))
+  }
+
+  /** Gold: VWAP signals + HVC pattern tables off silver. */
+  def runGold(spark: SparkSession, lake: Lake): Unit = {
+    val daily = Storage.readTable(spark, lake.silver("daily_aggregates"))
+    Storage.writeTable(GoldOps.vwapSignals(daily), lake.gold("vwap_signals"))
+
+    val ind = Storage.readTable(spark, lake.silver("daily_indicators"))
+    val hvc = PatternOps.highVolumeCloses(ind, threshold = 1.5)
+    Storage.writeTable(hvc, lake.gold("daily_high_volume_closes"))
+    Storage.writeTable(
+      PatternOps.stairPatterns(hvc, ascending = true, minSteps = 2),
+      lake.gold("stairstepping_patterns"))
+    Storage.writeTable(
+      PatternOps.bestPatternPerTicker(
+        PatternOps.stairPatterns(hvc, ascending = false, minSteps = 2)),
+      lake.gold("falling_down_stairs_summary"))
+  }
+
+  /** Clean: drop bronze (the reference's `clean` CLI). */
+  def runClean(spark: SparkSession, lake: Lake): Unit = {
+    Storage.deleteTable(spark, lake.bronze("stocks"))
+    Storage.deleteTable(spark, lake.bronze("splits"))
+  }
+
+  def runAll(spark: SparkSession, sfDir: String, lake: Lake): Unit = {
+    runBronze(spark, sfDir, lake)
+    runSilver(spark, lake)
+    runGold(spark, lake)
+  }
+}

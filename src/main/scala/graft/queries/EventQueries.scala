@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream semantics in batch form (SURVEY §2.9): tumbling windows and
+  * gap-based sessionization, oracle-checked. The true streaming variants
+  * (watermarks, flatMapGroupsWithState) live in
+  * [[graft.streaming.StreamingOps]] and are spec-tested — a streaming sink
+  * can't flow through the Verify harness, but these batch twins pin the
+  * same window/session semantics.
+  */
+object EventQueries {
+
+  private val D6 = DecimalType(18, 6)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1-hour event-time windows per type.
+    "q_events_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D6)).cast("double").as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))),
+
+    // Gap-based sessionization (30-min inactivity) via gaps-and-islands —
+    // the batch twin of StreamingOps.sessionize.
+    "q_events_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 30 * 60000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(D6)).cast("double").as("total_value"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_events_hourly" ->
+      """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_sessions" ->
+      """WITH lagged AS (
+        |  SELECT *, LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch_ms(ts) - epoch_ms(prev_ts) > 30 * 60000 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY 1, 2""".stripMargin
+  )
+}

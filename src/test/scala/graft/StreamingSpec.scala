@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.StreamingOps
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def eventsDir: String = {
+    val dir = Files.createTempDirectory("graft_events").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("streaming hourly windowed counts match the batch twin") {
+    val stream = StreamingOps.readEventsStream(spark, eventsDir)
+    val q = StreamingOps.hourlyTypeCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hourly_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // Append mode only emits windows finalized by the watermark; every
+    // emitted row must agree with the batch computation.
+    val streamed = spark.table("hourly_out")
+      .select("window_start", "event_type", "n")
+      .collect().map(_.toString).toSet
+    val batch = SparkEntry.queries("q_events_hourly")(spark, sf)
+      .select("window_start", "event_type", "n")
+      .collect().map(_.toString).toSet
+    assert(streamed.subsetOf(batch))
+  }
+
+  test("stateful sessionization closes sessions on gaps") {
+    val events = Seq(
+      StreamingOps.Event(1, ts("2024-01-01 10:00:00"), 7, "c", 1.0),
+      StreamingOps.Event(2, ts("2024-01-01 10:10:00"), 7, "c", 2.0),
+      StreamingOps.Event(3, ts("2024-01-01 11:30:00"), 7, "c", 3.0), // 80-min gap
+      StreamingOps.Event(4, ts("2024-01-01 10:05:00"), 8, "c", 5.0)
+    ).toDS()
+    val sessions = StreamingOps.sessionize(events).collect()
+    // batch execution emits only CLOSED sessions (trailing state unemitted):
+    // user 7's first session closed by the gap
+    assert(sessions.length === 1)
+    val s = sessions.head
+    assert(s.user_id === 7 && s.n_events === 2 && s.total_value === 3.0)
+  }
+
+  test("batch sessionization query agrees with streaming session boundaries") {
+    val batchSessions = SparkEntry.queries("q_events_sessions")(spark, sf)
+    val n = batchSessions.count()
+    assert(n > 0)
+    // every session interval respects the 30-min gap invariant
+    val bad = batchSessions.filter(
+      unix_millis(col("session_end")) - unix_millis(col("session_start")) < 0).count()
+    assert(bad === 0)
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+}

@@ -1,0 +1,29 @@
+package graft
+
+import graft.functions.VectorExpressions.array_dot
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("array_dot matches the composable aggregate/zip_with form bit-for-bit") {
+    val e = Tables.embeddings(spark, sf).limit(100)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val diff = e.select(
+      array_dot(col("embedding"), col("embedding")).as("fast"),
+      hofDot(col("embedding"), col("embedding")).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff === 0)
+  }
+
+  test("array_dot handles double arrays and null inputs") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0, 3.0)), Some(Array(4.0, 5.0, 6.0))),
+      (None, Some(Array(1.0)))).toDF("a", "b")
+    val rows = df.select(array_dot($"a", $"b").as("d")).collect()
+    assert(rows(0).getDouble(0) === 32.0)
+    assert(rows(1).isNullAt(0))
+  }
+}
