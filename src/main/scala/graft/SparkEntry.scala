@@ -18,9 +18,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DomainQueries.queries ++
-      TextQueries.queries ++ EventQueries.queries
+      TextQueries.queries ++ EventQueries.queries ++ DeclaredQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ DomainQueries.oracles ++
-      TextQueries.oracles ++ EventQueries.oracles
+      TextQueries.oracles ++ EventQueries.oracles ++ DeclaredQueries.oracles
 }

@@ -45,7 +45,9 @@ object DomainQueries {
 
   /** Indicators CTE over bars — mirrors [[SilverOps.indicators]] exactly:
     * strict min-periods rolling means via decimal sums, floored volume MA. */
-  private val indSql =
+  private[queries] val indCteSql: String = indSqlDef
+  private val indSql = indSqlDef
+  private lazy val indSqlDef =
     """ind AS (
       |  SELECT ticker, date, close, high, low, volume,
       |    LAG(close, 1) OVER wt AS prev_close,
@@ -121,6 +123,18 @@ object DomainQueries {
 
   private def withBars(extra: String, body: String) =
     Tables.barsSql + (if (extra.nonEmpty) ",\n" + extra else "") + "\n" + body
+
+  private[queries] def hvcCteSql(threshold: String): String = hvcSql(threshold)
+
+  /** Island decomposition CTEs with a name suffix so ascending and
+    * descending variants can coexist in one oracle query. */
+  private[queries] def stairsCteSql(cmp: String, minSteps: Int,
+                                    suffix: String = ""): String =
+    stairsSql(cmp, minSteps)
+      .replaceAll("\\bflagged\\b", s"flagged$suffix")
+      .replaceAll("\\bbrk\\b", s"brk$suffix")
+      .replaceAll("\\bisl\\b", s"isl$suffix")
+      .replaceAll("\\bpat\\b", s"pat$suffix")
 
   /** HVC CTE at a given ratio threshold (shared by pattern oracles). */
   private def hvcSql(threshold: String) =

@@ -28,6 +28,13 @@ object EventQueries {
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"), col("total_value"))),
 
+    // F1 — epoch-ms ⇄ timestamp/date round trip (`bronze/transformers.py:72`).
+    "q_epoch_roundtrip" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          unix_millis(col("ts")).as("epoch_val"),
+          graft.functions.GraftFunctions.epochMsToDate(unix_millis(col("ts"))).as("d"))),
+
     // Gap-based sessionization (30-min inactivity) via gaps-and-islands —
     // the batch twin of StreamingOps.sessionize.
     "q_events_sessions" -> ((s, dir) => {
@@ -50,6 +57,9 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_epoch_roundtrip" ->
+      """SELECT event_id, epoch_ms(ts) AS epoch_val, CAST(ts AS DATE) AS d
+        |FROM events""".stripMargin,
     "q_events_hourly" ->
       """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n,

@@ -214,6 +214,15 @@ object RelationalQueries {
         .groupBy(col("l_orderkey"))
         .agg(concat_ws(",", array_sort(collect_list(col("l_linenumber")))).as("lines"))),
 
+    // O4 — exact-n random sample (`silver/validation.py:145`): seeded
+    // rand + limit gives exactly n rows, reproducibly within Spark. No
+    // oracle (RNG differs across engines) → driver's rows-only check.
+    "q_sample_n" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(rand(42), col("o_orderkey"))
+        .limit(50)
+        .select(col("o_orderkey"), col("o_custkey"))),
+
     // F14 — JSON field extraction from the events props column.
     "q_json_extract" -> ((s, dir) =>
       Tables.events(s, dir)

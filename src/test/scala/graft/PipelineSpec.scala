@@ -39,6 +39,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(after === before) // empty append, no duplication
   }
 
+  test("split validation: silver closes match independent recomputation within $0.01") {
+    val lake = Lake(Files.createTempDirectory("graft_lakev").toString)
+    Pipeline.runAll(spark, sf, lake)
+    val report = graft.pipeline.Validation.validateSplits(spark, lake)
+    assert(report.checked > 0)
+    assert(report.ok, s"mismatches=${report.mismatches} maxErr=${report.maxAbsError}")
+  }
+
+  test("count anomaly report flags planted outlier dates") {
+    import spark.implicits._
+    val normal = (1 to 30).flatMap(d => (1 to 100).map(i => (f"2024-01-$d%02d", i)))
+    val outlier = (1 to 3).map(i => ("2024-02-01", i)) // tiny date
+    val df = (normal ++ outlier).toDF("date", "i")
+    val anomalies = graft.pipeline.Validation.countAnomalies(df).collect()
+    assert(anomalies.length === 1)
+    assert(anomalies.head.getString(0) === "2024-02-01")
+    assert(anomalies.head.getString(2) === "below_half_mean")
+  }
+
   test("clean drops bronze only") {
     val lake = Lake(Files.createTempDirectory("graft_lake3").toString)
     Pipeline.runAll(spark, sf, lake)

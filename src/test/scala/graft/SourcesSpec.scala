@@ -1,0 +1,85 @@
+package graft
+
+import graft.sources._
+import graft.functions.TradingCalendar
+import java.nio.file.Files
+import java.time.LocalDate
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.types._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+class SourcesSpec extends SparkSpecBase {
+
+  test("missing-date planner: required minus stored, newest first") {
+    val today = LocalDate.of(2024, 1, 31)
+    val stored = Set(LocalDate.of(2024, 1, 2), LocalDate.of(2024, 1, 3))
+    val missing = IngestPlanner.missingDates(2024, today, stored)
+    assert(!missing.exists(stored))
+    assert(missing.head === LocalDate.of(2024, 1, 31))
+    assert(missing === missing.sortBy[Long](-_.toEpochDay))
+    assert(missing.forall(TradingCalendar.isTradingDay))
+  }
+
+  test("parallel fetch stops scheduling after a plan-limit response") {
+    val days = TradingCalendar.tradingDays(
+      LocalDate.of(2024, 1, 1), LocalDate.of(2024, 2, 29))
+    val dates = days.sortBy[Long](-_.toEpochDay)
+    val quotaAt = dates(10) // 403 partway through the 3rd window of 4
+    val src = new FixtureBarsSource(Seq("AAA", "BBB"), quotaDates = Set(quotaAt))
+    val (rows, completed, hitLimit) = ParallelFetch.fetchAll(src, dates, parallelism = 4)
+    assert(hitLimit)
+    // everything before the quota window completed; nothing after the
+    // cancelled window was ever launched
+    assert(completed.size >= 10 && completed.size <= 12)
+    assert(rows.size === completed.size * 2)
+    val launchedWindows = (completed.size + 1) / 4 + 1
+    assert(launchedWindows <= 4)
+  }
+
+  test("fetch-transform-write roundtrip lands in a date-partitioned table") {
+    import scala.jdk.CollectionConverters._
+    val src = new FixtureBarsSource(Seq("AAA", "BBB"))
+    val days = TradingCalendar.tradingDays(
+      LocalDate.of(2024, 3, 4), LocalDate.of(2024, 3, 8))
+    val (rows, _, _) = ParallelFetch.fetchAll(src, days)
+    val df = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(
+        r.ticker, java.sql.Date.valueOf(r.date), r.open, r.high, r.low,
+        r.close, r.volume, r.transactions)).asJava,
+      StructType(Seq(
+        StructField("ticker", StringType), StructField("date", DateType),
+        StructField("open", DoubleType), StructField("high", DoubleType),
+        StructField("low", DoubleType), StructField("close", DoubleType),
+        StructField("volume", LongType), StructField("transactions", LongType))))
+    val ref = TableRef(Files.createTempDirectory("graft_src").toString, "bronze", "stocks")
+    Storage.writeTable(df, ref, partitionBy = Seq("date"))
+    val back = Storage.readTable(spark, ref)
+    assert(back.count() === 10) // 5 trading days × 2 tickers
+    assert(Storage.maxDate(spark, ref).contains(LocalDate.of(2024, 3, 8)))
+  }
+
+  test("storage: init, exists, delete, checkpoint roundtrip") {
+    val root = Files.createTempDirectory("graft_store").toString
+    val ref = TableRef(root, "silver", "t")
+    val schema = StructType(Seq(StructField("a", IntegerType)))
+    assert(!Storage.tableExists(spark, ref))
+    Storage.initTable(spark, ref, schema)
+    assert(Storage.tableExists(spark, ref))
+    assert(Storage.readTable(spark, ref).count() === 0)
+    assert(Storage.deleteTable(spark, ref))
+    assert(!Storage.tableExists(spark, ref))
+
+    val cp = s"$root/checkpoints.json"
+    Checkpoints.save(cp, Map("k1" -> "v1", "weird" -> "a\"b\nc"))
+    assert(Checkpoints.load(cp) === Map("k1" -> "v1", "weird" -> "a\"b\nc"))
+    assert(Checkpoints.load(s"$root/nope.json") === Map.empty)
+  }
+
+  test("append mode is a real append (reference's append path raises)") {
+    val ref = TableRef(Files.createTempDirectory("graft_app").toString, "silver", "t")
+    import spark.implicits._
+    Storage.writeTable(Seq(1, 2).toDF("a"), ref)
+    Storage.writeTable(Seq(3).toDF("a"), ref, SaveMode.Append)
+    assert(Storage.readTable(spark, ref).count() === 3)
+  }
+}
