@@ -43,6 +43,18 @@ object GraftSession {
   def get(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
     spark
+  }
+
+  /** Expose the engine's custom functions to SQL text: `product_agg(x)`
+    * (exact product aggregate) and `array_dot(a, b)` (native dot product) —
+    * so `spark.sql` users get the same surface as the DataFrame API. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("product_agg",
+      org.apache.spark.sql.functions.udaf(graft.functions.ProductAgg))
+    org.apache.spark.sql.graftshim.ColumnBridge.registerFunction(
+      spark, "array_dot",
+      exprs => graft.functions.ArrayDotProduct(exprs(0), exprs(1)))
   }
 }

@@ -29,12 +29,27 @@ object DedupOps {
       .select(col("keep_id"), col("n_copies"), col("fingerprint"))
 
   /** Distinct shingle rows (doc_id, sh) — the shared input for signatures
-    * and Jaccard verification. Exploded form keeps all the md5 work in
-    * codegen'd expressions (array lambdas are interpreted). */
+    * and Jaccard verification.
+    *
+    * Built as posexplode(words) + window `lead` instead of array lambdas:
+    * `transform`+`array_distinct` are interpreted per element and were ~11×
+    * slower at sf0.1. The window shuffles on doc_id and the distinct on
+    * (doc_id, sh) — both uniformly hashed, both linear in corpus size. */
   def shingleRows(docs: DataFrame, shingleN: Int,
-                  textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.shingles(col(textCol), shingleN)).as("sh"))
+                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "w")))
+    val withLeads = (1 until shingleN).foldLeft(words)((acc, k) =>
+      acc.withColumn(s"w$k", lead(col("w"), k).over(w)))
+    val complete = if (shingleN == 1) withLeads
+      else withLeads.filter(col(s"w${shingleN - 1}").isNotNull)
+    complete
+      .select(col("doc_id"),
+        concat_ws(" ", col("w") +: (1 until shingleN).map(k => col(s"w$k")): _*).as("sh"))
+      .distinct()
+  }
 
   /** MinHash signature: k independent min-hashes over word n-gram shingles.
     * Hash i of shingle s = first 16 hex chars of md5("i:s"); the signature

@@ -31,7 +31,10 @@ object Pipeline {
   /** Bronze: land the daily bars (fixture-backed stand-in for the REST
     * ingest S6-S8), Hive-partitioned by date, plus the splits dim. */
   def runBronze(spark: SparkSession, sfDir: String, lake: Lake): Unit = {
-    val bars = Tables.bars(spark, sfDir)
+    // one shuffle on the partition key so each date directory gets exactly
+    // one writer (otherwise: |dates| × |tasks| tiny files — the classic
+    // partitioned-write small-files trap, fatal at 2500 partitions)
+    val bars = Tables.bars(spark, sfDir).repartition(col("date"))
     Storage.writeTable(bars, lake.bronze("stocks"), partitionBy = Seq("date"))
     Storage.writeTable(DomainQueries.syntheticSplits(spark), lake.bronze("splits"))
     val maxDate = bars.agg(max(col("date"))).first().get(0)

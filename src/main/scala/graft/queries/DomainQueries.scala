@@ -112,6 +112,17 @@ object DomainQueries {
           SilverOps.indicators(Tables.bars(s, dir)), threshold = 1.5),
         ascending = true, minSteps = 2)),
 
+    // As-of join: each bar picks up the most recent split execution ≤ its
+    // date (one shuffle; union + carry-forward window composition).
+    "q_asof_join" -> ((s, dir) =>
+      graft.operators.AsOfJoin.asOf(
+        Tables.bars(s, dir).select("ticker", "date", "close"),
+        syntheticSplits(s), Seq("ticker"),
+        "date", "execution_date", Seq("split_from", "split_to"))
+        .select(col("ticker"), col("date"), col("close"),
+          col("split_from"), col("split_to"),
+          col("matched_time").as("last_exec_date"))),
+
     // Falling-down-stairs + best-per-ticker ranking.
     "q_falling_best" -> ((s, dir) =>
       PatternOps.bestPatternPerTicker(
@@ -183,6 +194,12 @@ object DomainQueries {
         |  CAST(FLOOR(b.volume / COALESCE(f.adj_factor, 1.0)) AS BIGINT) AS volume
         |FROM bars b LEFT JOIN factors f
         |  ON b.ticker = f.ticker AND b.date = f.date""".stripMargin),
+
+    "q_asof_join" -> withBars(splitsSql,
+      """SELECT b.ticker, b.date, b.close, s.split_from, s.split_to,
+        |  s.execution_date AS last_exec_date
+        |FROM bars b ASOF LEFT JOIN splits s
+        |  ON b.ticker = s.ticker AND b.date >= s.execution_date""".stripMargin),
 
     "q_sma" -> withBars(indSql,
       "SELECT ticker, date, close, prev_close, sma_20, sma_50 FROM ind"),

@@ -127,6 +127,14 @@ object RelationalQueries {
         .select(col("l_orderkey"),
           round(col("disc_product"), 6).as("disc_product"))),
 
+    // A9 — multi-dimensional aggregate: CUBE over two keys (partial/final
+    // agg + grouping sets expansion, all map-side combined).
+    "q_cube_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast(D2).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
     // A5 — distinct + countDistinct.
     "q_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -285,6 +293,10 @@ object RelationalQueries {
     "q_product_agg" ->
       """SELECT l_orderkey, ROUND(PRODUCT(1.0 + l_discount), 6) AS disc_product
         |FROM lineitem WHERE l_linenumber <= 2 GROUP BY l_orderkey""".stripMargin,
+    "q_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS n_dates

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.AsOfJoin
+import java.sql.Date
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  private lazy val quotes = Seq(
+    ("A", d("2024-01-01"), 10.0), ("A", d("2024-01-05"), 11.0),
+    ("A", d("2024-03-01"), 12.0), ("B", d("2024-01-03"), 20.0))
+    .toDF("ticker", "date", "close")
+  private lazy val marks = Seq(
+    ("A", d("2024-01-01"), 1.0), ("A", d("2024-01-04"), 2.0),
+    ("C", d("2024-01-01"), 9.0))
+    .toDF("ticker", "mark_date", "mark")
+
+  test("backward as-of: most recent mark ≤ date, equality matches, no mark → null") {
+    val out = AsOfJoin.asOf(quotes, marks, Seq("ticker"), "date", "mark_date", Seq("mark"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(out === Set(
+      ("A", "2024-01-01", Some(1.0)),  // equality counts
+      ("A", "2024-01-05", Some(2.0)),
+      ("A", "2024-03-01", Some(2.0)),  // carried far forward
+      ("B", "2024-01-03", None)))      // key with no marks
+  }
+
+  test("tolerance nulls out stale matches") {
+    val out = AsOfJoin.asOfWithTolerance(quotes, marks, Seq("ticker"),
+      "date", "mark_date", Seq("mark"), toleranceDays = 10)
+      .filter($"date" === d("2024-03-01"))
+      .collect().head
+    assert(out.isNullAt(out.fieldIndex("mark")))
+    assert(out.isNullAt(out.fieldIndex("matched_time")))
+  }
+
+  test("custom functions are callable from SQL text") {
+    GraftSession.registerFunctions(spark)
+    val dot = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(dot === 32.0)
+    Seq(("a", 2.0), ("a", 3.0)).toDF("k", "v").createOrReplaceTempView("pa")
+    val p = spark.sql("SELECT product_agg(v) AS p FROM pa GROUP BY k")
+      .collect().head.getDouble(0)
+    assert(p === 6.0)
+  }
+}
