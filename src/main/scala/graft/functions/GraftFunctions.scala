@@ -55,6 +55,22 @@ object GraftFunctions {
     when(prevClose.isNull, high - low)
       .otherwise(greatest(high - low, abs(high - prevClose), abs(low - prevClose)))
 
+  /** Skew-salted equi-join: replicate the (small) right side `salts`× and
+    * scatter the left side by a hash of `leftUnique`, so one hot key spreads
+    * over `salts` reducers instead of melting a single one. AQE's skew-join
+    * split handles sort-merge skew at runtime; this is for the cases it
+    * can't touch (skewed broadcast-build rows, deterministic layout needs).
+    * Semantically identical to `left.join(right, key)` — pinned by spec. */
+  def saltedJoin(left: org.apache.spark.sql.DataFrame,
+                 right: org.apache.spark.sql.DataFrame,
+                 key: Seq[String], salts: Int,
+                 leftUnique: Column): org.apache.spark.sql.DataFrame = {
+    val saltedLeft = left.withColumn("_salt", pmod(hash(leftUnique), lit(salts)))
+    val saltedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(saltedRight, key :+ "_salt").drop("_salt")
+  }
+
   /** P7 — non-strict schema coercion: cast every field, bad values → null
     * (`schemas.py:108-129`; Spark ANSI-off cast has the same semantics). */
   def coerceTo(df: org.apache.spark.sql.DataFrame,

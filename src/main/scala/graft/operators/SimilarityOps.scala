@@ -88,6 +88,80 @@ object SimilarityOps {
     corpus.select(col(idCol), bucket.as("bucket"))
   }
 
+  /** IVF centroids: a deterministic pseudo-random sample of k corpus
+    * vectors — ordered by md5 of the id, so any engine reproduces the same
+    * "training". A production deployment swaps in k-means centroids; the
+    * index structure and search path below are unchanged. */
+  def ivfCentroids(corpus: DataFrame, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
+  : Array[(Long, Seq[Float], Double)] = {
+    val w = Window.orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    corpus.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col(vecCol))
+      .collect()
+      .map { r =>
+        val vec = r.getSeq[Float](1)
+        // ascending-index sum — the same order as array_dot and the oracles
+        var s = 0.0; vec.foreach(x => s += x.toDouble * x.toDouble)
+        (r.getLong(0), vec, math.sqrt(s))
+      }
+  }
+
+  /** Rounded cosine of each row's vector against every centroid, as an
+    * array of (score, -cid) structs — argmax by struct comparison is
+    * per-row (no shuffle, no explode): ties pick the smallest centroid id. */
+  private def centroidScores(vecCol: Column, norm: Column,
+                             cents: Array[(Long, Seq[Float], Double)]): Column =
+    array(cents.map { case (cid, ce, cn) =>
+      struct(
+        round(array_dot(vecCol, typedLit(ce)) / (norm * lit(cn)), 6).as("s"),
+        lit(-cid).as("nc"))
+    }: _*)
+
+  /** IVF assignment: nearest centroid per vector. One narrow pass. */
+  def ivfAssign(corpus: DataFrame, cents: Array[(Long, Seq[Float], Double)],
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val norm = sqrt(array_dot(col(vecCol), col(vecCol)))
+    val best = array_max(centroidScores(col(vecCol), norm, cents))
+    corpus.select(col(idCol), (-best.getField("nc")).cast("long").as("cid"))
+  }
+
+  /** ANN via IVF: probe the `nprobe` nearest centroid lists per query, then
+    * exact cosine re-rank over the candidates. The corpus-side shuffle is
+    * on the centroid id — |corpus| rows once, reusable across queries; at
+    * scale the assignment is precomputed and bucketed by cid. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             nCentroids: Int = 16, nprobe: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol)
+    val assigned = ivfAssign(corpus, cents, idCol, vecCol)
+      .join(corpus, Seq(idCol))
+      .select(col(idCol).as("nid"), col(vecCol).as("ne"),
+        sqrt(array_dot(col(vecCol), col(vecCol))).as("nn"), col("cid"))
+
+    val qnorm = sqrt(array_dot(col(vecCol), col(vecCol)))
+    // top-nprobe probe list: sort the score structs descending — struct
+    // order (s desc, -cid desc) ≡ (score desc, cid asc), matching the SQL
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qe"), qnorm.as("qn"),
+        slice(reverse(array_sort(centroidScores(col(vecCol), qnorm, cents))),
+          1, nprobe).as("pr"))
+      .select(col("qid"), col("qe"), col("qn"), explode(col("pr")).as("p"))
+      .select(col("qid"), col("qe"), col("qn"),
+        (-col("p.nc")).cast("long").as("cid"))
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cosine",
+        round(array_dot(col("qe"), col("ne")) / (col("qn") * col("nn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rn"))
+  }
+
   /** ANN via LSH: candidates share the query's bucket; exact cosine re-rank
     * inside the bucket. Returns top-k per query with recall bounded by
     * bucket collision probability. */

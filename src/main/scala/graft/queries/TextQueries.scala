@@ -61,6 +61,16 @@ object TextQueries {
     "q_lsh_buckets" -> ((s, dir) =>
       SimilarityOps.lshBuckets(Tables.embeddings(s, dir))),
 
+    "q_ivf_assign" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilarityOps.ivfAssign(e, SimilarityOps.ivfCentroids(e, 16))
+    }),
+
+    "q_ivf_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilarityOps.ivfKnn(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+
     "q_mm_meta" -> ((s, dir) =>
       MultimodalOps.payloadMetadata(
         MultimodalOps.withPayload(Tables.documents(s, dir)))
@@ -141,6 +151,36 @@ object TextQueries {
     }
     rows.mkString(",")
   }
+
+  /** Shared IVF CTEs: deterministic centroid sample (md5-ordered), per-id
+    * norms, rounded cosine of every vector against every centroid. */
+  private val ivfScoresCte =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |cents AS (
+      |  SELECT vec_id AS cid, embedding AS ce FROM (
+      |    SELECT vec_id, embedding,
+      |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      |    FROM e) WHERE rn <= 16),
+      |norms AS (
+      |  SELECT vec_id, SQRT(SUM(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+      |    * CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE))) AS nrm
+      |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1),
+      |cnorms AS (
+      |  SELECT cid, SQRT(SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE)
+      |    * CAST(ce[CAST(i AS INTEGER)] AS DOUBLE))) AS cnrm
+      |  FROM cents CROSS JOIN range(1, 65) t(i) GROUP BY 1),
+      |scores AS (
+      |  SELECT e.vec_id, c.cid,
+      |    ROUND(SUM(CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+      |            * CAST(c.ce[CAST(i AS INTEGER)] AS DOUBLE))
+      |          / (MAX(n.nrm) * MAX(cn.cnrm)), 6) AS s
+      |  FROM e
+      |  CROSS JOIN cents c
+      |  CROSS JOIN range(1, 65) t(i)
+      |  JOIN norms n ON n.vec_id = e.vec_id
+      |  JOIN cnorms cn ON cn.cid = c.cid
+      |  GROUP BY e.vec_id, c.cid)
+      |""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_text_tokens" ->
@@ -290,6 +330,43 @@ object TextQueries {
          |SELECT vec_id,
          |  CAST(SUM(CASE WHEN ROUND(d, 6) > 0 THEN POW(2, p) ELSE 0 END) AS BIGINT) AS bucket
          |FROM dots GROUP BY 1""".stripMargin,
+
+    "q_ivf_assign" -> (ivfScoresCte +
+      """SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |  FROM scores) WHERE rn = 1""".stripMargin),
+
+    "q_ivf_knn" -> (ivfScoresCte + ",\n" +
+      """assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM scores) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM scores WHERE vec_id < 10) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.qid, a.vec_id AS nid
+        |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+        |pairs AS (
+        |  SELECT c.qid, c.nid,
+        |    ROUND(SUM(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |            * CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+        |          / (MAX(nq.nrm) * MAX(nn.nrm)), 6) AS cosine
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.qid
+        |  JOIN e n ON n.vec_id = c.nid
+        |  JOIN norms nq ON nq.vec_id = c.qid
+        |  JOIN norms nn ON nn.vec_id = c.nid
+        |  CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY c.qid, c.nid)
+        |SELECT qid, nid, cosine, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, nid) AS rn
+        |  FROM pairs) WHERE rn <= 5""".stripMargin),
 
     "q_mm_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the physical properties that make these
+  * operators viable at 100 TB, pinned so a refactor can't silently lose
+  * them (SURVEY §4).
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String = formatted(SparkEntry.queries(name)(spark, sf))
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filters and projection reach the parquet scan") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_linenumber), EqualTo(l_returnflag,R), EqualTo(l_linenumber,1)]"),
+      s"missing pushed filters:\n$p")
+    // pruned read schema: only the 5 referenced columns, not all 11
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_linenumber:int,l_extendedprice:double,l_returnflag:string>"))
+  }
+
+  test("dim join broadcasts; no sort-merge on the small side") {
+    val p = plan("q_left_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("split adjustment broadcasts the splits dim") {
+    val p = plan("q_split_adjust")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("vwap: year and quarter windows share one exchange") {
+    val p = plan("q_vwap_signals")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
+    assert(windows === 2, s"expected 2 window ops:\n$p")
+    // exchanges: one for the bars groupBy, one for the window partitioning —
+    // the quarter window must NOT add a third (coarser hash satisfies it)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges === 2, s"expected 2 exchanges, the windows must share:\n$p")
+  }
+
+  test("indicator suite runs all windows off a single ticker sort") {
+    val p = plan("q_sma")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges === 2, s"bars agg + one ticker partitioning only:\n$p")
+    val sorts = "\\(\\d+\\) Sort".r.findAllIn(p).size
+    assert(sorts === 1, s"all indicator windows share one sort:\n$p")
+  }
+
+  test("aggregations are map-side combined (partial before exchange)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("topk plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
