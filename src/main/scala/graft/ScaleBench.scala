@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{GoldOps, PatternOps, SilverOps}
+import graft.sources.{Storage, TableRef}
+import org.apache.spark.sql.functions._
+
+/** Reference-scale pipeline benchmark.
+  *
+  * The reference's production dataset is ~10k tickers × 5 years ≈ 12.5M
+  * ticker-day rows (BASELINE.md); its silver full rewrite runs 15-30 min
+  * and gold 2-5 min on a GitHub-runner-class machine. This main expands
+  * the sf0.1 fixture to that shape (replicating lineitem across `REPS`
+  * ticker namespaces → ~REPS×100 tickers × ~2.5k dates), then runs the
+  * full silver+gold pipeline and prints one JSON timing line.
+  *
+  * Usage: GRAFT_SCALE_REPS=50 sbt "runMain graft.ScaleBench"
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("GRAFT_SCALE_REPS", "50").toInt
+    val root = sys.env.getOrElse("GRAFT_SCALE_DIR",
+      java.nio.file.Files.createTempDirectory("graft_scale").toString)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- expand: REPS ticker namespaces over the fixture fact table ----
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val bars = li.crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
+      .groupBy(
+        concat(lit("T"), col("l_partkey") % 100 + col("rep") * 100).as("ticker"),
+        to_date(col("l_shipdate")).as("date"))
+      .agg(
+        min(col("l_extendedprice")).as("open"),
+        max(col("l_extendedprice")).as("high"),
+        min(col("l_extendedprice")).as("low"),
+        max(col("l_extendedprice")).as("close"),
+        sum(col("l_quantity")).cast("long").as("volume"),
+        count(lit(1)).as("transactions"))
+
+    val nTickers = reps * 100
+    val splits = spark.range(0, nTickers, 5).select(
+      concat(lit("T"), col("id")).as("ticker"),
+      date_add(to_date(lit("1994-01-01")), ((col("id") * 37) % 1000).cast("int"))
+        .as("execution_date"),
+      lit(1.0).as("split_from"),
+      (lit(2) + col("id") % 3).cast("double").as("split_to"))
+
+    val bronzeRef = TableRef(root, "bronze", "stocks")
+    val (_, tBronze) = timed {
+      // monthly partitions at this scale (the reference uses daily because
+      // its ingest is day-at-a-time; for a bulk rewrite coarser is right)
+      Storage.writeTable(
+        bars.withColumn("month", trunc(col("date"), "month"))
+          .repartition(col("month")),
+        bronzeRef, partitionBy = Seq("month"))
+    }
+
+    val bronze = Storage.readTable(spark, bronzeRef).drop("month")
+    val nRows = bronze.count()
+
+    val (_, tSilver) = timed {
+      val daily = SilverOps.applySplits(bronze, splits)
+      Storage.writeTable(daily, TableRef(root, "silver", "daily_aggregates"))
+      val all = Storage.readTable(spark, TableRef(root, "silver", "daily_aggregates"))
+      Storage.writeTable(SilverOps.rollup(all, "week"), TableRef(root, "silver", "weekly_aggregates"))
+      Storage.writeTable(SilverOps.rollup(all, "month"), TableRef(root, "silver", "monthly_aggregates"))
+      Storage.writeTable(SilverOps.indicators(all), TableRef(root, "silver", "daily_indicators"))
+    }
+
+    val (_, tGold) = timed {
+      val daily = Storage.readTable(spark, TableRef(root, "silver", "daily_aggregates"))
+      Storage.writeTable(GoldOps.vwapSignals(daily), TableRef(root, "gold", "vwap_signals"))
+      val ind = Storage.readTable(spark, TableRef(root, "silver", "daily_indicators"))
+      val hvc = PatternOps.highVolumeCloses(ind, threshold = 1.5)
+      Storage.writeTable(PatternOps.stairPatterns(hvc, ascending = true, minSteps = 2),
+        TableRef(root, "gold", "stairstepping_patterns"))
+    }
+
+    println(s"""{"metric":"scale_pipeline","unit":"sec","rows":$nRows,"tickers":$nTickers,"queries":{"bronze_write":$tBronze,"silver_full":$tSilver,"gold":$tGold},"value":${tBronze + tSilver + tGold}}""")
+    spark.stop()
+  }
+}

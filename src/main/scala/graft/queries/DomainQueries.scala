@@ -43,26 +43,38 @@ object DomainQueries {
       |  FROM range(0, 100, 15) t(k)
       |)""".stripMargin
 
-  /** Indicators CTE over bars — mirrors [[SilverOps.indicators]] exactly:
-    * strict min-periods rolling means via decimal sums, floored volume MA. */
-  private[queries] val indCteSql: String = indSqlDef
-  private val indSql = indSqlDef
-  private lazy val indSqlDef =
-    """ind AS (
-      |  SELECT ticker, date, close, high, low, volume,
-      |    LAG(close, 1) OVER wt AS prev_close,
-      |    CASE WHEN COUNT(close) OVER w20 = 20
-      |         THEN CAST(SUM(CAST(close AS DECIMAL(18,2))) OVER w20 AS DOUBLE) / 20 END AS sma_20,
-      |    CASE WHEN COUNT(close) OVER w50 = 50
-      |         THEN CAST(SUM(CAST(close AS DECIMAL(18,2))) OVER w50 AS DOUBLE) / 50 END AS sma_50,
-      |    CASE WHEN COUNT(volume) OVER w20 = 20
-      |         THEN CAST(FLOOR(CAST(SUM(volume) OVER w20 AS DOUBLE) / 20) AS BIGINT) END AS volume_ma_20
-      |  FROM bars
-      |  WINDOW
-      |    wt AS (PARTITION BY ticker ORDER BY date),
-      |    w20 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
-      |    w50 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
-      |)""".stripMargin
+  /** Indicators CTE — mirrors [[SilverOps.indicators]] exactly: strict
+    * min-periods rolling means via decimal sums, floored volume MA.
+    * Parameterized over the source relation (daily bars, weekly roll-up…). */
+  private[queries] def indCteSqlFor(src: String): String =
+    s"""ind AS (
+       |  SELECT ticker, date, close, high, low, volume,
+       |    LAG(close, 1) OVER wt AS prev_close,
+       |    CASE WHEN COUNT(close) OVER w20 = 20
+       |         THEN CAST(SUM(CAST(close AS DECIMAL(18,2))) OVER w20 AS DOUBLE) / 20 END AS sma_20,
+       |    CASE WHEN COUNT(close) OVER w50 = 50
+       |         THEN CAST(SUM(CAST(close AS DECIMAL(18,2))) OVER w50 AS DOUBLE) / 50 END AS sma_50,
+       |    CASE WHEN COUNT(volume) OVER w20 = 20
+       |         THEN CAST(FLOOR(CAST(SUM(volume) OVER w20 AS DOUBLE) / 20) AS BIGINT) END AS volume_ma_20
+       |  FROM $src
+       |  WINDOW
+       |    wt AS (PARTITION BY ticker ORDER BY date),
+       |    w20 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       |    w50 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+       |)""".stripMargin
+
+  private[queries] val indCteSql: String = indCteSqlFor("bars")
+  private val indSql = indCteSql
+
+  /** Weekly roll-up CTE (Sunday anchor, order-correct first/last). */
+  private[queries] val weeklyCteSql: String =
+    """wk AS (
+      |  SELECT ticker, date - CAST(DAYOFWEEK(date) AS INTEGER) AS date,
+      |    ARG_MIN(open, date) AS open, MAX(high) AS high, MIN(low) AS low,
+      |    ARG_MAX(close, date) AS close,
+      |    CAST(SUM(volume) AS BIGINT) AS volume,
+      |    CAST(SUM(transactions) AS BIGINT) AS transactions
+      |  FROM bars GROUP BY 1, 2)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -102,6 +114,14 @@ object DomainQueries {
     // HVC — daily-grain high-volume closes (volume ≥ 3× MA20).
     "q_hvc_daily" -> ((s, dir) =>
       PatternOps.highVolumeCloses(SilverOps.indicators(Tables.bars(s, dir)))
+        .select("ticker", "date", "close", "volume", "volume_ma_20", "volume_ratio")),
+
+    // HVC at weekly grain — the indicator re-runs per timeframe, so the MA
+    // is a 20-WEEK average (`metadata.json:71`, `silver/main.py:107-109`).
+    "q_hvc_weekly" -> ((s, dir) =>
+      PatternOps.highVolumeCloses(
+        SilverOps.indicators(SilverOps.rollup(Tables.bars(s, dir), "week")),
+        threshold = 2.0)
         .select("ticker", "date", "close", "volume", "volume_ma_20", "volume_ratio")),
 
     // W9+F12 — stair-stepping: consecutive ascending HVC islands (≥2 steps
@@ -270,6 +290,10 @@ object DomainQueries {
         |FROM bars GROUP BY 1, 2""".stripMargin),
 
     "q_hvc_daily" -> withBars(indSql + ",\n" + hvcSql("3.0"),
+      "SELECT ticker, date, close, volume, volume_ma_20, volume_ratio FROM hvc"),
+
+    "q_hvc_weekly" -> withBars(
+      weeklyCteSql + ",\n" + indCteSqlFor("wk") + ",\n" + hvcSql("2.0"),
       "SELECT ticker, date, close, volume, volume_ma_20, volume_ratio FROM hvc"),
 
     "q_stairstep" -> withBars(

@@ -96,6 +96,43 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(D2)).cast(D4).as("seg_total"))),
 
+    // Q3-shape: 3-way join (dim filtered → broadcast) + agg + top-k by
+    // revenue. The canonical shuffle-on-orderkey analytics query.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .filter(to_date(col("o_orderdate")) < lit("1995-03-15"))
+      val li = Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) > lit("1995-03-15"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
+        .agg(sum(col("l_extendedprice").cast(D2) *
+          (lit(1).cast(D2) - col("l_discount").cast(D2))).cast(D4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5-shape: 5-way star join down the region→nation→customer/supplier
+    // hierarchy, dims broadcast, one fact shuffle.
+    "q5_local_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val supp = Tables.supplier(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(D2) *
+          (lit(1).cast(D2) - col("l_discount").cast(D2))).cast(D4).as("revenue"))
+    }),
+
     // J3 — anti-join: order dates with no lineitem shipped that day.
     "q_anti_join" -> ((s, dir) => {
       val odates = Tables.orders(s, dir).select(to_date(col("o_orderdate")).as("d")).distinct()
@@ -282,6 +319,28 @@ object RelationalQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS seg_total
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name""".stripMargin,
     "q_anti_join" ->
       """SELECT d FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
         |WHERE d NOT IN (SELECT DISTINCT CAST(l_shipdate AS DATE) FROM lineitem)""".stripMargin,
