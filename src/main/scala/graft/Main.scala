@@ -1,0 +1,32 @@
+package graft
+
+import graft.pipeline.{Lake, Pipeline, Validation}
+
+/** CLI entry points mirroring the reference's pipeline stages
+  * (`pyproject.toml:20-25`: bronze / silver / gold / validate / clean).
+  *
+  * Usage: runMain graft.Main <stage> <lakeRoot> [sfDir]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.Main <bronze|silver|gold|all|validate|clean> <lakeRoot> [sfDir]")
+    val stage = args(0)
+    val lake = Lake(args(1))
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
+    val spark = GraftSession.get()
+    try stage match {
+      case "bronze"   => Pipeline.runBronze(spark, sfDir, lake)
+      case "silver"   => Pipeline.runSilver(spark, lake)
+      case "gold"     => Pipeline.runGold(spark, lake)
+      case "all"      => Pipeline.runAll(spark, sfDir, lake)
+      case "validate" =>
+        val r = Validation.validateSplits(spark, lake)
+        println(s"validate: checked=${r.checked} mismatches=${r.mismatches} " +
+          f"maxAbsError=${r.maxAbsError}%.6f ${if (r.ok) "OK" else "FAILED"}")
+        if (!r.ok) sys.exit(1)
+      case "clean"    => Pipeline.runClean(spark, lake)
+      case other      => throw new IllegalArgumentException(s"unknown stage: $other")
+    } finally spark.stop()
+  }
+}

@@ -72,7 +72,10 @@ object Pipeline {
         (bronze.filter(col("date") > lit(java.sql.Date.valueOf(last))), SaveMode.Append)
       }
 
-    val daily = SilverOps.applySplits(input, splits)
+    // cast-validate on write (`schemas.py:108-117`): non-strict coercion to
+    // the declared silver schema
+    val daily = graft.functions.GraftFunctions.coerceTo(
+      SilverOps.applySplits(input, splits), graft.Schemas.silverDaily)
     Storage.writeTable(daily, lake.silver("daily_aggregates"), mode)
 
     // weekly/monthly + indicators always derive from the full silver daily
