@@ -140,6 +140,55 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph by iterative min-label
+    * propagation: every doc converges to the smallest doc_id reachable from
+    * it — that id is the cluster's canonical representative.
+    *
+    * Each iteration is two shuffles (join + min-agg) and the iteration
+    * count is bounded by the graph diameter — near-dup clusters are
+    * shallow (stars/short chains), so `maxIters` = 10 covers real corpora;
+    * the loop exits early at fixpoint. This is the standard map-reduce CC
+    * algorithm; at 100 TB each iteration is an ordinary shuffled join, no
+    * driver-side state.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("label", "nlabel"), Seq("id_b"))
+        .select(col("id_a").as("id"), col("nlabel").as("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count() == 0
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup dedup end-to-end: LSH candidates above `minJaccard` → cluster
+    * → keep the canonical (smallest-id) doc per cluster. Returns docs with
+    * `cluster` and `is_canonical` columns. */
+  def dedupNearDups(docs: DataFrame, minJaccard: Double = 0.5,
+                    idCol: String = "doc_id"): DataFrame = {
+    val pairs = minhashNearDups(docs).filter(col("jaccard") >= minJaccard)
+    val clusters = connectedComponents(pairs)
+    docs.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("label"), col(idCol)))
+      .withColumn("is_canonical", col("cluster") === col(idCol))
+      .drop("label")
+  }
+
   /** SimHash (16-bit): per word, take 4 hex chars of md5; each bit votes
     * ±1; the sign of each bit's vote total forms the hash. Near-identical
     * docs agree on most bits. Two narrow shuffles on doc_id. */

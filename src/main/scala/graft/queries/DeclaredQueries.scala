@@ -13,14 +13,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DeclaredQueries {
 
+  // The four canned queries share the same (tiny) pattern tables; persist
+  // per sfDir so a batch run (Bench/Verify) computes the chain once.
+  private val patternCache =
+    scala.collection.concurrent.TrieMap.empty[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
   /** Register bars → indicators → HVC → pattern views for `sfDir`. */
   private def registerViews(s: SparkSession, dir: String): Unit = {
-    val ind = SilverOps.indicators(Tables.bars(s, dir))
-    val hvc = PatternOps.highVolumeCloses(ind, threshold = 1.5)
-    PatternOps.stairPatterns(hvc, ascending = true, minSteps = 2)
-      .createOrReplaceTempView("stairstepping_patterns")
-    PatternOps.stairPatterns(hvc, ascending = false, minSteps = 2)
-      .createOrReplaceTempView("falling_down_stairs_patterns")
+    val (up, down) = patternCache.getOrElseUpdate(dir, {
+      val ind = SilverOps.indicators(Tables.bars(s, dir))
+      val hvc = PatternOps.highVolumeCloses(ind, threshold = 1.5)
+      (PatternOps.stairPatterns(hvc, ascending = true, minSteps = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        PatternOps.stairPatterns(hvc, ascending = false, minSteps = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+    up.createOrReplaceTempView("stairstepping_patterns")
+    down.createOrReplaceTempView("falling_down_stairs_patterns")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

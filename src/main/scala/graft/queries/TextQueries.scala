@@ -71,6 +71,21 @@ object TextQueries {
       SimilarityOps.ivfKnn(e, e.filter(col("vec_id") < 10), k = 5)
     }),
 
+    // Near-dup clustering end-to-end (LSH → connected components →
+    // canonical pick). Rows-only: iterative CC has no single-query SQL
+    // equivalent the oracle harness can run.
+    "q_neardup_clusters" -> ((s, dir) =>
+      DedupOps.dedupNearDups(Tables.documents(s, dir), minJaccard = 0.3)
+        .select(col("doc_id"), col("cluster"), col("is_canonical"))),
+
+    // HLL approximate distinct (A9): rows-only — sketch internals differ
+    // across engines by design.
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(approx_count_distinct(col("source")).as("approx_sources"),
+          count(lit(1)).as("n"))),
+
     "q_mm_meta" -> ((s, dir) =>
       MultimodalOps.payloadMetadata(
         MultimodalOps.withPayload(Tables.documents(s, dir)))

@@ -49,6 +49,36 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming bronze→silver: bars files land in `bronzeDir`, each
+    * micro-batch flows through the SAME split-adjustment transform the
+    * batch pipeline uses and appends to silver — the foreachBatch bridge
+    * that turns the reference's nightly incremental into a continuous one
+    * without forking the business logic. Returns the started query; caller
+    * stops it. */
+  def incrementalSilver(spark: SparkSession, bronzeDir: String,
+                        splits: DataFrame, silverRef: graft.sources.TableRef,
+                        checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    val barsSchema = StructType(Seq(
+      StructField("ticker", StringType), StructField("date", DateType),
+      StructField("open", DoubleType), StructField("high", DoubleType),
+      StructField("low", DoubleType), StructField("close", DoubleType),
+      StructField("volume", LongType), StructField("transactions", LongType)))
+    spark.readStream.schema(barsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(bronzeDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Storage.writeTable(
+          graft.functions.GraftFunctions.coerceTo(
+            graft.operators.SilverOps.applySplits(batch.toDF(), splits),
+            graft.Schemas.silverDaily),
+          silverRef, org.apache.spark.sql.SaveMode.Append)
+      }
+      .start()
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)

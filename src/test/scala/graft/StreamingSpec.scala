@@ -60,5 +60,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(bad === 0)
   }
 
+  test("foreachBatch streams bronze bars through the silver transform incrementally") {
+    import graft.sources.{Storage, TableRef}
+    val bronzeDir = Files.createTempDirectory("graft_sbronze").toString
+    val silverRef = TableRef(Files.createTempDirectory("graft_ssilver").toString,
+      "silver", "daily_aggregates")
+    val bars = Tables.bars(spark, sf)
+    val splits = graft.queries.DomainQueries.syntheticSplits(spark)
+    // two "arriving" files → two micro-batches
+    bars.filter(col("date") < lit("1995-01-01")).coalesce(1)
+      .write.parquet(s"$bronzeDir/f1")
+    bars.filter(col("date") >= lit("1995-01-01")).coalesce(1)
+      .write.parquet(s"$bronzeDir/f2")
+    // the stream reads recursively? no — files must sit in bronzeDir itself
+    new java.io.File(bronzeDir).listFiles().filter(_.isDirectory).foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) => Files.move(f.toPath,
+          Paths.get(s"$bronzeDir/${d.getName}_$i.parquet"))
+      }
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    val q = graft.streaming.StreamingOps.incrementalSilver(
+      spark, bronzeDir, splits, silverRef,
+      Files.createTempDirectory("graft_sckpt").toString)
+    q.processAllAvailable()
+    q.stop()
+    val silver = Storage.readTable(spark, silverRef)
+    assert(silver.count() === bars.count())
+    // streamed silver equals the batch transform of the same input
+    val batchSilver = graft.functions.GraftFunctions.coerceTo(
+      graft.operators.SilverOps.applySplits(bars, splits), Schemas.silverDaily)
+    assert(silver.except(batchSilver).count() === 0)
+    assert(batchSilver.except(silver).count() === 0)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }

@@ -85,6 +85,39 @@ class TextOpsSpec extends SparkSpecBase {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("connected components: chains collapse to min label, singletons canonical") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 9L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val cc = DedupOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("near-dup dedup keeps one canonical doc per duplicate cluster") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "the quick brown fox jumps over the lazy dog again and again"),
+      (12L, "the quick brown fox jumps over the lazy dog again and again"),
+      (20L, "completely different content about spark query engines here"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.dedupNearDups(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("cluster"), r.getAs[Boolean]("is_canonical")))
+      .toMap
+    assert(out(10L) === ((10L, true)))
+    assert(out(11L) === ((10L, false)))
+    assert(out(12L) === ((10L, false)))
+    assert(out(20L) === ((20L, true)))
+  }
+
+  test("array-form shingles and exploded shingle rows produce the same sets") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val fromArray = docs.select($"doc_id",
+      explode(TextOps.shingles($"text", 3)).as("sh"))
+    val fromRows = DedupOps.shingleRows(docs, 3)
+    assert(fromArray.except(fromRows).count() === 0)
+    assert(fromRows.except(fromArray).count() === 0)
+  }
+
   test("language id emits a guess for every doc") {
     val out = TextOps.langId(Tables.documents(spark, sf))
     assert(out.filter($"lang_guess".isNull).count() === 0)
