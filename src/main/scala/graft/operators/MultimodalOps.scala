@@ -32,6 +32,23 @@ object MultimodalOps {
       .withColumn("digest", md5(col("payload")))
       .withColumn("magic", hex(substring(col("payload"), 1, 4)))
 
+  /** Frame sampling: split the payload into fixed-size byte frames — the
+    * video/audio access pattern (seek to frame k) expressed as pure
+    * columnar ops. One row per (doc, frame) with its digest; the digest is
+    * md5 over the frame's hex form so any SQL engine reproduces it.
+    * Explode + substring are codegen'd; no data leaves the executor. */
+  def frameSample(df: DataFrame, frameBytes: Int = 64): DataFrame =
+    df
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0),
+          ceil(col("n_bytes").cast("double") / frameBytes).cast("int") - 1)))
+      .withColumn("frame",
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("frame_len"),
+        md5(hex(col("frame")).cast("binary")).as("frame_digest"))
+
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),

@@ -89,7 +89,11 @@ object TextQueries {
     "q_mm_meta" -> ((s, dir) =>
       MultimodalOps.payloadMetadata(
         MultimodalOps.withPayload(Tables.documents(s, dir)))
-        .select(col("doc_id"), col("n_bytes"), col("digest"), col("magic")))
+        .select(col("doc_id"), col("n_bytes"), col("digest"), col("magic"))),
+
+    "q_mm_frames" -> ((s, dir) =>
+      MultimodalOps.frameSample(
+        MultimodalOps.withPayload(Tables.documents(s, dir))))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -382,6 +386,14 @@ object TextQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |    ORDER BY cosine DESC, nid) AS rn
         |  FROM pairs) WHERE rn <= 5""".stripMargin),
+
+    "q_mm_frames" ->
+      """WITH hx AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hexp FROM documents)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  CAST(length(substr(hexp, CAST(i * 128 + 1 AS BIGINT), 128)) // 2 AS INTEGER) AS frame_len,
+        |  md5(substr(hexp, CAST(i * 128 + 1 AS BIGINT), 128)) AS frame_digest
+        |FROM hx CROSS JOIN range(0, 64) t(i)
+        |WHERE i * 128 < length(hexp)""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id,

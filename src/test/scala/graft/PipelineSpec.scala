@@ -39,6 +39,66 @@ class PipelineSpec extends SparkSpecBase {
     assert(after === before) // empty append, no duplication
   }
 
+  test("incremental append produces the same silver daily table as a full rewrite") {
+    import graft.sources.{Storage, TableRef}
+    import graft.queries.DomainQueries
+
+    val lakeInc = Lake(Files.createTempDirectory("graft_lake_inc").toString)
+    val bars = Tables.bars(spark, sf)
+    val splits = DomainQueries.syntheticSplits(spark)
+    // all synthetic splits execute before 1997-11; a later cutoff means the
+    // day-2 increment has no retroactive splits → the append path engages
+    val cutoff = java.sql.Date.valueOf("1998-01-31")
+
+    // day 1: bronze holds only history up to the cutoff → full rewrite
+    Storage.writeTable(bars.filter(col("date") <= lit(cutoff)).repartition(col("date")),
+      lakeInc.bronze("stocks"), partitionBy = Seq("date"))
+    Storage.writeTable(splits, lakeInc.bronze("splits"))
+    Pipeline.runSilver(spark, lakeInc)
+    val afterFirst = Storage.readTable(spark, lakeInc.silver("daily_aggregates")).count()
+
+    // day 2: new dates arrive (no new splits) → append path must engage
+    Storage.writeTable(bars.repartition(col("date")),
+      lakeInc.bronze("stocks"), partitionBy = Seq("date"))
+    assert(!Pipeline.shouldFullRewrite(spark, lakeInc))
+    Pipeline.runSilver(spark, lakeInc)
+
+    val incremental = Storage.readTable(spark, lakeInc.silver("daily_aggregates"))
+    assert(incremental.count() > afterFirst)
+
+    // reference result: one-shot full rewrite over the complete bronze
+    val lakeFull = Lake(Files.createTempDirectory("graft_lake_full").toString)
+    Storage.writeTable(bars.repartition(col("date")),
+      lakeFull.bronze("stocks"), partitionBy = Seq("date"))
+    Storage.writeTable(splits, lakeFull.bronze("splits"))
+    Pipeline.runSilver(spark, lakeFull)
+    val full = Storage.readTable(spark, lakeFull.silver("daily_aggregates"))
+
+    assert(incremental.count() === full.count())
+    assert(incremental.except(full).count() === 0)
+    assert(full.except(incremental).count() === 0)
+  }
+
+  test("a split newer than silver's high-water mark forces a full rewrite") {
+    import graft.sources.{Storage, TableRef}
+    val lake = Lake(Files.createTempDirectory("graft_lake_split").toString)
+    Pipeline.runAll(spark, sf, lake)
+    assert(!Pipeline.shouldFullRewrite(spark, lake))
+    // a retroactive split lands after the silver max date
+    val maxDate = Storage.maxDate(spark, lake.silver("daily_aggregates")).get
+    import spark.implicits._
+    val lateSplit = Seq(("T1",
+      java.sql.Date.valueOf(maxDate.plusDays(5)), 1.0, 2.0))
+      .toDF("ticker", "execution_date", "split_from", "split_to")
+    Storage.readTable(spark, lake.bronze("splits")).unionByName(lateSplit)
+      .write.mode("overwrite").parquet(s"${lake.root}/bronze/splits_new")
+    // swap in the new splits table
+    Storage.deleteTable(spark, lake.bronze("splits"))
+    spark.read.parquet(s"${lake.root}/bronze/splits_new")
+      .write.parquet(lake.bronze("splits").path)
+    assert(Pipeline.shouldFullRewrite(spark, lake))
+  }
+
   test("split validation: silver closes match independent recomputation within $0.01") {
     val lake = Lake(Files.createTempDirectory("graft_lakev").toString)
     Pipeline.runAll(spark, sf, lake)
