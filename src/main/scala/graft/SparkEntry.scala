@@ -18,9 +18,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DomainQueries.queries ++
-      TextQueries.queries ++ EventQueries.queries ++ DeclaredQueries.queries
+      TextQueries.queries ++ EventQueries.queries ++ DeclaredQueries.queries ++
+      ExtendedQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ DomainQueries.oracles ++
-      TextQueries.oracles ++ EventQueries.oracles ++ DeclaredQueries.oracles
+      TextQueries.oracles ++ EventQueries.oracles ++ DeclaredQueries.oracles ++
+      ExtendedQueries.oracles
 }

@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Coverage extensions past the reference's own operator set (SURVEY §2):
+  * the rest of the window-function family (rank/dense_rank/ntile, navigation,
+  * RANGE frames), the rest of the grouping family (ROLLUP, GROUPING SETS,
+  * pivot), array/lateral ops (posexplode, array scalar fns), set intersect,
+  * full-outer join, a non-equi band (range) join, and order-insensitive
+  * exact moments (stddev from decimal sums).
+  *
+  * Determinism rules are the same as [[RelationalQueries]]: exact types on
+  * every aggregation path (longs/decimals), doubles only through identical
+  * expression trees on both engines, and unique total orders under any
+  * rank/limit so ties cannot straddle engines.
+  */
+object ExtendedQueries {
+
+  private val D2 = DecimalType(18, 2)
+  private val D4 = DecimalType(38, 4)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // rank family. rank/dense_rank rank a coarse bucket (real ties —
+    // deterministic because equal keys get equal ranks); ntile runs over a
+    // fully tiebroken order so bucket boundaries are unique.
+    "q_rank_windows" -> ((s, dir) => {
+      // floor, not cast: DuckDB casts double→int by rounding, Spark by
+      // truncation — floor() agrees on both engines.
+      val byBucket = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(floor(col("o_totalprice") / 50000).cast("int").desc)
+      val unique = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(byBucket).as("rnk"),
+          dense_rank().over(byBucket).as("drnk"),
+          ntile(4).over(unique).as("tile"))
+    }),
+
+    // navigation fns over an unbounded frame: first/last/nth close per
+    // ticker. One shuffle on ticker; frame is computed per-partition.
+    "q_nav_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ticker"))
+        .orderBy(col("date"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.bars(s, dir)
+        .select(col("ticker"), col("date"),
+          first(col("close")).over(w).as("first_close"),
+          last(col("close")).over(w).as("last_close"),
+          nth_value(col("close"), 2).over(w).as("second_close"))
+    }),
+
+    // RANGE frame: trailing 7 calendar days (not 7 rows) of volume per
+    // ticker — the frame spec the reference never needed but a trading
+    // engine does (gaps over weekends shrink the window). Ordered on an
+    // integer day number so Spark and DuckDB share frame semantics exactly;
+    // long sums are exact.
+    "q_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ticker"))
+        .orderBy(datediff(col("date"), lit("1992-01-01")))
+        .rangeBetween(-6, Window.currentRow)
+      Tables.bars(s, dir)
+        .select(col("ticker"), col("date"),
+          sum(col("volume")).over(w).as("vol_7d"))
+    }),
+
+    // ROLLUP — hierarchical subtotals (complement of q_cube_agg's CUBE).
+    "q_rollup_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast(D2).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    // GROUPING SETS with grouping() to disambiguate the null rows — only
+    // expressible through SQL text; exercises the spark.sql surface.
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("li_gsets")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+              |  CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty
+              |FROM li_gsets
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+    }),
+
+    // pivot: segment counts per nation, fixed pivot values (at scale the
+    // value list must be static anyway — an implicit distinct is a job).
+    "q_pivot" -> ((s, dir) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val pivoted = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"))
+        .pivot("c_mktsegment", segs)
+        .agg(count(lit(1)))
+      pivoted.select(col("c_nationkey") +:
+        segs.map(v => coalesce(col(v), lit(0L)).as(v.toLowerCase)): _*)
+    }),
+
+    // lateral/generator: posexplode of the embedding vector — one row per
+    // (vec_id, dim). Narrow (no shuffle); float→double is exact widening.
+    "q_explode" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") <= 50)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos"),
+          col("col").cast("double").as("val"))),
+
+    // array scalar functions (size / max / min) — order-free, exact.
+    "q_array_fns" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") <= 100)
+        .select(col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          array_max(col("embedding")).cast("double").as("mx"),
+          array_min(col("embedding")).cast("double").as("mn"))),
+
+    // INTERSECT — the set op q_except doesn't cover.
+    "q_intersect" -> ((s, dir) => {
+      val withOrders = Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val rich = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+      rich.intersect(withOrders)
+    }),
+
+    // FULL OUTER join of two daily activity series — null-preserving on
+    // both sides; shuffle on the date key only.
+    "q_full_outer" -> ((s, dir) => {
+      val odc = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_ord"))
+      val sdc = Tables.lineitem(s, dir)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("n_ship"))
+      odc.join(sdc, Seq("d"), "full_outer")
+    }),
+
+    // non-equi band join: suppliers bucketed into acctbal bands. The band
+    // table is a literal → broadcast nested-loop join, the right plan for
+    // any small-dim range join at 100 TB (never a cartesian shuffle).
+    "q_band_join" -> ((s, dir) => {
+      val bands = broadcast(s.createDataFrame(Seq(
+        ("A", -1000.0, 0.0), ("B", 0.0, 2500.0), ("C", 2500.0, 5000.0),
+        ("D", 5000.0, 7500.0), ("E", 7500.0, 10000.0)))
+        .toDF("band", "lo", "hi"))
+      Tables.supplier(s, dir)
+        .join(bands, col("s_acctbal") >= col("lo") && col("s_acctbal") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_acctbal").cast(D2)).cast(D4).as("bal_total"))
+    }),
+
+    // order-insensitive exact moments: stddev/variance derived from exact
+    // decimal sums (sum, sum of squares), so the result is independent of
+    // partitioning/merge order — the only way a distributed stddev can be
+    // bit-reproducible run-to-run. Final arithmetic in double with the
+    // identical expression tree on both engines.
+    "q_stats_agg" -> ((s, dir) => {
+      val p = col("l_extendedprice").cast(D2)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(p).cast("double").as("s"),
+          sum((p * p).cast(D4)).cast("double").as("sq"))
+        .select(col("l_returnflag"),
+          col("n").cast("long").as("n_rows"),
+          round((col("sq") - col("s") * col("s") / col("n")) /
+            (col("n") - lit(1.0)), 4).as("var_samp"),
+          round(sqrt((col("sq") - col("s") * col("s") / col("n")) /
+            (col("n") - lit(1.0))), 4).as("std_samp"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_rank_windows" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  RANK() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(FLOOR(o_totalprice / 50000) AS INT) DESC) AS rnk,
+        |  DENSE_RANK() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(FLOOR(o_totalprice / 50000) AS INT) DESC) AS drnk,
+        |  NTILE(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS tile
+        |FROM orders WHERE o_orderkey <= 5000""".stripMargin,
+    "q_nav_windows" -> (Tables.barsSql +
+      """
+        |SELECT ticker, date,
+        |  FIRST_VALUE(close) OVER w AS first_close,
+        |  LAST_VALUE(close) OVER w AS last_close,
+        |  NTH_VALUE(close, 2) OVER w AS second_close
+        |FROM bars
+        |WINDOW w AS (PARTITION BY ticker ORDER BY date
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin),
+    "q_range_frame" -> (Tables.barsSql +
+      """
+        |SELECT ticker, date,
+        |  SUM(volume) OVER (PARTITION BY ticker
+        |    ORDER BY (date - DATE '1992-01-01')
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS vol_7d
+        |FROM bars""".stripMargin),
+    "q_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "q_pivot" ->
+      """SELECT c_nationkey,
+        |  COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile,
+        |  COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS building,
+        |  COUNT(*) FILTER (c_mktsegment = 'FURNITURE') AS furniture,
+        |  COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS household,
+        |  COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS machinery
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q_explode" ->
+      """SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS val
+        |FROM embeddings, range(64) t(i) WHERE vec_id <= 50""".stripMargin,
+    "q_array_fns" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+        |  CAST(list_max(embedding) AS DOUBLE) AS mx,
+        |  CAST(list_min(embedding) AS DOUBLE) AS mn
+        |FROM embeddings WHERE vec_id <= 100""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |INTERSECT
+        |SELECT DISTINCT o_custkey AS c_custkey FROM orders""".stripMargin,
+    "q_full_outer" ->
+      """WITH odc AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_ord
+        |             FROM orders GROUP BY 1),
+        |     sdc AS (SELECT CAST(l_shipdate AS DATE) AS d, COUNT(*) AS n_ship
+        |             FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(odc.d, sdc.d) AS d, n_ord, n_ship
+        |FROM odc FULL OUTER JOIN sdc ON odc.d = sdc.d""".stripMargin,
+    "q_band_join" ->
+      """SELECT band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS bal_total
+        |FROM supplier
+        |JOIN (VALUES ('A',-1000.0,0.0),('B',0.0,2500.0),('C',2500.0,5000.0),
+        |             ('D',5000.0,7500.0),('E',7500.0,10000.0)) b(band, lo, hi)
+        |  ON s_acctbal >= lo AND s_acctbal < hi
+        |GROUP BY band""".stripMargin,
+    "q_stats_agg" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sq
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  ROUND((sq - s * s / n) / (n - 1.0), 4) AS var_samp,
+        |  ROUND(SQRT((sq - s * s / n) / (n - 1.0)), 4) AS std_samp
+        |FROM m""".stripMargin
+  )
+}
