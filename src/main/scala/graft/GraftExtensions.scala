@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Cluster deployment entry point: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * installs the engine's custom Catalyst expressions into every session on
+  * the cluster — no driver-side registration call needed. This is the
+  * conventional way a Spark library ships SQL-callable extensions, and it
+  * composes with other extensions (the conf takes a comma-separated list).
+  *
+  * Injected surface (same as [[GraftSession.registerFunctions]]):
+  *   - `array_dot(a, b)` — native whole-stage-codegen dot product over
+  *     float/double arrays (the similarity-search hot path; see
+  *     [[graft.functions.ArrayDotProduct]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDotProduct].getName,
+        "array_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ArrayDotProduct(exprs(0), exprs(1))))
+  }
+}

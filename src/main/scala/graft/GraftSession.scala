@@ -33,6 +33,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // custom Catalyst expressions (array_dot, …) — same mechanism a
+      // cluster deploy uses: --conf spark.sql.extensions=graft.GraftExtensions
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
@@ -49,14 +52,14 @@ object GraftSession {
     spark
   }
 
-  /** Expose the engine's custom functions to SQL text: `product_agg(x)`
-    * (exact product aggregate) and `array_dot(a, b)` (native dot product) —
-    * so `spark.sql` users get the same surface as the DataFrame API. */
+  /** Expose the engine's custom functions to SQL text so `spark.sql` users
+    * get the same surface as the DataFrame API. `array_dot` is injected by
+    * [[GraftExtensions]] (spark.sql.extensions, set in `builder`); the
+    * product UDAF goes through `spark.udf` — `Aggregator`-backed UDAFs
+    * register per-session, not via extensions. Sessions built outside
+    * `builder` can still call `ColumnBridge.registerFunction` directly. */
   def registerFunctions(spark: SparkSession): Unit = {
     spark.udf.register("product_agg",
       org.apache.spark.sql.functions.udaf(graft.functions.ProductAgg))
-    org.apache.spark.sql.graftshim.ColumnBridge.registerFunction(
-      spark, "array_dot",
-      exprs => graft.functions.ArrayDotProduct(exprs(0), exprs(1)))
   }
 }

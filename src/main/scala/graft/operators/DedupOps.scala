@@ -152,28 +152,39 @@ object DedupOps {
     * driver-side state.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(disk)
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
+      .persist(disk)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "id_b")
-          .withColumnRenamed("label", "nlabel"), Seq("id_b"))
-        .select(col("id_a").as("id"), col("nlabel").as("label"))
-      val next = labels.select(col("id"), col("label"))
-        .union(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count() == 0
-      labels = next
+      // min label offered by any neighbor, folded against the current label
+      // in the same pass — the changed flag rides along, so convergence is
+      // one cheap aggregate over the cached result instead of a second join.
+      val minNbr = edges
+        .join(labels.select(col("id").as("id_b"), col("label").as("nlabel")),
+          Seq("id_b"))
+        .groupBy(col("id_a")).agg(min(col("nlabel")).as("nlabel"))
+        .withColumnRenamed("id_a", "id")
+      val next = labels.join(minNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
+        .persist(disk)
+      converged = !next
+        .agg(coalesce(max(col("changed")), lit(false)).as("any"))
+        .first().getBoolean(0)
+      val prev = labels
+      labels = next.drop("changed")
+      prev.unpersist(false)
       i += 1
     }
-    labels
+    edges.unpersist(false)
+    labels.select(col("id"), col("label"))
   }
 
   /** Near-dup dedup end-to-end: LSH candidates above `minJaccard` → cluster

@@ -18,6 +18,29 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(diff === 0)
   }
 
+  test("array_dot resolves in SQL text via the GraftExtensions injection") {
+    // registerFunctions no longer temp-registers array_dot; resolution here
+    // proves the spark.sql.extensions path installed it.
+    val d = spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(d === 11.0)
+  }
+
+  test("array_dot codegen and interpreted paths agree bit-for-bit") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    def run() = e.select(array_dot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() === withCodegen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("array_dot handles double arrays and null inputs") {
     val df = Seq(
       (Some(Array(1.0, 2.0, 3.0)), Some(Array(4.0, 5.0, 6.0))),
