@@ -105,14 +105,33 @@ object DedupOps {
 
   /** n-gram Jaccard near-dup pairs WITHOUT MinHash: candidates are pairs
     * sharing ≥1 shingle (inverted-index join — still avoids the full cross
-    * product), verified exactly. `minJaccard` prunes the long random tail. */
+    * product), verified exactly. `minJaccard` prunes the long random tail.
+    *
+    * `maxDf` caps the document frequency of shingles used for candidate
+    * generation. This is the load-bearing knob at scale: a boilerplate
+    * shingle appearing in d docs contributes O(d²) candidate pairs to the
+    * self-join, so one hot shingle ("terms of service") can dominate the
+    * whole shuffle. Capping df bounds the worst-case fan-out at
+    * maxDf²/2 per shingle while barely moving recall — true near-dups
+    * share many shingles, including rare ones (stop-shingle removal, the
+    * standard trick in web-dedup pipelines). Jaccard is still verified
+    * over the FULL shingle sets, so scores are unaffected — only candidate
+    * recall is traded. */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 2,
-                        minJaccard: Double = 0.0,
+                        minJaccard: Double = 0.0, maxDf: Int = Int.MaxValue,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val shr = shingleRows(docs, shingleN, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = shr.as("a")
-      .join(shr.as("b"),
+    val candSource =
+      if (maxDf == Int.MaxValue) shr
+      else {
+        // df via a window on sh: same shuffle key the join needs anyway
+        val bySh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+        shr.withColumn("df", count(lit(1)).over(bySh))
+          .filter(col("df") <= maxDf).drop("df")
+      }
+    val cand = candSource.as("a")
+      .join(candSource.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()

@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Deterministic hash bucket in [0, buckets) from an id column: the
+    * reproducible way to sample or split a 100 TB corpus. `rand()` sampling
+    * changes membership on every re-run/re-partition; hashing the stable id
+    * gives the same train/val/test membership on any cluster, any engine
+    * (the bucket is md5-derived, so a SQL oracle recomputes it exactly).
+    * Bias from 65536 % buckets is ≤ 1/655 per bucket for buckets=100.
+    * Per-row, no shuffle, stays in whole-stage codegen. */
+  def hashBucket(id: Column, buckets: Int = 100): Column = {
+    val h = md5(id.cast("string").cast("binary"))
+    def hexVal(i: Int): Column = {
+      val c = ascii(substring(h, i, 1))
+      when(c >= 97, c - 87).otherwise(c - 48)
+    }
+    (hexVal(1) * 4096 + hexVal(2) * 256 + hexVal(3) * 16 + hexVal(4)) % buckets
+  }
+
+  /** Train/val/test assignment from [[hashBucket]]: buckets below
+    * `trainPct` → "train", next `valPct` → "val", rest → "test". */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(id)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Whitespace-collapsed lowercase normal form — the dedup key basis. */
   def normalize(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))

@@ -153,6 +153,69 @@ object ExtendedQueries {
           sum(col("s_acctbal").cast(D2)).cast(D4).as("bal_total"))
     }),
 
+    // top-k per group: the windowed variant of q_topk. row_number over a
+    // unique total order (tiebreak on key), filtered to k — Spark runs this
+    // as one shuffle on the group key with rank pushdown
+    // (WindowGroupLimit), never a global sort.
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5)
+    }),
+
+    // calendar gap-fill / resample: one row per (ticker, calendar day in the
+    // ticker's [min,max] range), close carried forward over gaps. The spine
+    // is generated per ticker (sequence+explode — narrow after one agg) and
+    // the carry-forward is last(ignoreNulls) over the same ticker shuffle the
+    // join uses. Forward-fill is value equality, so engines agree exactly.
+    "q_gap_fill" -> ((s, dir) => {
+      val bars = Tables.bars(s, dir).filter(col("ticker") < "T3")
+      val spine = bars.groupBy(col("ticker"))
+        .agg(min(col("date")).as("d0"), max(col("date")).as("d1"))
+        .select(col("ticker"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("date"))
+      val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(bars.select(col("ticker"), col("date"), col("close")),
+          Seq("ticker", "date"), "left")
+        .select(col("ticker"), col("date"),
+          last(col("close"), ignoreNulls = true).over(w).as("close_ff"),
+          col("close").isNull.as("imputed"))
+    }),
+
+    // exact interpolated percentiles (percentile_cont semantics on both
+    // engines); rounded so the one double interpolation step can't drift.
+    "q_percentile" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))),
+
+    // exact distributed correlation: Pearson r from decimal power sums, so
+    // the result is independent of partition/merge order (built-in corr()
+    // is a streaming double accumulation — not reproducible run-to-run at
+    // cluster scale). Final arithmetic in double, same tree both engines.
+    "q_corr" -> ((s, dir) => {
+      val x = col("l_quantity").cast(D2)
+      val y = col("l_extendedprice").cast(D2)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum((x * y).cast(D4)).cast("double").as("sxy"),
+          sum((x * x).cast(D4)).cast("double").as("sxx"),
+          sum((y * y).cast(D4)).cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r"))
+    }),
+
     // order-insensitive exact moments: stddev/variance derived from exact
     // decimal sums (sum, sum of squares), so the result is independent of
     // partitioning/merge order — the only way a distributed stddev can be
@@ -245,6 +308,53 @@ object ExtendedQueries {
         |             ('D',5000.0,7500.0),('E',7500.0,10000.0)) b(band, lo, hi)
         |  ON s_acctbal >= lo AND s_acctbal < hi
         |GROUP BY band""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 5""".stripMargin,
+    "q_gap_fill" -> (Tables.barsSql +
+      """
+        |, flt AS (SELECT * FROM bars WHERE ticker < 'T3'),
+        |rng AS (SELECT ticker, MIN(date) AS d0, MAX(date) AS d1
+        |        FROM flt GROUP BY 1),
+        |spine AS (
+        |  SELECT ticker, CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM rng),
+        |j AS (SELECT s.ticker, s.date, b.close
+        |      FROM spine s LEFT JOIN flt b
+        |        ON b.ticker = s.ticker AND b.date = s.date)
+        |SELECT ticker, date,
+        |  LAST_VALUE(close IGNORE NULLS) OVER (PARTITION BY ticker
+        |    ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS close_ff,
+        |  close IS NULL AS imputed
+        |FROM j""".stripMargin),
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND((n * sxy - sx * sy) /
+        |    (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS r
+        |FROM m""".stripMargin,
     "q_stats_agg" ->
       """WITH m AS (
         |  SELECT l_returnflag,

@@ -33,6 +33,13 @@ object TextQueries {
       TextOps.fingerprint(Tables.documents(s, dir))
         .select("doc_id", "fingerprint", "shard_key")),
 
+    // deterministic hash split/sample: same membership on any re-run,
+    // any partitioning, any engine (rand() sampling is none of those).
+    "q_hash_split" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.hashBucket(col("doc_id")).as("bucket"),
+        TextOps.splitAssign(col("doc_id")).as("split"))),
+
     "q_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(Tables.documents(s, dir))),
 
@@ -46,6 +53,14 @@ object TextQueries {
       DedupOps.ngramJaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 300),
         shingleN = 2, minJaccard = 0.05)),
+
+    // df-capped candidate generation: the anti-skew knob for the
+    // inverted-index join (hot boilerplate shingles are dropped from
+    // candidate generation; Jaccard still verified over full sets).
+    "q_jaccard_pruned" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 300),
+        shingleN = 2, minJaccard = 0.05, maxDf = 20)),
 
     "q_simhash" -> ((s, dir) =>
       DedupOps.simhash(Tables.documents(s, dir))),
@@ -281,6 +296,39 @@ object TextQueries {
          |  FROM (SELECT doc_id, UNNEST(shs) AS s FROM sh) a
          |  JOIN (SELECT doc_id, UNNEST(shs) AS s FROM sh) b
          |    ON a.s = b.s AND a.doc_id < b.doc_id),
+         |$jaccardTail
+         |WHERE ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
+         |      CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6) >= 0.05""".stripMargin,
+
+    "q_hash_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+        |hv AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN ascii(substr(hx,1,1)) >= 97 THEN ascii(substr(hx,1,1))-87
+        |          ELSE ascii(substr(hx,1,1))-48 END) * 4096 +
+        |    (CASE WHEN ascii(substr(hx,2,1)) >= 97 THEN ascii(substr(hx,2,1))-87
+        |          ELSE ascii(substr(hx,2,1))-48 END) * 256 +
+        |    (CASE WHEN ascii(substr(hx,3,1)) >= 97 THEN ascii(substr(hx,3,1))-87
+        |          ELSE ascii(substr(hx,3,1))-48 END) * 16 +
+        |    (CASE WHEN ascii(substr(hx,4,1)) >= 97 THEN ascii(substr(hx,4,1))-87
+        |          ELSE ascii(substr(hx,4,1))-48 END) AS v
+        |  FROM h)
+        |SELECT doc_id, v % 100 AS bucket,
+        |  CASE WHEN v % 100 < 80 THEN 'train'
+        |       WHEN v % 100 < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM hv""".stripMargin,
+
+    "q_jaccard_pruned" ->
+      s"""WITH ${shingleCte(2, "WHERE doc_id < 300")},
+         |shrd AS (SELECT doc_id, UNNEST(shs) AS s FROM sh),
+         |dfreq AS (SELECT s, COUNT(*) AS df FROM shrd GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shrd a
+         |  JOIN shrd b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN dfreq d ON d.s = a.s
+         |  WHERE d.df <= 20),
          |$jaccardTail
          |WHERE ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
          |      CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6) >= 0.05""".stripMargin,
