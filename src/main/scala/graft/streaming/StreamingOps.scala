@@ -49,6 +49,23 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup of a document feed: drop re-deliveries whose
+    * normalized-text fingerprint was already seen within the watermark
+    * delay. `dropDuplicatesWithinWatermark` evicts fingerprint state older
+    * than the delay — the only way dedup state stays bounded on an
+    * unbounded stream (plain dropDuplicates state grows forever). Pairs
+    * with the batch [[graft.operators.DedupOps.exactDedup]]: same
+    * fingerprint, so a doc admitted by the stream maps to the same dedup
+    * group a later batch compaction would compute. */
+  def streamingDedup(docs: DataFrame, textCol: String = "text",
+                     tsCol: String = "ts",
+                     watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(graft.operators.TextOps.normalize(col(textCol)).cast("binary")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Streaming bronze→silver: bars files land in `bronzeDir`, each
     * micro-batch flows through the SAME split-adjustment transform the
     * batch pipeline uses and appends to silver — the foreachBatch bridge

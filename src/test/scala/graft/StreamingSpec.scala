@@ -94,5 +94,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(batchSilver.except(silver).count() === 0)
   }
 
+  test("streaming dedup drops re-delivered fingerprints across micro-batches") {
+    val dir = Files.createTempDirectory("graft_sdocs").toString
+    // two appends → multiple files → multiple micro-batches; doc 3 is a
+    // duplicate of doc 1 after whitespace/case normalization
+    Seq((1L, ts("2024-01-01 10:00:00"), "Alpha  Beta"),
+      (2L, ts("2024-01-01 10:05:00"), "gamma")).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, ts("2024-01-01 10:20:00"), "alpha beta"),
+      (4L, ts("2024-01-01 10:25:00"), "delta")).toDF("doc_id", "ts", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingOps.streamingDedup(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_dckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").collect()
+    assert(out.length === 3)
+    val keptIds = out.map(_.getLong(0)).toSet
+    assert(keptIds.contains(2L) && keptIds.contains(4L))
+    assert(keptIds.contains(1L) ^ keptIds.contains(3L)) // exactly one survivor
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
