@@ -37,10 +37,14 @@ object Pipeline {
     val bars = Tables.bars(spark, sfDir).repartition(col("date"))
     Storage.writeTable(bars, lake.bronze("stocks"), partitionBy = Seq("date"))
     Storage.writeTable(DomainQueries.syntheticSplits(spark), lake.bronze("splits"))
-    val maxDate = bars.agg(max(col("date"))).first().get(0)
+    // checkpoint high-water mark from the WRITTEN table: `date` is its
+    // partition column there, so max(date) is answered from the partition
+    // index — probing the source instead would re-run the whole bars
+    // aggregation a second time.
+    val maxDate = Storage.maxDate(spark, lake.bronze("stocks"))
     Checkpoints.save(lake.checkpointPath,
       Checkpoints.load(lake.checkpointPath) +
-        ("bronze_stocks_last_date" -> String.valueOf(maxDate)))
+        ("bronze_stocks_last_date" -> maxDate.map(_.toString).getOrElse("")))
   }
 
   /** Should silver fully rewrite? First run, or any split executed after
@@ -80,11 +84,15 @@ object Pipeline {
 
     // weekly/monthly + indicators always derive from the full silver daily
     // table (windows need history regardless of how much daily was new).
+    // Cached: four derivations consume it, and re-reading means re-running
+    // partition discovery + scan per consumer.
     val allDaily = Storage.readTable(spark, lake.silver("daily_aggregates"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Seq("week" -> "weekly_aggregates", "month" -> "monthly_aggregates").foreach {
       case (b, t) => Storage.writeTable(SilverOps.rollup(allDaily, b), lake.silver(t))
     }
     Storage.writeTable(SilverOps.indicators(allDaily), lake.silver("daily_indicators"))
+    allDaily.unpersist(false)
     Storage.writeTable(
       SilverOps.indicators(Storage.readTable(spark, lake.silver("weekly_aggregates"))),
       lake.silver("weekly_indicators"))
@@ -103,7 +111,10 @@ object Pipeline {
     Storage.writeTable(GoldOps.vwapSignals(daily), lake.gold("vwap_signals"))
 
     val ind = Storage.readTable(spark, lake.silver("daily_indicators"))
+    // hvc feeds its own table plus both stair-pattern directions — cache it
+    // so the indicator scan + HVC windows run once, not three times.
     val hvc = PatternOps.highVolumeCloses(ind, threshold = 1.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Storage.writeTable(hvc, lake.gold("daily_high_volume_closes"))
     Storage.writeTable(
       PatternOps.stairPatterns(hvc, ascending = true, minSteps = 2),
@@ -112,6 +123,7 @@ object Pipeline {
       PatternOps.bestPatternPerTicker(
         PatternOps.stairPatterns(hvc, ascending = false, minSteps = 2)),
       lake.gold("falling_down_stairs_summary"))
+    hvc.unpersist(false)
   }
 
   /** Clean: drop bronze (the reference's `clean` CLI). */
@@ -121,8 +133,14 @@ object Pipeline {
   }
 
   def runAll(spark: SparkSession, sfDir: String, lake: Lake): Unit = {
-    runBronze(spark, sfDir, lake)
-    runSilver(spark, lake)
-    runGold(spark, lake)
+    def timed(stage: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      if (sys.env.contains("GRAFT_PIPELINE_TIMING"))
+        println(f"[pipeline] $stage%-8s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    timed("bronze")(runBronze(spark, sfDir, lake))
+    timed("silver")(runSilver(spark, lake))
+    timed("gold")(runGold(spark, lake))
   }
 }
