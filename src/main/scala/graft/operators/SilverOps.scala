@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{GraftFunctions => F, ProductAgg}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -88,37 +88,59 @@ object SilverOps {
     * `cast(decimal-sum as double) / n` — the decimal sum is exact and
     * order-independent, so Spark and any oracle agree bit-for-bit (a plain
     * windowed AVG over doubles is summation-order-dependent).
+    *
+    * Complexity: WindowExec evaluates a sliding `rowsBetween(-(n-1), 0)`
+    * frame by re-aggregating the whole frame per row — O(rows × frame),
+    * billions of decimal adds for SMA-200 over 10M+ rows. Running
+    * (unbounded-preceding) frames ARE incremental, so every rolling sum
+    * here is the difference of a running sum and its n-row lag: the same
+    * exact decimal addends, O(rows). Two Window operators (lags consume
+    * the running sums), one sort, still one shuffle on ticker.
     */
   def indicators(daily: DataFrame): DataFrame = {
     val w = F.tickerWindow()
-
-    def smaStrict(c: org.apache.spark.sql.Column, n: Int) = {
-      val frame = w.rowsBetween(-(n - 1), 0)
-      when(count(c).over(frame) === n,
-        sum(c.cast(D2)).over(frame).cast("double") / n)
-    }
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val withPrev = daily
       .withColumn("prev_close", lag(col("close"), 1).over(w))
     val withTr = withPrev
       .withColumn("true_range",
         F.trueRange(col("high"), col("low"), col("prev_close")))
-    val atrFrame = w.rowsBetween(-13, 0)
-    val volFrame = w.rowsBetween(-19, 0)
 
-    withTr
-      .withColumn("sma_20", smaStrict(col("close"), 20))
-      .withColumn("sma_50", smaStrict(col("close"), 50))
-      .withColumn("sma_200", smaStrict(col("close"), 200))
-      .withColumn("atr_14",
-        when(count(col("true_range")).over(atrFrame) === 14,
-          sum(col("true_range").cast(D6)).over(atrFrame).cast("double") / 14))
-      .withColumn("volume_ma_20",
-        when(count(col("volume")).over(volFrame) === 20,
-          floor(sum(col("volume")).over(volFrame).cast("double") / 20).cast("long")))
+    val cums = withTr
+      .withColumn("c_cum", sum(col("close").cast(D2)).over(run))
+      .withColumn("c_cnt", count(col("close")).over(run))
+      .withColumn("tr_cum", sum(col("true_range").cast(D6)).over(run))
+      .withColumn("tr_cnt", count(col("true_range")).over(run))
+      .withColumn("v_cum", sum(col("volume")).over(run))
+      .withColumn("v_cnt", count(col("volume")).over(run))
+
+    // trailing-n sum/count of the column behind `cum`/`cnt`: exact decimal
+    // difference; count guard reproduces the strict min-periods semantics
+    def lastN(cum: String, cnt: String, n: Int): (Column, Column) = (
+      col(cum) - coalesce(lag(col(cum), n).over(w), lit(0)),
+      col(cnt) - coalesce(lag(col(cnt), n).over(w), lit(0L)))
+
+    def smaN(n: Int): Column = {
+      val (s, c) = lastN("c_cum", "c_cnt", n)
+      when(c === n, s.cast("double") / n)
+    }
+
+    cums
+      .withColumn("sma_20", smaN(20))
+      .withColumn("sma_50", smaN(50))
+      .withColumn("sma_200", smaN(200))
+      .withColumn("atr_14", {
+        val (s, c) = lastN("tr_cum", "tr_cnt", 14)
+        when(c === 14, s.cast("double") / 14)
+      })
+      .withColumn("volume_ma_20", {
+        val (s, c) = lastN("v_cum", "v_cnt", 20)
+        when(c === 20, floor(s.cast("double") / 20).cast("long"))
+      })
       .withColumn("volume_ratio",
         when(col("volume_ma_20").isNotNull && col("volume_ma_20") > 0,
           col("volume").cast("double") / col("volume_ma_20").cast("double")))
-      .drop("prev_close_tmp")
+      .drop("c_cum", "c_cnt", "tr_cum", "tr_cnt", "v_cum", "v_cnt")
   }
 }

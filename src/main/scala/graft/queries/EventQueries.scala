@@ -35,6 +35,28 @@ object EventQueries {
           unix_millis(col("ts")).as("epoch_val"),
           graft.functions.GraftFunctions.epochMsToDate(unix_millis(col("ts"))).as("d"))),
 
+    // Ordered funnel (view → click → purchase): per user, the earliest
+    // completion time of each successive step strictly after the previous
+    // one. Three shuffles, all on user_id (a cluster co-partitions them);
+    // each stage's input is pre-filtered to one event type, so the joins
+    // stay small. Counts only — no float surface.
+    "q_events_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      t1.select(lit("1_view").as("step"), col("user_id"))
+        .unionByName(t2.select(lit("2_click").as("step"), col("user_id")))
+        .unionByName(t3.select(lit("3_purchase").as("step"), col("user_id")))
+        .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
+    }),
+
     // Gap-based sessionization (30-min inactivity) via gaps-and-islands —
     // the batch twin of StreamingOps.sessionize.
     "q_events_sessions" -> ((s, dir) => {
@@ -65,6 +87,23 @@ object EventQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        |SELECT step, COUNT(*) AS n_users FROM (
+        |  SELECT '1_view' AS step, user_id FROM t1
+        |  UNION ALL SELECT '2_click', user_id FROM t2
+        |  UNION ALL SELECT '3_purchase', user_id FROM t3) u
+        |GROUP BY step""".stripMargin,
     "q_events_sessions" ->
       """WITH lagged AS (
         |  SELECT *, LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -153,6 +153,31 @@ object ExtendedQueries {
           sum(col("s_acctbal").cast(D2)).cast(D4).as("bal_total"))
     }),
 
+    // correlated EXISTS subquery — Catalyst decorrelates to a left-semi
+    // join on the correlation key (one shuffle, no per-row probing).
+    "q_exists_subquery" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("cust_ex")
+      Tables.orders(s, dir).createOrReplaceTempView("ord_ex")
+      s.sql("""SELECT c_custkey, c_acctbal FROM cust_ex c
+              |WHERE c_acctbal > 9000.0 AND EXISTS (
+              |  SELECT 1 FROM ord_ex o
+              |  WHERE o.o_custkey = c.c_custkey
+              |    AND o.o_orderpriority = '1-URGENT')""".stripMargin)
+    }),
+
+    // scalar subquery: compare each row against a global aggregate. Plans
+    // as one reusable subquery result broadcast into the filter, not a
+    // per-row re-evaluation.
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("supp_sq")
+      // mean from a decimal sum: partition-order-independent, so the
+      // threshold comparison can't flip between engines
+      s.sql("""SELECT s_suppkey, s_name, s_acctbal FROM supp_sq
+              |WHERE s_acctbal > (
+              |  SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+              |         / COUNT(*) * 1.8 FROM supp_sq)""".stripMargin)
+    }),
+
     // top-k per group: the windowed variant of q_topk. row_number over a
     // unique total order (tiebreak on key), filtered to k — Spark runs this
     // as one shuffle on the group key with rank pushdown
@@ -308,6 +333,17 @@ object ExtendedQueries {
         |             ('D',5000.0,7500.0),('E',7500.0,10000.0)) b(band, lo, hi)
         |  ON s_acctbal >= lo AND s_acctbal < hi
         |GROUP BY band""".stripMargin,
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > 9000.0 AND EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_acctbal > (
+        |  SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         / COUNT(*) * 1.8 FROM supplier)""".stripMargin,
     "q_topk_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
