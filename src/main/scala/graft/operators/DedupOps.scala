@@ -175,8 +175,12 @@ object DedupOps {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(disk)
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels with min(self, neighbors) — this IS the first propagation
+    // step, computed in the same aggregation that enumerates the vertex set
+    var labels = edges
+      .groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("mn"))
+      .select(col("id_a").as("id"), least(col("id_a"), col("mn")).as("label"))
       .persist(disk)
     var converged = false
     var i = 0

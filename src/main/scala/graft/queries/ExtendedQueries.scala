@@ -153,6 +153,28 @@ object ExtendedQueries {
           sum(col("s_acctbal").cast(D2)).cast(D4).as("bal_total"))
     }),
 
+    // unpivot / melt: wide OHLC columns → long (field, value) rows. Narrow
+    // per-row generation, no shuffle.
+    "q_unpivot" -> ((s, dir) =>
+      Tables.bars(s, dir).filter(col("ticker") < "T2")
+        .unpivot(Array(col("ticker"), col("date")),
+          Array(col("open").cast("double").as("open"),
+            col("close").cast("double").as("close")),
+          "field", "value")),
+
+    // distribution window functions: percent_rank/cume_dist over a coarse
+    // bucket (real ties — both are rank-derived rationals, so the doubles
+    // are identical on any engine).
+    "q_dist_windows" -> ((s, dir) => {
+      val byBucket = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(floor(col("o_totalprice") / 50000).cast("int"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(percent_rank().over(byBucket), 6).as("pr"),
+          round(cume_dist().over(byBucket), 6).as("cd"))
+    }),
+
     // correlated EXISTS subquery — Catalyst decorrelates to a left-semi
     // join on the correlation key (one shuffle, no per-row probing).
     "q_exists_subquery" -> ((s, dir) => {
@@ -333,6 +355,20 @@ object ExtendedQueries {
         |             ('D',5000.0,7500.0),('E',7500.0,10000.0)) b(band, lo, hi)
         |  ON s_acctbal >= lo AND s_acctbal < hi
         |GROUP BY band""".stripMargin,
+    "q_unpivot" -> (Tables.barsSql +
+      """
+        |SELECT ticker, date, field, CAST(value AS DOUBLE) AS value
+        |FROM (SELECT ticker, date, CAST(open AS DOUBLE) AS open,
+        |             CAST(close AS DOUBLE) AS close
+        |      FROM bars WHERE ticker < 'T2') b
+        |UNPIVOT (value FOR field IN (open, close))""".stripMargin),
+    "q_dist_windows" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(FLOOR(o_totalprice / 50000) AS INT)), 6) AS pr,
+        |  ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(FLOOR(o_totalprice / 50000) AS INT)), 6) AS cd
+        |FROM orders WHERE o_orderkey <= 5000""".stripMargin,
     "q_exists_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer c
         |WHERE c_acctbal > 9000.0 AND EXISTS (
