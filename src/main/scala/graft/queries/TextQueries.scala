@@ -108,7 +108,17 @@ object TextQueries {
 
     "q_mm_frames" -> ((s, dir) =>
       MultimodalOps.frameSample(
-        MultimodalOps.withPayload(Tables.documents(s, dir))))
+        MultimodalOps.withPayload(Tables.documents(s, dir)))),
+
+    // decode-stub features: mapPartitions batch shape over binary payloads.
+    // No oracle (strided byte math isn't SQL-expressible) → the driver
+    // records the weaker rows-only check, which is the point: the plumbing
+    // runs end-to-end on the documents table.
+    "q_mm_decode" -> ((s, dir) =>
+      MultimodalOps.decodeStub(s,
+        MultimodalOps.withPayload(Tables.documents(s, dir)))
+        .select(col("doc_id"), col("n_bytes"), round(col("mean_byte"), 6).as("mean_byte"),
+          size(col("feature")).as("feature_dim")))
   )
 
   // ---- oracle SQL ----------------------------------------------------------

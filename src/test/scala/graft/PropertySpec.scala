@@ -89,4 +89,44 @@ class PropertySpec extends SparkSpecBase {
       assert(ind.filter($"rn" >= 20 && $"sma_20".isNull).count() === 0)
     }
   }
+
+  test("rolling mean equals the naive sliding-frame form (cum-diff rewrite)") {
+    forSeeds { bars =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"ticker").orderBy($"date")
+      val frame = w.rowsBetween(-19, 0)
+      val naive = when(count($"close").over(frame) === 20,
+        sum($"close".cast("decimal(18,2)")).over(frame).cast("double") / 20)
+      val both = SilverOps.indicators(bars)
+        .withColumn("naive_sma", naive)
+      // bit-for-bit: the cum-diff sum is the same decimal addends
+      assert(both.filter(
+        ($"sma_20".isNull =!= $"naive_sma".isNull) ||
+          ($"sma_20".isNotNull && $"sma_20" =!= $"naive_sma")).count() === 0)
+    }
+  }
+
+  test("hash bucket is stable, in range, and split fractions are sane") {
+    val b = Tables.documents(spark, sf)
+      .select($"doc_id",
+        graft.operators.TextOps.hashBucket($"doc_id").as("bucket"),
+        graft.operators.TextOps.splitAssign($"doc_id").as("split"))
+    assert(b.filter($"bucket" < 0 || $"bucket" >= 100).count() === 0)
+    // deterministic: recomputation agrees row-for-row
+    val again = Tables.documents(spark, sf)
+      .select($"doc_id", graft.operators.TextOps.hashBucket($"doc_id").as("b2"))
+    assert(b.join(again, "doc_id").filter($"bucket" =!= $"b2").count() === 0)
+    val n = b.count().toDouble
+    val train = b.filter($"split" === "train").count() / n
+    assert(train > 0.6 && train < 0.95) // 80% ± sampling noise at sf0.001
+  }
+
+  test("funnel counts are monotonically non-increasing across steps") {
+    val funnel = SparkEntry.queries("q_events_funnel")(spark, sf)
+      .orderBy("step").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = funnel.getOrElse("1_view", 0L)
+    val c = funnel.getOrElse("2_click", 0L)
+    val p = funnel.getOrElse("3_purchase", 0L)
+    assert(v >= c && c >= p)
+  }
 }
