@@ -210,6 +210,24 @@ object DedupOps {
     labels.select(col("id"), col("label"))
   }
 
+  /** SimHash near-dup pairs: bucket by the hash's high byte (equi-join —
+    * a hash join at any scale, never a cross product), verify candidates
+    * with Hamming distance = bit_count(xor) ≤ `maxHamming`. One-band
+    * prefix bucketing trades recall for join size exactly like LSH
+    * banding; production systems add rotated re-hashes for more bands —
+    * same join shape, k× candidate rows. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sh = simhash(docs, textCol, idCol)
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("hb"))
+    a.join(b, shiftright(col("ha"), 8) === shiftright(col("hb"), 8) &&
+        col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Near-dup dedup end-to-end: LSH candidates above `minJaccard` → cluster
     * → keep the canonical (smallest-id) doc per cluster. Returns docs with
     * `cluster` and `is_canonical` columns. */

@@ -65,6 +65,10 @@ object TextQueries {
     "q_simhash" -> ((s, dir) =>
       DedupOps.simhash(Tables.documents(s, dir))),
 
+    // Hamming near-dup over simhash: high-byte bucket join + bit_count(xor).
+    "q_simhash_neardup" -> ((s, dir) =>
+      DedupOps.simhashNearDups(Tables.documents(s, dir))),
+
     "q_cosine_knn" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       SimilarityOps.bruteForceKnn(e, e.filter(col("vec_id") < 10), k = 5)
@@ -155,6 +159,30 @@ object TextQueries {
       .mkString("\n  UNION ALL ")
     s"bands AS (\n  $bands)"
   }
+
+  /** SimHash computation as a CTE ending in `sh(doc_id, simhash)` —
+    * shared by the hash dump and the Hamming near-dup pair oracle. */
+  private val simhashCte =
+    """WITH words AS (
+      |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |  FROM documents),
+      |wb AS (SELECT doc_id, substr(md5(w), 1, 4) AS h4 FROM words),
+      |bits AS (SELECT doc_id, h4, i AS j FROM wb, range(0, 16) t(i)),
+      |hv AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN ASCII(substr(h4, CAST(FLOOR(j / 4.0) AS INTEGER) + 1, 1)) >= 97
+      |         THEN ASCII(substr(h4, CAST(FLOOR(j / 4.0) AS INTEGER) + 1, 1)) - 87
+      |         ELSE ASCII(substr(h4, CAST(FLOOR(j / 4.0) AS INTEGER) + 1, 1)) - 48
+      |    END AS hexval
+      |  FROM bits),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    SUM((CAST(FLOOR(hexval / POW(2, j % 4)) AS BIGINT) % 2) * 2 - 1) AS v
+      |  FROM hv GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN v > 0 THEN POW(2, j) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY 1)""".stripMargin
 
   /** Exact-jaccard verification over candidate pairs (expects CTEs `cand`
     * with (id_a, id_b) and `sh` with (doc_id, shs)). */
@@ -343,26 +371,14 @@ object TextQueries {
          |WHERE ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
          |      CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6) >= 0.05""".stripMargin,
 
-    "q_simhash" ->
-      """WITH words AS (
-        |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS w
-        |  FROM documents),
-        |wb AS (SELECT doc_id, substr(md5(w), 1, 4) AS h4 FROM words),
-        |bits AS (SELECT doc_id, h4, i AS j FROM wb, range(0, 16) t(i)),
-        |hv AS (
-        |  SELECT doc_id, j,
-        |    CASE WHEN ASCII(substr(h4, CAST(FLOOR(j / 4.0) AS INTEGER) + 1, 1)) >= 97
-        |         THEN ASCII(substr(h4, CAST(FLOOR(j / 4.0) AS INTEGER) + 1, 1)) - 87
-        |         ELSE ASCII(substr(h4, CAST(FLOOR(j / 4.0) AS INTEGER) + 1, 1)) - 48
-        |    END AS hexval
-        |  FROM bits),
-        |votes AS (
-        |  SELECT doc_id, j,
-        |    SUM((CAST(FLOOR(hexval / POW(2, j % 4)) AS BIGINT) % 2) * 2 - 1) AS v
-        |  FROM hv GROUP BY 1, 2)
-        |SELECT doc_id,
-        |  CAST(SUM(CASE WHEN v > 0 THEN POW(2, j) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM votes GROUP BY 1""".stripMargin,
+    "q_simhash" -> (simhashCte + "\nSELECT doc_id, simhash FROM sh"),
+
+    "q_simhash_neardup" -> (simhashCte + """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b
+        |  ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
 
     "q_cosine_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
