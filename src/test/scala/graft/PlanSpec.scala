@@ -60,4 +60,27 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("band join plans as broadcast nested-loop, not a cartesian shuffle") {
+    val p = plan("q_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("EXISTS subquery decorrelates to a semi join") {
+    val p = plan("q_exists_subquery")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("per-group topk pushes a partial WindowGroupLimit below the exchange") {
+    val p = plan("q_topk_per_group")
+    val limits = "\\(\\d+\\) WindowGroupLimit".r.findAllIn(p).size
+    assert(limits === 2, s"expected map-side + final WindowGroupLimit:\n$p")
+  }
+
+  test("indicators use running frames only (no O(rows×frame) sliding frames)") {
+    val p = plan("q_sma")
+    assert(!p.contains("ROWS BETWEEN -"), p)
+    assert(p.contains("unboundedpreceding$()") || p.contains("UNBOUNDED PRECEDING"), p)
+  }
 }
