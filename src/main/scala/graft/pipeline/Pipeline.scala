@@ -29,13 +29,26 @@ final case class Lake(root: String) {
 object Pipeline {
 
   /** Bronze: land the daily bars (fixture-backed stand-in for the REST
-    * ingest S6-S8), Hive-partitioned by date, plus the splits dim. */
-  def runBronze(spark: SparkSession, sfDir: String, lake: Lake): Unit = {
-    // one shuffle on the partition key so each date directory gets exactly
-    // one writer (otherwise: |dates| × |tasks| tiny files — the classic
-    // partitioned-write small-files trap, fatal at 2500 partitions)
-    val bars = Tables.bars(spark, sfDir).repartition(col("date"))
-    Storage.writeTable(bars, lake.bronze("stocks"), partitionBy = Seq("date"))
+    * ingest S6-S8), Hive-partitioned, plus the splits dim.
+    *
+    * Partition grain (`GRAFT_BRONZE_GRAIN`): `date` (default) matches the
+    * reference's layout and keeps incremental ingest O(day) via dynamic
+    * partition overwrite; `month` is for bulk backfills, where per-day
+    * directories at small data-per-day hit the small-files trap. Both
+    * layouts read back identically (`readTable` + pruning handle either);
+    * PipelineSpec proves silver is byte-identical on top of each. */
+  def runBronze(spark: SparkSession, sfDir: String, lake: Lake,
+                grain: String = sys.env.getOrElse("GRAFT_BRONZE_GRAIN", "date")): Unit = {
+    // one shuffle on the partition key so each partition directory gets
+    // exactly one writer (otherwise: |dirs| × |tasks| tiny files)
+    val raw = Tables.bars(spark, sfDir)
+    val (bars, partCols) = grain match {
+      case "date"  => (raw.repartition(col("date")), Seq("date"))
+      case "month" => (raw.withColumn("month", trunc(col("date"), "month"))
+        .repartition(col("month")), Seq("month"))
+      case other => throw new IllegalArgumentException(s"bronze grain: $other")
+    }
+    Storage.writeTable(bars, lake.bronze("stocks"), partitionBy = partCols)
     Storage.writeTable(DomainQueries.syntheticSplits(spark), lake.bronze("splits"))
     // checkpoint high-water mark from the WRITTEN table: `date` is its
     // partition column there, so max(date) is answered from the partition

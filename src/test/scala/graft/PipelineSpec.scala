@@ -28,6 +28,19 @@ class PipelineSpec extends SparkSpecBase {
     assert(cp.contains("silver_last_full_rewrite"))
   }
 
+  test("month-grain bronze produces byte-identical silver to date-grain") {
+    val lakeD = Lake(Files.createTempDirectory("graft_lake_d").toString)
+    val lakeM = Lake(Files.createTempDirectory("graft_lake_m").toString)
+    Pipeline.runBronze(spark, sf, lakeD, grain = "date")
+    Pipeline.runSilver(spark, lakeD)
+    Pipeline.runBronze(spark, sf, lakeM, grain = "month")
+    Pipeline.runSilver(spark, lakeM)
+    val d = Storage.readTable(spark, lakeD.silver("daily_aggregates"))
+    val m = Storage.readTable(spark, lakeM.silver("daily_aggregates"))
+    assert(d.except(m).count() === 0)
+    assert(m.except(d).count() === 0)
+  }
+
   test("silver append path: no new splits → incremental, not rewrite") {
     val lake = Lake(Files.createTempDirectory("graft_lake2").toString)
     Pipeline.runAll(spark, sf, lake)
