@@ -72,6 +72,40 @@ object PatternOps {
       .drop("island")
   }
 
+  /** Enrich patterns with the live-market columns the declared catalog
+    * reads (`metadata.json`: `latest_close`, `price_change_since_pct` /
+    * `change_since_pct`, `above_pattern_high` / `still_trending`,
+    * `days_since_pattern`). No reference implementation exists — semantics
+    * are fixed here from the column descriptions:
+    *  - `latest_close`: the ticker's most recent close in `daily`;
+    *  - `change_since_pct`: % move from the pattern's last close to latest;
+    *  - trending flag (INT, catalog filters `= 1`): rising patterns —
+    *    latest close above the pattern high; falling — below the pattern low
+    *    (both are `last_close`, the run's final step);
+    *  - `days_since_pattern`: days from pattern end to the table's as-of
+    *    date (global max date — consistent snapshot, not wall clock).
+    *
+    * One broadcast-size agg (per-ticker latest) joined back on ticker plus
+    * one scalar as-of — patterns are a tiny filtered subset, so this is
+    * dim-table work at any scale. */
+  def enrichPatterns(patterns: DataFrame, daily: DataFrame,
+                     rising: Boolean): DataFrame = {
+    val latest = daily.groupBy(col("ticker"))
+      .agg(max_by(col("close"), col("date")).as("latest_close"))
+    val asOf = daily.agg(max(col("date")).as("as_of"))
+    val trending =
+      if (rising) col("latest_close") > col("last_close")
+      else col("latest_close") < col("last_close")
+    patterns
+      .join(latest, Seq("ticker"))
+      .crossJoin(broadcast(asOf))
+      .withColumn("change_since_pct",
+        (col("latest_close").cast("double") / col("last_close").cast("double") - 1.0) * 100.0)
+      .withColumn("trending_flag", trending.cast("int"))
+      .withColumn("days_since_pattern", datediff(col("as_of"), col("end_date")))
+      .drop("as_of")
+  }
+
   /** Best pattern per ticker (`metadata.json:335-338`): longest run, ties
     * broken by most recent end date — deterministic ranking. */
   def bestPatternPerTicker(patterns: DataFrame): DataFrame = {

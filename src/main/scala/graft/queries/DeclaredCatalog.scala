@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{PatternOps, SilverOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's COMPLETE declared query catalog: all 19 canned queries
+  * from `metadata.json` (databases/hvcs/queries), registered verbatim
+  * over the gold tables this engine produces. A Datasette-style consumer of
+  * the reference can point at these views and run every saved query
+  * unchanged — the "complete" bar the builder brief sets.
+  *
+  * Table notes:
+  *  - `*_high_volume_closes_*` at daily/weekly/monthly grain: HVCs off the
+  *    indicator run at that grain (20-period MA per grain,
+  *    `metadata.json:11/:71/:131`), ratio exposed as `volume_avg_ratio`.
+  *  - `stairstepping_hvcs_stocks`: every rising run, enriched with the
+  *    live-market columns ([[PatternOps.enrichPatterns]]).
+  *  - `stairstepping_summary_stocks` / `falling_down_stairs_summary_stocks`:
+  *    best pattern per ticker in each direction, summary column dialect.
+  *  - `_etfs` views alias the `_stocks` tables: the reference runs the same
+  *    pipeline twice over different ticker universes (stocks vs ETFs); the
+  *    fixture has one universe, and universe separation is an input concern,
+  *    not an operator. Threshold 1.5 (vs the docs' 3.0) for the same reason
+  *    the rest of the repo uses it: the synthetic fixture's volume ratios
+  *    are tamer than real markets'.
+  */
+object DeclaredCatalog {
+
+  /** Canned SQL, verbatim from `metadata.json` (cited per entry). */
+  val sql: Map[String, String] = Map(
+    "recent_strong_patterns" ->
+      "SELECT ticker, hvc_count as steps, pattern_end_date as ended, pattern_gain_pct as gain_pct, latest_close as current_price, price_change_since_pct as change_since_pct, above_pattern_high as trending FROM stairstepping_hvcs_stocks WHERE days_since_pattern <= 30 AND hvc_count >= 4 ORDER BY pattern_end_date DESC",
+    "best_patterns_all_time" ->
+      "SELECT ticker, hvc_count as steps, first_close, last_close, pattern_gain_pct as gain_pct, pattern_start_date as started, pattern_end_date as ended FROM stairstepping_hvcs_stocks ORDER BY pattern_gain_pct DESC LIMIT 20",
+    "active_patterns" ->
+      "SELECT ticker, hvc_count as steps, pattern_end_date as ended, last_close as pattern_high, latest_close as current_price, price_change_since_pct as gain_since_pct, days_since_pattern as days_ago FROM stairstepping_hvcs_stocks WHERE above_pattern_high = 1 AND days_since_pattern <= 60 ORDER BY price_change_since_pct DESC",
+    "recent_hvcs" ->
+      "SELECT date, ticker, volume_avg_ratio as vol_ratio, volume FROM daily_high_volume_closes_stocks ORDER BY date DESC LIMIT 100",
+    "strongest_stairstepping_stocks" ->
+      "SELECT ticker, steps, first_hvc, last_hvc, bottom_price, top_price, gain_pct, latest_close, change_since_pct, still_trending FROM stairstepping_summary_stocks ORDER BY steps DESC, last_hvc DESC LIMIT 50",
+    "trending_stairstepping_stocks" ->
+      "SELECT ticker, steps, last_hvc, top_price, latest_close, change_since_pct, days_since_pattern FROM stairstepping_summary_stocks WHERE still_trending = 1 ORDER BY steps DESC, change_since_pct DESC",
+    "recent_weekly_hvcs_stocks" ->
+      "SELECT date, ticker, volume_avg_ratio as vol_ratio, volume FROM weekly_high_volume_closes_stocks ORDER BY date DESC LIMIT 100",
+    "recent_weekly_hvcs_etfs" ->
+      "SELECT date, ticker, volume_avg_ratio as vol_ratio, volume FROM weekly_high_volume_closes_etfs ORDER BY date DESC LIMIT 100",
+    "strongest_weekly_hvcs_stocks" ->
+      "SELECT ticker, date, volume_avg_ratio as vol_ratio, volume, close FROM weekly_high_volume_closes_stocks ORDER BY volume_avg_ratio DESC LIMIT 50",
+    "strongest_weekly_hvcs_etfs" ->
+      "SELECT ticker, date, volume_avg_ratio as vol_ratio, volume, close FROM weekly_high_volume_closes_etfs ORDER BY volume_avg_ratio DESC LIMIT 50",
+    "recent_monthly_hvcs_stocks" ->
+      "SELECT date, ticker, volume_avg_ratio as vol_ratio, volume FROM monthly_high_volume_closes_stocks ORDER BY date DESC LIMIT 100",
+    "recent_monthly_hvcs_etfs" ->
+      "SELECT date, ticker, volume_avg_ratio as vol_ratio, volume FROM monthly_high_volume_closes_etfs ORDER BY date DESC LIMIT 100",
+    "strongest_monthly_hvcs_stocks" ->
+      "SELECT ticker, date, volume_avg_ratio as vol_ratio, volume, close FROM monthly_high_volume_closes_stocks ORDER BY volume_avg_ratio DESC LIMIT 50",
+    "strongest_monthly_hvcs_etfs" ->
+      "SELECT ticker, date, volume_avg_ratio as vol_ratio, volume, close FROM monthly_high_volume_closes_etfs ORDER BY volume_avg_ratio DESC LIMIT 50",
+    "strongest_falling_stocks" ->
+      "SELECT ticker, steps, first_hvc, last_hvc, top_price, bottom_price, loss_pct, latest_close, change_since_pct, still_trending FROM falling_down_stairs_summary_stocks ORDER BY steps DESC, last_hvc DESC LIMIT 50",
+    "still_falling_stocks" ->
+      "SELECT ticker, steps, last_hvc, bottom_price, latest_close, change_since_pct, days_since_pattern FROM falling_down_stairs_summary_stocks WHERE still_trending = 1 ORDER BY steps DESC, change_since_pct ASC",
+    "recent_falling_patterns" ->
+      "SELECT ticker, steps, last_hvc as ended, top_price, bottom_price, loss_pct, latest_close, change_since_pct, still_trending FROM falling_down_stairs_summary_stocks WHERE days_since_pattern <= 60 AND steps >= 3 ORDER BY last_hvc DESC",
+    "worst_falling_patterns" ->
+      "SELECT ticker, steps, top_price, bottom_price, loss_pct, first_hvc as started, last_hvc as ended FROM falling_down_stairs_summary_stocks ORDER BY loss_pct ASC LIMIT 20",
+    "falling_vs_stairstepping" ->
+      "SELECT 'Falling' as pattern_type, COUNT(*) as count, AVG(steps) as avg_steps FROM falling_down_stairs_summary_stocks UNION ALL SELECT 'Rising' as pattern_type, COUNT(*) as count, AVG(steps) as avg_steps FROM stairstepping_summary_stocks")
+
+  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** Build + register every catalog table for `dir` (cached per dir). */
+  def registerViews(s: SparkSession, dir: String): Unit = {
+    built.getOrElseUpdate(dir + "@" + s.hashCode(), {
+      val daily = Tables.bars(s, dir)
+      val grains: Seq[(String, DataFrame)] = Seq(
+        "daily" -> daily,
+        "weekly" -> SilverOps.rollup(daily, "week"),
+        "monthly" -> SilverOps.rollup(daily, "month"))
+      grains.foreach { case (g, bars) =>
+        val hvc = PatternOps.highVolumeCloses(
+          SilverOps.indicators(bars), threshold = 1.5)
+          .withColumnRenamed("volume_ratio", "volume_avg_ratio")
+        hvc.createOrReplaceTempView(s"${g}_high_volume_closes_stocks")
+        hvc.createOrReplaceTempView(s"${g}_high_volume_closes_etfs")
+      }
+
+      val dailyHvc = PatternOps.highVolumeCloses(
+        SilverOps.indicators(daily), threshold = 1.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rising = PatternOps.stairPatterns(dailyHvc, ascending = true, minSteps = 2)
+      val falling = PatternOps.stairPatterns(dailyHvc, ascending = false, minSteps = 2)
+
+      PatternOps.enrichPatterns(rising, daily, rising = true)
+        .select(col("ticker"), col("hvc_count"),
+          col("start_date").as("pattern_start_date"),
+          col("end_date").as("pattern_end_date"),
+          col("first_close"), col("last_close"),
+          col("gain_pct").as("pattern_gain_pct"),
+          col("latest_close"),
+          col("change_since_pct").as("price_change_since_pct"),
+          col("trending_flag").as("above_pattern_high"),
+          col("days_since_pattern"))
+        .createOrReplaceTempView("stairstepping_hvcs_stocks")
+
+      PatternOps.enrichPatterns(
+          PatternOps.bestPatternPerTicker(rising), daily, rising = true)
+        .select(col("ticker"), col("hvc_count").as("steps"),
+          col("start_date").as("first_hvc"), col("end_date").as("last_hvc"),
+          col("first_close").as("bottom_price"),
+          col("last_close").as("top_price"),
+          col("gain_pct"), col("latest_close"), col("change_since_pct"),
+          col("trending_flag").as("still_trending"),
+          col("days_since_pattern"))
+        .createOrReplaceTempView("stairstepping_summary_stocks")
+
+      PatternOps.enrichPatterns(
+          PatternOps.bestPatternPerTicker(falling), daily, rising = false)
+        .select(col("ticker"), col("hvc_count").as("steps"),
+          col("start_date").as("first_hvc"), col("end_date").as("last_hvc"),
+          col("first_close").as("top_price"),
+          col("last_close").as("bottom_price"),
+          col("gain_pct").as("loss_pct"), col("latest_close"),
+          col("change_since_pct"),
+          col("trending_flag").as("still_trending"),
+          col("days_since_pattern"))
+        .createOrReplaceTempView("falling_down_stairs_summary_stocks")
+    })
+  }
+
+  /** Run one catalog query by name over `dir`'s tables. */
+  def run(s: SparkSession, dir: String, name: String): DataFrame = {
+    registerViews(s, dir)
+    s.sql(sql(name))
+  }
+}
