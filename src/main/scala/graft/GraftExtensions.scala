@@ -21,7 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[graft.functions.ArrayDotProduct].getName,
         "array_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.ArrayDotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"array_dot requires exactly 2 arguments, got ${exprs.length}")
+        graft.functions.ArrayDotProduct(exprs(0), exprs(1))
+      }))
   }
 }

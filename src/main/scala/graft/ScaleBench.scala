@@ -63,18 +63,13 @@ object ScaleBench {
     val nRows = bronze.count()
 
     val (_, tSilver) = timed {
-      def sub[A](name: String)(f: => A): A = {
-        val (a, t) = timed(f)
-        if (sys.env.contains("GRAFT_PIPELINE_TIMING"))
-          println(f"[scale] $name%-12s $t%.1f s")
-        a
-      }
+      import graft.pipeline.Timing.{stage => sub}
       val daily = SilverOps.applySplits(bronze, splits)
-      sub("daily")(Storage.writeTable(daily, TableRef(root, "silver", "daily_aggregates")))
+      sub("scale", "daily")(Storage.writeTable(daily, TableRef(root, "silver", "daily_aggregates")))
       val all = Storage.readTable(spark, TableRef(root, "silver", "daily_aggregates"))
-      sub("weekly")(Storage.writeTable(SilverOps.rollup(all, "week"), TableRef(root, "silver", "weekly_aggregates")))
-      sub("monthly")(Storage.writeTable(SilverOps.rollup(all, "month"), TableRef(root, "silver", "monthly_aggregates")))
-      sub("indicators")(Storage.writeTable(SilverOps.indicators(all), TableRef(root, "silver", "daily_indicators")))
+      sub("scale", "weekly")(Storage.writeTable(SilverOps.rollup(all, "week"), TableRef(root, "silver", "weekly_aggregates")))
+      sub("scale", "monthly")(Storage.writeTable(SilverOps.rollup(all, "month"), TableRef(root, "silver", "monthly_aggregates")))
+      sub("scale", "indicators")(Storage.writeTable(SilverOps.indicators(all), TableRef(root, "silver", "daily_indicators")))
     }
 
     val (_, tGold) = timed {

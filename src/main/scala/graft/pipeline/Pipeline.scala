@@ -26,6 +26,18 @@ final case class Lake(root: String) {
   def checkpointPath: String = s"$root/checkpoints.json"
 }
 
+/** Stage timer, printed only when GRAFT_PIPELINE_TIMING is set — shared by
+  * the pipeline orchestrator and the scale benchmark. */
+object Timing {
+  def stage[A](tag: String, name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val a = f
+    if (sys.env.contains("GRAFT_PIPELINE_TIMING"))
+      println(f"[$tag] $name%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    a
+  }
+}
+
 object Pipeline {
 
   /** Bronze: land the daily bars (fixture-backed stand-in for the REST
@@ -146,14 +158,8 @@ object Pipeline {
   }
 
   def runAll(spark: SparkSession, sfDir: String, lake: Lake): Unit = {
-    def timed(stage: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      if (sys.env.contains("GRAFT_PIPELINE_TIMING"))
-        println(f"[pipeline] $stage%-8s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-    timed("bronze")(runBronze(spark, sfDir, lake))
-    timed("silver")(runSilver(spark, lake))
-    timed("gold")(runGold(spark, lake))
+    Timing.stage("pipeline", "bronze")(runBronze(spark, sfDir, lake))
+    Timing.stage("pipeline", "silver")(runSilver(spark, lake))
+    Timing.stage("pipeline", "gold")(runGold(spark, lake))
   }
 }

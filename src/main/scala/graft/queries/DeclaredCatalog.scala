@@ -69,31 +69,35 @@ object DeclaredCatalog {
     "falling_vs_stairstepping" ->
       "SELECT 'Falling' as pattern_type, COUNT(*) as count, AVG(steps) as avg_steps FROM falling_down_stairs_summary_stocks UNION ALL SELECT 'Rising' as pattern_type, COUNT(*) as count, AVG(steps) as avg_steps FROM stairstepping_summary_stocks")
 
-  private val built = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  // DataFrames cached per dir; views are (re-)registered on EVERY call —
+  // temp view names are global to the session, so a second dir would
+  // otherwise silently hijack the first dir's cached registration.
+  private val tables =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, DataFrame]]
 
-  /** Build + register every catalog table for `dir` (cached per dir). */
+  /** Build (cached per dir) + register every catalog table for `dir`. */
   def registerViews(s: SparkSession, dir: String): Unit = {
-    built.getOrElseUpdate(dir + "@" + s.hashCode(), {
+    val views = tables.getOrElseUpdate(dir, {
+      val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val daily = Tables.bars(s, dir)
-      val grains: Seq[(String, DataFrame)] = Seq(
-        "daily" -> daily,
-        "weekly" -> SilverOps.rollup(daily, "week"),
-        "monthly" -> SilverOps.rollup(daily, "month"))
-      grains.foreach { case (g, bars) =>
-        val hvc = PatternOps.highVolumeCloses(
-          SilverOps.indicators(bars), threshold = 1.5)
-          .withColumnRenamed("volume_ratio", "volume_avg_ratio")
-        hvc.createOrReplaceTempView(s"${g}_high_volume_closes_stocks")
-        hvc.createOrReplaceTempView(s"${g}_high_volume_closes_etfs")
+      def hvcOf(bars: DataFrame) = PatternOps.highVolumeCloses(
+        SilverOps.indicators(bars), threshold = 1.5).persist(disk)
+      // one indicator+HVC chain per grain; the daily one also feeds the
+      // pattern tables (computed once, persisted)
+      val hvcByGrain = Seq(
+        "daily" -> hvcOf(daily),
+        "weekly" -> hvcOf(SilverOps.rollup(daily, "week")),
+        "monthly" -> hvcOf(SilverOps.rollup(daily, "month")))
+      val hvcViews = hvcByGrain.flatMap { case (g, hvc) =>
+        val catalogShape = hvc.withColumnRenamed("volume_ratio", "volume_avg_ratio")
+        Seq(s"${g}_high_volume_closes_stocks" -> catalogShape,
+          s"${g}_high_volume_closes_etfs" -> catalogShape)
       }
-
-      val dailyHvc = PatternOps.highVolumeCloses(
-        SilverOps.indicators(daily), threshold = 1.5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dailyHvc = hvcByGrain.head._2
       val rising = PatternOps.stairPatterns(dailyHvc, ascending = true, minSteps = 2)
       val falling = PatternOps.stairPatterns(dailyHvc, ascending = false, minSteps = 2)
 
-      PatternOps.enrichPatterns(rising, daily, rising = true)
+      val hvcsTable = PatternOps.enrichPatterns(rising, daily, rising = true)
         .select(col("ticker"), col("hvc_count"),
           col("start_date").as("pattern_start_date"),
           col("end_date").as("pattern_end_date"),
@@ -103,31 +107,31 @@ object DeclaredCatalog {
           col("change_since_pct").as("price_change_since_pct"),
           col("trending_flag").as("above_pattern_high"),
           col("days_since_pattern"))
-        .createOrReplaceTempView("stairstepping_hvcs_stocks")
+        .persist(disk)
 
-      PatternOps.enrichPatterns(
-          PatternOps.bestPatternPerTicker(rising), daily, rising = true)
-        .select(col("ticker"), col("hvc_count").as("steps"),
-          col("start_date").as("first_hvc"), col("end_date").as("last_hvc"),
-          col("first_close").as("bottom_price"),
-          col("last_close").as("top_price"),
-          col("gain_pct"), col("latest_close"), col("change_since_pct"),
-          col("trending_flag").as("still_trending"),
-          col("days_since_pattern"))
-        .createOrReplaceTempView("stairstepping_summary_stocks")
+      def summary(patterns: DataFrame, rising: Boolean) = {
+        val (hiCol, loCol, pctName) =
+          if (rising) ("last_close", "first_close", "gain_pct")
+          else ("first_close", "last_close", "loss_pct")
+        PatternOps.enrichPatterns(
+            PatternOps.bestPatternPerTicker(patterns), daily, rising)
+          .select(col("ticker"), col("hvc_count").as("steps"),
+            col("start_date").as("first_hvc"), col("end_date").as("last_hvc"),
+            col(loCol).as("bottom_price"), col(hiCol).as("top_price"),
+            col("gain_pct").as(pctName), col("latest_close"),
+            col("change_since_pct"),
+            col("trending_flag").as("still_trending"),
+            col("days_since_pattern"))
+          .persist(disk)
+      }
 
-      PatternOps.enrichPatterns(
-          PatternOps.bestPatternPerTicker(falling), daily, rising = false)
-        .select(col("ticker"), col("hvc_count").as("steps"),
-          col("start_date").as("first_hvc"), col("end_date").as("last_hvc"),
-          col("first_close").as("top_price"),
-          col("last_close").as("bottom_price"),
-          col("gain_pct").as("loss_pct"), col("latest_close"),
-          col("change_since_pct"),
-          col("trending_flag").as("still_trending"),
-          col("days_since_pattern"))
-        .createOrReplaceTempView("falling_down_stairs_summary_stocks")
+      (hvcViews ++ Seq(
+        "stairstepping_hvcs_stocks" -> hvcsTable,
+        "stairstepping_summary_stocks" -> summary(rising, rising = true),
+        "falling_down_stairs_summary_stocks" -> summary(falling, rising = false)))
+        .toMap
     })
+    views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
   }
 
   /** Run one catalog query by name over `dir`'s tables. */

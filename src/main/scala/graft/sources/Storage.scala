@@ -79,25 +79,43 @@ object Storage {
         case other => LocalDate.parse(other.toString.take(10))
       }
 
-  /** Small-files compaction: bin-pack a table's files toward
+  /** Small-files compaction: bin-pack an UNPARTITIONED table's files toward
     * `targetMB`-sized outputs. The nightly maintenance job every parquet
     * lake needs — incremental appends accrete small files, and at 100 TB
     * an uncompacted table turns every scan into millions of opens. Sizing
-    * comes from the on-disk byte count (compressed), written via a temp
-    * dir + atomic rename so readers never observe a half-compacted table.
+    * comes from the on-disk byte count (compressed). Hive-partitioned
+    * tables are refused: their unit of compaction is the partition
+    * directory (compact each as its own ref), and a flat rewrite would
+    * destroy the layout the incremental-ingest path depends on.
+    *
+    * Swap protocol: write to a temp dir, rename the live dir to a backup,
+    * rename temp into place, drop the backup. Each rename's return value is
+    * checked (Hadoop signals failure by returning false); a failed second
+    * rename restores the backup, so the table is never lost — though a
+    * reader racing the two renames can see the path briefly absent.
     * Returns the output file count. */
   def compact(spark: SparkSession, ref: TableRef, targetMB: Int = 128): Int = {
     val f = fs(spark, ref.path)
-    val bytes = f.getContentSummary(new Path(ref.path)).getLength
+    val dst = new Path(ref.path)
+    require(!f.listStatus(dst).exists(s =>
+      s.isDirectory && s.getPath.getName.contains("=")),
+      s"compact: ${ref.path} is hive-partitioned — compact each partition directory instead")
+    val bytes = f.getContentSummary(dst).getLength
     val n = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
     val tmp = new Path(ref.path + "._compact_tmp")
-    val dst = new Path(ref.path)
+    val bak = new Path(ref.path + "._compact_bak")
+    // stale leftovers from a crashed run — dst is authoritative
+    if (f.exists(tmp)) f.delete(tmp, true)
+    if (f.exists(bak)) f.delete(bak, true)
     readTable(spark, ref).repartition(n)
       .write.mode(SaveMode.Overwrite).option("compression", "zstd")
       .parquet(tmp.toString)
-    val bak = new Path(ref.path + "._compact_bak")
-    f.rename(dst, bak)
-    f.rename(tmp, dst)
+    if (!f.rename(dst, bak))
+      throw new IllegalStateException(s"compact: could not move $dst aside")
+    if (!f.rename(tmp, dst)) {
+      f.rename(bak, dst) // restore the original; the table must survive
+      throw new IllegalStateException(s"compact: could not move $tmp into place")
+    }
     f.delete(bak, true)
     n
   }

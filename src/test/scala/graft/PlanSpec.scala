@@ -80,7 +80,12 @@ class PlanSpec extends SparkSpecBase {
 
   test("indicators use running frames only (no O(rows×frame) sliding frames)") {
     val p = plan("q_sma")
-    assert(!p.contains("ROWS BETWEEN -"), p)
+    // aggregate sliding frames print as
+    // specifiedwindowframe(RowFrame, -n, currentrow$()) — that shape is
+    // what WindowExec evaluates in O(rows×frame). (lag's -n..-n offset
+    // frames are fine: offset functions are O(1)/row.)
+    assert("specifiedwindowframe\\(RowFrame, -\\d+, currentrow"
+      .r.findFirstIn(p).isEmpty, p)
     assert(p.contains("unboundedpreceding$()") || p.contains("UNBOUNDED PRECEDING"), p)
   }
 }
