@@ -11,7 +11,9 @@ object Explain {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_scan_filter", "q1_agg", "q_left_join", "q_split_adjust",
-        "q_vwap_signals", "q_sma", "q_minhash_pairs", "q_cosine_knn")
+        "q_vwap_signals", "q_sma", "q_minhash_pairs", "q_cosine_knn",
+        "q_band_join", "q_topk_per_group", "q_exists_subquery",
+        "q_simhash_neardup", "q_gap_fill")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -47,6 +47,38 @@ object AsOfJoin {
       .drop("_t", "_side")
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * right-time ≥ left-time (Polars `join_asof(strategy="forward")`). Same
+    * one-shuffle union composition as [[asOf]], mirrored: values are
+    * carried backward with `first(..., ignoreNulls)` over the
+    * currentRow→unboundedFollowing frame. At equal times the right row must
+    * be visible to the left row's frame, so left sorts first (`_side`
+    * descending — left=1, right=0). */
+  def asOfForward(left: DataFrame, right: DataFrame, key: Seq[String],
+                  leftTime: String, rightTime: String,
+                  valueCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+    val rightTagged = right
+      .select((key.map(col) :+ col(rightTime).as("_t")) ++ valueCols.map(col): _*)
+      .withColumn("_side", lit(0))
+      .withColumn("_rt", col("_t"))
+
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("_t"), col("_side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val carried = (valueCols :+ "_rt").foldLeft(unioned)((acc, c) =>
+      acc.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+
+    carried
+      .filter(col("_side") === 1)
+      .withColumnRenamed("_rt", "matched_time")
+      .drop("_t", "_side")
+  }
+
   /** As-of with a tolerance: matches older than `tolerance` (in days, for
     * date keys) are nulled out — Polars `join_asof(tolerance=...)`. */
   def asOfWithTolerance(left: DataFrame, right: DataFrame, key: Seq[String],

@@ -120,6 +120,29 @@ object Storage {
     n
   }
 
+  /** Compact every partition directory of a hive-partitioned table, each
+    * as its own independent swap (so a failure mid-way leaves every
+    * untouched partition intact — there is no global half-state). Driver
+    * iterates partition dirs; each compaction is an ordinary cluster job,
+    * and partitions can be sharded across nightly runs at 100 TB. Returns
+    * (partitionPath → output file count). */
+  def compactPartitions(spark: SparkSession, ref: TableRef,
+                        targetMB: Int = 128): Map[String, Int] = {
+    val f = fs(spark, ref.path)
+    val parts = f.listStatus(new Path(ref.path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(parts.nonEmpty,
+      s"compactPartitions: ${ref.path} has no partition directories")
+    parts.map { s =>
+      val rel = s.getPath.getName
+      // a partition dir is itself an unpartitioned parquet dir — reuse the
+      // single-table swap; basePath-less read keeps the partition column
+      // out of the rewritten files, exactly as the original layout has it
+      rel -> compact(spark,
+        TableRef(ref.root, ref.layer, s"${ref.name}/$rel"), targetMB)
+    }.toMap
+  }
+
   /** S10 — drop a table (the reference's `clean` stage). */
   def deleteTable(spark: SparkSession, ref: TableRef): Boolean =
     fs(spark, ref.path).delete(new Path(ref.path), true)

@@ -29,6 +29,17 @@ class AsOfJoinSpec extends SparkSpecBase {
       ("B", "2024-01-03", None)))      // key with no marks
   }
 
+  test("forward as-of: earliest mark ≥ date, equality matches, nothing ahead → null") {
+    val out = AsOfJoin.asOfForward(quotes, marks, Seq("ticker"), "date", "mark_date", Seq("mark"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(out === Set(
+      ("A", "2024-01-01", Some(1.0)),  // equality counts
+      ("A", "2024-01-05", None),       // no mark at or after
+      ("A", "2024-03-01", None),
+      ("B", "2024-01-03", None)))
+  }
+
   test("tolerance nulls out stale matches") {
     val out = AsOfJoin.asOfWithTolerance(quotes, marks, Seq("ticker"),
       "date", "mark_date", Seq("mark"), toleranceDays = 10)

@@ -83,6 +83,19 @@ class SourcesSpec extends SparkSpecBase {
     assert(Storage.readTable(spark, ref).count() === 3)
   }
 
+  test("partitioned tables: compact refuses, compactPartitions compacts each dir") {
+    val ref = TableRef(Files.createTempDirectory("graft_cmpp").toString, "bronze", "t")
+    val bars = Tables.bars(spark, sf).filter(org.apache.spark.sql.functions.col("ticker") < "T2")
+    Storage.writeTable(bars.repartition(4), ref, partitionBy = Seq("ticker"))
+    intercept[IllegalArgumentException](Storage.compact(spark, ref))
+    val results = Storage.compactPartitions(spark, ref)
+    assert(results.nonEmpty && results.values.forall(_ >= 1))
+    val after = Storage.readTable(spark, ref)
+    // partition column survives the per-dir rewrite and data is intact
+    assert(after.columns.contains("ticker"))
+    assert(after.count() === bars.count())
+  }
+
   test("compact bin-packs small files and preserves the data exactly") {
     val ref = TableRef(Files.createTempDirectory("graft_cmp").toString, "silver", "t")
     val bars = Tables.bars(spark, sf)
