@@ -93,6 +93,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connected components on an empty pair graph returns empty, no crash") {
+    val empty = Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")
+    assert(DedupOps.connectedComponents(empty).count() === 0)
+  }
+
+  test("dedup of all-unique docs marks every doc its own canonical cluster") {
+    val docs = Seq(
+      (1L, "entirely unique first document body"),
+      (2L, "second body sharing nothing at all"),
+      (3L, "third text with its own words only"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.dedupNearDups(docs, minJaccard = 0.9).collect()
+    assert(out.length === 3)
+    assert(out.forall(r => r.getAs[Boolean]("is_canonical")))
+    assert(out.forall(r => r.getAs[Long]("cluster") === r.getLong(0)))
+  }
+
   test("near-dup dedup keeps one canonical doc per duplicate cluster") {
     val docs = Seq(
       (10L, "the quick brown fox jumps over the lazy dog again and again"),
