@@ -9,10 +9,11 @@ import graft.pipeline.{Lake, Pipeline, Validation}
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: graft.Main <bronze|silver|gold|all|validate|clean> <lakeRoot> [sfDir]")
+    require(args.length >= 1,
+      "usage: graft.Main <bronze|silver|gold|all|validate|clean> [lakeRoot] [sfDir]")
+    val config = GraftConfig.fromEnv()
     val stage = args(0)
-    val lake = Lake(args(1))
+    val lake = Lake(if (args.length > 1) args(1) else config.lakeRoot)
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
     val spark = GraftSession.get()
     try stage match {
