@@ -75,9 +75,23 @@ object DeclaredCatalog {
   private val tables =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, DataFrame]]
 
-  /** Build (cached per dir) + register every catalog table for `dir`. */
-  def registerViews(s: SparkSession, dir: String): Unit = {
-    val views = tables.getOrElseUpdate(dir, {
+  /** Build (cached per dir) + register every catalog table for `dir`.
+    * Map keys starting with "_" are shared intermediates (the raw pattern
+    * tables [[DeclaredQueries]] also serves), not registered as views. */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    built(s, dir).foreach { case (name, df) =>
+      if (!name.startsWith("_")) df.createOrReplaceTempView(name)
+    }
+
+  /** The raw rising/falling pattern tables for `dir` (pre-enrichment) —
+    * one cached computation shared with the DeclaredQueries surface. */
+  def patternTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val t = built(s, dir)
+    (t("_rising_patterns"), t("_falling_patterns"))
+  }
+
+  private def built(s: SparkSession, dir: String): Map[String, DataFrame] =
+    tables.getOrElseUpdate(dir, {
       val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val daily = Tables.bars(s, dir)
       def hvcOf(bars: DataFrame) = PatternOps.highVolumeCloses(
@@ -95,7 +109,9 @@ object DeclaredCatalog {
       }
       val dailyHvc = hvcByGrain.head._2
       val rising = PatternOps.stairPatterns(dailyHvc, ascending = true, minSteps = 2)
+        .persist(disk)
       val falling = PatternOps.stairPatterns(dailyHvc, ascending = false, minSteps = 2)
+        .persist(disk)
 
       val hvcsTable = PatternOps.enrichPatterns(rising, daily, rising = true)
         .select(col("ticker"), col("hvc_count"),
@@ -128,11 +144,11 @@ object DeclaredCatalog {
       (hvcViews ++ Seq(
         "stairstepping_hvcs_stocks" -> hvcsTable,
         "stairstepping_summary_stocks" -> summary(rising, rising = true),
-        "falling_down_stairs_summary_stocks" -> summary(falling, rising = false)))
+        "falling_down_stairs_summary_stocks" -> summary(falling, rising = false),
+        "_rising_patterns" -> rising,
+        "_falling_patterns" -> falling))
         .toMap
     })
-    views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-  }
 
   /** Run one catalog query by name over `dir`'s tables. */
   def run(s: SparkSession, dir: String, name: String): DataFrame = {

@@ -13,21 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DeclaredQueries {
 
-  // The four canned queries share the same (tiny) pattern tables; persist
-  // per sfDir so a batch run (Bench/Verify) computes the chain once.
-  private val patternCache =
-    scala.collection.concurrent.TrieMap.empty[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
-
-  /** Register bars → indicators → HVC → pattern views for `sfDir`. */
+  /** Register the pattern views — the tables come from
+    * [[DeclaredCatalog]]'s per-dir cache, so the indicators → HVC → stairs
+    * chain is computed once no matter which declared surface runs first. */
   private def registerViews(s: SparkSession, dir: String): Unit = {
-    val (up, down) = patternCache.getOrElseUpdate(dir, {
-      val ind = SilverOps.indicators(Tables.bars(s, dir))
-      val hvc = PatternOps.highVolumeCloses(ind, threshold = 1.5)
-      (PatternOps.stairPatterns(hvc, ascending = true, minSteps = 2)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        PatternOps.stairPatterns(hvc, ascending = false, minSteps = 2)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    })
+    val (up, down) = DeclaredCatalog.patternTables(s, dir)
     up.createOrReplaceTempView("stairstepping_patterns")
     down.createOrReplaceTempView("falling_down_stairs_patterns")
   }
