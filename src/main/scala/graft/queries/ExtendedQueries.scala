@@ -153,6 +153,46 @@ object ExtendedQueries {
           sum(col("s_acctbal").cast(D2)).cast(D4).as("bal_total"))
     }),
 
+    // scalar string-function breadth: one projection exercising the
+    // everyday string surface. Per-row, codegen'd, no shuffle.
+    "q_string_functions" -> ((s, dir) =>
+      Tables.part(s, dir).filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          length(col("p_name")).as("len"),
+          substring(col("p_name"), 1, 5).as("pre"),
+          lpad(col("p_brand"), 12, "_").as("padded"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+          reverse(col("p_brand")).as("rev"),
+          translate(col("p_type"), " ", "_").as("xlated"))),
+
+    // scalar math-function breadth: identical expression trees on both
+    // engines, rounded where transcendental.
+    "q_math_functions" -> ((s, dir) =>
+      Tables.supplier(s, dir)
+        .select(col("s_suppkey"),
+          round(sqrt(abs(col("s_acctbal"))), 6).as("rt"),
+          round(exp(col("s_acctbal") / 10000.0), 6).as("ex"),
+          round(log(abs(col("s_acctbal")) + 1.0), 6).as("ln"),
+          pow(col("s_suppkey"), 2).cast("long").as("sq"),
+          pmod(col("s_suppkey"), lit(7)).as("m7"),
+          signum(col("s_acctbal")).cast("int").as("sgn"),
+          ceil(col("s_acctbal")).cast("long").as("ce"),
+          floor(col("s_acctbal")).cast("long").as("fl"))),
+
+    // lead + lag navigation in one pass (lag alone is covered by the
+    // indicator suite; lead completes the pair).
+    "q_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
+      Tables.bars(s, dir).filter(col("ticker") < "T2")
+        .select(col("ticker"), col("date"),
+          lag(col("close"), 1).over(w).as("prev_close"),
+          lead(col("close"), 1).over(w).as("next_close"),
+          lead(col("close"), 5).over(w).as("close_5ahead"))
+    }),
+
     // unpivot / melt: wide OHLC columns → long (field, value) rows. Narrow
     // per-row generation, no shuffle.
     "q_unpivot" -> ((s, dir) =>
@@ -355,6 +395,36 @@ object ExtendedQueries {
         |             ('D',5000.0,7500.0),('E',7500.0,10000.0)) b(band, lo, hi)
         |  ON s_acctbal >= lo AND s_acctbal < hi
         |GROUP BY band""".stripMargin,
+    "q_string_functions" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+        |  CAST(LENGTH(p_name) AS INT) AS len,
+        |  SUBSTRING(p_name, 1, 5) AS pre,
+        |  LPAD(p_brand, 12, '_') AS padded,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+        |  p_brand || '|' || p_type AS joined,
+        |  REVERSE(p_brand) AS rev,
+        |  translate(p_type, ' ', '_') AS xlated
+        |FROM part WHERE p_partkey <= 500""".stripMargin,
+    "q_math_functions" ->
+      """SELECT s_suppkey,
+        |  ROUND(SQRT(ABS(s_acctbal)), 6) AS rt,
+        |  ROUND(EXP(s_acctbal / 10000.0), 6) AS ex,
+        |  ROUND(LN(ABS(s_acctbal) + 1.0), 6) AS ln,
+        |  CAST(POW(s_suppkey, 2) AS BIGINT) AS sq,
+        |  CAST(s_suppkey % 7 AS BIGINT) AS m7,
+        |  CAST(SIGN(s_acctbal) AS INT) AS sgn,
+        |  CAST(CEIL(s_acctbal) AS BIGINT) AS ce,
+        |  CAST(FLOOR(s_acctbal) AS BIGINT) AS fl
+        |FROM supplier""".stripMargin,
+    "q_lead_lag" -> (Tables.barsSql +
+      """
+        |SELECT ticker, date,
+        |  LAG(close, 1) OVER w AS prev_close,
+        |  LEAD(close, 1) OVER w AS next_close,
+        |  LEAD(close, 5) OVER w AS close_5ahead
+        |FROM bars WHERE ticker < 'T2'
+        |WINDOW w AS (PARTITION BY ticker ORDER BY date)""".stripMargin),
     "q_unpivot" -> (Tables.barsSql +
       """
         |SELECT ticker, date, field, CAST(value AS DOUBLE) AS value
