@@ -49,6 +49,28 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks in the preceding hour (attribution). Both sides are
+    * watermarked, so Spark bounds the join state to watermark + interval —
+    * without the bounds a stream-stream join must buffer one side forever.
+    * The same code runs on batch DataFrames (withWatermark is a no-op),
+    * which is how the spec proves stream/batch equivalence. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .drop("c_user")
+  }
+
   /** Streaming exact dedup of a document feed: drop re-deliveries whose
     * normalized-text fingerprint was already seen within the watermark
     * delay. `dropDuplicatesWithinWatermark` evicts fingerprint state older

@@ -94,6 +94,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(batchSilver.except(silver).count() === 0)
   }
 
+  test("stream-stream interval join matches its batch twin exactly") {
+    val stream = StreamingOps.readEventsStream(spark, eventsDir)
+    val q = StreamingOps.purchaseAttribution(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ackpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("attr_out")
+      .select("purchase_id", "click_id").collect().map(_.toString).toSet
+    val batch = StreamingOps.purchaseAttribution(
+      Tables.events(spark, sf))
+      .select("purchase_id", "click_id").collect().map(_.toString).toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("streaming dedup drops re-delivered fingerprints across micro-batches") {
     val dir = Files.createTempDirectory("graft_sdocs").toString
     // two appends → multiple files → multiple micro-batches; doc 3 is a
