@@ -34,13 +34,34 @@ object Storage {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** S1 — write a table; optional hive partitioning, zstd compression. */
+  /** S1 — write a table; optional hive partitioning, zstd compression.
+    * `bloomFilterFor` enables a parquet bloom filter per named column —
+    * point lookups (ticker, doc_id) then skip row groups whose filter
+    * rejects the key, without any sort requirement. */
   def writeTable(df: DataFrame, ref: TableRef,
                  mode: SaveMode = SaveMode.Overwrite,
-                 partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(mode).option("compression", "zstd")
+                 partitionBy: Seq[String] = Nil,
+                 bloomFilterFor: Seq[String] = Nil): Unit = {
+    val base = df.write.mode(mode).option("compression", "zstd")
+    val w = bloomFilterFor.foldLeft(base)((acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(ref.path)
+  }
+
+  /** Range-clustered write: range-partition on the cluster key and sort
+    * within partitions, so every output file covers a narrow key range.
+    * Parquet min/max column stats then prune whole files/row-groups for
+    * range or point predicates on that key — the 1-D version of what
+    * Z-ordering buys, with zero read-side machinery. The layout of choice
+    * for silver/gold tables queried by ticker at 100 TB. */
+  def writeClustered(df: DataFrame, ref: TableRef, clusterBy: Seq[String],
+                     numFiles: Int,
+                     bloomFilterFor: Seq[String] = Nil): Unit = {
+    val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+    writeTable(
+      df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*),
+      ref, SaveMode.Overwrite, Nil, bloomFilterFor)
   }
 
   /** S2 — read a table (single file or partitioned dir, transparently). */

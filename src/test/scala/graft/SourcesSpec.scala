@@ -96,6 +96,24 @@ class SourcesSpec extends SparkSpecBase {
     assert(after.count() === bars.count())
   }
 
+  test("clustered write: each file covers a narrow key range; blooms accepted") {
+    val ref = TableRef(Files.createTempDirectory("graft_clus").toString, "silver", "t")
+    val bars = Tables.bars(spark, sf)
+    Storage.writeClustered(bars, ref, Seq("ticker"), numFiles = 8,
+      bloomFilterFor = Seq("ticker"))
+    val files = new java.io.File(ref.path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1)
+    val total = bars.select("ticker").distinct().count()
+    // narrow per-file ranges: every file holds well under the full
+    // ticker universe (that's what makes min/max stats prune)
+    files.foreach { f =>
+      val d = spark.read.parquet(f).select("ticker").distinct().count()
+      assert(d < total / 2, s"$f covers $d of $total tickers")
+    }
+    assert(Storage.readTable(spark, ref).count() === bars.count())
+  }
+
   test("compact bin-packs small files and preserves the data exactly") {
     val ref = TableRef(Files.createTempDirectory("graft_cmp").toString, "silver", "t")
     val bars = Tables.bars(spark, sf)
