@@ -49,6 +49,29 @@ object MultimodalOps {
         length(col("frame")).as("frame_len"),
         md5(hex(col("frame")).cast("binary")).as("frame_digest"))
 
+  /** Resize: downsample the payload to exactly `targetBytes` by strided
+    * byte sampling — the stand-in for an image resize (same contract: fixed
+    * output size regardless of input size, deterministic). Pure columnar
+    * (no UDF): an index sequence drives `substring` picks, all codegen'd.
+    * A production deploy swaps the byte stride for the codec's scaler and
+    * keeps the fixed-width binary output schema. */
+  def resizePayload(df: DataFrame, targetBytes: Int = 32): DataFrame = {
+    val hx = hex(col("payload"))
+    val n = length(col("payload"))
+    // strided picks in hex space (2 chars = 1 byte); shorter payloads are
+    // right-padded with 0x20 to the fixed width
+    val picks = transform(sequence(lit(0), lit(targetBytes - 1)),
+      i => hx.substr(floor(i * n / targetBytes).cast("int") * 2 + 1, lit(2)))
+    df
+      .withColumn("n_bytes", n)
+      .withColumn("rhex",
+        when(n >= targetBytes, array_join(picks, ""))
+          .otherwise(rpad(hx, targetBytes * 2, "20")))
+      .select(col("doc_id"), col("n_bytes"),
+        (length(col("rhex")) / 2).cast("int").as("resized_len"),
+        md5(col("rhex").cast("binary")).as("resized_digest"))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),

@@ -40,6 +40,18 @@ object TextQueries {
         TextOps.hashBucket(col("doc_id")).as("bucket"),
         TextOps.splitAssign(col("doc_id")).as("split"))),
 
+    // stratified deterministic sampling: per-language keep-rates over the
+    // same hash buckets — the downsample/rebalance op every corpus mix
+    // needs, reproducible across engines and re-runs.
+    "q_stratified_sample" -> ((s, dir) => {
+      val b = TextOps.hashBucket(col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("bucket", b)
+        .filter((col("lang") === "en" && col("bucket") < 50) ||
+          (col("lang") =!= "en" && col("bucket") < 10))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(Tables.documents(s, dir))),
 
@@ -114,6 +126,13 @@ object TextQueries {
       MultimodalOps.frameSample(
         MultimodalOps.withPayload(Tables.documents(s, dir)))),
 
+    // resize: fixed-width strided downsample of the payload (the image-
+    // resize contract with a deterministic byte stride standing in for the
+    // codec's scaler).
+    "q_mm_resize" -> ((s, dir) =>
+      MultimodalOps.resizePayload(
+        MultimodalOps.withPayload(Tables.documents(s, dir)))),
+
     // decode-stub features: mapPartitions batch shape over binary payloads.
     // No oracle (strided byte math isn't SQL-expressible) → the driver
     // records the weaker rows-only check, which is the point: the plumbing
@@ -159,6 +178,24 @@ object TextQueries {
       .mkString("\n  UNION ALL ")
     s"bands AS (\n  $bands)"
   }
+
+  /** md5-derived hash bucket value as a CTE ending in `hv(doc_id, v)` —
+    * shared by the split-assignment and stratified-sample oracles
+    * (rebuilds [[graft.operators.TextOps.hashBucket]] verbatim). */
+  private val hashBucketCte =
+    """WITH h AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+      |hv AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN ascii(substr(hx,1,1)) >= 97 THEN ascii(substr(hx,1,1))-87
+      |          ELSE ascii(substr(hx,1,1))-48 END) * 4096 +
+      |    (CASE WHEN ascii(substr(hx,2,1)) >= 97 THEN ascii(substr(hx,2,1))-87
+      |          ELSE ascii(substr(hx,2,1))-48 END) * 256 +
+      |    (CASE WHEN ascii(substr(hx,3,1)) >= 97 THEN ascii(substr(hx,3,1))-87
+      |          ELSE ascii(substr(hx,3,1))-48 END) * 16 +
+      |    (CASE WHEN ascii(substr(hx,4,1)) >= 97 THEN ascii(substr(hx,4,1))-87
+      |          ELSE ascii(substr(hx,4,1))-48 END) AS v
+      |  FROM h)""".stripMargin
 
   /** SimHash computation as a CTE ending in `sh(doc_id, simhash)` —
     * shared by the hash dump and the Hamming near-dup pair oracle. */
@@ -338,24 +375,19 @@ object TextQueries {
          |WHERE ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
          |      CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6) >= 0.05""".stripMargin,
 
-    "q_hash_split" ->
-      """WITH h AS (
-        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
-        |hv AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN ascii(substr(hx,1,1)) >= 97 THEN ascii(substr(hx,1,1))-87
-        |          ELSE ascii(substr(hx,1,1))-48 END) * 4096 +
-        |    (CASE WHEN ascii(substr(hx,2,1)) >= 97 THEN ascii(substr(hx,2,1))-87
-        |          ELSE ascii(substr(hx,2,1))-48 END) * 256 +
-        |    (CASE WHEN ascii(substr(hx,3,1)) >= 97 THEN ascii(substr(hx,3,1))-87
-        |          ELSE ascii(substr(hx,3,1))-48 END) * 16 +
-        |    (CASE WHEN ascii(substr(hx,4,1)) >= 97 THEN ascii(substr(hx,4,1))-87
-        |          ELSE ascii(substr(hx,4,1))-48 END) AS v
-        |  FROM h)
+    "q_hash_split" -> (hashBucketCte +
+      """
         |SELECT doc_id, v % 100 AS bucket,
         |  CASE WHEN v % 100 < 80 THEN 'train'
         |       WHEN v % 100 < 90 THEN 'val' ELSE 'test' END AS split
-        |FROM hv""".stripMargin,
+        |FROM hv""".stripMargin),
+
+    "q_stratified_sample" -> (hashBucketCte +
+      """
+        |SELECT d.doc_id, d.lang, hv.v % 100 AS bucket
+        |FROM documents d JOIN hv ON hv.doc_id = d.doc_id
+        |WHERE (d.lang = 'en' AND hv.v % 100 < 50)
+        |   OR (d.lang <> 'en' AND hv.v % 100 < 10)""".stripMargin),
 
     "q_jaccard_pruned" ->
       s"""WITH ${shingleCte(2, "WHERE doc_id < 300")},
@@ -468,6 +500,24 @@ object TextQueries {
         |  md5(substr(hexp, CAST(i * 128 + 1 AS BIGINT), 128)) AS frame_digest
         |FROM hx CROSS JOIN range(0, 64) t(i)
         |WHERE i * 128 < length(hexp)""".stripMargin,
+
+    "q_mm_resize" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(CAST(text AS BLOB)) AS hexp,
+        |         octet_length(CAST(text AS BLOB)) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n >= 32 THEN
+        |      list_aggr(list_transform(range(0, 32),
+        |        i -> substr(hexp, CAST(FLOOR(i * n / 32.0) AS INT) * 2 + 1, 2)),
+        |        'string_agg', '')
+        |    ELSE rpad(hexp, 64, '20') END AS rhex
+        |  FROM hx)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+        |  CAST(length(rhex) // 2 AS INTEGER) AS resized_len,
+        |  md5(rhex) AS resized_digest
+        |FROM p""".stripMargin,
 
     "q_mm_meta" ->
       """SELECT doc_id,
