@@ -89,7 +89,9 @@ object Pipeline {
   /** Silver: split-adjust, roll up to three grains, compute indicators.
     * Append path processes only bars newer than the checkpoint; rewrite
     * path rebuilds everything (same code, different input slice + mode). */
-  def runSilver(spark: SparkSession, lake: Lake): Unit = {
+  def runSilver(spark: SparkSession, lake: Lake,
+                clusteredFiles: Option[Int] =
+                  sys.env.get("GRAFT_SILVER_CLUSTERED").map(_.toInt)): Unit = {
     val full = shouldFullRewrite(spark, lake)
     val bronze = Storage.readTable(spark, lake.bronze("stocks"))
     val splits = Storage.readTable(spark, lake.bronze("splits"))
@@ -116,7 +118,16 @@ object Pipeline {
     Seq("week" -> "weekly_aggregates", "month" -> "monthly_aggregates").foreach {
       case (b, t) => Storage.writeTable(SilverOps.rollup(allDaily, b), lake.silver(t))
     }
-    Storage.writeTable(SilverOps.indicators(allDaily), lake.silver("daily_indicators"))
+    // GRAFT_SILVER_CLUSTERED=<numFiles>: lay indicators out range-clustered
+    // on ticker (narrow per-file key ranges → min/max-stat pruning for the
+    // per-ticker reads gold and the catalog do). Same rows either way.
+    clusteredFiles match {
+      case Some(n) => Storage.writeClustered(
+        SilverOps.indicators(allDaily), lake.silver("daily_indicators"),
+        clusterBy = Seq("ticker"), numFiles = n)
+      case None => Storage.writeTable(
+        SilverOps.indicators(allDaily), lake.silver("daily_indicators"))
+    }
     allDaily.unpersist(false)
     Storage.writeTable(
       SilverOps.indicators(Storage.readTable(spark, lake.silver("weekly_aggregates"))),

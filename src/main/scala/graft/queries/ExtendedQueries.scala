@@ -215,6 +215,21 @@ object ExtendedQueries {
           round(cume_dist().over(byBucket), 6).as("cd"))
     }),
 
+    // FILTER-clause conditional aggregation + HAVING — one partial-combined
+    // pass computes all three conditional counts (no per-branch scans).
+    "q_filtered_agg" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("ord_fa")
+      s.sql("""SELECT o_orderpriority,
+              |  COUNT(*) AS n,
+              |  COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+              |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS tot_final
+              |FROM ord_fa
+              |GROUP BY o_orderpriority
+              |HAVING COUNT(*) > 100""".stripMargin)
+    }),
+
     // correlated EXISTS subquery — Catalyst decorrelates to a left-semi
     // join on the correlation key (one shuffle, no per-row probing).
     "q_exists_subquery" -> ((s, dir) => {
@@ -439,6 +454,16 @@ object ExtendedQueries {
         |  ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
         |    ORDER BY CAST(FLOOR(o_totalprice / 50000) AS INT)), 6) AS cd
         |FROM orders WHERE o_orderkey <= 5000""".stripMargin,
+    "q_filtered_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS tot_final
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |HAVING COUNT(*) > 100""".stripMargin,
     "q_exists_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer c
         |WHERE c_acctbal > 9000.0 AND EXISTS (
