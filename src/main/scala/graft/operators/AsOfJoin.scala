@@ -24,7 +24,15 @@ object AsOfJoin {
 
   def asOf(left: DataFrame, right: DataFrame, key: Seq[String],
            leftTime: String, rightTime: String,
-           valueCols: Seq[String]): DataFrame = {
+           valueCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, key, leftTime, rightTime, valueCols, forward = false)
+
+  /** Shared union+window composition; `forward` flips the sort direction,
+    * the frame side, and the carrying aggregate — everything else
+    * (tagging, union, carry-fold, projection) is direction-independent. */
+  private def asOfImpl(left: DataFrame, right: DataFrame, key: Seq[String],
+                       leftTime: String, rightTime: String,
+                       valueCols: Seq[String], forward: Boolean): DataFrame = {
     val leftTagged = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
@@ -34,12 +42,21 @@ object AsOfJoin {
       .withColumn("_rt", col("_t"))
 
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
-    val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // equality must match on both directions: the tied right row sorts
+    // inside the left row's frame (before it going backward, after it going
+    // forward)
+    val base = Window.partitionBy(key.map(col): _*)
+    val w =
+      if (forward) base.orderBy(col("_t"), col("_side").desc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.orderBy(col("_t"), col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carry(c: org.apache.spark.sql.Column) =
+      if (forward) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
 
     val carried = (valueCols :+ "_rt").foldLeft(unioned)((acc, c) =>
-      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      acc.withColumn(c, carry(col(c))))
 
     carried
       .filter(col("_side") === 1)
@@ -56,28 +73,8 @@ object AsOfJoin {
     * descending — left=1, right=0). */
   def asOfForward(left: DataFrame, right: DataFrame, key: Seq[String],
                   leftTime: String, rightTime: String,
-                  valueCols: Seq[String]): DataFrame = {
-    val leftTagged = left
-      .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
-    val rightTagged = right
-      .select((key.map(col) :+ col(rightTime).as("_t")) ++ valueCols.map(col): _*)
-      .withColumn("_side", lit(0))
-      .withColumn("_rt", col("_t"))
-
-    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
-    val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("_t"), col("_side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-
-    val carried = (valueCols :+ "_rt").foldLeft(unioned)((acc, c) =>
-      acc.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
-
-    carried
-      .filter(col("_side") === 1)
-      .withColumnRenamed("_rt", "matched_time")
-      .drop("_t", "_side")
-  }
+                  valueCols: Seq[String]): DataFrame =
+    asOfImpl(left, right, key, leftTime, rightTime, valueCols, forward = true)
 
   /** As-of with a tolerance: matches older than `tolerance` (in days, for
     * date keys) are nulled out — Polars `join_asof(tolerance=...)`. */

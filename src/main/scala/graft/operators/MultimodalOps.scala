@@ -60,8 +60,11 @@ object MultimodalOps {
     val n = length(col("payload"))
     // strided picks in hex space (2 chars = 1 byte); shorter payloads are
     // right-padded with 0x20 to the fixed width
+    // i*n in LONG: an int product overflows past ~69 MB payloads (ANSI is
+    // off, so it would wrap silently into garbage picks)
     val picks = transform(sequence(lit(0), lit(targetBytes - 1)),
-      i => hx.substr(floor(i * n / targetBytes).cast("int") * 2 + 1, lit(2)))
+      i => hx.substr(
+        (floor(i.cast("long") * n / targetBytes) * 2 + 1).cast("int"), lit(2)))
     df
       .withColumn("n_bytes", n)
       .withColumn("rhex",

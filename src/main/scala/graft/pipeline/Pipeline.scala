@@ -91,7 +91,7 @@ object Pipeline {
     * path rebuilds everything (same code, different input slice + mode). */
   def runSilver(spark: SparkSession, lake: Lake,
                 clusteredFiles: Option[Int] =
-                  sys.env.get("GRAFT_SILVER_CLUSTERED").map(_.toInt)): Unit = {
+                  sys.env.get("GRAFT_SILVER_CLUSTERED").map(_.trim.toInt)): Unit = {
     val full = shouldFullRewrite(spark, lake)
     val bronze = Storage.readTable(spark, lake.bronze("stocks"))
     val splits = Storage.readTable(spark, lake.bronze("splits"))

@@ -123,8 +123,12 @@ object Storage {
       s"compact: ${ref.path} is hive-partitioned — compact each partition directory instead")
     val bytes = f.getContentSummary(dst).getLength
     val n = math.max(1, math.ceil(bytes / (targetMB * 1024.0 * 1024.0)).toInt)
-    val tmp = new Path(ref.path + "._compact_tmp")
-    val bak = new Path(ref.path + "._compact_bak")
+    // dot-prefixed siblings: hidden from Spark's file listing and partition
+    // discovery, so a crash mid-swap can never surface them as data — for a
+    // partition ref the temp dirs live inside the parent table directory,
+    // where an unhidden name containing '=' would be parsed as a partition
+    val tmp = new Path(dst.getParent, s".${dst.getName}._compact_tmp")
+    val bak = new Path(dst.getParent, s".${dst.getName}._compact_bak")
     // stale leftovers from a crashed run — dst is authoritative
     if (f.exists(tmp)) f.delete(tmp, true)
     if (f.exists(bak)) f.delete(bak, true)
