@@ -17,6 +17,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: composable HOF dot products become the native
+    // codegen'd expression (semantics preserved — see RewriteDotProduct)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[graft.functions.ArrayDotProduct].getName,

@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * form and the SQL oracles' `SUM` over an ascending index — results are
   * bit-identical.
   */
-case class ArrayDotProduct(left: Expression, right: Expression)
+case class ArrayDotProduct(left: Expression, right: Expression,
+                           strict: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -47,13 +48,22 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       s"array_dot requires array<float|double>, got $other")
   }
 
+  // strict ⇒ null on length mismatch or any null element — the exact
+  // semantics of aggregate(zip_with(a, b, _*_), 0d, _+_), which is what the
+  // RewriteDotProduct optimizer rule replaces; the default skips null
+  // checks and runs to the shorter length (the explicit-API fast path).
   override def nullSafeEval(l: Any, r: Any): Any = {
     val la = l.asInstanceOf[ArrayData]
     val ra = r.asInstanceOf[ArrayData]
+    if (strict && la.numElements() != ra.numElements()) return null
     val n = math.min(la.numElements(), ra.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += leftGet(la, i) * rightGet(ra, i); i += 1 }
+    while (i < n) {
+      if (strict && (la.isNullAt(i) || ra.isNullAt(i))) return null
+      s += leftGet(la, i) * rightGet(ra, i)
+      i += 1
+    }
     s
   }
 
@@ -66,13 +76,24 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("sum")
+      val nullChecks =
+        if (strict)
+          s"""if ($l.isNullAt($i) || $r.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
+      val lengthGuard =
+        if (strict) s"if ($l.numElements() != $r.numElements()) ${ev.isNull} = true;"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${elem(left.dataType, l, i)} * ${elem(right.dataType, r, i)};
+         |$lengthGuard
+         |if (!${ev.isNull}) {
+         |  int $n = java.lang.Math.min($l.numElements(), $r.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullChecks
+         |    $s += ${elem(left.dataType, l, i)} * ${elem(right.dataType, r, i)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }

