@@ -42,21 +42,19 @@ object AsOfJoin {
       .withColumn("_rt", col("_t"))
 
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
-    // equality must match on both directions: the tied right row sorts
-    // inside the left row's frame (before it going backward, after it going
-    // forward)
-    val base = Window.partitionBy(key.map(col): _*)
-    val w =
-      if (forward) base.orderBy(col("_t"), col("_side").desc)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else base.orderBy(col("_t"), col("_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def carry(c: org.apache.spark.sql.Column) =
-      if (forward) first(c, ignoreNulls = true).over(w)
-      else last(c, ignoreNulls = true).over(w)
+    // Forward is the SAME running-frame carry on a time-DESCENDING sort:
+    // walking latest→earliest, "last right seen" is the smallest right time
+    // ≥ the current row's. (A currentRow→unboundedFollowing frame would be
+    // semantically equivalent but WindowExec re-aggregates such frames per
+    // row — O(rows²) per key; the running frame is incremental.) Ties: the
+    // right row sorts before the left row in traversal order either way, so
+    // equality matches in both directions.
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(if (forward) col("_t").desc else col("_t").asc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = (valueCols :+ "_rt").foldLeft(unioned)((acc, c) =>
-      acc.withColumn(c, carry(col(c))))
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
 
     carried
       .filter(col("_side") === 1)

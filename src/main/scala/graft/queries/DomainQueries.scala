@@ -143,6 +143,18 @@ object DomainQueries {
           col("split_from"), col("split_to"),
           col("matched_time").as("last_exec_date"))),
 
+    // Forward as-of: each bar picks up the EARLIEST split execution ≥ its
+    // date. Oracle runs DuckDB's backward-only ASOF on negated day
+    // numbers, which is the forward join exactly (equality included).
+    "q_asof_forward" -> ((s, dir) =>
+      graft.operators.AsOfJoin.asOfForward(
+        Tables.bars(s, dir).select("ticker", "date", "close"),
+        syntheticSplits(s), Seq("ticker"),
+        "date", "execution_date", Seq("split_from", "split_to"))
+        .select(col("ticker"), col("date"), col("close"),
+          col("split_from"), col("split_to"),
+          col("matched_time").as("next_exec_date"))),
+
     // Falling-down-stairs + best-per-ticker ranking.
     "q_falling_best" -> ((s, dir) =>
       PatternOps.bestPatternPerTicker(
@@ -220,6 +232,15 @@ object DomainQueries {
         |  s.execution_date AS last_exec_date
         |FROM bars b ASOF LEFT JOIN splits s
         |  ON b.ticker = s.ticker AND b.date >= s.execution_date""".stripMargin),
+
+    "q_asof_forward" -> withBars(splitsSql,
+      """SELECT b.ticker, b.date, b.close, s.split_from, s.split_to,
+        |  s.execution_date AS next_exec_date
+        |FROM (SELECT *, -(date - DATE '1970-01-01') AS nd FROM bars) b
+        |ASOF LEFT JOIN
+        |     (SELECT *, -(execution_date - DATE '1970-01-01') AS nd
+        |      FROM splits) s
+        |  ON b.ticker = s.ticker AND b.nd >= s.nd""".stripMargin),
 
     "q_sma" -> withBars(indSql,
       "SELECT ticker, date, close, prev_close, sma_20, sma_50 FROM ind"),
