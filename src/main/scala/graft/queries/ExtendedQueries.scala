@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Coverage extensions past the reference's own operator set (SURVEY §2):
-  * the rest of the window-function family (rank/dense_rank/ntile, navigation,
-  * RANGE frames), the rest of the grouping family (ROLLUP, GROUPING SETS,
-  * pivot), array/lateral ops (posexplode, array scalar fns), set intersect,
-  * full-outer join, a non-equi band (range) join, and order-insensitive
-  * exact moments (stddev from decimal sums).
+  * the rest of the window-function family (rank/dense_rank/ntile,
+  * percent_rank/cume_dist, navigation incl. lead, RANGE frames, per-group
+  * top-k), the rest of the grouping family (ROLLUP, GROUPING SETS, pivot,
+  * unpivot, FILTER-clause conditional aggs + HAVING), subqueries (correlated
+  * EXISTS, scalar), array/lateral ops (posexplode, array scalar fns), set
+  * intersect, full-outer join, a non-equi band (range) join, calendar
+  * gap-fill, string/math scalar breadth, and order-insensitive exact
+  * statistics (stddev/variance, Pearson r, interpolated percentiles).
   *
   * Determinism rules are the same as [[RelationalQueries]]: exact types on
   * every aggregation path (longs/decimals), doubles only through identical
