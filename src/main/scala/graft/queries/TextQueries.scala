@@ -103,8 +103,8 @@ object TextQueries {
     }),
 
     // Near-dup clustering end-to-end (LSH → connected components →
-    // canonical pick). Rows-only: iterative CC has no single-query SQL
-    // equivalent the oracle harness can run.
+    // canonical pick). Oracle: the same pipeline with CC as a recursive
+    // CTE — min reachable id per vertex is the propagation fixpoint.
     "q_neardup_clusters" -> ((s, dir) =>
       DedupOps.dedupNearDups(Tables.documents(s, dir), minJaccard = 0.3)
         .select(col("doc_id"), col("cluster"), col("is_canonical"))),
@@ -222,8 +222,9 @@ object TextQueries {
       |  FROM votes GROUP BY 1)""".stripMargin
 
   /** Exact-jaccard verification over candidate pairs (expects CTEs `cand`
-    * with (id_a, id_b) and `sh` with (doc_id, shs)). */
-  private val jaccardTail =
+    * with (id_a, id_b) and `sh` with (doc_id, shs)). Split so the final
+    * select can also be embedded as a CTE (`jaccardAsCte`). */
+  private val jaccardCtes =
     """shr AS (SELECT doc_id, UNNEST(shs) AS s FROM sh),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY 1),
       |inter AS (
@@ -231,14 +232,21 @@ object TextQueries {
       |  FROM cand c
       |  JOIN shr a ON a.doc_id = c.id_a
       |  JOIN shr b ON b.doc_id = c.id_b AND b.s = a.s
-      |  GROUP BY 1, 2)
-      |SELECT c.id_a, c.id_b,
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val jaccardSelect =
+    """SELECT c.id_a, c.id_b,
       |  ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
       |        CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6) AS jaccard
       |FROM cand c
       |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
       |JOIN sizes sa ON sa.doc_id = c.id_a
       |JOIN sizes sb ON sb.doc_id = c.id_b""".stripMargin
+
+  private val jaccardTail = jaccardCtes + "\n" + jaccardSelect
+
+  private val jaccardAsCte =
+    jaccardCtes + ",\njac AS (\n" + jaccardSelect + ")"
 
   private def markerSql(pat: String): String = {
     val needle = s" $pat "
@@ -363,6 +371,33 @@ object TextQueries {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
          |$jaccardTail""".stripMargin,
+
+    // same LSH candidate pipeline as q_minhash_pairs, thresholded at 0.3,
+    // then connected components as a recursive CTE: reach(id) = every label
+    // reachable through the near-dup edges; MIN(reachable) per id is
+    // exactly the engine's min-label-propagation fixpoint.
+    "q_neardup_clusters" ->
+      s"""WITH RECURSIVE ${shingleCte(3)},
+         |$sigCte,
+         |$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |$jaccardAsCte,
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= 0.3
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM jac WHERE jaccard >= 0.3),
+         |reach(id, lbl) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b),
+         |labels AS (SELECT id, MIN(lbl) AS label FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  COALESCE(l.label, d.doc_id) AS cluster,
+         |  COALESCE(l.label, d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH ${shingleCte(2, "WHERE doc_id < 300")},
