@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE JSON line the driver parses into BENCH_r{N}.json.
+  *
+  * The driver's stdout capture keeps only the last ~2000 characters
+  * (BENCH_r01.json's `tail` was exactly 2000 chars and `parsed` was null
+  * because round 1 emitted all 90+ per-query timings on one ~3KB line). So:
+  * only a curated HEADLINE subset is timed and emitted, values are rounded
+  * to ms, and the line stays well under the capture window.
+  * SPARK_GRAFT_FULL=1 times every query instead (local iteration only — the
+  * full line would again overflow the driver's capture).
+  */
 object Bench {
+
+  /** Representative heavy queries: flagship aggregations/joins, the window
+    * machinery, each dedup/similarity family, and the medallion pipeline
+    * (added separately as pipeline_full).
+    */
+  private val headline: Seq[String] = Seq(
+    "q1_agg", "q3_shipping_priority", "q5_local_supplier",
+    "q_asof_join", "q_sma", "q_vwap_signals", "q_gap_fill",
+    "q_weekly_rollup", "q_hvc_daily", "q_events_sessions",
+    "q_dedup_exact", "q_neardup_clusters", "q_simhash_neardup",
+    "q_ngram_jaccard", "q_embed_neardup", "q_cosine_knn", "q_ivf_knn",
+    "q_topk_per_group", "q_range_frame", "q_full_outer")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,15 +38,18 @@ object Bench {
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (dev iteration; driver unsets)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+      .orElse(if (sys.env.contains("SPARK_GRAFT_FULL")) None
+              else Some(headline.toSet))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    var failed = List.empty[String]
     val queryResults = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write forces every output column to materialize; a count() here
       // would let Catalyst prune unused window/projection expressions and
       // time only the scan.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => }
+      catch { case _: Throwable => failed ::= name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // end-to-end medallion pipeline (bronze→silver→gold incl. indicators,
@@ -32,14 +59,18 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft_bench_lake").toString)
       val t0 = System.nanoTime()
       try graft.pipeline.Pipeline.runAll(spark, sfDir, lake)
-      catch { case _: Throwable => }
+      catch { case _: Throwable => failed ::= "pipeline_full" }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = (queryResults :+ ("pipeline_full" -> pipelineTime)).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = queryResults :+ ("pipeline_full" -> pipelineTime)
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) =>
+      // a failed query reports the -1 sentinel, not a normal-looking time
+      "\"" + k + "\":" + (if (failed.contains(k)) "-1" else ms(v))
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

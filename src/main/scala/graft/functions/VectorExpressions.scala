@@ -28,6 +28,12 @@ case class ArrayDotProduct(left: Expression, right: Expression,
 
   override def dataType: DataType = DoubleType
 
+  // strict can produce null (length mismatch / null element) even when both
+  // children are non-nullable; without this override nullSafeCodeGen would
+  // emit `false = true;` for ev.isNull (Janino error → codegen fallback) and
+  // interpreted eval would return null from a declared-non-nullable slot.
+  override def nullable: Boolean = strict || left.nullable || right.nullable
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType | DoubleType, _),

@@ -67,8 +67,9 @@ object AsOfJoin {
     * one-shuffle union composition as [[asOf]], mirrored: values are
     * carried backward with `first(..., ignoreNulls)` over the
     * currentRow→unboundedFollowing frame. At equal times the right row must
-    * be visible to the left row's frame, so left sorts first (`_side`
-    * descending — left=1, right=0). */
+    * be visible to the left row's frame, so the right row (side 0) sorts
+    * before the left row (side 1) — `_side` ascending, same as the backward
+    * direction (see the tie note inside asOfImpl). */
   def asOfForward(left: DataFrame, right: DataFrame, key: Seq[String],
                   leftTime: String, rightTime: String,
                   valueCols: Seq[String]): DataFrame =

@@ -159,16 +159,18 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Connected components over a near-dup pair graph by iterative min-label
-    * propagation: every doc converges to the smallest doc_id reachable from
-    * it — that id is the cluster's canonical representative.
+  /** Connected components over a near-dup pair graph: iterative min-label
+    * propagation plus a pointer-jumping shortcut — every doc converges to
+    * the smallest doc_id reachable from it, the cluster's canonical
+    * representative.
     *
-    * Each iteration is two shuffles (join + min-agg) and the iteration
-    * count is bounded by the graph diameter — near-dup clusters are
-    * shallow (stars/short chains), so `maxIters` = 10 covers real corpora;
-    * the loop exits early at fixpoint. This is the standard map-reduce CC
-    * algorithm; at 100 TB each iteration is an ordinary shuffled join, no
-    * driver-side state.
+    * Each iteration hops one edge (join + min-agg) AND follows the current
+    * label's own label (label(label(id))), so the reachable-min horizon
+    * roughly doubles per iteration: `maxIters` = 10 covers graph diameters
+    * into the hundreds, not 10. The loop exits early at fixpoint and
+    * THROWS if maxIters is hit unconverged — a silent partial result would
+    * split clusters (and fail the recursive-CTE oracle). At 100 TB each
+    * iteration is ordinary shuffled joins, no driver-side state.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -193,10 +195,20 @@ object DedupOps {
           Seq("id_b"))
         .groupBy(col("id_a")).agg(min(col("nlabel")).as("nlabel"))
         .withColumnRenamed("id_a", "id")
-      val next = labels.join(minNbr, Seq("id"), "left")
+      val hopped = labels.join(minNbr, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
+          col("label").as("old"))
+        .persist(disk)
+      // pointer jump: a label is always some node's id (least() over node
+      // ids preserves that), so label(label(id)) is well-defined — chasing
+      // it shortcuts chains, doubling the propagation horizon per iteration
+      val jump = hopped.select(col("id").as("jid"), col("label").as("jlabel"))
+      val next = hopped
+        .join(jump, col("label") === col("jid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"),
+          (least(col("label"), coalesce(col("jlabel"), col("label"))) < col("old")).as("changed"))
         .persist(disk)
       converged = !next
         .agg(coalesce(max(col("changed")), lit(false)).as("any"))
@@ -204,9 +216,14 @@ object DedupOps {
       val prev = labels
       labels = next.drop("changed")
       prev.unpersist(false)
+      hopped.unpersist(false)
       i += 1
     }
     edges.unpersist(false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations — " +
+          "graph diameter exceeds the doubling horizon; raise maxIters")
     labels.select(col("id"), col("label"))
   }
 

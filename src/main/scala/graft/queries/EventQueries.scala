@@ -146,7 +146,7 @@ object EventQueries {
         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM flagged)
-        |SELECT user_id, session_id,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value

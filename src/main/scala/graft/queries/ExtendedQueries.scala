@@ -76,7 +76,7 @@ object ExtendedQueries {
     "q_rollup_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")).cast(D2).as("sum_qty"),
+        .agg(sum(col("l_quantity")).cast(D2).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))),
 
     // GROUPING SETS with grouping() to disambiguate the null rows — only
@@ -85,7 +85,7 @@ object ExtendedQueries {
       Tables.lineitem(s, dir).createOrReplaceTempView("li_gsets")
       s.sql("""SELECT l_returnflag, l_linestatus,
               |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
-              |  CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty
+              |  CAST(CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
               |FROM li_gsets
               |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
     }),
@@ -153,7 +153,7 @@ object ExtendedQueries {
         .join(bands, col("s_acctbal") >= col("lo") && col("s_acctbal") < col("hi"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n"),
-          sum(col("s_acctbal").cast(D2)).cast(D4).as("bal_total"))
+          sum(col("s_acctbal").cast(D2)).cast(D4).cast("double").as("bal_total"))
     }),
 
     // scalar string-function breadth: one projection exercising the
@@ -364,13 +364,13 @@ object ExtendedQueries {
     "q_range_frame" -> (Tables.barsSql +
       """
         |SELECT ticker, date,
-        |  SUM(volume) OVER (PARTITION BY ticker
+        |  CAST(SUM(volume) OVER (PARTITION BY ticker
         |    ORDER BY (date - DATE '1992-01-01')
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS vol_7d
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS vol_7d
         |FROM bars""".stripMargin),
     "q_rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty, COUNT(*) AS n
+        |  CAST(CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
@@ -407,7 +407,7 @@ object ExtendedQueries {
         |FROM odc FULL OUTER JOIN sdc ON odc.d = sdc.d""".stripMargin,
     "q_band_join" ->
       """SELECT band, COUNT(*) AS n,
-        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS bal_total
+        |  CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS bal_total
         |FROM supplier
         |JOIN (VALUES ('A',-1000.0,0.0),('B',0.0,2500.0),('C',2500.0,5000.0),
         |             ('D',5000.0,7500.0),('E',7500.0,10000.0)) b(band, lo, hi)

@@ -15,7 +15,13 @@ import org.apache.spark.sql.types.DecimalType
   *  - ratios derived from exact quantities with identical expression trees
   *    (double ops on identical inputs are identical IEEE results);
   *  - every query's output has a unique total order (keys included) so
-  *    LIMIT/top-k cannot straddle ties.
+  *    LIMIT/top-k cannot straddle ties;
+  *  - final projections never expose DECIMAL: the driver reads Spark parquet
+  *    via pyarrow (Decimal keeps trailing zeros, '137431.00') but fetches the
+  *    oracle via duckdb→pandas (DECIMAL→float64, '137431.0'), so exact
+  *    decimals are cast to DOUBLE at the very end on BOTH sides — identical
+  *    value, identical shortest-repr. Likewise DuckDB HUGEINT sums are CAST
+  *    AS BIGINT in oracles so null-free integer columns stay int on both.
   */
 object RelationalQueries {
 
@@ -31,10 +37,10 @@ object RelationalQueries {
         .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity")).cast(D2).as("sum_qty"),
-          sum(col("l_extendedprice").cast(D2)).cast(D4).as("sum_base_price"),
+          sum(col("l_quantity")).cast(D2).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(D2)).cast(D4).cast("double").as("sum_base_price"),
           sum(col("l_extendedprice").cast(D2) * (lit(1).cast(D2) - col("l_discount").cast(D2)))
-            .cast(D4).as("sum_disc_price"),
+            .cast(D4).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -44,7 +50,7 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .filter(col("l_returnflag") === "R" && col("l_linenumber") === 1)
         .select(col("l_orderkey"), col("l_partkey"),
-          col("l_extendedprice").cast(D2).as("price"))),
+          col("l_extendedprice").as("price"))),
 
     // P4 — range predicates + conjunction (date + numeric).
     "q_range_filter" -> ((s, dir) =>
@@ -53,7 +59,7 @@ object RelationalQueries {
                 to_date(col("o_orderdate")) < lit("1996-01-01") &&
                 col("o_totalprice") > 50000.0)
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"),
-          col("o_totalprice").cast(D2).as("total"))),
+          col("o_totalprice").as("total"))),
 
     // P5 — IN-list membership filter.
     "q_in_filter" -> ((s, dir) =>
@@ -65,7 +71,7 @@ object RelationalQueries {
     "q_nullguard" -> ((s, dir) =>
       Tables.customer(s, dir)
         .filter(col("c_acctbal").isNotNull && col("c_acctbal") > 0.0)
-        .select(col("c_custkey"), col("c_acctbal").cast(D2).as("bal"))),
+        .select(col("c_custkey"), col("c_acctbal").as("bal"))),
 
     // P7 — non-strict schema coercion: cast-all-columns, bad → null.
     "q_cast_coerce" -> ((s, dir) =>
@@ -83,7 +89,7 @@ object RelationalQueries {
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice").cast(D2) * (lit(1).cast(D2) - col("l_discount").cast(D2)))
-            .cast(D4).as("net"),
+            .cast(D4).cast("double").as("net"),
           when(col("l_discount") > 0.05, lit("DISC")).otherwise(lit("FULL")).as("kind"))
         .filter(col("l_linenumber") <= 2)),
 
@@ -94,7 +100,7 @@ object RelationalQueries {
           col("o_custkey") === col("c_custkey"), "left")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(D2)).cast(D4).as("seg_total"))),
+          sum(col("o_totalprice").cast(D2)).cast(D4).cast("double").as("seg_total"))),
 
     // Q3-shape: 3-way join (dim filtered → broadcast) + agg + top-k by
     // revenue. The canonical shuffle-on-orderkey analytics query.
@@ -108,7 +114,7 @@ object RelationalQueries {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
         .agg(sum(col("l_extendedprice").cast(D2) *
-          (lit(1).cast(D2) - col("l_discount").cast(D2))).cast(D4).as("revenue"))
+          (lit(1).cast(D2) - col("l_discount").cast(D2))).cast(D4).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -130,7 +136,7 @@ object RelationalQueries {
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(sum(col("l_extendedprice").cast(D2) *
-          (lit(1).cast(D2) - col("l_discount").cast(D2))).cast(D4).as("revenue"))
+          (lit(1).cast(D2) - col("l_discount").cast(D2))).cast(D4).cast("double").as("revenue"))
     }),
 
     // J3 — anti-join: order dates with no lineitem shipped that day.
@@ -169,7 +175,7 @@ object RelationalQueries {
     "q_cube_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")).cast(D2).as("sum_qty"),
+        .agg(sum(col("l_quantity")).cast(D2).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))),
 
     // A5 — distinct + countDistinct.
@@ -215,7 +221,7 @@ object RelationalQueries {
       Tables.orders(s, dir)
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
-        .select(col("o_orderkey"), col("o_totalprice").cast(D2).as("total"))),
+        .select(col("o_orderkey"), col("o_totalprice").as("total"))),
 
     // U1 — union-all of schema-aligned frames (unionByName).
     "q_union_all" -> ((s, dir) => {
@@ -279,19 +285,19 @@ object RelationalQueries {
   def oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_scan_filter" ->
-      """SELECT l_orderkey, l_partkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      """SELECT l_orderkey, l_partkey, l_extendedprice AS price
         |FROM lineitem WHERE l_returnflag = 'R' AND l_linenumber = 1""".stripMargin,
     "q_range_filter" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |  o_totalprice AS total
         |FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
@@ -300,7 +306,7 @@ object RelationalQueries {
       """SELECT o_orderpriority, COUNT(*) AS n FROM orders
         |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') GROUP BY 1""".stripMargin,
     "q_nullguard" ->
-      """SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      """SELECT c_custkey, c_acctbal AS bal
         |FROM customer WHERE c_acctbal IS NOT NULL AND c_acctbal > 0.0""".stripMargin,
     "q_cast_coerce" ->
       """SELECT CAST(l_orderkey AS VARCHAR) AS okey_s,
@@ -311,17 +317,17 @@ object RelationalQueries {
         |FROM lineitem WHERE CAST(l_quantity AS BIGINT) >= 25""".stripMargin,
     "q_derived_cols" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS net,
+        |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS net,
         |  CASE WHEN l_discount > 0.05 THEN 'DISC' ELSE 'FULL' END AS kind
         |FROM lineitem WHERE l_linenumber <= 2""".stripMargin,
     "q_left_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS seg_total
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS seg_total
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -332,7 +338,7 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -354,7 +360,7 @@ object RelationalQueries {
         |FROM lineitem WHERE l_linenumber <= 2 GROUP BY l_orderkey""".stripMargin,
     "q_cube_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS sum_qty, COUNT(*) AS n
+        |  CAST(CAST(SUM(l_quantity) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
@@ -368,7 +374,7 @@ object RelationalQueries {
     "q_scalar_stats" ->
       """SELECT MAX(CAST(o_orderdate AS DATE)) AS max_date,
         |  MIN(CAST(o_orderdate AS DATE)) AS min_date, COUNT(*) AS n,
-        |  SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_prices
+        |  CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_prices
         |FROM orders""".stripMargin,
     "q_anomaly_counts" ->
       """WITH counts AS (
@@ -377,7 +383,7 @@ object RelationalQueries {
         |SELECT d, n FROM counts, m
         |WHERE n < mean_n * 0.5 OR n > mean_n * 2.0""".stripMargin,
     "q_topk" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      """SELECT o_orderkey, o_totalprice AS total
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "q_union_all" ->
       """SELECT o_orderkey, 'HI' AS band FROM orders WHERE o_totalprice > 150000.0

@@ -42,7 +42,7 @@ class RelationalQueriesSpec extends SparkSpecBase {
   test("topk is ordered and bounded") {
     val rows = SparkEntry.queries("q_topk")(spark, sf).collect()
     assert(rows.length <= 20)
-    val totals = rows.map(_.getDecimal(1).doubleValue())
+    val totals = rows.map(_.getDouble(1))
     assert(totals.sameElements(totals.sorted.reverse))
   }
 }
