@@ -51,21 +51,25 @@ object DedupOps {
       .distinct()
   }
 
-  /** MinHash signature: k independent min-hashes over word n-gram shingles.
-    * Hash i of shingle s = first 16 hex chars of md5("i:s"); the signature
-    * component is the lexicographic min — string ordering is total and
-    * engine-independent. Null signature ⇔ the doc has no shingle.
+  /** MinHash signature: k min-hashes over word n-gram shingles. Hash i of
+    * shingle s is an 8-hex-char (32-bit) slice of md5("⌊i/4⌋:s") — slice
+    * i%4 — so k hashes cost ⌈k/4⌉ md5 digests per shingle, not k (md5
+    * dominated the signature stage 4:1 before slicing). md5 bits are
+    * uniform and slice-independent, and candidate recall is the only thing
+    * hash quality affects — exact Jaccard verification filters downstream.
+    * The signature component is the lexicographic min — string ordering is
+    * total and engine-independent. Null signature ⇔ the doc has no shingle.
     *
     * One shuffle on doc_id; the k hashes are k codegen'd aggregate columns
     * with map-side partial mins, so the shuffle carries k·|docs| strings. */
   def minhashSignatures(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def sigExpr(i: Int) =
+      min(substring(md5(concat(lit(s"${i / 4}:"), col("sh")).cast("binary")),
+        1 + 8 * (i % 4), 8)).as(s"sig_$i")
     val sigs = shingleRows(docs, shingleN, textCol, idCol)
       .groupBy(col("doc_id"))
-      .agg(
-        min(substring(md5(concat(lit("0:"), col("sh")).cast("binary")), 1, 16)).as("sig_0"),
-        (1 until k).map(i =>
-          min(substring(md5(concat(lit(s"$i:"), col("sh")).cast("binary")), 1, 16)).as(s"sig_$i")): _*)
+      .agg(sigExpr(0), (1 until k).map(sigExpr): _*)
     // left join back so shingle-less docs keep null signatures
     docs.select(col(idCol).as("doc_id")).join(sigs, Seq("doc_id"), "left")
   }
@@ -171,11 +175,31 @@ object DedupOps {
     * THROWS if maxIters is hit unconverged — a silent partial result would
     * split clusters (and fail the recursive-CTE oracle). At 100 TB each
     * iteration is ordinary shuffled joins, no driver-side state.
+    *
+    * Adaptive: a near-dup edge set is usually a small fraction of the
+    * corpus (dup rate × docs), so when it fits comfortably in one task
+    * (≤ `smallGraphEdges`) the graph is solved in a single union-find pass
+    * on one partition — one job instead of 2-4 iterations × (2 joins +
+    * convergence action). Above the threshold, or for exotic id types, the
+    * distributed iteration runs; both paths produce identical labels
+    * (asserted in TextOpsSpec).
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10,
+                          smallGraphEdges: Long = 5000000L): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // the pair list is consumed at least twice on every path (count + solve,
+    // or solve × iterations) and is usually expensive to produce (LSH +
+    // Jaccard verification) — cache it, not just the doubled edge view
+    val src = pairs.select(col("id_a"), col("id_b")).persist(disk)
+    val smallOrd = unionFindOrdering(pairs.schema("id_a").dataType)
+    if (smallOrd != null && src.count() <= smallGraphEdges) {
+      val out = unionFindCC(src, smallOrd).persist(disk)
+      out.count() // materialize before releasing the edge cache
+      src.unpersist(false)
+      return out
+    }
+    val edges = src
+      .union(src.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist(disk)
     // seed labels with min(self, neighbors) — this IS the first propagation
     // step, computed in the same aggregation that enumerates the vertex set
@@ -220,11 +244,65 @@ object DedupOps {
       i += 1
     }
     edges.unpersist(false)
+    src.unpersist(false)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters iterations — " +
           "graph diameter exceeds the doubling horizon; raise maxIters")
     labels.select(col("id"), col("label"))
+  }
+
+  /** Natural ordering for the id types the small-graph path supports;
+    * null ⇒ unsupported type, caller falls back to the iterative path. */
+  private def unionFindOrdering(
+      dt: org.apache.spark.sql.types.DataType): Ordering[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType    => Ordering.by(_.asInstanceOf[Long])
+      case IntegerType => Ordering.by(_.asInstanceOf[Int])
+      case StringType  => Ordering.by(_.asInstanceOf[String])
+      case _           => null
+    }
+  }
+
+  /** Single-task union-find with path compression over an edge list known
+    * to fit in one executor's memory; labels every vertex with the min id
+    * of its component. One narrow job, no iteration. */
+  private def unionFindCC(pairs: DataFrame, ord: Ordering[Any]): DataFrame = {
+    val spark = pairs.sparkSession
+    val idField = pairs.schema("id_a")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      idField.copy(name = "id"), idField.copy(name = "label")))
+    val rdd = pairs.select(col("id_a"), col("id_b")).coalesce(1).rdd
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { row =>
+          val a = row.get(0); val b = row.get(1)
+          if (!parent.contains(a)) parent(a) = a
+          if (!parent.contains(b)) parent(b) = b
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(ra) = rb
+        }
+        val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+        parent.keysIterator.foreach { v =>
+          val r = find(v)
+          minOf.get(r) match {
+            case Some(m) => if (ord.lt(v, m)) minOf(r) = v
+            case None    => minOf(r) = v
+          }
+        }
+        parent.keysIterator.map { v =>
+          org.apache.spark.sql.Row(v, minOf(find(v)))
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** SimHash near-dup pairs: bucket by the hash's high byte (equi-join —

@@ -43,18 +43,31 @@ object Pipeline {
   /** Bronze: land the daily bars (fixture-backed stand-in for the REST
     * ingest S6-S8), Hive-partitioned, plus the splits dim.
     *
-    * Partition grain (`GRAFT_BRONZE_GRAIN`): `date` (default) matches the
-    * reference's layout and keeps incremental ingest O(day) via dynamic
-    * partition overwrite; `month` is for bulk backfills, where per-day
-    * directories at small data-per-day hit the small-files trap. Both
-    * layouts read back identically (`readTable` + pruning handle either);
-    * PipelineSpec proves silver is byte-identical on top of each. */
+    * Partition grain (`GRAFT_BRONZE_GRAIN`): `date` matches the reference's
+    * layout and keeps incremental ingest O(day) via dynamic partition
+    * overwrite; `month` is for bulk backfills, where per-day directories at
+    * small data-per-day hit the small-files trap; `auto` (default) picks by
+    * measured volume — per-day directories only once a day of data is big
+    * enough to be worth a directory (at 100 TB / 5 y that's ~80 GB/day →
+    * date; at test scale factors → month). Both layouts read back
+    * identically (`readTable` + pruning handle either); PipelineSpec proves
+    * silver is byte-identical on top of each. */
   def runBronze(spark: SparkSession, sfDir: String, lake: Lake,
-                grain: String = sys.env.getOrElse("GRAFT_BRONZE_GRAIN", "date")): Unit = {
+                grain: String = sys.env.getOrElse("GRAFT_BRONZE_GRAIN", "auto")): Unit = {
     // one shuffle on the partition key so each partition directory gets
     // exactly one writer (otherwise: |dirs| × |tasks| tiny files)
     val raw = Tables.bars(spark, sfDir)
-    val (bars, partCols) = grain match {
+    val resolved = if (grain != "auto") grain else {
+      // scan-free volume estimate: optimizer stats = source file bytes;
+      // day span from footer min/max via a single-column agg
+      val bytes = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+      val span = raw.agg(min(col("date")).as("lo"), max(col("date")).as("hi")).first()
+      val days = math.max(1L,
+        java.time.temporal.ChronoUnit.DAYS.between(
+          span.getDate(0).toLocalDate, span.getDate(1).toLocalDate) + 1)
+      if (bytes / days >= BigInt(16L << 20)) "date" else "month"
+    }
+    val (bars, partCols) = resolved match {
       case "date"  => (raw.repartition(col("date")), Seq("date"))
       case "month" => (raw.withColumn("month", trunc(col("date"), "month"))
         .repartition(col("month")), Seq("month"))
@@ -107,16 +120,29 @@ object Pipeline {
     // the declared silver schema
     val daily = graft.functions.GraftFunctions.coerceTo(
       SilverOps.applySplits(input, splits), graft.Schemas.silverDaily)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Storage.writeTable(daily, lake.silver("daily_aggregates"), mode)
 
     // weekly/monthly + indicators always derive from the full silver daily
     // table (windows need history regardless of how much daily was new).
     // Cached: four derivations consume it, and re-reading means re-running
-    // partition discovery + scan per consumer.
-    val allDaily = Storage.readTable(spark, lake.silver("daily_aggregates"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Seq("week" -> "weekly_aggregates", "month" -> "monthly_aggregates").foreach {
-      case (b, t) => Storage.writeTable(SilverOps.rollup(allDaily, b), lake.silver(t))
+    // partition discovery + scan per consumer. On the full-rewrite path the
+    // just-written table IS the computed frame, already cached by the write
+    // above — reuse it instead of a read-back scan.
+    val allDaily =
+      if (full) daily
+      else Storage.readTable(spark, lake.silver("daily_aggregates"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each rollup feeds its aggregate table AND its indicator table — cache
+    // the rollup so the groupBy runs once per grain, not twice
+    Seq("week" -> ("weekly_aggregates", "weekly_indicators"),
+        "month" -> ("monthly_aggregates", "monthly_indicators")).foreach {
+      case (b, (aggT, indT)) =>
+        val r = SilverOps.rollup(allDaily, b)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Storage.writeTable(r, lake.silver(aggT))
+        Storage.writeTable(SilverOps.indicators(r), lake.silver(indT))
+        r.unpersist(false)
     }
     // GRAFT_SILVER_CLUSTERED=<numFiles>: lay indicators out range-clustered
     // on ticker (narrow per-file key ranges → min/max-stat pruning for the
@@ -129,12 +155,7 @@ object Pipeline {
         SilverOps.indicators(allDaily), lake.silver("daily_indicators"))
     }
     allDaily.unpersist(false)
-    Storage.writeTable(
-      SilverOps.indicators(Storage.readTable(spark, lake.silver("weekly_aggregates"))),
-      lake.silver("weekly_indicators"))
-    Storage.writeTable(
-      SilverOps.indicators(Storage.readTable(spark, lake.silver("monthly_aggregates"))),
-      lake.silver("monthly_indicators"))
+    if (allDaily ne daily) daily.unpersist(false)
 
     if (full) Checkpoints.save(lake.checkpointPath,
       Checkpoints.load(lake.checkpointPath) +

@@ -162,8 +162,10 @@ object TextQueries {
        |  FROM words)""".stripMargin
   }
 
+  // mirrors DedupOps.minhashSignatures: hash i = 8-hex slice i%4 of
+  // md5("⌊i/4⌋:" || s)
   private val sigCols = (0 until 8).map(i =>
-    s"list_min(list_transform(shs, s -> substr(md5('$i:' || s), 1, 16))) AS sig_$i")
+    s"list_min(list_transform(shs, s -> substr(md5('${i / 4}:' || s), ${1 + 8 * (i % 4)}, 8))) AS sig_$i")
     .mkString(",\n    ")
 
   private val sigCte =

@@ -98,6 +98,22 @@ class TextOpsSpec extends SparkSpecBase {
     assert(DedupOps.connectedComponents(empty).count() === 0)
   }
 
+  test("connected components: union-find and iterative paths agree") {
+    // long chain (diameter 12) + star + singleton pair, shuffled order
+    val chain = (0 until 12).map(i => (i.toLong, (i + 1).toLong))
+    val star = Seq((100L, 104L), (100L, 101L), (100L, 103L), (100L, 102L))
+    val pairs = scala.util.Random.shuffle(chain ++ star ++ Seq((200L, 201L)))
+      .toDF("id_a", "id_b")
+    val fast = DedupOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iter = DedupOps.connectedComponents(pairs, smallGraphEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === iter)
+    assert((0 to 12).forall(i => fast(i.toLong) == 0L))
+    assert((101 to 104).forall(i => fast(i.toLong) == 100L))
+    assert(fast(201L) === 200L)
+  }
+
   test("dedup of all-unique docs marks every doc its own canonical cluster") {
     val docs = Seq(
       (1L, "entirely unique first document body"),
