@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.sources.{Storage, TableRef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Key-based MERGE (upsert) semantics over plain parquet tables — the
+  * lakehouse primitive the reference approximates by rewriting whole
+  * datasets (reference `bronze/main.py:249-253` read-concat-rewrite, and
+  * the keep-last dedup in `bronze/splits.py:45`).
+  *
+  * Scale design (100 TB): `upsert` is one anti-join (shuffle on the merge
+  * key) plus a union — no driver-side state, no full-table rewrite of the
+  * unmatched side's data paths when the base is date-partitioned and
+  * `upsertPartitioned` narrows the rewrite to the partitions the updates
+  * actually touch (everything else is untouched files).
+  */
+object MergeOps {
+
+  /** MERGE: rows of `updates` replace same-key rows of `base`; update rows
+    * with no base match are inserted. Last-writer-wins within `updates` is
+    * the caller's concern (dedup first if the batch can self-conflict). */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+
+  /** MERGE into a stored table, rewriting only the hive partitions that
+    * `updates` touches (dynamic partition overwrite). The merge itself is
+    * scoped: base rows from untouched partitions never enter the join. */
+  def upsertPartitioned(spark: SparkSession, ref: TableRef, updates: DataFrame,
+                        keys: Seq[String], partitionCol: String): Unit = {
+    val touched = updates.select(col(partitionCol)).distinct()
+    val base = Storage.readTable(spark, ref)
+      .join(broadcast(touched), Seq(partitionCol), "left_semi")
+    val merged = upsert(base, updates, keys)
+      .repartition(col(partitionCol))
+    merged.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(ref.path)
+  }
+}

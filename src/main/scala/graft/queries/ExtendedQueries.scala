@@ -339,6 +339,115 @@ object ExtendedQueries {
             (col("n") - lit(1.0)), 4).as("var_samp"),
           round(sqrt((col("sq") - col("s") * col("s") / col("n")) /
             (col("n") - lit(1.0))), 4).as("std_samp"))
+    }),
+
+    // MERGE/upsert: updates replace same-key base rows, unmatched updates
+    // insert — one anti-join on the key + union (MergeOps.upsert). The
+    // update/insert batches are derived deterministically from orders so
+    // the oracle can restate the merge as a CASE + UNION ALL.
+    "q_upsert" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").as("total"))
+      val updates = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("0-MERGED").as("o_orderpriority"),
+          (col("o_totalprice") + 1000.0).as("total"))
+      val inserts = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 1000 === 1)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          lit("9-INSERTED").as("o_orderpriority"),
+          col("o_totalprice").as("total"))
+      graft.operators.MergeOps.upsert(
+        base, updates.unionByName(inserts), Seq("o_orderkey"))
+    }),
+
+    // exact distributed OLS regression per ticker: slope/intercept from
+    // exact integer/decimal power sums (order- and partitioning-independent),
+    // combined in double with the identical expression tree on both engines.
+    "q_regr" -> ((s, dir) => {
+      val b = Tables.bars(s, dir).select(col("ticker"),
+        datediff(col("date"), lit("1992-01-01")).as("x"),
+        col("close").cast(D2).as("y"))
+      val sums = b.groupBy(col("ticker")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("long")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x").cast("long") * col("x")).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast(D4)).cast("double").as("sxy"))
+      sums.select(col("ticker"), col("n").cast("long").as("n_days"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+          .as("intercept"))
+    }),
+
+    // string-similarity join: Levenshtein edit distance between
+    // consecutive part names (both engines implement classic Levenshtein).
+    "q_edit_distance" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_partkey") <= 300)
+      val a = p.select(col("p_partkey").as("k_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("k_b"), col("p_name").as("name_b"))
+      a.join(b, col("k_b") === col("k_a") + 1)
+        .select(col("k_a"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+    }),
+
+    // CSV sink + source round-trip: write a slice as headered CSV, read it
+    // back with an explicit schema, return the parsed rows. The oracle
+    // states the same rows straight from parquet — equality proves the
+    // text round-trip is lossless for string/date/long.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_csv_rt/${java.lang.Integer.toHexString(dir.hashCode)}"
+      Tables.bars(s, dir).filter(col("ticker") === "T7")
+        .select(col("ticker"), col("date"), col("volume"))
+        .repartition(1)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("ticker STRING, date DATE, volume LONG")
+        .csv(out)
+    }),
+
+    // JSON-lines sink + source round-trip incl. a nested struct column;
+    // doubles survive because Spark writes shortest-repr and reads it back
+    // to the identical IEEE value.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_jsonl_rt/${java.lang.Integer.toHexString(dir.hashCode)}"
+      Tables.bars(s, dir).filter(col("ticker") === "T13")
+        .select(col("ticker"), col("date"),
+          struct(col("open"), col("close")).as("px"), col("volume"))
+        .repartition(1)
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("ticker STRING, date DATE, px STRUCT<open: DOUBLE, close: DOUBLE>, volume LONG")
+        .json(out)
+        .select(col("ticker"), col("date"),
+          col("px.open").as("open"), col("px.close").as("close"), col("volume"))
+    }),
+
+    // exact distributed skewness: central moments rebuilt from integer-cent
+    // power sums — cents are exact in long/decimal(38,0) on Spark and
+    // HUGEINT in DuckDB, so every sum is order-independent and identical;
+    // skew is scale-invariant so cents give the same value as dollars.
+    // Final math in double with the identical tree both engines.
+    "q_moments" -> ((s, dir) => {
+      val c = round(col("o_totalprice") * 100).cast("long")
+      val cd = c.cast(DecimalType(38, 0))
+      val sums = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(c).cast("double").as("s1"),
+          sum(cd * cd).cast("double").as("s2"),
+          sum(cd * cd * cd).cast("double").as("s3"))
+      sums.select(col("o_orderpriority"), col("n").cast("long").as("n_rows"),
+        round({
+          val m = col("s1") / col("n")
+          val m2 = col("s2") / col("n") - m * m
+          val m3 = col("s3") / col("n") - lit(3.0) * m * (col("s2") / col("n")) +
+            lit(2.0) * m * m * m
+          m3 / sqrt(m2 * m2 * m2)
+        }, 6).as("skew"))
     })
   )
 
@@ -536,6 +645,64 @@ object ExtendedQueries {
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
         |  ROUND((sq - s * s / n) / (n - 1.0), 4) AS var_samp,
         |  ROUND(SQRT((sq - s * s / n) / (n - 1.0)), 4) AS std_samp
+        |FROM m""".stripMargin,
+    "q_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN '0-MERGED'
+        |       ELSE o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS total
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey,
+        |  '9-INSERTED' AS o_orderpriority, o_totalprice AS total
+        |FROM orders WHERE o_orderkey % 1000 = 1""".stripMargin,
+    "q_regr" -> (Tables.barsSql +
+      """,
+        |m AS (
+        |  SELECT ticker,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS BIGINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM (SELECT ticker,
+        |          CAST(date - DATE '1992-01-01' AS INTEGER) AS x,
+        |          CAST(close AS DECIMAL(18,2)) AS y
+        |        FROM bars)
+        |  GROUP BY ticker)
+        |SELECT ticker, CAST(n AS BIGINT) AS n_days,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |    AS intercept
+        |FROM m""".stripMargin),
+    "q_edit_distance" ->
+      """SELECT a.p_partkey AS k_a,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |WHERE a.p_partkey <= 300 AND b.p_partkey <= 300""".stripMargin,
+    "q_csv_roundtrip" -> (Tables.barsSql +
+      """
+        |SELECT ticker, date, volume FROM bars WHERE ticker = 'T7'""".stripMargin),
+    "q_jsonl_roundtrip" -> (Tables.barsSql +
+      """
+        |SELECT ticker, date, open, close, volume FROM bars WHERE ticker = 'T13'""".stripMargin),
+    "q_moments" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |m AS (
+        |  SELECT o_orderpriority,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(c) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS s3
+        |  FROM c GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+        |  ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n)) /
+        |    SQRT((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)) *
+        |         (s2 / n - (s1 / n) * (s1 / n))), 6) AS skew
         |FROM m""".stripMargin
   )
 }

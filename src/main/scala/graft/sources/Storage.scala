@@ -168,6 +168,30 @@ object Storage {
     }.toMap
   }
 
+  /** Overwrite `ref` with `df` even when `df`'s lineage READS `ref` (a
+    * plain Overwrite would truncate its own input, which Spark rejects):
+    * materialize to a hidden temp sibling, then swap with the same
+    * checked-rename protocol as [[compact]]. The merge/update pattern's
+    * storage half — see MergeOps and StreamingOps.upsertSink. */
+  def overwriteWithSwap(df: DataFrame, ref: TableRef): Unit = {
+    val spark = df.sparkSession
+    val f = fs(spark, ref.path)
+    val dst = new Path(ref.path)
+    val tmp = new Path(dst.getParent, s".${dst.getName}._swap_tmp")
+    val bak = new Path(dst.getParent, s".${dst.getName}._swap_bak")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    if (f.exists(bak)) f.delete(bak, true)
+    df.write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(tmp.toString)
+    if (f.exists(dst) && !f.rename(dst, bak))
+      throw new IllegalStateException(s"swap: could not move $dst aside")
+    if (!f.rename(tmp, dst)) {
+      if (f.exists(bak)) f.rename(bak, dst) // restore — the table must survive
+      throw new IllegalStateException(s"swap: could not move $tmp into place")
+    }
+    f.delete(bak, true)
+  }
+
   /** S10 — drop a table (the reference's `clean` stage). */
   def deleteTable(spark: SparkSession, ref: TableRef): Boolean =
     fs(spark, ref.path).delete(new Path(ref.path), true)

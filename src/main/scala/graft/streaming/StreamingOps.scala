@@ -118,6 +118,33 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming MERGE sink: each micro-batch upserts into a stored table by
+    * key (dedup-within-batch keep-last first, so a batch that touches one
+    * key twice lands its final value). This is the continuous twin of
+    * [[graft.operators.MergeOps.upsert]] — CDC-style late corrections
+    * without rewriting the whole table. Returns the started query. */
+  def upsertSink(stream: DataFrame, ref: graft.sources.TableRef,
+                 keys: Seq[String], orderCol: String, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val latest = batch.toDF()
+          .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        if (graft.sources.Storage.tableExists(spark, ref))
+          graft.sources.Storage.overwriteWithSwap(
+            graft.operators.MergeOps.upsert(
+              graft.sources.Storage.readTable(spark, ref), latest, keys), ref)
+        else graft.sources.Storage.writeTable(latest, ref)
+      }
+      .start()
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)

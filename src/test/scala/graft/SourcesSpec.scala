@@ -127,4 +127,35 @@ class SourcesSpec extends SparkSpecBase {
     assert(after.except(bars).count() === 0)
     assert(bars.except(after).count() === 0)
   }
+
+  test("upsert replaces matched keys, inserts the rest") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "v", "x")
+    val updates = Seq((2L, "B", 20.0), (9L, "Z", 90.0)).toDF("k", "v", "x")
+    val out = graft.operators.MergeOps.upsert(base, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out === Set((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0),
+      (9L, "Z", 90.0)))
+  }
+
+  test("partitioned upsert rewrites only the touched partitions") {
+    import spark.implicits._
+    val ref = TableRef(Files.createTempDirectory("graft_ups").toString, "silver", "t")
+    val base = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
+      (3L, "2024-01-02", 3.0)).toDF("k", "d", "x")
+    base.write.partitionBy("d").parquet(ref.path)
+    val untouchedFiles = new java.io.File(s"${ref.path}/d=2024-01-02")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val updates = Seq((2L, "2024-01-01", 20.0), (9L, "2024-01-01", 90.0))
+      .toDF("k", "d", "x")
+    graft.operators.MergeOps.upsertPartitioned(spark, ref, updates, Seq("k"), "d")
+    val out = Storage.readTable(spark, ref)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out === Set((1L, 1.0), (2L, 20.0), (3L, 3.0), (9L, 90.0)))
+    // the 2024-01-02 partition's files were not rewritten
+    val stillThere = new java.io.File(s"${ref.path}/d=2024-01-02")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(stillThere === untouchedFiles)
+  }
 }

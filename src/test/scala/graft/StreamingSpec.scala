@@ -147,5 +147,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(keptIds.contains(1L) ^ keptIds.contains(3L)) // exactly one survivor
   }
 
+  test("streaming upsert sink lands last-writer-wins state per key") {
+    import graft.sources.{Storage, TableRef}
+    val in = Files.createTempDirectory("graft_upsert_in").toString
+    val lake = Files.createTempDirectory("graft_upsert_lake").toString
+    val ref = TableRef(lake, "silver", "kv")
+    // two micro-batches (maxFilesPerTrigger=1): batch 1 sets k=1,2; batch 2
+    // updates k=2 twice (within-batch conflict) and inserts k=3
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "seq", "v")
+      .repartition(1).write.parquet(s"$in/f1")
+    Seq((2L, 21L, "b2"), (2L, 22L, "b3"), (3L, 30L, "c")).toDF("k", "seq", "v")
+      .repartition(1).write.parquet(s"$in/f2")
+    // flatten into the stream dir; mod times force f1 < f2 batch order
+    new java.io.File(in).listFiles().filter(_.isDirectory).foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val dest = new java.io.File(s"$in/${d.getName}.parquet")
+        Files.move(f.toPath, dest.toPath)
+        dest.setLastModified(
+          if (d.getName == "f1") 1700000000000L else 1700000060000L)
+      }
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = StreamingOps.upsertSink(stream, ref, Seq("k"), "seq",
+      Files.createTempDirectory("graft_uckpt").toString)
+    q.processAllAvailable()
+    q.stop()
+    val state = Storage.readTable(spark, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(state === Map(1L -> (10L, "a"), 2L -> (22L, "b3"), 3L -> (30L, "c")))
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
