@@ -448,6 +448,106 @@ object ExtendedQueries {
             lit(2.0) * m * m * m
           m3 / sqrt(m2 * m2 * m2)
         }, 6).as("skew"))
+    }),
+
+    // ORC sink + source round-trip: binary columnar, so doubles/longs/dates
+    // survive bit-exactly with no text parse step. Oracle states the same
+    // rows straight from parquet — equality proves losslessness.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_orc_rt/${java.lang.Integer.toHexString(dir.hashCode)}"
+      Tables.bars(s, dir).filter(col("ticker") === "T21")
+        .select(col("ticker"), col("date"), col("open"), col("close"),
+          col("volume"))
+        .repartition(1)
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }),
+
+    // interval-overlap self-join, binned: candidate pairs come from an
+    // equi-join on a month-grain bin (each interval explodes to the months
+    // it covers), the exact overlap predicate filters, and DISTINCT dedups
+    // pairs sharing several bins. At scale this is a shuffle hash join on
+    // the bin key instead of the O(n²) theta join the naive phrasing
+    // forces; the oracle IS that naive theta join, proving the rewrite
+    // exact.
+    "q_interval_overlap" -> ((s, dir) => {
+      val iv = Tables.orders(s, dir).filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("key"),
+          col("o_orderdate").cast("date").as("ds"),
+          date_add(col("o_orderdate").cast("date"), 14).as("de"))
+        .withColumn("bin",
+          explode(expr("sequence(trunc(ds, 'MM'), trunc(de, 'MM'), interval 1 month)")))
+      val a = iv.select(col("key").as("key_a"), col("ds").as("ds_a"),
+        col("de").as("de_a"), col("bin"))
+      val b = iv.select(col("key").as("key_b"), col("ds").as("ds_b"),
+        col("de").as("de_b"), col("bin").as("bin_b"))
+      a.join(b, col("bin") === col("bin_b") && col("key_a") < col("key_b") &&
+          col("ds_a") <= col("de_b") && col("ds_b") <= col("de_a"))
+        .select(col("key_a"), col("key_b"),
+          (datediff(least(col("de_a"), col("de_b")),
+            greatest(col("ds_a"), col("ds_b"))) + lit(1)).as("overlap_days"))
+        .distinct()
+    }),
+
+    // 2-D skyline (Pareto frontier): a part is dominated iff another part
+    // is strictly cheaper AND strictly larger. One sort decides it — the
+    // running max size over strictly-cheaper rows (RANGE … 1 PRECEDING on
+    // integer cents) — O(n log n) where the oracle's NOT EXISTS is
+    // quadratic; the independent formulation doubles as a stronger proof.
+    // At cluster scale: local per-partition skylines first (each frontier
+    // is a superset filter), then this pass over the small union.
+    "q_skyline" -> ((s, dir) => {
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_size"),
+        col("p_retailprice"),
+        round(col("p_retailprice") * 100).cast("long").as("price_c"))
+      val w = Window.orderBy(col("price_c"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      p.withColumn("best_cheaper_size", max(col("p_size")).over(w))
+        .filter(col("best_cheaper_size").isNull ||
+          col("best_cheaper_size") <= col("p_size"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    }),
+
+    // null-safe equi-join (<=>): the join mode where NULL keys match each
+    // other. The nullable key is synthesized (custkey bucket 0 → NULL) so
+    // both inputs carry a genuine NULL group a plain equi-join would drop.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.groupBy(expr("nullif(o_custkey % 50, 0)").as("k"))
+        .agg(count(lit(1)).as("n_all"))
+      val b = o.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(expr("nullif(o_custkey % 50, 0)").as("k2"))
+        .agg(count(lit(1)).as("n_urgent"))
+      a.join(b, col("k") <=> col("k2"), "left")
+        .select(col("k"), col("n_all"), col("n_urgent"))
+    }),
+
+    // tumbling-window dedup: keep the first event per (user, 10-minute
+    // epoch-aligned window) — the batch twin of streaming
+    // dropDuplicatesWithinWatermark. Deterministic: the window start is
+    // integer-µs arithmetic and the keep-pick is totally ordered by
+    // (ts, event_id).
+    "q_window_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("win_start",
+        expr("timestamp_micros((unix_micros(ts) div 600000000) * 600000000)"))
+      val w = Window.partitionBy(col("user_id"), col("win_start"))
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("win_start"), col("event_id"),
+          col("event_type"))
+    }),
+
+    // robust statistics: exact per-group median and median absolute
+    // deviation. percentile() is exact interpolation on both engines; the
+    // per-ticker medians broadcast back so the second pass is one shuffle.
+    "q_mad" -> ((s, dir) => {
+      val b = Tables.bars(s, dir)
+      val med = b.groupBy(col("ticker"))
+        .agg(expr("percentile(close, 0.5)").as("med"))
+      b.join(broadcast(med), "ticker")
+        .groupBy(col("ticker"))
+        .agg(round(min(col("med")), 4).as("med"),
+          round(expr("percentile(abs(close - med), 0.5)"), 4).as("mad"))
     })
   )
 
@@ -703,6 +803,53 @@ object ExtendedQueries {
         |  ROUND((s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n)) /
         |    SQRT((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)) *
         |         (s2 / n - (s1 / n) * (s1 / n))), 6) AS skew
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "q_orc_roundtrip" -> (Tables.barsSql +
+      """
+        |SELECT ticker, date, open, close, volume FROM bars WHERE ticker = 'T21'""".stripMargin),
+    "q_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey AS key, CAST(o_orderdate AS DATE) AS ds,
+        |         CAST(o_orderdate AS DATE) + 14 AS de
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT a.key AS key_a, b.key AS key_b,
+        |  CAST(least(a.de, b.de) - greatest(a.ds, b.ds) + 1 AS INTEGER) AS overlap_days
+        |FROM iv a JOIN iv b
+        |  ON a.key < b.key AND a.ds <= b.de AND b.ds <= a.de""".stripMargin,
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE CAST(ROUND(q.p_retailprice * 100) AS BIGINT)
+        |        < CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+        |    AND q.p_size > p.p_size)""".stripMargin,
+    "q_nullsafe_join" ->
+      """WITH a AS (
+        |  SELECT nullif(o_custkey % 50, 0) AS k, COUNT(*) AS n_all
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT nullif(o_custkey % 50, 0) AS k2, COUNT(*) AS n_urgent
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+        |SELECT a.k, a.n_all, b.n_urgent
+        |FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k2""".stripMargin,
+    "q_window_dedup" ->
+      """WITH e AS (
+        |  SELECT *, make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, win_start, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, win_start
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM e)
+        |SELECT user_id, win_start, event_id, event_type FROM r WHERE rn = 1""".stripMargin,
+    "q_mad" -> (Tables.barsSql +
+      """,
+        |med AS (SELECT ticker, quantile_cont(close, 0.5) AS med
+        |        FROM bars GROUP BY ticker)
+        |SELECT b.ticker, ROUND(MIN(m.med), 4) AS med,
+        |  ROUND(quantile_cont(abs(b.close - m.med), 0.5), 4) AS mad
+        |FROM bars b JOIN med m ON b.ticker = m.ticker
+        |GROUP BY b.ticker""".stripMargin)
   )
 }
