@@ -33,8 +33,10 @@ object RelationalQueries {
     // partial agg → shuffle on 2 low-cardinality keys → final agg; at 100 TB
     // map-side combine reduces the shuffle to |groups|×|mappers| rows).
     "q1_agg" -> ((s, dir) => {
+      // bare-column timestamp bound, not to_date(col) <= d: a function wrap
+      // blocks parquet predicate pushdown; ts < day+1 is the same rows
       Tables.lineitem(s, dir)
-        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .filter(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).cast(D2).cast("double").as("sum_qty"),
@@ -52,11 +54,12 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_partkey"),
           col("l_extendedprice").as("price"))),
 
-    // P4 — range predicates + conjunction (date + numeric).
+    // P4 — range predicates + conjunction (date + numeric); bounds on the
+    // bare timestamp column so both reach the parquet scan (PushedFilters).
     "q_range_filter" -> ((s, dir) =>
       Tables.orders(s, dir)
-        .filter(to_date(col("o_orderdate")) >= lit("1995-01-01") &&
-                to_date(col("o_orderdate")) < lit("1996-01-01") &&
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-01-01").cast("timestamp") &&
                 col("o_totalprice") > 50000.0)
         .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"),
           col("o_totalprice").as("total"))),
@@ -107,9 +110,9 @@ object RelationalQueries {
     "q3_shipping_priority" -> ((s, dir) => {
       val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val ord = Tables.orders(s, dir)
-        .filter(to_date(col("o_orderdate")) < lit("1995-03-15"))
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
       val li = Tables.lineitem(s, dir)
-        .filter(to_date(col("l_shipdate")) > lit("1995-03-15"))
+        .filter(col("l_shipdate") >= lit("1995-03-16").cast("timestamp"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
