@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: composable HOF dot products become the native
     // codegen'd expression (semantics preserved — see RewriteDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+    // whole-operator extension: plans AsOfJoinNode → AsOfJoinExec (the
+    // native sort-merge as-of join; see graft.plans.AsOfJoinPlan)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[graft.functions.ArrayDotProduct].getName,

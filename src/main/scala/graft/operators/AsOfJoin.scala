@@ -75,6 +75,45 @@ object AsOfJoin {
                   valueCols: Seq[String]): DataFrame =
     asOfImpl(left, right, key, leftTime, rightTime, valueCols, forward = true)
 
+  /** The as-of join through the native Catalyst operator
+    * ([[graft.plans.AsOfJoinNode]] → `AsOfJoinExec`): one hash exchange per
+    * side, sort by (key, time), and a linear per-partition merge with O(1)
+    * state — no window machinery at all. Same output contract as
+    * [[asOf]]/[[asOfForward]] (value columns + `matched_time`), proven
+    * row-identical by AsOfJoinSpec and the `q_asof_native` oracle.
+    * Requires the session to carry [[graft.GraftExtensions]] (the default
+    * builder does) so the planner knows the node. */
+  def asOfNative(left: DataFrame, right: DataFrame, key: Seq[String],
+                 leftTime: String, rightTime: String,
+                 valueCols: Seq[String], forward: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val lPlan = ColumnBridge.analyzed(left)
+    val rPlan0 = ColumnBridge.analyzed(right)
+    // self-join shape: when the two sides share attribute ids the analyzer
+    // would re-alias one child underneath us and orphan the captured refs —
+    // mint fresh ids for the right side up front instead
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
+    val rightValues = valueCols.map(attr(rPlan, _))
+    val rTime = attr(rPlan, rightTime)
+    val outAttrs = (rightValues.map(a =>
+      AttributeReference(a.name, a.dataType, nullable = true)()) :+
+      AttributeReference("matched_time", rTime.dataType, nullable = true)())
+    ColumnBridge.ofRows(left.sparkSession, graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      key.map(attr(lPlan, _)), key.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), rTime,
+      rightValues :+ rTime, outAttrs, forward))
+  }
+
   /** As-of with a tolerance: matches older than `tolerance` (in days, for
     * date keys) are nulled out — Polars `join_asof(tolerance=...)`. */
   def asOfWithTolerance(left: DataFrame, right: DataFrame, key: Seq[String],

@@ -143,6 +143,18 @@ object DomainQueries {
           col("split_from"), col("split_to"),
           col("matched_time").as("last_exec_date"))),
 
+    // Same join through the native Catalyst operator (AsOfJoinNode →
+    // AsOfJoinExec: hash-cluster + sort + linear merge, no window
+    // machinery) — identical output contract, same DuckDB ASOF oracle.
+    "q_asof_native" -> ((s, dir) =>
+      graft.operators.AsOfJoin.asOfNative(
+        Tables.bars(s, dir).select("ticker", "date", "close"),
+        syntheticSplits(s), Seq("ticker"),
+        "date", "execution_date", Seq("split_from", "split_to"))
+        .select(col("ticker"), col("date"), col("close"),
+          col("split_from"), col("split_to"),
+          col("matched_time").as("last_exec_date"))),
+
     // Forward as-of: each bar picks up the EARLIEST split execution ≥ its
     // date. Oracle runs DuckDB's backward-only ASOF on negated day
     // numbers, which is the forward join exactly (equality included).
@@ -228,6 +240,12 @@ object DomainQueries {
         |  ON b.ticker = f.ticker AND b.date = f.date""".stripMargin),
 
     "q_asof_join" -> withBars(splitsSql,
+      """SELECT b.ticker, b.date, b.close, s.split_from, s.split_to,
+        |  s.execution_date AS last_exec_date
+        |FROM bars b ASOF LEFT JOIN splits s
+        |  ON b.ticker = s.ticker AND b.date >= s.execution_date""".stripMargin),
+
+    "q_asof_native" -> withBars(splitsSql,
       """SELECT b.ticker, b.date, b.close, s.split_from, s.split_to,
         |  s.execution_date AS last_exec_date
         |FROM bars b ASOF LEFT JOIN splits s

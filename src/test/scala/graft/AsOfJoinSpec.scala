@@ -49,6 +49,63 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out.isNullAt(out.fieldIndex("matched_time")))
   }
 
+  test("native as-of operator reproduces the small-fixture semantics, both directions") {
+    val back = AsOfJoin.asOfNative(quotes, marks, Seq("ticker"), "date", "mark_date", Seq("mark"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(back === Set(
+      ("A", "2024-01-01", Some(1.0)),
+      ("A", "2024-01-05", Some(2.0)),
+      ("A", "2024-03-01", Some(2.0)),
+      ("B", "2024-01-03", None)))
+    val fwd = AsOfJoin.asOfNative(quotes, marks, Seq("ticker"), "date", "mark_date", Seq("mark"),
+      forward = true)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    assert(fwd === Set(
+      ("A", "2024-01-01", Some(1.0)),
+      ("A", "2024-01-05", None),
+      ("A", "2024-03-01", None),
+      ("B", "2024-01-03", None)))
+  }
+
+  test("native as-of ≡ composed as-of on the bars fixture, both directions") {
+    val bars = Tables.bars(spark, sf)
+    val left = bars.select($"ticker", $"date", $"close")
+    val right = bars.filter(dayofmonth($"date") <= 7)
+      .select($"ticker", $"date".as("rdate"), $"volume")
+    val cols = Seq("ticker", "date", "close", "volume", "matched_time")
+    for (fwd <- Seq(false, true)) {
+      val composed =
+        (if (fwd) AsOfJoin.asOfForward(left, right, Seq("ticker"), "date", "rdate", Seq("volume"))
+         else AsOfJoin.asOf(left, right, Seq("ticker"), "date", "rdate", Seq("volume")))
+          .select(cols.map(col): _*)
+      val native = AsOfJoin.asOfNative(left, right, Seq("ticker"), "date", "rdate",
+        Seq("volume"), forward = fwd).select(cols.map(col): _*)
+      val a = composed.collect().map(_.toString).sorted
+      val b = native.collect().map(_.toString).sorted
+      assert(a.length === b.length, s"row counts differ (forward=$fwd)")
+      assert(a === b, s"rows differ (forward=$fwd)")
+    }
+  }
+
+  test("native as-of plans one merge operator over two exchanges") {
+    // materialize the inputs so the only exchanges in the plan are the
+    // operator's own (bars itself aggregates → one exchange per side)
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_native").toString
+    Tables.bars(spark, sf).write.mode("overwrite").parquet(dir)
+    val bars = spark.read.parquet(dir)
+    val native = AsOfJoin.asOfNative(
+      bars.select($"ticker", $"date", $"close"),
+      bars.select($"ticker", $"date".as("rdate"), $"volume"),
+      Seq("ticker"), "date", "rdate", Seq("volume"))
+    native.write.format("noop").mode("overwrite").save()
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(500))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected 2 exchanges, plan:\n${plan.take(1500)}")
+  }
+
   test("custom functions are callable from SQL text") {
     GraftSession.registerFunctions(spark)
     val dot = spark.sql(
