@@ -537,6 +537,16 @@ object ExtendedQueries {
           col("event_type"))
     }),
 
+    // histogram binning: fixed-width buckets via floor division (engine-
+    // identical), count + exact decimal mass per bin — the score-
+    // distribution summary every corpus-quality dashboard needs. One
+    // map-side-combined aggregation at any scale.
+    "q_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 25000).cast("int").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(D2)).cast(D4).cast("double").as("mass"))),
+
     // robust statistics: exact per-group median and median absolute
     // deviation. percentile() is exact interpolation on both engines; the
     // per-ticker medians broadcast back so the second pass is one shuffle.
@@ -843,6 +853,10 @@ object ExtendedQueries {
         |      ORDER BY ts, event_id) AS rn
         |  FROM e)
         |SELECT user_id, win_start, event_id, event_type FROM r WHERE rn = 1""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000) AS INT) AS bin, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS mass
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_mad" -> (Tables.barsSql +
       """,
         |med AS (SELECT ticker, quantile_cont(close, 0.5) AS med

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
@@ -54,6 +55,44 @@ object TextQueries {
 
     "q_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(Tables.documents(s, dir))),
+
+    // TF-IDF top terms: idf as the exact rational n_docs/df (one IEEE
+    // division — no log, so both engines produce the identical double);
+    // top-3 terms per doc ranked on the unrounded score with a term
+    // tiebreak. At scale: two hash aggregations + a broadcast of the tiny
+    // doc-count, all shuffles on (doc_id|term).
+    "q_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val terms = docs.select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("term"))
+        .filter(length(col("term")) >= 3)
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nd = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      tf.join(dfc, "term").crossJoin(broadcast(nd))
+        .withColumn("score", col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"),
+          round(col("score"), 6).as("score"), col("rn"))
+    }),
+
+    // class-balanced cap: deterministically keep ≤25 docs per language —
+    // the per-class/per-source cap every corpus mix applies. The keep-pick
+    // follows the md5 order, so membership is stable across engines,
+    // re-runs, and repartitions (rand()-based caps are none of those).
+    "q_class_cap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 25)
+        .select(col("doc_id"), col("lang"), col("rn"))
+    }),
 
     "q_minhash_sig" -> ((s, dir) =>
       DedupOps.minhashSignatures(Tables.documents(s, dir))),
@@ -358,6 +397,33 @@ object TextQueries {
         |        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |      FROM documents)
         |GROUP BY fingerprint""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
+        |terms AS (
+        |  SELECT doc_id, t.term
+        |  FROM docs, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+        |  WHERE length(t.term) >= 3),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM docs),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf AS DOUBLE) * (CAST(nd.n_docs AS DOUBLE) / CAST(dfc.df AS DOUBLE)) AS score
+        |  FROM tf JOIN dfc USING (term) CROSS JOIN nd),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rn
+        |      FROM scored)
+        |SELECT doc_id, term, ROUND(score, 6) AS score, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= 3""".stripMargin,
+
+    "q_class_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM r WHERE rn <= 25""".stripMargin,
 
     "q_minhash_sig" ->
       s"""WITH ${shingleCte(3)},
