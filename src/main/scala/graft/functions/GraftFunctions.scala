@@ -71,6 +71,24 @@ object GraftFunctions {
     saltedLeft.join(saltedRight, key :+ "_salt").drop("_salt")
   }
 
+  /** Morton/Z-order value of two 16-bit-bounded non-negative ints: bit i of
+    * `x` lands at output bit 2i, bit i of `y` at 2i+1, so sorting by the
+    * result interleaves both dimensions — files in a z-sorted layout get
+    * narrow min/max ranges on BOTH columns (2-D data skipping; the 1-D
+    * version is [[graft.sources.Storage.writeClustered]]). Pure integer
+    * mask-shift arithmetic (the classic magic-number bit spread), identical
+    * on any engine — no UDF, fully codegen'd. */
+  def zorder2(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      val a = c.cast("long")
+      val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(0x33333333L))
+      e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
   /** P7 — non-strict schema coercion: cast every field, bad values → null
     * (`schemas.py:108-129`; Spark ANSI-off cast has the same semantics). */
   def coerceTo(df: org.apache.spark.sql.DataFrame,

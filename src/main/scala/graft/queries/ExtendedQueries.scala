@@ -547,6 +547,14 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(D2)).cast(D4).cast("double").as("mass"))),
 
+    // z-order (Morton) values: the 2-D bit interleave underlying
+    // Storage.writeZOrdered, exposed and oracle-checked — pure mask-shift
+    // integer arithmetic the oracle reproduces verbatim.
+    "q_zorder" -> ((s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey"),
+        graft.functions.GraftFunctions.zorder2(
+          col("p_size"), col("p_partkey") % 500).as("z"))),
+
     // robust statistics: exact per-group median and median absolute
     // deviation. percentile() is exact interpolation on both engines; the
     // per-ticker medians broadcast back so the second pass is one shuffle.
@@ -853,6 +861,18 @@ object ExtendedQueries {
         |      ORDER BY ts, event_id) AS rn
         |  FROM e)
         |SELECT user_id, win_start, event_id, event_type FROM r WHERE rn = 1""".stripMargin,
+    "q_zorder" ->
+      """WITH q AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+        |                  CAST(p_partkey % 500 AS BIGINT) AS y FROM part),
+        |s1 AS (SELECT p_partkey, ((x | (x << 8)) & 16711935) AS xa,
+        |              ((y | (y << 8)) & 16711935) AS ya FROM q),
+        |s2 AS (SELECT p_partkey, ((xa | (xa << 4)) & 252645135) AS xb,
+        |              ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+        |s3 AS (SELECT p_partkey, ((xb | (xb << 2)) & 858993459) AS xc,
+        |              ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+        |s4 AS (SELECT p_partkey, ((xc | (xc << 1)) & 1431655765) AS xd,
+        |              ((yc | (yc << 1)) & 1431655765) AS yd FROM s3)
+        |SELECT p_partkey, (xd | (yd << 1)) AS z FROM s4""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 25000) AS INT) AS bin, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS mass

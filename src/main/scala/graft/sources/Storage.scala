@@ -64,6 +64,44 @@ object Storage {
       ref, SaveMode.Overwrite, Nil, bloomFilterFor)
   }
 
+  /** Z-ordered write: bucket each cluster column to 8 bits by its value
+    * distribution (sampled quantile boundaries — same mechanism as
+    * RangePartitioner, no global sort), interleave the buckets into a
+    * Morton value ([[graft.functions.GraftFunctions.zorder2]]), and
+    * range-partition + sort on it. Every output file then covers a narrow
+    * min/max range on BOTH columns, so parquet stats prune files for
+    * predicates on either dimension — Delta/Iceberg's OPTIMIZE ZORDER
+    * expressed as plain Spark. A layout/maintenance op: one extra pass at
+    * write time, zero read-side machinery. */
+  def writeZOrdered(df: DataFrame, ref: TableRef,
+                    colA: String, colB: String, numFiles: Int,
+                    bloomFilterFor: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions._
+    val probes = (1 until 256).map(_ / 256.0).toArray
+    // one sampling pass computes both columns' boundaries
+    val allBounds = df.stat.approxQuantile(Array(colA, colB), probes, 0.01)
+    def bucket(c: String, bounds: Array[Double]): org.apache.spark.sql.Column = {
+      val bs = bounds.distinct.sorted
+      val arr = array(bs.map(lit): _*)
+      // index of the largest boundary ≤ value == the value's bucket —
+      // then RESCALED onto the full 8-bit range: a low-cardinality column
+      // yields few distinct boundaries, and without rescaling its bits
+      // would occupy only the low end of the interleave, letting the other
+      // dimension dominate the sort order entirely
+      val pos = coalesce(array_position(arr,
+        array_max(filter(arr, b => b <= col(c).cast("double")))), lit(0L))
+      (pos * 255L) / lit(bs.length.toLong)
+    }
+    val z = graft.functions.GraftFunctions.zorder2(
+      bucket(colA, allBounds(0)), bucket(colB, allBounds(1)))
+    writeTable(
+      df.withColumn("_z", z)
+        .repartitionByRange(numFiles, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z"),
+      ref, SaveMode.Overwrite, Nil, bloomFilterFor)
+  }
+
   /** S2 — read a table (single file or partitioned dir, transparently). */
   def readTable(spark: SparkSession, ref: TableRef): DataFrame =
     spark.read.parquet(ref.path)

@@ -114,6 +114,39 @@ class SourcesSpec extends SparkSpecBase {
     assert(Storage.readTable(spark, ref).count() === bars.count())
   }
 
+  test("z-ordered write narrows per-file ranges on BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val zref = TableRef(Files.createTempDirectory("graft_zord").toString, "silver", "z")
+    Storage.writeZOrdered(ev, zref, "user_id", "value", numFiles = 16)
+    // baseline: 1-D clustering on user_id leaves the second dim unclustered
+    val cref = TableRef(Files.createTempDirectory("graft_zord1d").toString, "silver", "c")
+    Storage.writeClustered(ev, cref, Seq("user_id"), numFiles = 16)
+    def avgSpanFraction(ref: TableRef, c: String): Double = {
+      val g = Storage.readTable(spark, ref)
+        .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).first()
+      val span = g.getDouble(1) - g.getDouble(0)
+      val files = new java.io.File(ref.path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val fracs = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).first()
+        (r.getDouble(1) - r.getDouble(0)) / span
+      }
+      fracs.sum / fracs.length
+    }
+    // z-order: both dims well under the full span per file
+    assert(avgSpanFraction(zref, "user_id") < 0.5)
+    assert(avgSpanFraction(zref, "value") < 0.5)
+    // 1-D clustering: first dim narrow, second dim left wide — the z
+    // layout must beat it on the dimension it ignores
+    assert(avgSpanFraction(cref, "user_id") < 0.5)
+    assert(avgSpanFraction(zref, "value") < avgSpanFraction(cref, "value") * 0.75)
+    // layout change only — same rows
+    assert(Storage.readTable(spark, zref).count() === ev.count())
+  }
+
   test("compact bin-packs small files and preserves the data exactly") {
     val ref = TableRef(Files.createTempDirectory("graft_cmp").toString, "silver", "t")
     val bars = Tables.bars(spark, sf)
