@@ -93,6 +93,26 @@ object EventQueries {
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"),
           sum(col("value").cast(D6)).cast("double").as("total_value"))
+    }),
+
+    // cumulative distinct users per day: Spark has no windowed
+    // count(distinct), so mark each user's FIRST day (row_number over the
+    // user) and running-sum the marks over the date spine — the growth
+    // curve every launch dashboard needs, with one shuffle on user and one
+    // on the (tiny) per-day frame.
+    "q_cume_users" -> ((s, dir) => {
+      val firstDay = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .groupBy(col("user_id")).agg(min(col("d")).as("first_day"))
+        .groupBy(col("first_day")).agg(count(lit(1)).as("new_users"))
+      val daily = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d")).distinct()
+      daily.join(firstDay, col("d") === col("first_day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cume_users", sum(col("new_users")).over(
+          Window.orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("d"), col("new_users"), col("cume_users"))
     })
   )
 
@@ -150,6 +170,16 @@ object EventQueries {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM sess GROUP BY 1, 2""".stripMargin
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "q_cume_users" ->
+      """WITH fd AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        |  FROM events GROUP BY 1),
+        |nu AS (SELECT first_day, COUNT(*) AS new_users FROM fd GROUP BY 1),
+        |days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+        |SELECT d, CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+        |  CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cume_users
+        |FROM days LEFT JOIN nu ON days.d = nu.first_day""".stripMargin
   )
 }

@@ -555,6 +555,44 @@ object ExtendedQueries {
         graft.functions.GraftFunctions.zorder2(
           col("p_size"), col("p_partkey") % 500).as("z"))),
 
+    // z-score outlier flags: per-ticker mean/std rebuilt from integer-cent
+    // power sums (exact, order-independent — the q_moments doctrine), stats
+    // broadcast back, |z| > 1.5 rows flagged. The outlier-filter pass every
+    // training corpus runs before fitting anything.
+    "q_outliers" -> ((s, dir) => {
+      val c = round(col("close") * 100).cast("long")
+      val cd = c.cast(DecimalType(38, 0))
+      val b = Tables.bars(s, dir)
+      val stats = b.groupBy(col("ticker")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(c).cast("double").as("s1"),
+        sum(cd * cd).cast("double").as("s2"))
+      b.join(broadcast(stats), "ticker")
+        .withColumn("z", {
+          val mu = col("s1") / col("n")
+          val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - lit(1.0)))
+          (c.cast("double") - mu) / sd
+        })
+        .filter(abs(col("z")) > 1.5)
+        .select(col("ticker"), col("date"), col("close"),
+          round(col("z"), 4).as("z"))
+    }),
+
+    // winsorization: clip each ticker's closes to its own [p05, p95] —
+    // exact interpolated percentiles (q_percentile doctrine) broadcast
+    // back, one shuffle total.
+    "q_winsorize" -> ((s, dir) => {
+      val b = Tables.bars(s, dir)
+      val pct = b.groupBy(col("ticker")).agg(
+        expr("percentile(close, 0.05)").as("lo"),
+        expr("percentile(close, 0.95)").as("hi"))
+      b.join(broadcast(pct), "ticker")
+        .select(col("ticker"), col("date"), col("close"),
+          round(least(greatest(col("close"), col("lo")), col("hi")), 4)
+            .as("close_w"))
+    }),
+
     // robust statistics: exact per-group median and median absolute
     // deviation. percentile() is exact interpolation on both engines; the
     // per-ticker medians broadcast back so the second pass is one shuffle.
@@ -877,6 +915,29 @@ object ExtendedQueries {
       """SELECT CAST(FLOOR(o_totalprice / 25000) AS INT) AS bin, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS mass
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_outliers" -> (Tables.barsSql +
+      """,
+        |c AS (SELECT ticker, date, close,
+        |        CAST(ROUND(close * 100) AS BIGINT) AS cents FROM bars),
+        |st AS (SELECT ticker,
+        |         CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(cents) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS s2
+        |       FROM c GROUP BY ticker)
+        |SELECT c.ticker, c.date, c.close,
+        |  ROUND((CAST(c.cents AS DOUBLE) - st.s1 / st.n) /
+        |    SQRT((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1.0)), 4) AS z
+        |FROM c JOIN st ON c.ticker = st.ticker
+        |WHERE ABS((CAST(c.cents AS DOUBLE) - st.s1 / st.n) /
+        |    SQRT((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1.0))) > 1.5""".stripMargin),
+    "q_winsorize" -> (Tables.barsSql +
+      """,
+        |pct AS (SELECT ticker, quantile_cont(close, 0.05) AS lo,
+        |               quantile_cont(close, 0.95) AS hi
+        |        FROM bars GROUP BY ticker)
+        |SELECT b.ticker, b.date, b.close,
+        |  ROUND(LEAST(GREATEST(b.close, p.lo), p.hi), 4) AS close_w
+        |FROM bars b JOIN pct p ON b.ticker = p.ticker""".stripMargin),
     "q_mad" -> (Tables.barsSql +
       """,
         |med AS (SELECT ticker, quantile_cont(close, 0.5) AS med
