@@ -19,7 +19,7 @@ object Bench {
     */
   private val headline: Seq[String] = Seq(
     "q1_agg", "q3_shipping_priority", "q5_local_supplier",
-    "q_asof_join", "q_sma", "q_vwap_signals", "q_gap_fill",
+    "q_asof_join", "q_asof_native", "q_sma", "q_vwap_signals", "q_gap_fill",
     "q_weekly_rollup", "q_hvc_daily", "q_events_sessions",
     "q_dedup_exact", "q_neardup_clusters", "q_simhash_neardup",
     "q_ngram_jaccard", "q_embed_neardup", "q_cosine_knn", "q_ivf_knn",

@@ -323,6 +323,26 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Fuzzy near-dup pairs: SimHash bucket join proposes candidates
+    * (relaxed `maxHamming`), then an exact Levenshtein pass over the
+    * normalized texts confirms (`maxEdit`). The two-stage shape every
+    * production fuzzy dedup uses — the cheap sketch bounds the candidate
+    * set so the expensive O(len²) edit distance only ever runs on
+    * plausible pairs, never the O(n²) pair space. */
+  def fuzzyNearDups(docs: DataFrame, maxHamming: Int = 6, maxEdit: Int = 25,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cand = simhashNearDups(docs, maxHamming, textCol, idCol)
+    val ta = docs.select(col(idCol).as("id_a"),
+      TextOps.normalize(col(textCol)).as("text_a"))
+    val tb = docs.select(col(idCol).as("id_b"),
+      TextOps.normalize(col(textCol)).as("text_b"))
+    cand.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("edit_dist",
+        levenshtein(col("text_a"), col("text_b")).cast("int"))
+      .filter(col("edit_dist") <= maxEdit)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("edit_dist"))
+  }
+
   /** Near-dup dedup end-to-end: LSH candidates above `minJaccard` → cluster
     * → keep the canonical (smallest-id) doc per cluster. Returns docs with
     * `cluster` and `is_canonical` columns. */

@@ -120,6 +120,12 @@ object TextQueries {
     "q_simhash_neardup" -> ((s, dir) =>
       DedupOps.simhashNearDups(Tables.documents(s, dir))),
 
+    // two-stage fuzzy dedup: relaxed SimHash candidates, exact Levenshtein
+    // confirm — the sketch bounds the candidate set so the O(len²) edit
+    // distance never touches the O(n²) pair space.
+    "q_fuzzy_dedup" -> ((s, dir) =>
+      DedupOps.fuzzyNearDups(Tables.documents(s, dir))),
+
     "q_cosine_knn" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       SimilarityOps.bruteForceKnn(e, e.filter(col("vec_id") < 10), k = 5)
@@ -514,6 +520,22 @@ object TextQueries {
         |FROM sh a JOIN sh b
         |  ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+
+    "q_fuzzy_dedup" -> (simhashCte + """
+        |, cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |  FROM sh a JOIN sh b
+        |    ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+        |nt AS (SELECT doc_id,
+        |         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS ntext
+        |       FROM documents)
+        |SELECT c.id_a, c.id_b, c.hamming,
+        |  CAST(levenshtein(ta.ntext, tb.ntext) AS INTEGER) AS edit_dist
+        |FROM cand c JOIN nt ta ON c.id_a = ta.doc_id
+        |            JOIN nt tb ON c.id_b = tb.doc_id
+        |WHERE levenshtein(ta.ntext, tb.ntext) <= 25""".stripMargin),
 
     "q_cosine_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
