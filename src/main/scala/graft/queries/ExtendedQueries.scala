@@ -547,6 +547,47 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(D2)).cast(D4).cast("double").as("mass"))),
 
+    // column profiling: null-rate / distinct-count / lexical min-max per
+    // column in ONE pass over the table (every aggregate pair lives in the
+    // same projection — not a scan per column), stacked to a row per
+    // column. The data-quality profile every lake onboarding runs.
+    "q_profile" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val profiled = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nn_prio"),
+        countDistinct(col("o_orderpriority")).as("nd_prio"),
+        min(col("o_orderpriority").cast("string")).as("mn_prio"),
+        max(col("o_orderpriority").cast("string")).as("mx_prio"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_cust"),
+        countDistinct(col("o_custkey")).as("nd_cust"),
+        min(col("o_custkey").cast("string")).as("mn_cust"),
+        max(col("o_custkey").cast("string")).as("mx_cust"))
+      profiled.select(lit("o_orderpriority").as("column"),
+          col("n_rows"), col("nn_prio").as("n_nulls"),
+          col("nd_prio").as("n_distinct"),
+          col("mn_prio").as("min_str"), col("mx_prio").as("max_str"))
+        .unionByName(profiled.select(lit("o_custkey").as("column"),
+          col("n_rows"), col("nn_cust").as("n_nulls"),
+          col("nd_cust").as("n_distinct"),
+          col("mn_cust").as("min_str"), col("mx_cust").as("max_str")))
+    }),
+
+    // referential-integrity check: count FK orphans both directions with
+    // anti-join semantics stated as aggregates — the validation pass any
+    // medallion promotion gate runs before publishing.
+    "q_fk_orphans" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+      val ok = Tables.orders(s, dir).select(col("o_orderkey")).distinct()
+      val liOrphans = li.join(ok, col("l_orderkey") === col("o_orderkey"),
+        "left_anti").agg(count(lit(1)).as("n")).select(
+        lit("lineitem_without_order").as("check"), col("n"))
+      val okChildless = ok.join(li, col("l_orderkey") === col("o_orderkey"),
+        "left_anti").agg(count(lit(1)).as("n")).select(
+        lit("order_without_lineitem").as("check"), col("n"))
+      liOrphans.unionByName(okChildless)
+    }),
+
     // z-order (Morton) values: the 2-D bit interleave underlying
     // Storage.writeZOrdered, exposed and oracle-checked — pure mask-shift
     // integer arithmetic the oracle reproduces verbatim.
@@ -899,6 +940,33 @@ object ExtendedQueries {
         |      ORDER BY ts, event_id) AS rn
         |  FROM e)
         |SELECT user_id, win_start, event_id, event_type FROM r WHERE rn = 1""".stripMargin,
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nn_prio,
+        |    COUNT(DISTINCT o_orderpriority) AS nd_prio,
+        |    MIN(CAST(o_orderpriority AS VARCHAR)) AS mn_prio,
+        |    MAX(CAST(o_orderpriority AS VARCHAR)) AS mx_prio,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn_cust,
+        |    COUNT(DISTINCT o_custkey) AS nd_cust,
+        |    MIN(CAST(o_custkey AS VARCHAR)) AS mn_cust,
+        |    MAX(CAST(o_custkey AS VARCHAR)) AS mx_cust
+        |  FROM orders)
+        |SELECT 'o_orderpriority' AS "column", n_rows,
+        |  CAST(nn_prio AS BIGINT) AS n_nulls, nd_prio AS n_distinct,
+        |  mn_prio AS min_str, mx_prio AS max_str FROM p
+        |UNION ALL
+        |SELECT 'o_custkey' AS "column", n_rows,
+        |  CAST(nn_cust AS BIGINT) AS n_nulls, nd_cust AS n_distinct,
+        |  mn_cust AS min_str, mx_cust AS max_str FROM p""".stripMargin,
+    "q_fk_orphans" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey FROM lineitem),
+        |ok AS (SELECT DISTINCT o_orderkey FROM orders)
+        |SELECT 'lineitem_without_order' AS check, COUNT(*) AS n
+        |FROM li WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ok)
+        |UNION ALL
+        |SELECT 'order_without_lineitem' AS check, COUNT(*) AS n
+        |FROM ok WHERE o_orderkey NOT IN (SELECT l_orderkey FROM li)""".stripMargin,
     "q_zorder" ->
       """WITH q AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
         |                  CAST(p_partkey % 500 AS BIGINT) AS y FROM part),
