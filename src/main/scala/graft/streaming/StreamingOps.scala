@@ -71,6 +71,23 @@ object StreamingOps {
       .drop("c_user")
   }
 
+  /** Gap-based sessions via the BUILT-IN session_window aggregation —
+    * Catalyst manages merge/expiry state, no custom state function. The
+    * declarative twin of [[sessionize]] (flatMapGroupsWithState), same
+    * 30-minute-gap semantics: a session's window extends `gap` past its
+    * last event; an event landing inside extends it, past it starts a new
+    * one. Use this form when per-session logic is pure aggregation; drop
+    * to sessionize only for custom state transitions. */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup of a document feed: drop re-deliveries whose
     * normalized-text fingerprint was already seen within the watermark
     * delay. `dropDuplicatesWithinWatermark` evicts fingerprint state older

@@ -35,6 +35,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.subsetOf(batch))
   }
 
+  test("built-in session_window agrees with the custom-state sessionizer") {
+    // batch mode: withWatermark is a no-op, groupBy(session_window) runs as
+    // a plain aggregation — proving semantics against the q_events_sessions
+    // batch twin (session_start = first event, same 30-min gap rule)
+    val viaWindow = StreamingOps.sessionWindowStats(Tables.events(spark, sf))
+      .select("user_id", "session_start", "n_events")
+      .collect().map(_.toString).toSet
+    val viaState = SparkEntry.queries("q_events_sessions")(spark, sf)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(_.toString).toSet
+    assert(viaWindow === viaState)
+    // streaming smoke: append mode emits only watermark-finalized sessions;
+    // every emitted session must be a batch session
+    val q = StreamingOps.sessionWindowStats(
+        StreamingOps.readEventsStream(spark, eventsDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessw_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_swckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessw_out")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(_.toString).toSet
+    assert(streamed.subsetOf(viaWindow))
+  }
+
   test("stateful sessionization closes sessions on gaps") {
     val events = Seq(
       StreamingOps.Event(1, ts("2024-01-01 10:00:00"), 7, "c", 1.0),
