@@ -21,8 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // codegen'd expression (semantics preserved — see RewriteDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
     // whole-operator extension: plans AsOfJoinNode → AsOfJoinExec (the
-    // native sort-merge as-of join; see graft.plans.AsOfJoinPlan)
+    // native sort-merge as-of join; see graft.plans.AsOfJoinPlan), plus
+    // the column-pruning rule Catalyst can't apply to an unknown node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoin)
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[graft.functions.ArrayDotProduct].getName,

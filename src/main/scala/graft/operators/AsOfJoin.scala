@@ -102,14 +102,18 @@ object AsOfJoin {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
-    val rightValues = valueCols.map(attr(rPlan, _))
-    val rTime = attr(rPlan, rightTime)
+    // the right side's contract is fixed (keys + time + values) — project
+    // it down immediately so the scan below never reads more columns
+    val rNeeded = (key :+ rightTime) ++ valueCols
+    val rPruned = Project(rNeeded.distinct.map(attr(rPlan, _)), rPlan)
+    val rightValues = valueCols.map(attr(rPruned, _))
+    val rTime = attr(rPruned, rightTime)
     val outAttrs = (rightValues.map(a =>
       AttributeReference(a.name, a.dataType, nullable = true)()) :+
       AttributeReference("matched_time", rTime.dataType, nullable = true)())
     ColumnBridge.ofRows(left.sparkSession, graft.plans.AsOfJoinNode(
-      lPlan, rPlan,
-      key.map(attr(lPlan, _)), key.map(attr(rPlan, _)),
+      lPlan, rPruned,
+      key.map(attr(lPlan, _)), key.map(attr(rPruned, _)),
       attr(lPlan, leftTime), rTime,
       rightValues :+ rTime, outAttrs, forward))
   }

@@ -55,6 +55,27 @@ case class AsOfJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+/** Column pruning through [[AsOfJoinNode]]: Catalyst's ColumnPruning only
+  * understands built-in nodes, so without this rule a custom operator
+  * blocks pruning and the left scan reads every column regardless of what
+  * the query projects. When a Project above the node needs only a subset
+  * of the left output, push a Project into the left child (the node's
+  * own expressions — keys and time — are always retained). The right side
+  * needs no rule: its contract (keys + time + carry values) is already
+  * projected at construction ([[graft.operators.AsOfJoin.asOfNative]]). */
+object PruneAsOfJoin extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projList, j: AsOfJoinNode) =>
+      val needed = AttributeSet(projList.flatMap(_.references)) ++
+        AttributeSet(j.leftKeys) ++ AttributeSet(Seq(j.leftTime))
+      val keptLeft = j.left.output.filter(needed.contains)
+      if (keptLeft.length < j.left.output.length)
+        p.copy(child = j.copy(left = Project(keptLeft, j.left)))
+      else p
+  }
+}
+
 /** Plans [[AsOfJoinNode]] → [[AsOfJoinExec]]. Injected via
   * `SparkSessionExtensions.injectPlannerStrategy`. */
 object AsOfJoinStrategy extends SparkStrategy {

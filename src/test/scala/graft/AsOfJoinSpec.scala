@@ -106,6 +106,20 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(exchanges === 2, s"expected 2 exchanges, plan:\n${plan.take(1500)}")
   }
 
+  test("pruning rule narrows the left scan under the native as-of join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_prune").toString
+    Tables.bars(spark, sf).write.mode("overwrite").parquet(dir)
+    val wide = spark.read.parquet(dir) // 8 columns
+    val out = AsOfJoin.asOfNative(wide, marks, Seq("ticker"), "date", "mark_date", Seq("mark"))
+      .select("ticker", "date", "mark", "matched_time")
+    val plan = out.queryExecution.executedPlan.toString
+    // the only parquet scan is the left side (marks is a local relation);
+    // pruning must drop the five unused bar columns from its ReadSchema
+    assert(!plan.contains("close"), plan.take(1200))
+    assert(!plan.contains("volume"), plan.take(1200))
+    assert(out.collect().length === Tables.bars(spark, sf).count())
+  }
+
   test("custom functions are callable from SQL text") {
     GraftSession.registerFunctions(spark)
     val dot = spark.sql(
