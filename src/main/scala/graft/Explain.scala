@@ -13,7 +13,8 @@ object Explain {
       else Seq("q_scan_filter", "q1_agg", "q_left_join", "q_split_adjust",
         "q_vwap_signals", "q_sma", "q_minhash_pairs", "q_cosine_knn",
         "q_band_join", "q_topk_per_group", "q_exists_subquery",
-        "q_simhash_neardup", "q_gap_fill")
+        "q_simhash_neardup", "q_gap_fill", "q_asof_native", "q_tfidf",
+        "q_interval_overlap", "q_skyline")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

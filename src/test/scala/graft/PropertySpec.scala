@@ -129,4 +129,39 @@ class PropertySpec extends SparkSpecBase {
     val p = funnel.getOrElse("3_purchase", 0L)
     assert(v >= c && c >= p)
   }
+
+  test("zorder2 is a bijection on 16-bit pairs and preserves tile locality") {
+    val pairs = Seq((0, 0), (1, 0), (0, 1), (65535, 65535), (255, 256),
+      (12345, 54321), (65535, 0), (0, 65535), (32768, 32768))
+    val df = pairs.toDF("x", "y")
+      .withColumn("z", graft.functions.GraftFunctions.zorder2($"x", $"y"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // invertible: deinterleave the bits and get (x, y) back exactly
+    df.foreach { case (x, y, z) =>
+      var (rx, ry) = (0L, 0L)
+      for (i <- 0 until 16) {
+        rx |= ((z >> (2 * i)) & 1L) << i
+        ry |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert((rx, ry) === ((x.toLong, y.toLong)), s"z=$z for ($x,$y)")
+    }
+    // distinct inputs → distinct z
+    assert(df.map(_._3).distinct.length === pairs.length)
+  }
+
+  test("skyline keeps exactly the non-dominated points") {
+    val rows = SparkEntry.queries("q_skyline")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val all = Tables.part(spark, sf)
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def cents(d: Double) = math.round(d * 100)
+    def dominated(p: (Long, Double, Int)) =
+      all.exists(q => cents(q._2) < cents(p._2) && q._3 > p._3)
+    val kept = rows.map(_._1).toSet
+    all.foreach { p =>
+      assert(kept.contains(p._1) === !dominated(p),
+        s"part ${p._1}: kept=${kept.contains(p._1)} dominated=${dominated(p)}")
+    }
+  }
 }
