@@ -76,7 +76,8 @@ object DomainQueries {
       |    CAST(SUM(transactions) AS BIGINT) AS transactions
       |  FROM bars GROUP BY 1, 2)""".stripMargin
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // J1+J2+A3+F10 — retroactive split adjustment over bars.
     "q_split_adjust" -> ((s, dir) =>
@@ -174,6 +175,97 @@ object DomainQueries {
           PatternOps.highVolumeCloses(
             SilverOps.indicators(Tables.bars(s, dir)), threshold = 1.5),
           ascending = false, minSteps = 2)))
+  ) ++ indicatorQueries
+
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.types.DecimalType
+
+  /** Wilder-free technical indicators past the reference's SMA/ATR/volume
+    * set: Bollinger bands, SMA-based RSI, drawdown-from-peak, and a Sharpe
+    * ratio — each on the engine-exact numerics doctrine (integer cents /
+    * micro-units through the sums; doubles only in identical final trees;
+    * rolling sums as running cum − lag diffs, never sliding frames). */
+  private def indicatorQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Bollinger(20, 2): mean ± 2 std of the trailing 20 closes, strict
+    // (null until 20 rows). Sums over integer cents via the cum-diff
+    // rewrite — exact, and O(1) per row where a sliding frame re-adds 20.
+    "q_bollinger" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val d38 = DecimalType(38, 0)
+      val base = Tables.bars(s, dir)
+        .withColumn("c", round(col("close") * 100).cast("long"))
+        .withColumn("cum1", sum(col("c")).over(run))
+        .withColumn("cum2", sum(col("c").cast(d38) * col("c")).over(run))
+        .withColumn("rn", row_number().over(w))
+      val s1 = (col("cum1") - coalesce(lag(col("cum1"), 20).over(w), lit(0L)))
+        .cast("double")
+      val s2 = (col("cum2") - coalesce(lag(col("cum2"), 20).over(w),
+        lit(0).cast(d38))).cast("double")
+      val mean = s1 / 20.0
+      val sd = sqrt((s2 - s1 * s1 / 20.0) / 19.0)
+      base.select(col("ticker"), col("date"), col("close"),
+        when(col("rn") >= 20, round(mean / 100.0, 4)).as("bb_mid"),
+        when(col("rn") >= 20, round((mean + lit(2.0) * sd) / 100.0, 4)).as("bb_up"),
+        when(col("rn") >= 20, round((mean - lit(2.0) * sd) / 100.0, 4)).as("bb_dn"))
+    }),
+
+    // SMA-variant RSI(14) over cent diffs; a loss-free window → 100 by
+    // convention on both engines (no inf-propagation dependence).
+    "q_rsi" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = Tables.bars(s, dir)
+        .withColumn("c", round(col("close") * 100).cast("long"))
+        .withColumn("dc", col("c") - lag(col("c"), 1).over(w))
+        .withColumn("gain", greatest(col("dc"), lit(0L)))
+        .withColumn("loss", greatest(-col("dc"), lit(0L)))
+        .withColumn("cumg", sum(col("gain")).over(run))
+        .withColumn("cuml", sum(col("loss")).over(run))
+        .withColumn("rn", row_number().over(w))
+      val g14 = col("cumg") - coalesce(lag(col("cumg"), 14).over(w), lit(0L))
+      val l14 = col("cuml") - coalesce(lag(col("cuml"), 14).over(w), lit(0L))
+      base.select(col("ticker"), col("date"), col("close"),
+        when(col("rn") >= 15,
+          when(l14 === 0L, lit(100.0))
+            .otherwise(round(lit(100.0) - lit(100.0) /
+              (lit(1.0) + g14.cast("double") / l14.cast("double")), 4)))
+          .as("rsi_14"))
+    }),
+
+    // drawdown from the running peak — cummax is order-exact on doubles;
+    // the division is one IEEE op shared by both engines.
+    "q_drawdown" -> ((s, dir) => {
+      val run = Window.partitionBy(col("ticker")).orderBy(col("date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.bars(s, dir).select(col("ticker"), col("date"), col("close"),
+        max(col("close")).over(run).as("peak"),
+        round(col("close") / max(col("close")).over(run) - 1.0, 6)
+          .as("drawdown"))
+    }),
+
+    // per-ticker Sharpe of daily returns: the return is one IEEE division,
+    // then micro-unit (1e-8) integers through every sum so the moments are
+    // order-independent and engine-identical.
+    "q_sharpe" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
+      val d38 = DecimalType(38, 0)
+      val r8 = round((col("close") / lag(col("close"), 1).over(w) - 1.0) * 1e8)
+        .cast("long")
+      val sums = Tables.bars(s, dir)
+        .withColumn("r8", r8)
+        .filter(col("r8").isNotNull)
+        .groupBy(col("ticker"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("r8")).cast("double").as("s1"),
+          sum(col("r8").cast(d38) * col("r8")).cast("double").as("s2"))
+      sums.select(col("ticker"), col("n").cast("long").as("n_days"),
+        round((col("s1") / col("n")) / 1e8, 8).as("mean_ret"),
+        round((col("s1") / col("n")) /
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1.0)), 4).as("sharpe"))
+    })
   )
 
   private def withBars(extra: String, body: String) =
@@ -346,6 +438,76 @@ object DomainQueries {
         |  dates_str, closes_str, gain_pct FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY ticker
         |    ORDER BY hvc_count DESC, end_date DESC, start_date DESC) AS rn
-        |  FROM pat) WHERE rn = 1""".stripMargin)
+        |  FROM pat) WHERE rn = 1""".stripMargin),
+
+    "q_bollinger" -> withBars(
+      """cents AS (
+        |  SELECT ticker, date, close,
+        |    CAST(ROUND(close * 100) AS BIGINT) AS c,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    CAST(SUM(CAST(ROUND(close * 100) AS BIGINT)) OVER w20 AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(CAST(ROUND(close * 100) AS BIGINT) AS HUGEINT)
+        |         * CAST(ROUND(close * 100) AS BIGINT)) OVER w20 AS DOUBLE) AS s2
+        |  FROM bars
+        |  WINDOW w AS (PARTITION BY ticker ORDER BY date),
+        |         w20 AS (PARTITION BY ticker ORDER BY date
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))""".stripMargin,
+      """SELECT ticker, date, close,
+        |  CASE WHEN rn >= 20 THEN ROUND((s1 / 20.0) / 100.0, 4) END AS bb_mid,
+        |  CASE WHEN rn >= 20 THEN ROUND((s1 / 20.0 +
+        |    2.0 * SQRT((s2 - s1 * s1 / 20.0) / 19.0)) / 100.0, 4) END AS bb_up,
+        |  CASE WHEN rn >= 20 THEN ROUND((s1 / 20.0 -
+        |    2.0 * SQRT((s2 - s1 * s1 / 20.0) / 19.0)) / 100.0, 4) END AS bb_dn
+        |FROM cents""".stripMargin),
+
+    "q_rsi" -> withBars(
+      """cents AS (
+        |  SELECT ticker, date, close,
+        |    CAST(ROUND(close * 100) AS BIGINT)
+        |      - LAG(CAST(ROUND(close * 100) AS BIGINT), 1)
+        |        OVER (PARTITION BY ticker ORDER BY date) AS dc,
+        |    ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+        |  FROM bars),
+        |gl AS (
+        |  SELECT *, GREATEST(dc, 0) AS gain, GREATEST(-dc, 0) AS loss
+        |  FROM cents),
+        |sums AS (
+        |  SELECT ticker, date, close, rn,
+        |    CAST(SUM(gain) OVER w14 AS BIGINT) AS g14,
+        |    CAST(SUM(loss) OVER w14 AS BIGINT) AS l14
+        |  FROM gl
+        |  WINDOW w14 AS (PARTITION BY ticker ORDER BY date
+        |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))""".stripMargin,
+      """SELECT ticker, date, close,
+        |  CASE WHEN rn >= 15 THEN
+        |    CASE WHEN l14 = 0 THEN 100.0
+        |         ELSE ROUND(100.0 - 100.0 /
+        |           (1.0 + CAST(g14 AS DOUBLE) / CAST(l14 AS DOUBLE)), 4) END
+        |  END AS rsi_14
+        |FROM sums""".stripMargin),
+
+    "q_drawdown" -> withBars("",
+      """SELECT ticker, date, close,
+        |  MAX(close) OVER w AS peak,
+        |  ROUND(close / MAX(close) OVER w - 1.0, 6) AS drawdown
+        |FROM bars
+        |WINDOW w AS (PARTITION BY ticker ORDER BY date
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "q_sharpe" -> withBars(
+      """r AS (
+        |  SELECT ticker,
+        |    CAST(ROUND((close / LAG(close, 1)
+        |      OVER (PARTITION BY ticker ORDER BY date) - 1.0) * 1e8) AS BIGINT) AS r8
+        |  FROM bars),
+        |sums AS (
+        |  SELECT ticker, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(r8) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(r8 AS HUGEINT) * r8) AS DOUBLE) AS s2
+        |  FROM r WHERE r8 IS NOT NULL GROUP BY ticker)""".stripMargin,
+      """SELECT ticker, CAST(n AS BIGINT) AS n_days,
+        |  ROUND((s1 / n) / 1e8, 8) AS mean_ret,
+        |  ROUND((s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1.0)), 4) AS sharpe
+        |FROM sums""".stripMargin)
   )
 }
