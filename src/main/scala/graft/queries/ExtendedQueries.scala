@@ -475,18 +475,8 @@ object ExtendedQueries {
         .select(col("o_orderkey").as("key"),
           col("o_orderdate").cast("date").as("ds"),
           date_add(col("o_orderdate").cast("date"), 14).as("de"))
-        .withColumn("bin",
-          explode(expr("sequence(trunc(ds, 'MM'), trunc(de, 'MM'), interval 1 month)")))
-      val a = iv.select(col("key").as("key_a"), col("ds").as("ds_a"),
-        col("de").as("de_a"), col("bin"))
-      val b = iv.select(col("key").as("key_b"), col("ds").as("ds_b"),
-        col("de").as("de_b"), col("bin").as("bin_b"))
-      a.join(b, col("bin") === col("bin_b") && col("key_a") < col("key_b") &&
-          col("ds_a") <= col("de_b") && col("ds_b") <= col("de_a"))
-        .select(col("key_a"), col("key_b"),
-          (datediff(least(col("de_a"), col("de_b")),
-            greatest(col("ds_a"), col("ds_b"))) + lit(1)).as("overlap_days"))
-        .distinct()
+      graft.operators.IntervalJoin.overlapPairs(iv, iv, "key", "ds", "de",
+        grain = "month")
     }),
 
     // 2-D skyline (Pareto frontier): a part is dominated iff another part

@@ -130,6 +130,25 @@ class PropertySpec extends SparkSpecBase {
     assert(v >= c && c >= p)
   }
 
+  test("interval overlap join matches the naive theta join at every grain") {
+    val iv = Tables.orders(spark, sf).filter($"o_orderkey" % 31 === 0)
+      .select($"o_orderkey".as("key"),
+        $"o_orderdate".cast("date").as("ds"),
+        date_add($"o_orderdate".cast("date"), 45).as("de"))
+    val a = iv.select($"key".as("ka"), $"ds".as("dsa"), $"de".as("dea"))
+    val b = iv.select($"key".as("kb"), $"ds".as("dsb"), $"de".as("deb"))
+    val naive = a.join(b, $"ka" < $"kb" && $"dsa" <= $"deb" && $"dsb" <= $"dea")
+      .select($"ka", $"kb",
+        (datediff(least($"dea", $"deb"), greatest($"dsa", $"dsb")) + lit(1)))
+      .collect().map(_.toString).toSet
+    for (g <- Seq("week", "month", "quarter", "auto")) {
+      val got = graft.operators.IntervalJoin
+        .overlapPairs(iv, iv, "key", "ds", "de", grain = g)
+        .collect().map(_.toString).toSet
+      assert(got === naive, s"grain=$g")
+    }
+  }
+
   test("zorder2 is a bijection on 16-bit pairs and preserves tile locality") {
     val pairs = Seq((0, 0), (1, 0), (0, 1), (65535, 65535), (255, 256),
       (12345, 54321), (65535, 0), (0, 65535), (32768, 32768))
