@@ -245,6 +245,45 @@ object DomainQueries {
           .as("drawdown"))
     }),
 
+    // lag-1 autocorrelation of daily returns per ticker: Pearson r between
+    // (r_t, r_{t-1}) from micro-unit integer power sums — the mean-reversion
+    // probe, exact and order-independent through every aggregate.
+    "q_autocorr" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
+      val d38 = DecimalType(38, 0)
+      val r8 = round((col("close") / lag(col("close"), 1).over(w) - 1.0) * 1e8)
+        .cast("long")
+      val paired = Tables.bars(s, dir)
+        .withColumn("x", r8)
+        .withColumn("y", lag(col("x"), 1).over(w))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+      val sums = paired.groupBy(col("ticker")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x").cast(d38) * col("x")).cast("double").as("sxx"),
+        sum(col("y").cast(d38) * col("y")).cast("double").as("syy"),
+        sum(col("x").cast(d38) * col("y")).cast("double").as("sxy"))
+      sums.select(col("ticker"), col("n").cast("long").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("autocorr_1"))
+    }),
+
+    // deterministic mode: most frequent trade quantity per return flag —
+    // counts ranked under a total order (count desc, value asc) so ties
+    // cannot straddle engines (built-in mode() tiebreaks are unspecified).
+    "q_mode" -> ((s, dir) => {
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("int").as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("qty"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("qty").as("mode_qty"), col("cnt"))
+    }),
+
     // per-ticker Sharpe of daily returns: the return is one IEEE division,
     // then micro-unit (1e-8) integers through every sum so the moments are
     // order-independent and engine-identical.
@@ -493,6 +532,39 @@ object DomainQueries {
         |FROM bars
         |WINDOW w AS (PARTITION BY ticker ORDER BY date
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "q_autocorr" -> withBars(
+      """r AS (
+        |  SELECT ticker, date,
+        |    CAST(ROUND((close / LAG(close, 1)
+        |      OVER (PARTITION BY ticker ORDER BY date) - 1.0) * 1e8) AS BIGINT) AS x
+        |  FROM bars),
+        |p AS (
+        |  SELECT ticker, x,
+        |    LAG(x, 1) OVER (PARTITION BY ticker ORDER BY date) AS y
+        |  FROM r),
+        |sums AS (
+        |  SELECT ticker, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        |  FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY ticker)""".stripMargin,
+      """SELECT ticker, CAST(n AS BIGINT) AS n_pairs,
+        |  ROUND((n * sxy - sx * sy) /
+        |    (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 4) AS autocorr_1
+        |FROM sums""".stripMargin),
+
+    "q_mode" ->
+      ("""WITH counts AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS INTEGER) AS qty,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY cnt DESC, qty) AS rn
+        |  FROM counts)
+        |SELECT l_returnflag, qty AS mode_qty, cnt FROM r WHERE rn = 1""".stripMargin),
 
     "q_sharpe" -> withBars(
       """r AS (
