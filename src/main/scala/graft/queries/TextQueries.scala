@@ -142,6 +142,37 @@ object TextQueries {
       SimilarityOps.ivfAssign(e, SimilarityOps.ivfCentroids(e, 16))
     }),
 
+    // kNN classification: majority label of the 5 nearest neighbors under
+    // a deterministic vote tiebreak — the label-propagation/eval step on
+    // top of the exact kNN path.
+    "q_knn_classify" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val knn = SimilarityOps.bruteForceKnn(e, e.filter(col("vec_id") < 10), k = 5)
+      val votes = knn.withColumn("label", (col("nid") % 7).cast("int"))
+        .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("label").as("pred_label"), col("votes"))
+    }),
+
+    // per-class embedding centroids (the k-means/IVF training step): each
+    // dimension in micro-units (1e-6 ints) through the sums so the mean is
+    // exact and order-independent; one explode + one (class, dim) shuffle.
+    "q_centroids" -> ((s, dir) => {
+      val cls = Tables.embeddings(s, dir)
+        .withColumn("cls", (col("vec_id") % 7).cast("int"))
+        .select(col("cls"), posexplode(col("embedding")))
+        .withColumn("u",
+          round(col("col").cast("double") * 1e6).cast("long"))
+      cls.filter(col("pos") < 8) // keep the checked slice small per class
+        .groupBy(col("cls"), col("pos"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("u")).cast("double").as("s"))
+        .select(col("cls"), col("pos"),
+          round((col("s") / col("n")) / 1e6, 8).as("centroid_val"))
+    }),
+
     "q_ivf_knn" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       SimilarityOps.ivfKnn(e, e.filter(col("vec_id") < 10), k = 5)
@@ -536,6 +567,42 @@ object TextQueries {
         |FROM cand c JOIN nt ta ON c.id_a = ta.doc_id
         |            JOIN nt tb ON c.id_b = tb.doc_id
         |WHERE levenshtein(ta.ntext, tb.ntext) <= 25""".stripMargin),
+
+    "q_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |    SUM(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+        |    SUM(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qq,
+        |    SUM(CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS nn
+        |  FROM e q, e n, range(1, 65) t(i)
+        |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, nid, ROUND(dot / (SQRT(qq) * SQRT(nn)), 6) AS cosine
+        |  FROM pairs),
+        |knn AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, nid) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |votes AS (
+        |  SELECT qid, CAST(nid % 7 AS INTEGER) AS label, COUNT(*) AS votes
+        |  FROM knn GROUP BY 1, 2)
+        |SELECT qid, label AS pred_label, votes FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY votes DESC, label) AS rn
+        |  FROM votes) WHERE rn = 1""".stripMargin,
+
+    "q_centroids" ->
+      """WITH ex AS (
+        |  SELECT CAST(vec_id % 7 AS INTEGER) AS cls, CAST(i AS INTEGER) AS pos,
+        |    CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1e6) AS BIGINT) AS u
+        |  FROM embeddings, range(8) t(i))
+        |SELECT cls, pos,
+        |  ROUND((CAST(SUM(u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6, 8)
+        |    AS centroid_val
+        |FROM ex GROUP BY 1, 2""".stripMargin,
 
     "q_cosine_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
