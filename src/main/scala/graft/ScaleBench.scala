@@ -81,7 +81,26 @@ object ScaleBench {
         TableRef(root, "gold", "stairstepping_patterns"))
     }
 
-    println(s"""{"metric":"scale_pipeline","unit":"sec","rows":$nRows,"tickers":$nTickers,"queries":{"bronze_write":$tBronze,"silver_full":$tSilver,"gold":$tGold},"value":${tBronze + tSilver + tGold}}""")
+    // ---- optional: dedup at scale (GRAFT_SCALE_DEDUP=<mult>) ----
+    // replicate documents ×mult with mutated copies (suffix every replica
+    // except rep%3==0, so the corpus holds real exact- AND near-dup
+    // structure), then time the full MinHash+LSH near-dup pair pass.
+    val dedupJson = sys.env.get("GRAFT_SCALE_DEDUP").map(_.toInt).map { m =>
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .crossJoin(spark.range(m).withColumnRenamed("id", "rep"))
+        .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+          when(col("rep") % 3 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" rep "), col("rep"))).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = docs.count()
+      val (nPairs, tDedup) = timed {
+        graft.operators.DedupOps.minhashNearDups(docs).count()
+      }
+      docs.unpersist(false)
+      s""","dedup_docs":$nDocs,"dedup_pairs":$nPairs,"dedup":$tDedup"""
+    }.getOrElse("")
+
+    println(s"""{"metric":"scale_pipeline","unit":"sec","rows":$nRows,"tickers":$nTickers,"queries":{"bronze_write":$tBronze,"silver_full":$tSilver,"gold":$tGold$dedupJson},"value":${tBronze + tSilver + tGold}}""")
     spark.stop()
   }
 }
