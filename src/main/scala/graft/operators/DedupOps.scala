@@ -337,9 +337,15 @@ object DedupOps {
     val tb = docs.select(col(idCol).as("id_b"),
       TextOps.normalize(col(textCol)).as("text_b"))
     cand.join(ta, "id_a").join(tb, "id_b")
+      // length difference is a Levenshtein lower bound — an O(1) reject
+      // before the O(len²) DP ever runs (semantics-preserving: a pruned
+      // pair can never satisfy edit_dist <= maxEdit)
+      .filter(abs(length(col("text_a")) - length(col("text_b"))) <= maxEdit)
+      // thresholded levenshtein: O(len·maxEdit) banded DP with early exit
+      // (returns -1 past the bound) instead of the full O(len²) table
       .withColumn("edit_dist",
-        levenshtein(col("text_a"), col("text_b")).cast("int"))
-      .filter(col("edit_dist") <= maxEdit)
+        levenshtein(col("text_a"), col("text_b"), maxEdit).cast("int"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxEdit)
       .select(col("id_a"), col("id_b"), col("hamming"), col("edit_dist"))
   }
 
