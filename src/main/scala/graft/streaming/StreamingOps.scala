@@ -135,6 +135,41 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming silver→gold: completes the continuous medallion. Each new
+    * silver micro-batch recomputes VWAP signals for ONLY the tickers it
+    * touched (anchored VWAP needs a ticker's full history, but never the
+    * other tickers') and upserts them into the gold table — the incremental
+    * gold rebuild the reference schedules nightly, as a running stream. At
+    * scale the recompute set is the day's active tickers, not the universe.
+    * Returns the started query; caller stops it. */
+  def incrementalGold(spark: SparkSession, silverDir: String,
+                      silverRef: graft.sources.TableRef,
+                      goldRef: graft.sources.TableRef,
+                      checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream
+      .schema(graft.Schemas.silverDaily)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(silverDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val touched = batch.toDF().select("ticker").distinct()
+        val history = graft.sources.Storage.readTable(s, silverRef)
+          .join(org.apache.spark.sql.functions.broadcast(touched), Seq("ticker"),
+            "left_semi")
+        val fresh = graft.operators.GoldOps.vwapSignals(history)
+        if (graft.sources.Storage.tableExists(s, goldRef))
+          graft.sources.Storage.overwriteWithSwap(
+            graft.operators.MergeOps.upsert(
+              graft.sources.Storage.readTable(s, goldRef), fresh,
+              Seq("ticker", "date")), goldRef)
+        else graft.sources.Storage.writeTable(fresh, goldRef)
+      }
+      .start()
+  }
+
   /** Streaming MERGE sink: each micro-batch upserts into a stored table by
     * key (dedup-within-batch keep-last first, so a batch that touches one
     * key twice lands its final value). This is the continuous twin of

@@ -122,6 +122,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(batchSilver.except(silver).count() === 0)
   }
 
+  test("incremental gold recomputes only touched tickers yet converges to the batch gold") {
+    import graft.sources.{Storage, TableRef}
+    val silverDir = Files.createTempDirectory("graft_gsilver").toString
+    val silverRef = TableRef(silverDir, "silver", "daily_aggregates")
+    val goldRef = TableRef(Files.createTempDirectory("graft_ggold").toString,
+      "gold", "vwap_signals")
+    val silver = graft.functions.GraftFunctions.coerceTo(
+      graft.operators.SilverOps.applySplits(
+        Tables.bars(spark, sf), graft.queries.DomainQueries.syntheticSplits(spark)),
+      Schemas.silverDaily)
+    // two arriving files from DIFFERENT ticker sets → two micro-batches,
+    // each triggering a partial (touched-tickers-only) gold rebuild; the
+    // stream watches the silver table's own directory, so the history
+    // read inside foreachBatch sees everything that has arrived so far
+    val streamIn = silverRef.path
+    silver.filter(col("ticker") < "T5").coalesce(1)
+      .write.mode("append").parquet(streamIn)
+    val q = graft.streaming.StreamingOps.incrementalGold(
+      spark, streamIn, silverRef, goldRef,
+      Files.createTempDirectory("graft_gckpt").toString)
+    q.processAllAvailable()
+    silver.filter(col("ticker") >= "T5").coalesce(1)
+      .write.mode("append").parquet(streamIn)
+    q.processAllAvailable()
+    q.stop()
+    val gold = Storage.readTable(spark, goldRef)
+    val batchGold = graft.operators.GoldOps.vwapSignals(silver)
+    assert(gold.count() === batchGold.count())
+    assert(gold.except(batchGold).count() === 0)
+    assert(batchGold.except(gold).count() === 0)
+  }
+
   test("stream-stream interval join matches its batch twin exactly") {
     val stream = StreamingOps.readEventsStream(spark, eventsDir)
     val q = StreamingOps.purchaseAttribution(stream)
