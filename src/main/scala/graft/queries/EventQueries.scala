@@ -95,6 +95,25 @@ object EventQueries {
           sum(col("value").cast(D6)).cast("double").as("total_value"))
     }),
 
+    // purchase→click attribution, batch twin of the watermarked
+    // stream-stream interval join (StreamingOps.purchaseAttribution):
+    // each purchase counts the same user's clicks in the preceding hour.
+    // Shuffles on user_id only; the interval predicate filters in-join.
+    "q_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      purchases.join(clicks,
+          col("c_user") === col("user_id") &&
+            col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+            col("click_ts") <= col("purchase_ts"), "left")
+        .groupBy(col("purchase_id"), col("user_id"))
+        .agg(count(col("click_ts")).as("n_clicks"))
+    }),
+
     // cumulative distinct users per day: Spark has no windowed
     // count(distinct), so mark each user's FIRST day (row_number over the
     // user) and running-sum the marks over the date spine — the growth
@@ -171,6 +190,17 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY 1, 2""".stripMargin,
+    "q_attribution" ->
+      """WITH c AS (SELECT user_id AS c_user, ts AS click_ts FROM events
+        |           WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, COUNT(c.click_ts) AS n_clicks
+        |FROM p LEFT JOIN c
+        |  ON c.c_user = p.user_id
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        |  AND c.click_ts <= p.purchase_ts
+        |GROUP BY 1, 2""".stripMargin,
     "q_cume_users" ->
       """WITH fd AS (
         |  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day

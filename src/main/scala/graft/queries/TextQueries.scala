@@ -56,6 +56,21 @@ object TextQueries {
     "q_dedup_exact" -> ((s, dir) =>
       DedupOps.exactDedup(Tables.documents(s, dir))),
 
+    // survivorship-policy dedup: within each exact-dup group keep the
+    // HIGHEST-QUALITY copy (longest raw text, id tiebreak) instead of the
+    // smallest id — the policy knob real corpus dedup exposes.
+    "q_dedup_survivor" -> ((s, dir) => {
+      val fp = md5(TextOps.normalize(col("text")).cast("binary"))
+      val w = Window.partitionBy(col("fingerprint"))
+        .orderBy(length(col("text")).desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("fingerprint", fp)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("fingerprint"), col("doc_id").as("survivor_id"),
+          length(col("text")).as("survivor_len"))
+    }),
+
     // TF-IDF top terms: idf as the exact rational n_docs/df (one IEEE
     // division — no log, so both engines produce the identical double);
     // top-3 terms per doc ranked on the unrounded score with a term
@@ -441,6 +456,19 @@ object TextQueries {
         |        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
         |      FROM documents)
         |GROUP BY fingerprint""".stripMargin,
+
+    "q_dedup_survivor" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+        |    ORDER BY len DESC, doc_id) AS rn
+        |  FROM f)
+        |SELECT fingerprint, doc_id AS survivor_id,
+        |  CAST(len AS INTEGER) AS survivor_len
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "q_tfidf" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
