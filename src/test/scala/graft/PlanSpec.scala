@@ -88,4 +88,27 @@ class PlanSpec extends SparkSpecBase {
       .r.findFirstIn(p).isEmpty, p)
     assert(p.contains("unboundedpreceding$()") || p.contains("UNBOUNDED PRECEDING"), p)
   }
+
+  test("date filters prune hive partitions at the scan (PartitionFilters)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables.bars(spark, sf)
+      .withColumn("month", trunc(col("date"), "month"))
+      .repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(dir)
+    val months = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("month="))
+    assert(months > 10)
+    val q = spark.read.parquet(dir)
+      .filter(col("month") === lit("1995-03-01").cast("date"))
+      .agg(sum(col("volume")))
+    val p = formatted(q)
+    // the partition filter reaches the scan, and the file index reports
+    // exactly one of the N month directories selected
+    assert(p.contains("PartitionFilters"), p)
+    val selected = "partitions read: (\\d+)".r.findFirstMatchIn(p.toLowerCase)
+    assert(selected.isEmpty || selected.get.group(1).toInt == 1,
+      s"expected 1 partition read:\n$p")
+    assert(q.collect().head.getLong(0) > 0)
+  }
 }
