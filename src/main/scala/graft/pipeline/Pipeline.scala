@@ -133,26 +133,39 @@ object Pipeline {
       if (full) daily
       else Storage.readTable(spark, lake.silver("daily_aggregates"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // each rollup feeds its aggregate table AND its indicator table — cache
-    // the rollup so the groupBy runs once per grain, not twice
-    Seq("week" -> ("weekly_aggregates", "weekly_indicators"),
-        "month" -> ("monthly_aggregates", "monthly_indicators")).foreach {
-      case (b, (aggT, indT)) =>
-        val r = SilverOps.rollup(allDaily, b)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        Storage.writeTable(r, lake.silver(aggT))
-        Storage.writeTable(SilverOps.indicators(r), lake.silver(indT))
-        r.unpersist(false)
-    }
-    // GRAFT_SILVER_CLUSTERED=<numFiles>: lay indicators out range-clustered
-    // on ticker (narrow per-file key ranges → min/max-stat pruning for the
-    // per-ticker reads gold and the catalog do). Same rows either way.
-    clusteredFiles match {
-      case Some(n) => Storage.writeClustered(
-        SilverOps.indicators(allDaily), lake.silver("daily_indicators"),
-        clusterBy = Seq("ticker"), numFiles = n)
-      case None => Storage.writeTable(
-        SilverOps.indicators(allDaily), lake.silver("daily_indicators"))
+    // the weekly chain, monthly chain, and daily indicators are independent
+    // consumers of the cached daily frame — submit them as CONCURRENT Spark
+    // jobs (driver-side futures; executors interleave their tasks) instead
+    // of serializing three small job waves. Each rollup feeds its aggregate
+    // table AND its indicator table, so it is cached per grain.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val grains = Seq(
+        "week" -> ("weekly_aggregates", "weekly_indicators"),
+        "month" -> ("monthly_aggregates", "monthly_indicators")).map {
+        case (b, (aggT, indT)) => Future {
+          val r = SilverOps.rollup(allDaily, b)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          Storage.writeTable(r, lake.silver(aggT))
+          Storage.writeTable(SilverOps.indicators(r), lake.silver(indT))
+          r.unpersist(false)
+        }
+      }
+      // GRAFT_SILVER_CLUSTERED=<numFiles>: lay indicators out range-
+      // clustered on ticker (narrow per-file key ranges → min/max-stat
+      // pruning for the per-ticker reads gold and the catalog do).
+      val dailyInd = Future {
+        clusteredFiles match {
+          case Some(n) => Storage.writeClustered(
+            SilverOps.indicators(allDaily), lake.silver("daily_indicators"),
+            clusterBy = Seq("ticker"), numFiles = n)
+          case None => Storage.writeTable(
+            SilverOps.indicators(allDaily), lake.silver("daily_indicators"))
+        }
+      }
+      Await.result(Future.sequence(grains :+ dailyInd), Duration.Inf)
     }
     allDaily.unpersist(false)
     if (allDaily ne daily) daily.unpersist(false)
