@@ -73,12 +73,13 @@ object ScaleBench {
     }
 
     val (_, tGold) = timed {
+      import graft.pipeline.Timing.{stage => sub}
       val daily = Storage.readTable(spark, TableRef(root, "silver", "daily_aggregates"))
-      Storage.writeTable(GoldOps.vwapSignals(daily), TableRef(root, "gold", "vwap_signals"))
+      sub("scale", "vwap")(Storage.writeTable(GoldOps.vwapSignals(daily), TableRef(root, "gold", "vwap_signals")))
       val ind = Storage.readTable(spark, TableRef(root, "silver", "daily_indicators"))
       val hvc = PatternOps.highVolumeCloses(ind, threshold = 1.5)
-      Storage.writeTable(PatternOps.stairPatterns(hvc, ascending = true, minSteps = 2),
-        TableRef(root, "gold", "stairstepping_patterns"))
+      sub("scale", "patterns")(Storage.writeTable(PatternOps.stairPatterns(hvc, ascending = true, minSteps = 2),
+        TableRef(root, "gold", "stairstepping_patterns")))
     }
 
     // ---- optional: dedup at scale (GRAFT_SCALE_DEDUP=<mult>) ----

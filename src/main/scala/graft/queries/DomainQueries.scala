@@ -304,6 +304,34 @@ object DomainQueries {
         round((col("s1") / col("n")) /
           sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
             (col("n") - 1.0)), 4).as("sharpe"))
+    }),
+
+    // CAPM beta vs an equal-weight market: the market return per date is the
+    // mean of micro-unit integer returns — exact integer sum, ONE double
+    // division, re-rounded to micro-units — so both the per-ticker x and the
+    // per-date y flow through the covariance sums as integers. The tiny
+    // per-date market table broadcasts back to the bars.
+    "q_beta" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
+      val d38 = DecimalType(38, 0)
+      val r = Tables.bars(s, dir)
+        .withColumn("x",
+          round((col("close") / lag(col("close"), 1).over(w) - 1.0) * 1e8)
+            .cast("long"))
+        .filter(col("x").isNotNull)
+      val market = r.groupBy(col("date")).agg(
+        round(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+          .as("m8"))
+      val paired = r.join(broadcast(market), "date")
+      val sums = paired.groupBy(col("ticker")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("m8")).cast("double").as("sy"),
+        sum(col("m8").cast(d38) * col("m8")).cast("double").as("syy"),
+        sum(col("x").cast(d38) * col("m8")).cast("double").as("sxy"))
+      sums.select(col("ticker"), col("n").cast("long").as("n_days"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("syy") - col("sy") * col("sy")), 4).as("beta"))
     })
   )
 
@@ -580,6 +608,28 @@ object DomainQueries {
       """SELECT ticker, CAST(n AS BIGINT) AS n_days,
         |  ROUND((s1 / n) / 1e8, 8) AS mean_ret,
         |  ROUND((s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1.0)), 4) AS sharpe
+        |FROM sums""".stripMargin),
+
+    "q_beta" -> withBars(
+      """r AS (
+        |  SELECT ticker, date,
+        |    CAST(ROUND((close / LAG(close, 1)
+        |      OVER (PARTITION BY ticker ORDER BY date) - 1.0) * 1e8) AS BIGINT) AS x
+        |  FROM bars
+        |  QUALIFY x IS NOT NULL),
+        |market AS (
+        |  SELECT date,
+        |    CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m8
+        |  FROM r GROUP BY date),
+        |sums AS (
+        |  SELECT r.ticker, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(r.x) AS DOUBLE) AS sx,
+        |    CAST(SUM(market.m8) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(market.m8 AS HUGEINT) * market.m8) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(r.x AS HUGEINT) * market.m8) AS DOUBLE) AS sxy
+        |  FROM r JOIN market USING (date) GROUP BY r.ticker)""".stripMargin,
+      """SELECT ticker, CAST(n AS BIGINT) AS n_days,
+        |  ROUND((n * sxy - sx * sy) / (n * syy - sy * sy), 4) AS beta
         |FROM sums""".stripMargin)
   )
 }
