@@ -120,6 +120,39 @@ object ExtendedQueries {
           array_max(col("embedding")).cast("double").as("mx"),
           array_min(col("embedding")).cast("double").as("mn"))),
 
+    // higher-order array lambdas (transform / filter / aggregate) — the
+    // floats are quantized to integer milli-units inside the transform, so
+    // the fold and the filter count are exact on both engines.
+    "q_hof_fns" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") <= 100)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("q"))
+        .select(col("vec_id"),
+          size(filter(col("q"), _ > 0L)).as("n_pos"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          aggregate(col("q"), lit(0L),
+            (acc, x) => acc + abs(x)).as("q_l1"))),
+
+    // calendar feature extraction — ISO week / ISO weekday, month-end flag,
+    // days-in-month, leap year. All integer-valued, engine-exact; the ISO
+    // weekday is derived from Spark's Sunday-1 dayofweek to match isodow.
+    "q_calendar_features" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("odate"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          ((dayofweek(col("o_orderdate")) + 5) % 7 + 1).as("iso_dow"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          (to_date(col("o_orderdate")) === last_day(col("o_orderdate")))
+            .as("is_month_end"),
+          dayofmonth(last_day(col("o_orderdate"))).as("days_in_month"),
+          (year(col("o_orderdate")) % 4 === 0 &&
+            (year(col("o_orderdate")) % 100 =!= 0 ||
+             year(col("o_orderdate")) % 400 === 0)).as("is_leap"))),
+
     // INTERSECT — the set op q_except doesn't cover.
     "q_intersect" -> ((s, dir) => {
       val withOrders = Tables.orders(s, dir)
@@ -690,6 +723,28 @@ object ExtendedQueries {
         |  CAST(list_max(embedding) AS DOUBLE) AS mx,
         |  CAST(list_min(embedding) AS DOUBLE) AS mn
         |FROM embeddings WHERE vec_id <= 100""".stripMargin,
+    "q_hof_fns" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id <= 100)
+        |SELECT vec_id,
+        |  CAST(len(list_filter(q, x -> x > 0)) AS INT) AS n_pos,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(q, x -> ABS(x))) AS BIGINT) AS q_l1
+        |FROM q""".stripMargin,
+    "q_calendar_features" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(WEEK(o_orderdate) AS INT) AS iso_week,
+        |  CAST(ISODOW(o_orderdate) AS INT) AS iso_dow,
+        |  CAST(DAYOFYEAR(o_orderdate) AS INT) AS doy,
+        |  CAST(o_orderdate AS DATE) = LAST_DAY(o_orderdate) AS is_month_end,
+        |  CAST(DAY(LAST_DAY(o_orderdate)) AS INT) AS days_in_month,
+        |  YEAR(o_orderdate) % 4 = 0 AND
+        |    (YEAR(o_orderdate) % 100 <> 0 OR YEAR(o_orderdate) % 400 = 0)
+        |    AS is_leap
+        |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
     "q_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
         |INTERSECT
