@@ -153,6 +153,60 @@ object ExtendedQueries {
             (year(col("o_orderdate")) % 100 =!= 0 ||
              year(col("o_orderdate")) % 400 === 0)).as("is_leap"))),
 
+    // array ordering / dedup / slicing — outputs stay scalar (the driver's
+    // compare str()s values, and numpy vs list array reprs differ), so the
+    // sliced top-3 is folded to a sum and membership to booleans.
+    "q_array_ops" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") <= 100)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")).as("q"))
+        .select(col("vec_id"),
+          size(array_distinct(col("q"))).as("n_distinct"),
+          array_contains(col("q"), 0L).as("has_zero"),
+          aggregate(slice(sort_array(col("q"), asc = false), 1, 3),
+            lit(0L), (acc, x) => acc + x).as("top3_sum"),
+          element_at(sort_array(col("q")), 1).as("lo"),
+          element_at(sort_array(col("q")), -1).as("hi"))),
+
+    // explicit CROSS JOIN (tiny × tiny — broadcast nested loop, never a
+    // shuffled cartesian).
+    "q_cross_join" -> ((s, dir) =>
+      Tables.region(s, dir).select(col("r_name"))
+        .crossJoin(Tables.nation(s, dir).select(col("n_name")))
+        .select(col("r_name"), col("n_name"))),
+
+    // UNION DISTINCT (q_union_all covers the ALL variant) — distinct months
+    // seen on either side of the order/ship timeline.
+    "q_union_distinct" -> ((s, dir) =>
+      Tables.orders(s, dir).select(trunc(col("o_orderdate"), "month").as("m"))
+        .union(Tables.lineitem(s, dir)
+          .select(trunc(col("l_shipdate"), "month").as("m")))
+        .distinct()),
+
+    // centered moving average (±2 rows) — symmetric frames are the one
+    // rolling shape cum−lag can't express directly; the 5-row frame is
+    // constant-size so WindowExec's per-row re-aggregation stays O(5·rows).
+    // Decimal addends → frame-order-independent, one double division.
+    "q_centered_ma" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
+        .rowsBetween(-2, 2)
+      Tables.bars(s, dir).select(col("ticker"), col("date"), col("close"),
+        round(sum(col("close").cast(DecimalType(18, 2))).over(w)
+            .cast("double") / count(lit(1)).over(w), 6).as("cma5"))
+    }),
+
+    // regexp extraction — digit runs only (a regex subset Java and RE2
+    // treat identically).
+    "q_regexp" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .as("n_numbers"),
+          regexp_extract(col("text"), "[0-9]+", 0).as("first_number"),
+          length(regexp_replace(col("text"), "[0-9]+", "")).as("len_no_digits"))),
+
     // INTERSECT — the set op q_except doesn't cover.
     "q_intersect" -> ((s, dir) => {
       val withOrders = Tables.orders(s, dir)
@@ -745,6 +799,40 @@ object ExtendedQueries {
         |    (YEAR(o_orderdate) % 100 <> 0 OR YEAR(o_orderdate) % 400 = 0)
         |    AS is_leap
         |FROM orders WHERE o_orderkey <= 2000""".stripMargin,
+    "q_array_ops" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings WHERE vec_id <= 100)
+        |SELECT vec_id,
+        |  CAST(len(list_distinct(q)) AS INT) AS n_distinct,
+        |  list_contains(q, 0) AS has_zero,
+        |  CAST(list_sum(list_sort(q, 'DESC')[1:3]) AS BIGINT) AS top3_sum,
+        |  list_sort(q)[1] AS lo,
+        |  list_sort(q)[-1] AS hi
+        |FROM q""".stripMargin,
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT DATE_TRUNC('month', o_orderdate)::DATE AS m FROM orders
+        |UNION
+        |SELECT DATE_TRUNC('month', l_shipdate)::DATE AS m FROM lineitem""".stripMargin,
+    "q_centered_ma" -> (Tables.barsSql +
+      """
+        |SELECT ticker, date, close,
+        |  ROUND(CAST(SUM(CAST(close AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w, 6) AS cma5
+        |FROM bars
+        |WINDOW w AS (PARTITION BY ticker ORDER BY date
+        |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin),
+    "q_regexp" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+        |  regexp_extract(text, '[0-9]+') AS first_number,
+        |  CAST(LENGTH(regexp_replace(text, '[0-9]+', '', 'g')) AS INT)
+        |    AS len_no_digits
+        |FROM documents""".stripMargin,
     "q_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
         |INTERSECT
