@@ -82,6 +82,27 @@ object TextOps {
         (nChars - length(regexp_replace(t, "\\s", ""))).cast("double") / nChars)
   }
 
+  /** Word-repetition statistics — the Gopher-style quality signal for
+    * corpus cleaning: a high repetition ratio or a dominant single word
+    * marks boilerplate/spam. Explode → two hash aggregates on (doc, word)
+    * then (doc); all counts integral, the ratio is one double division.
+    * At scale both shuffles hash-partition on doc_id-led keys. */
+  def wordStats(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val w = df.select(col(idCol),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    w.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("f"))
+      .groupBy(col(idCol)).agg(
+        sum(col("f")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("f")).as("max_word_freq"))
+      .select(col(idCol), col("n_words"), col("n_distinct_words"),
+        round(lit(1.0) - col("n_distinct_words").cast("double") /
+          col("n_words"), 6).as("rep_ratio"),
+        col("max_word_freq"))
+  }
+
   /** Marker-word occurrence count: occurrences of ` pat ` in ` text `
     * (space-padded so word boundaries are exact, replace-based so it is
     * expressible identically in any SQL dialect). */

@@ -170,6 +170,24 @@ object ExtendedQueries {
           element_at(sort_array(col("q")), 1).as("lo"),
           element_at(sort_array(col("q")), -1).as("hi"))),
 
+    // MapType construction + lookup: per-nation segment→count map built from
+    // grouped entries, then keyed extraction. Outputs are scalars (the map
+    // never crosses the compare); lookup misses coalesce to 0.
+    "q_map_fns" -> ((s, dir) => {
+      val counts = Tables.customer(s, dir)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("c_nationkey"))
+        .agg(map_from_entries(collect_list(struct(col("c_mktsegment"),
+          col("cnt")))).as("m"))
+        .select(col("c_nationkey"),
+          size(col("m")).as("n_segments"),
+          coalesce(element_at(col("m"), lit("BUILDING")), lit(0L))
+            .as("building"),
+          coalesce(element_at(col("m"), lit("MACHINERY")), lit(0L))
+            .as("machinery"))
+    }),
+
     // explicit CROSS JOIN (tiny × tiny — broadcast nested loop, never a
     // shuffled cartesian).
     "q_cross_join" -> ((s, dir) =>
@@ -812,6 +830,18 @@ object ExtendedQueries {
         |  list_sort(q)[1] AS lo,
         |  list_sort(q)[-1] AS hi
         |FROM q""".stripMargin,
+    "q_map_fns" ->
+      """WITH counts AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |m AS (
+        |  SELECT c_nationkey, map(list(c_mktsegment), list(cnt)) AS m
+        |  FROM counts GROUP BY c_nationkey)
+        |SELECT c_nationkey,
+        |  CAST(cardinality(m) AS INT) AS n_segments,
+        |  COALESCE(m['BUILDING'][1], 0) AS building,
+        |  COALESCE(m['MACHINERY'][1], 0) AS machinery
+        |FROM m""".stripMargin,
     "q_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation""".stripMargin,
     "q_union_distinct" ->

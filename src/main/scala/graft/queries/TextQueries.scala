@@ -25,6 +25,9 @@ object TextQueries {
         .select("doc_id", "n_chars_calc", "n_words", "mean_word_len",
           "punct_ratio", "space_ratio")),
 
+    "q_word_stats" -> ((s, dir) =>
+      TextOps.wordStats(Tables.documents(s, dir))),
+
     "q_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir))
         .select("doc_id", "lang", "score_en", "score_de", "score_fr",
@@ -417,6 +420,21 @@ object TextQueries {
         |  CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
         |    / length(text) AS space_ratio
         |FROM documents""".stripMargin,
+
+    "q_word_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, w
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+        |  WHERE w <> ''),
+        |f AS (
+        |  SELECT doc_id, w, COUNT(*) AS f FROM w GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  CAST(SUM(f) AS BIGINT) AS n_words,
+        |  COUNT(*) AS n_distinct_words,
+        |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(f) AS BIGINT), 6)
+        |    AS rep_ratio,
+        |  CAST(MAX(f) AS BIGINT) AS max_word_freq
+        |FROM f GROUP BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       s"""SELECT doc_id, lang,
