@@ -22,7 +22,7 @@ object Bench {
     "q_asof_join", "q_asof_native", "q_sma", "q_vwap_signals", "q_gap_fill",
     "q_weekly_rollup", "q_hvc_daily", "q_events_sessions",
     "q_dedup_exact", "q_neardup_clusters", "q_simhash_neardup",
-    "q_ngram_jaccard", "q_embed_neardup", "q_cosine_knn", "q_ivf_knn",
+    "q_ngram_jaccard", "q_embed_neardup_lsh", "q_cosine_knn", "q_ivf_knn",
     "q_topk_per_group", "q_range_frame", "q_full_outer")
 
   def main(args: Array[String]): Unit = {
@@ -42,26 +42,37 @@ object Bench {
               else Some(headline.toSet))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // median of N runs per query: single-run host timings swing 2-3×; the
+    // median is stable within ~30% across bench invocations. N=3 default,
+    // SPARK_GRAFT_RUNS overrides for quick local iteration.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").trim.toInt
+    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     var failed = List.empty[String]
-    val queryResults = selected.map { case (name, fn) =>
+    def timed(name: String)(body: => Unit): Double = {
+      // every query starts from a cold cache: operators that return cached
+      // results (dedup pair sets, CC labels) must not contaminate whichever
+      // query runs next alphabetically (the round-2 bench artifact)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
+      try body
+      catch { case _: Throwable => if (!failed.contains(name)) failed ::= name }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val queryResults = selected.map { case (name, fn) =>
       // noop write forces every output column to materialize; a count() here
       // would let Catalyst prune unused window/projection expressions and
       // time only the scan.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => failed ::= name }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> median((1 to runs).map(_ => timed(name) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }))
     }
     // end-to-end medallion pipeline (bronze→silver→gold incl. indicators,
     // VWAP, pattern tables) — comparable to the reference's full-rewrite run
-    val pipelineTime = {
+    val pipelineTime = median((1 to runs).map { _ =>
       val lake = graft.pipeline.Lake(
         java.nio.file.Files.createTempDirectory("graft_bench_lake").toString)
-      val t0 = System.nanoTime()
-      try graft.pipeline.Pipeline.runAll(spark, sfDir, lake)
-      catch { case _: Throwable => failed ::= "pipeline_full" }
-      (System.nanoTime() - t0) / 1e9
-    }
+      timed("pipeline_full") { graft.pipeline.Pipeline.runAll(spark, sfDir, lake) }
+    })
     val results = queryResults :+ ("pipeline_full" -> pipelineTime)
     def ms(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) =>

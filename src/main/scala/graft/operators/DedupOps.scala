@@ -87,9 +87,26 @@ object DedupOps {
       .filter(col("bucket").isNotNull)
   }
 
+  /** Persist `result`, materialize it, then release the (large) upstream
+    * caches it was built from. The returned frame is the SMALL end product
+    * of a dedup pass (near-dup pairs / labels), cached so downstream
+    * consumers (threshold, cluster, write) never re-run the expensive
+    * candidate generation; callers may `unpersist()` when done. Without
+    * this, the shingle-row caches — corpus-sized — outlived every caller
+    * and accumulated across a long-lived session (round-2 bench
+    * contamination). */
+  private def materializeAndRelease(result: DataFrame,
+                                    upstream: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    upstream.foreach(_.unpersist(false))
+    out
+  }
+
   /** Candidate pairs from LSH buckets, verified with exact Jaccard over the
     * shingle sets. Returns (id_a, id_b, jaccard) for every bucket-colliding
-    * pair — callers threshold as needed. */
+    * pair — callers threshold as needed. Eager: the pair set materializes
+    * here so the corpus-sized shingle cache can be released immediately. */
   def minhashNearDups(docs: DataFrame, k: Int = 8, bands: Int = 4,
                       shingleN: Int = 3, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
@@ -104,7 +121,7 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    jaccardOnPairs(cand, shr)
+    materializeAndRelease(jaccardOnPairs(cand, shr), shr)
   }
 
   /** n-gram Jaccard near-dup pairs WITHOUT MinHash: candidates are pairs
@@ -120,9 +137,15 @@ object DedupOps {
     * share many shingles, including rare ones (stop-shingle removal, the
     * standard trick in web-dedup pipelines). Jaccard is still verified
     * over the FULL shingle sets, so scores are unaffected — only candidate
-    * recall is traded. */
+    * recall is traded.
+    *
+    * The DEFAULT is capped (100): the uncapped inverted-index self-join is
+    * the one phrasing of this operator that cannot survive a corpus with
+    * boilerplate, so unbounded fan-out is opt-in (`maxDf = Int.MaxValue`),
+    * not the default a user hits by accident. Eager: the pair set
+    * materializes here so the shingle cache can be released immediately. */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 2,
-                        minJaccard: Double = 0.0, maxDf: Int = Int.MaxValue,
+                        minJaccard: Double = 0.0, maxDf: Int = 100,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val shr = shingleRows(docs, shingleN, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -139,8 +162,8 @@ object DedupOps {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    jaccardOnPairs(cand, shr)
-      .filter(col("jaccard") >= minJaccard)
+    materializeAndRelease(
+      jaccardOnPairs(cand, shr).filter(col("jaccard") >= minJaccard), shr)
   }
 
   /** Exact Jaccard for given candidate pairs over exploded shingle rows. */

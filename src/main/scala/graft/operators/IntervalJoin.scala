@@ -30,12 +30,18 @@ object IntervalJoin {
     case g         => s"interval 1 $g"
   }
 
-  /** All overlapping pairs (leftKey < rightKey when self-joining the same
-    * frame) with the overlap length in days. `df` needs (`keyCol`,
-    * `startCol`, `endCol`); both inputs must use the same column names. */
+  /** All overlapping pairs with the overlap length in days. Both inputs
+    * need the same (`keyCol`, `startCol`, `endCol`) column names.
+    *
+    * `self = true` (the default, and auto-detected when `left eq right`)
+    * treats the join as a self-join: each unordered pair is emitted once
+    * (`key_a < key_b`). Pass `self = false` for genuinely distinct inputs —
+    * there the key ordering would silently drop every overlap whose left
+    * key sorts ≥ its right key, so ALL overlapping (a, b) combinations are
+    * kept instead. */
   def overlapPairs(left: DataFrame, right: DataFrame,
                    keyCol: String, startCol: String, endCol: String,
-                   grain: String = "auto"): DataFrame = {
+                   grain: String = "auto", self: Boolean = true): DataFrame = {
     require(grain == "auto" || grains.exists(_._1 == grain),
       s"bin grain must be auto|${grains.map(_._1).mkString("|")}, got $grain")
     val g = if (grain != "auto") grain else {
@@ -52,7 +58,10 @@ object IntervalJoin {
         s"sequence(${trunced(g, s"ds_$pfx")}, ${trunced(g, s"de_$pfx")}, ${step(g)})")))
     val a = binned(left, "a")
     val b = binned(right, "b")
-    a.join(b, col("bin_a") === col("bin_b") && col("key_a") < col("key_b") &&
+    val pairPred =
+      if (self || (left eq right)) col("key_a") < col("key_b")
+      else lit(true)
+    a.join(b, col("bin_a") === col("bin_b") && pairPred &&
         col("ds_a") <= col("de_b") && col("ds_b") <= col("de_a"))
       .select(col("key_a"), col("key_b"),
         (datediff(least(col("de_a"), col("de_b")),

@@ -35,6 +35,11 @@ object MergeOps {
     val merged = upsert(base, updates, keys)
       .repartition(col(partitionCol))
     merged.write
+      // per-write option, NOT the session conf: on a session without
+      // spark.sql.sources.partitionOverwriteMode=dynamic, a static
+      // Overwrite+partitionBy truncates the whole table path first —
+      // silently destroying every partition the updates didn't touch
+      .option("partitionOverwriteMode", "dynamic")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(ref.path)

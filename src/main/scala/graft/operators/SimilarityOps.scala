@@ -66,6 +66,28 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Embedding near-dup pairs via LSH bucketing — the 100 TB path for
+    * [[nearDupPairs]]: candidates must share a random-hyperplane bucket
+    * (a plain equi-join on the bucket id), then exact cosine confirms.
+    * The pair space is Σ_b |bucket_b|² instead of O(n²); recall is bounded
+    * by bucket collision probability (fewer planes / multiple tables raise
+    * it — same join shape, k× candidate rows). */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double,
+                      planes: Int = 8, dim: Int = 64,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val b = lshBuckets(corpus, planes, dim, idCol, vecCol)
+      .join(corpus, Seq(idCol))
+    val left = b.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      sqrt(array_dot(col(vecCol), col(vecCol))).as("na"), col("bucket"))
+    val right = b.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      sqrt(array_dot(col(vecCol), col(vecCol))).as("nb"), col("bucket"))
+    left.join(right, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: planes are derived
     * from md5("p:i") — seedless and reproducible by any engine. Maps the
     * first 4 hex chars to [-1, 1). */
@@ -88,31 +110,77 @@ object SimilarityOps {
     corpus.select(col(idCol), bucket.as("bucket"))
   }
 
-  /** IVF centroids: a deterministic pseudo-random sample of k corpus
+  /** IVF seed centroids: a deterministic pseudo-random sample of k corpus
     * vectors — ordered by md5 of the id, so any engine reproduces the same
-    * "training". A production deployment swaps in k-means centroids; the
-    * index structure and search path below are unchanged. */
+    * seeds. Plans as TakeOrderedAndProject (per-partition top-k, merged on
+    * the driver) — NOT a global sort or a single-partition window, so the
+    * corpus never funnels through one task. [[kmeansCentroids]] refines
+    * these seeds with Lloyd iterations. */
+  /** The seed-selection frame, exposed so PlanSpec can pin its shape:
+    * TakeOrderedAndProject, never a single-partition window/sort. */
+  private[graft] def ivfSeedFrame(corpus: DataFrame, k: Int,
+                                  idCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(k)
+
   def ivfCentroids(corpus: DataFrame, k: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding")
-  : Array[(Long, Seq[Float], Double)] = {
-    val w = Window.orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-    corpus.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(idCol), col(vecCol))
+  : Array[(Long, Seq[Double], Double)] = {
+    ivfSeedFrame(corpus, k, idCol, vecCol)
       .collect()
       .map { r =>
-        val vec = r.getSeq[Float](1)
+        val vec = r.getSeq[Float](1).map(_.toDouble)
         // ascending-index sum — the same order as array_dot and the oracles
-        var s = 0.0; vec.foreach(x => s += x.toDouble * x.toDouble)
+        var s = 0.0; vec.foreach(x => s += x * x)
         (r.getLong(0), vec, math.sqrt(s))
       }
+  }
+
+  /** k-means (Lloyd) IVF training: md5-seeded init ([[ivfCentroids]]), then
+    * `iters` rounds of assign → elementwise mean. Deterministic and
+    * engine-reproducible: assignment ties break on the smallest centroid
+    * id, means are rounded to 6 decimals (absorbing summation-order ulps),
+    * empty clusters keep their previous centroid.
+    *
+    * Scale shape: each iteration is ONE narrow pass over the corpus (the
+    * k×d centroids ride inside the plan as literals — no join, no shuffle)
+    * plus one map-side-combined (cid, pos) aggregation whose shuffle
+    * carries k·d rows per input partition; only k·d rows ever reach the
+    * driver. Centroid ids remain the seed vector ids throughout. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+  : Array[(Long, Seq[Double], Double)] = {
+    var cents = ivfCentroids(corpus, k, idCol, vecCol)
+    val ev = corpus.select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    for (_ <- 1 to iters) {
+      val means = ivfAssign(corpus, cents, idCol, vecCol)
+        .join(ev, Seq(idCol))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("v")), 6).as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, prev, prevNorm) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+            var s = 0.0; vec.foreach(x => s += x * x)
+            (cid, vec, math.sqrt(s))
+          case None => (cid, prev, prevNorm)
+        }
+      }
+    }
+    cents
   }
 
   /** Rounded cosine of each row's vector against every centroid, as an
     * array of (score, -cid) structs — argmax by struct comparison is
     * per-row (no shuffle, no explode): ties pick the smallest centroid id. */
   private def centroidScores(vecCol: Column, norm: Column,
-                             cents: Array[(Long, Seq[Float], Double)]): Column =
+                             cents: Array[(Long, Seq[Double], Double)]): Column =
     array(cents.map { case (cid, ce, cn) =>
       struct(
         round(array_dot(vecCol, typedLit(ce)) / (norm * lit(cn)), 6).as("s"),
@@ -120,7 +188,7 @@ object SimilarityOps {
     }: _*)
 
   /** IVF assignment: nearest centroid per vector. One narrow pass. */
-  def ivfAssign(corpus: DataFrame, cents: Array[(Long, Seq[Float], Double)],
+  def ivfAssign(corpus: DataFrame, cents: Array[(Long, Seq[Double], Double)],
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val norm = sqrt(array_dot(col(vecCol), col(vecCol)))
     val best = array_max(centroidScores(col(vecCol), norm, cents))
@@ -130,11 +198,14 @@ object SimilarityOps {
   /** ANN via IVF: probe the `nprobe` nearest centroid lists per query, then
     * exact cosine re-rank over the candidates. The corpus-side shuffle is
     * on the centroid id — |corpus| rows once, reusable across queries; at
-    * scale the assignment is precomputed and bucketed by cid. */
+    * scale the assignment is precomputed and bucketed by cid. Centroids
+    * come from `kmeansIters` Lloyd rounds over the md5 seeds (0 = raw
+    * seeds); trained centroids balance the inverted lists, which is what
+    * bounds probe cost at N/nlists × nprobe. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             nCentroids: Int = 16, nprobe: Int = 4,
+             nCentroids: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, nCentroids, idCol, vecCol)
+    val cents = kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
     val assigned = ivfAssign(corpus, cents, idCol, vecCol)
       .join(corpus, Seq(idCol))
       .select(col(idCol).as("nid"), col(vecCol).as("ne"),

@@ -62,10 +62,15 @@ object Pipeline {
       // day span from footer min/max via a single-column agg
       val bytes = raw.queryExecution.optimizedPlan.stats.sizeInBytes
       val span = raw.agg(min(col("date")).as("lo"), max(col("date")).as("hi")).first()
-      val days = math.max(1L,
-        java.time.temporal.ChronoUnit.DAYS.between(
-          span.getDate(0).toLocalDate, span.getDate(1).toLocalDate) + 1)
-      if (bytes / days >= BigInt(16L << 20)) "date" else "month"
+      // empty source ⇒ null min/max: degrade to the coarse grain instead of
+      // NPEing before the (empty) write
+      if (span.isNullAt(0) || span.isNullAt(1)) "month"
+      else {
+        val days = math.max(1L,
+          java.time.temporal.ChronoUnit.DAYS.between(
+            span.getDate(0).toLocalDate, span.getDate(1).toLocalDate) + 1)
+        if (bytes / days >= BigInt(16L << 20)) "date" else "month"
+      }
     }
     val (bars, partCols) = resolved match {
       case "date"  => (raw.repartition(col("date")), Seq("date"))

@@ -585,19 +585,35 @@ object ExtendedQueries {
     }),
 
     // 2-D skyline (Pareto frontier): a part is dominated iff another part
-    // is strictly cheaper AND strictly larger. One sort decides it — the
-    // running max size over strictly-cheaper rows (RANGE … 1 PRECEDING on
-    // integer cents) — O(n log n) where the oracle's NOT EXISTS is
-    // quadratic; the independent formulation doubles as a stronger proof.
-    // At cluster scale: local per-partition skylines first (each frontier
-    // is a superset filter), then this pass over the small union.
+    // is strictly cheaper AND strictly larger. Two phases:
+    //   1. LOCAL frontier per hash bucket — the same running-max-size-over-
+    //      strictly-cheaper predicate, windowed inside the bucket. Every
+    //      global skyline point survives its bucket's filter (fewer
+    //      comparisons can only keep more), and every dominated point's
+    //      minimal dominator chain ends at a bucket-local survivor — so
+    //      the survivor union is a superset of the skyline that still
+    //      contains a dominator for every dominated row.
+    //   2. GLOBAL pass over that small union — the only unpartitioned
+    //      window, now fed |frontier|-ish rows instead of the whole table.
+    // O(n log n) total where the oracle's NOT EXISTS is quadratic; the
+    // independent formulation doubles as a stronger proof. At 100 TB the
+    // bucket count scales with the cluster; phase 2's input stays ~the
+    // frontier size regardless of corpus size.
     "q_skyline" -> ((s, dir) => {
       val p = Tables.part(s, dir).select(col("p_partkey"), col("p_size"),
         col("p_retailprice"),
         round(col("p_retailprice") * 100).cast("long").as("price_c"))
+      val lw = Window.partitionBy(col("bucket")).orderBy(col("price_c"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val local = p
+        .withColumn("bucket", pmod(hash(col("p_partkey")), lit(32)))
+        .withColumn("local_best", max(col("p_size")).over(lw))
+        .filter(col("local_best").isNull ||
+          col("local_best") <= col("p_size"))
+        .drop("bucket", "local_best")
       val w = Window.orderBy(col("price_c"))
         .rangeBetween(Window.unboundedPreceding, -1)
-      p.withColumn("best_cheaper_size", max(col("p_size")).over(w))
+      local.withColumn("best_cheaper_size", max(col("p_size")).over(w))
         .filter(col("best_cheaper_size").isNull ||
           col("best_cheaper_size") <= col("p_size"))
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))

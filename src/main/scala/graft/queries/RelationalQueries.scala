@@ -268,12 +268,16 @@ object RelationalQueries {
         .groupBy(col("l_orderkey"))
         .agg(concat_ws(",", array_sort(collect_list(col("l_linenumber")))).as("lines"))),
 
-    // O4 — exact-n random sample (`silver/validation.py:145`): seeded
-    // rand + limit gives exactly n rows, reproducibly within Spark. No
-    // oracle (RNG differs across engines) → driver's rows-only check.
+    // O4 — exact-n pseudo-random sample (`silver/validation.py:145`):
+    // md5-ordered top-n instead of rand(seed) + limit. Same statistical
+    // intent (the md5 order is uncorrelated with any data order), but
+    // deterministic across engines, re-runs, AND repartitions — so it's
+    // hash-checkable against the oracle, and it plans as
+    // TakeOrderedAndProject (per-partition top-n, no global sort).
     "q_sample_n" -> ((s, dir) =>
       Tables.orders(s, dir)
-        .orderBy(rand(42), col("o_orderkey"))
+        .orderBy(md5(col("o_orderkey").cast("string").cast("binary")),
+          col("o_orderkey"))
         .limit(50)
         .select(col("o_orderkey"), col("o_custkey"))),
 
@@ -411,6 +415,10 @@ object RelationalQueries {
         |FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, JSON_EXTRACT_STRING(props, '$.device') AS device
-        |FROM events WHERE event_id <= 500""".stripMargin
+        |FROM events WHERE event_id <= 500""".stripMargin,
+    "q_sample_n" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+        |LIMIT 50""".stripMargin
   )
 }

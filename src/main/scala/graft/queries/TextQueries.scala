@@ -118,10 +118,13 @@ object TextQueries {
     "q_minhash_pairs" -> ((s, dir) =>
       DedupOps.minhashNearDups(Tables.documents(s, dir))),
 
+    // headline n-gram dedup runs the operator's DEFAULT df cap (100): the
+    // scale-safe phrasing is the benched one; the uncapped O(d²) fan-out is
+    // opt-in via maxDf = Int.MaxValue, never the path a user lands on.
     "q_ngram_jaccard" -> ((s, dir) =>
       DedupOps.ngramJaccardPairs(
         Tables.documents(s, dir).filter(col("doc_id") < 300),
-        shingleN = 2, minJaccard = 0.05)),
+        shingleN = 2, minJaccard = 0.05, maxDf = 100)),
 
     // df-capped candidate generation: the anti-skew knob for the
     // inverted-index join (hot boilerplate shingles are dropped from
@@ -157,12 +160,22 @@ object TextQueries {
     "q_embed_neardup" -> ((s, dir) =>
       SimilarityOps.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
 
+    // LSH-bucketed embedding near-dup — the benched/100 TB path (the
+    // all-pairs q_embed_neardup above is the documented exact baseline).
+    // 4 planes here: bucket granularity trades recall vs candidate-join
+    // size; a production corpus raises planes (and adds tables) as n grows.
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      SimilarityOps.lshNearDupPairs(Tables.embeddings(s, dir),
+        threshold = 0.4, planes = 4)),
+
     "q_lsh_buckets" -> ((s, dir) =>
       SimilarityOps.lshBuckets(Tables.embeddings(s, dir))),
 
+    // IVF assignment under k-means-trained centroids (2 Lloyd rounds over
+    // the md5-seeded sample — the oracle replays the identical training).
     "q_ivf_assign" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      SimilarityOps.ivfAssign(e, SimilarityOps.ivfCentroids(e, 16))
+      SimilarityOps.ivfAssign(e, SimilarityOps.kmeansCentroids(e, 16, iters = 2))
     }),
 
     // kNN classification: majority label of the 5 nearest neighbors under
@@ -372,35 +385,63 @@ object TextQueries {
     rows.mkString(",")
   }
 
-  /** Shared IVF CTEs: deterministic centroid sample (md5-ordered), per-id
-    * norms, rounded cosine of every vector against every centroid. */
-  private val ivfScoresCte =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      |cents AS (
-      |  SELECT vec_id AS cid, embedding AS ce FROM (
-      |    SELECT vec_id, embedding,
-      |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-      |    FROM e) WHERE rn <= 16),
-      |norms AS (
-      |  SELECT vec_id, SQRT(SUM(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
-      |    * CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE))) AS nrm
-      |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY 1),
-      |cnorms AS (
-      |  SELECT cid, SQRT(SUM(CAST(ce[CAST(i AS INTEGER)] AS DOUBLE)
-      |    * CAST(ce[CAST(i AS INTEGER)] AS DOUBLE))) AS cnrm
-      |  FROM cents CROSS JOIN range(1, 65) t(i) GROUP BY 1),
-      |scores AS (
-      |  SELECT e.vec_id, c.cid,
-      |    ROUND(SUM(CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
-      |            * CAST(c.ce[CAST(i AS INTEGER)] AS DOUBLE))
-      |          / (MAX(n.nrm) * MAX(cn.cnrm)), 6) AS s
-      |  FROM e
-      |  CROSS JOIN cents c
-      |  CROSS JOIN range(1, 65) t(i)
-      |  JOIN norms n ON n.vec_id = e.vec_id
-      |  JOIN cnorms cn ON cn.cid = c.cid
-      |  GROUP BY e.vec_id, c.cid)
-      |""".stripMargin
+  /** Rounded cosine of every vector against a (cid, pos, v) centroid CTE —
+    * the shared scoring shape inside the k-means replay. */
+  private def centroidScoreCte(name: String, centsCte: String,
+                               normCte: String): String =
+    s"""$normCte AS (SELECT cid, SQRT(SUM(v * v)) AS cnrm FROM $centsCte GROUP BY 1),
+       |$name AS (
+       |  SELECT ev.vec_id, c.cid,
+       |    ROUND(SUM(ev.v * c.v) / (MAX(n.nrm) * MAX(cn.cnrm)), 6) AS s
+       |  FROM ev JOIN $centsCte c ON c.pos = ev.pos
+       |  JOIN norms n ON n.vec_id = ev.vec_id
+       |  JOIN $normCte cn ON cn.cid = c.cid
+       |  GROUP BY ev.vec_id, c.cid)""".stripMargin
+
+  /** Shared IVF CTEs — a verbatim replay of
+    * [[graft.operators.SimilarityOps.kmeansCentroids]]: md5-seeded init,
+    * `iters` Lloyd rounds (assignment argmax on the 6-rounded cosine with
+    * smallest-cid tiebreak, means rounded to 6 decimals, empty clusters
+    * keep their previous centroid), then the rounded cosine of every
+    * vector against every trained centroid. Ends in `scores(vec_id, cid,
+    * s)`; leaves `e(vec_id, embedding)` and `norms(vec_id, nrm)` in scope
+    * for the knn tail. */
+  private def kmeansScoresCte(k: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { t =>
+      s"""${centroidScoreCte(s"s$t", s"c${t - 1}", s"cn$t")},
+         |a$t AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+         |    FROM s$t) WHERE rn = 1),
+         |m$t AS (
+         |  SELECT a.cid, ev.pos, ROUND(AVG(ev.v), 6) AS v
+         |  FROM a$t a JOIN ev ON ev.vec_id = a.vec_id GROUP BY 1, 2),
+         |c$t AS (
+         |  SELECT cid, pos, v FROM m$t
+         |  UNION ALL
+         |  SELECT c.cid, c.pos, c.v FROM c${t - 1} c
+         |  WHERE c.cid NOT IN (SELECT cid FROM m$t))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |ev AS (
+       |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+       |    CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS v
+       |  FROM e CROSS JOIN range(0, 64) t(i)),
+       |norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ev GROUP BY 1),
+       |c0 AS (
+       |  SELECT s.cid, ev.pos, ev.v FROM (
+       |    SELECT vec_id AS cid FROM (
+       |      SELECT vec_id,
+       |        ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |      FROM e) WHERE rn <= $k) s
+       |  JOIN ev ON ev.vec_id = s.cid),
+       |$iterCtes,
+       |${centroidScoreCte("scores", s"c$iters", "fcn")}
+       |""".stripMargin
+  }
+
+  private val ivfScoresCte = kmeansScoresCte(16, 2)
 
   def oracles: Map[String, String] = Map(
     "q_text_tokens" ->
@@ -559,11 +600,14 @@ object TextQueries {
 
     "q_ngram_jaccard" ->
       s"""WITH ${shingleCte(2, "WHERE doc_id < 300")},
+         |shrd AS (SELECT doc_id, UNNEST(shs) AS s FROM sh),
+         |dfreq AS (SELECT s, COUNT(*) AS df FROM shrd GROUP BY 1),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM (SELECT doc_id, UNNEST(shs) AS s FROM sh) a
-         |  JOIN (SELECT doc_id, UNNEST(shs) AS s FROM sh) b
-         |    ON a.s = b.s AND a.doc_id < b.doc_id),
+         |  FROM shrd a
+         |  JOIN shrd b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN dfreq d ON d.s = a.s
+         |  WHERE d.df <= 100),
          |$jaccardTail
          |WHERE ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
          |      CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6) >= 0.05""".stripMargin,
@@ -689,6 +733,36 @@ object TextQueries {
         |  SELECT id_a, id_b, ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) AS cosine
         |  FROM pairs)
         |WHERE cosine >= 0.4""".stripMargin,
+
+    "q_embed_neardup_lsh" ->
+      s"""WITH planes(p, i, w) AS (SELECT * FROM (VALUES $planesValues)),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |dots AS (
+         |  SELECT e.vec_id, pl.p,
+         |    SUM(CAST(e.embedding[pl.i] AS DOUBLE) * pl.w) AS d
+         |  FROM e, planes pl WHERE pl.p < 4 GROUP BY 1, 2),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN ROUND(d, 6) > 0 THEN POW(2, p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY 1),
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b,
+         |    SUM(CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+         |    SUM(CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(ea.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS aa,
+         |    SUM(CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(eb.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS bb
+         |  FROM cand c
+         |  JOIN e ea ON ea.vec_id = c.id_a
+         |  JOIN e eb ON eb.vec_id = c.id_b
+         |  CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT id_a, id_b, ROUND(dot / (SQRT(aa) * SQRT(bb)), 6) AS cosine
+         |  FROM pairs)
+         |WHERE cosine >= 0.4""".stripMargin,
 
     "q_lsh_buckets" ->
       s"""WITH planes(p, i, w) AS (SELECT * FROM (VALUES $planesValues)),

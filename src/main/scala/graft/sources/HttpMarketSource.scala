@@ -1,0 +1,109 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.LocalDate
+
+/** Live REST market-data client — the production implementation of the
+  * ingest interfaces (SURVEY S6-S8; reference `clients.py`,
+  * `bronze/main.py:81-205`, `bronze/splits.py:15-52`), re-expressed over
+  * `java.net.http` against the Polygon-style public API shapes:
+  *
+  *  - grouped-daily bars: one GET per trading day
+  *    (`/v2/aggs/grouped/locale/us/market/stocks/{date}`)
+  *  - reference lists (splits, tickers): cursor-paged via the response's
+  *    `next_url` until the cursor runs dry
+  *  - HTTP 403 (plan/quota limit) → [[PlanLimitExceeded]], which
+  *    [[ParallelFetch]] turns into cancel-all-outstanding-work — newest
+  *    days first, so a quota cutoff costs the oldest days
+  *
+  * Driver-scale by design: a few thousand small calls feeding one parquet
+  * write — executors never talk to the API, so there is nothing to
+  * distribute (a DataSourceV2 would buy latency, not throughput). Offline
+  * environments get [[FixtureBarsSource]] through the same trait — see
+  * [[HttpMarketSource.barsSourceFromEnv]].
+  */
+final class HttpMarketSource(baseUrl: String, apiKey: String,
+                             client: HttpClient = HttpClient.newHttpClient())
+    extends BarsSource {
+
+  private val mapper = new ObjectMapper
+
+  private def get(url: String): JsonNode = {
+    val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    resp.statusCode() match {
+      case 200 => mapper.readTree(resp.body())
+      case 403 => throw new PlanLimitExceeded(s"HTTP 403 (plan limit): $url")
+      case s   => throw new RuntimeException(s"HTTP $s from $url")
+    }
+  }
+
+  private def withKey(url: String): String =
+    if (url.contains("apiKey=")) url
+    else url + (if (url.contains("?")) "&" else "?") + s"apiKey=$apiKey"
+
+  /** One grouped-daily call → all tickers' bars for that day. */
+  override def fetchDay(date: LocalDate): Seq[BarRow] = {
+    val node = get(withKey(
+      s"$baseUrl/v2/aggs/grouped/locale/us/market/stocks/$date?adjusted=false"))
+    val results = node.path("results")
+    (0 until results.size()).map { i =>
+      val r = results.get(i)
+      BarRow(r.path("T").asText(), date,
+        r.path("o").asDouble(), r.path("h").asDouble(),
+        r.path("l").asDouble(), r.path("c").asDouble(),
+        r.path("v").asLong(), r.path("n").asLong())
+    }
+  }
+
+  /** Cursor-paged GET: concatenates every page's `results`, following
+    * `next_url` until absent; `maxPages` bounds a runaway cursor. */
+  def fetchPaged(firstUrl: String, maxPages: Int = 1000): Seq[JsonNode] = {
+    var url = withKey(firstUrl)
+    val out = Vector.newBuilder[JsonNode]
+    var pages = 0
+    while (url != null && pages < maxPages) {
+      val node = get(url)
+      val rs = node.path("results")
+      (0 until rs.size()).foreach(i => out += rs.get(i))
+      val next = node.path("next_url")
+      url = if (next.isMissingNode || next.isNull) null else withKey(next.asText())
+      pages += 1
+    }
+    out.result()
+  }
+
+  /** Stock splits executed on/after `since` (reference
+    * `bronze/splits.py:15-52` — same endpoint, same paging). */
+  def fetchSplits(since: LocalDate): Seq[SplitRow] =
+    fetchPaged(
+      s"$baseUrl/v3/reference/splits?execution_date.gte=$since&limit=1000")
+      .map(r => SplitRow(r.path("ticker").asText(),
+        LocalDate.parse(r.path("execution_date").asText()),
+        r.path("split_from").asDouble(), r.path("split_to").asDouble()))
+
+  /** Active ticker directory (reference tickers source). */
+  def fetchTickers(): Seq[TickerRow] =
+    fetchPaged(s"$baseUrl/v3/reference/tickers?market=stocks&active=true&limit=1000")
+      .map(r => TickerRow(r.path("ticker").asText(), r.path("name").asText(),
+        r.path("primary_exchange").asText()))
+}
+
+final case class SplitRow(ticker: String, executionDate: LocalDate,
+                          splitFrom: Double, splitTo: Double)
+
+final case class TickerRow(ticker: String, name: String,
+                           primaryExchange: String)
+
+object HttpMarketSource {
+  /** Source selection: the live client when `GRAFT_API_BASE_URL` +
+    * `GRAFT_API_KEY` are configured, fixture fallback otherwise — callers
+    * program against [[BarsSource]] and never branch on connectivity. */
+  def barsSourceFromEnv(tickers: Seq[String]): BarsSource =
+    (sys.env.get("GRAFT_API_BASE_URL"), sys.env.get("GRAFT_API_KEY")) match {
+      case (Some(base), Some(key)) => new HttpMarketSource(base, key)
+      case _                       => new FixtureBarsSource(tickers)
+    }
+}

@@ -89,6 +89,29 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("unboundedpreceding$()") || p.contains("UNBOUNDED PRECEDING"), p)
   }
 
+  test("sample_n plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_sample_n")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("IVF centroid seeding: per-partition top-k, no single-partition exchange") {
+    val p = formatted(graft.operators.SimilarityOps.ivfSeedFrame(
+      Tables.embeddings(spark, sf), 16, "vec_id", "embedding"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("skyline runs a bucketed local frontier before the global pass") {
+    val p = plan("q_skyline")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).size
+    assert(windows === 2, s"expected local + global window passes:\n$p")
+    // phase 1 shuffles on the hash bucket; only phase 2 — fed the small
+    // frontier union — is the unpartitioned pass
+    assert(p.contains("hashpartitioning(bucket"), p)
+  }
+
   test("date filters prune hive partitions at the scan (PartitionFilters)") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
