@@ -144,23 +144,23 @@ object SimilarityOps {
     * id, means are rounded to 6 decimals (absorbing summation-order ulps),
     * empty clusters keep their previous centroid.
     *
-    * Scale shape: each iteration is ONE narrow pass over the corpus (the
-    * k×d centroids ride inside the plan as literals — no join, no shuffle)
-    * plus one map-side-combined (cid, pos) aggregation whose shuffle
-    * carries k·d rows per input partition; only k·d rows ever reach the
-    * driver. Centroid ids remain the seed vector ids throughout. */
+    * Scale shape: each iteration is ONE narrow pass over the corpus — the
+    * k×d centroids ride inside the plan as literals and the assignment is
+    * computed in the SAME projection that explodes the vector (no
+    * assignment-to-vector self-join) — plus one map-side-combined
+    * (cid, pos) aggregation whose shuffle carries k·d rows per input
+    * partition; only k·d rows ever reach the driver. Centroid ids remain
+    * the seed vector ids throughout. */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
                       idCol: String = "vec_id", vecCol: String = "embedding")
   : Array[(Long, Seq[Double], Double)] = {
     var cents = ivfCentroids(corpus, k, idCol, vecCol)
-    val ev = corpus.select(col(idCol),
-        posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .withColumn("v", col("v").cast("double"))
     for (_ <- 1 to iters) {
-      val means = ivfAssign(corpus, cents, idCol, vecCol)
-        .join(ev, Seq(idCol))
+      val means = corpus
+        .select(nearestCid(col(vecCol), cents).as("cid"),
+          posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
-        .agg(round(avg(col("v")), 6).as("m"))
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
         .collect()
       val byCid = means.groupBy(_.getLong(0))
       cents = cents.map { case (cid, prev, prevNorm) =>
@@ -187,13 +187,19 @@ object SimilarityOps {
         lit(-cid).as("nc"))
     }: _*)
 
+  /** Nearest-centroid id for one vector column — a single per-row
+    * expression (argmax via struct array_max), usable inside any
+    * projection so callers never need an assignment join. */
+  private def nearestCid(vecCol: Column,
+                         cents: Array[(Long, Seq[Double], Double)]): Column = {
+    val norm = sqrt(array_dot(vecCol, vecCol))
+    (-array_max(centroidScores(vecCol, norm, cents)).getField("nc")).cast("long")
+  }
+
   /** IVF assignment: nearest centroid per vector. One narrow pass. */
   def ivfAssign(corpus: DataFrame, cents: Array[(Long, Seq[Double], Double)],
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val norm = sqrt(array_dot(col(vecCol), col(vecCol)))
-    val best = array_max(centroidScores(col(vecCol), norm, cents))
-    corpus.select(col(idCol), (-best.getField("nc")).cast("long").as("cid"))
-  }
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), nearestCid(col(vecCol), cents).as("cid"))
 
   /** ANN via IVF: probe the `nprobe` nearest centroid lists per query, then
     * exact cosine re-rank over the candidates. The corpus-side shuffle is
@@ -206,10 +212,12 @@ object SimilarityOps {
              nCentroids: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
-    val assigned = ivfAssign(corpus, cents, idCol, vecCol)
-      .join(corpus, Seq(idCol))
+    // inverted-list build: assignment computed inline — one narrow pass,
+    // no assignment-to-vector self-join
+    val assigned = corpus
       .select(col(idCol).as("nid"), col(vecCol).as("ne"),
-        sqrt(array_dot(col(vecCol), col(vecCol))).as("nn"), col("cid"))
+        sqrt(array_dot(col(vecCol), col(vecCol))).as("nn"),
+        nearestCid(col(vecCol), cents).as("cid"))
 
     val qnorm = sqrt(array_dot(col(vecCol), col(vecCol)))
     // top-nprobe probe list: sort the score structs descending — struct
