@@ -191,4 +191,38 @@ class SourcesSpec extends SparkSpecBase {
       .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     assert(stillThere === untouchedFiles)
   }
+
+  test("partitioned upsert survives a session configured for STATIC overwrite") {
+    // the writer pins partitionOverwriteMode=dynamic per-write; without the
+    // pin, a static-mode session truncates the whole table path and every
+    // untouched partition is silently lost
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      val ref = TableRef(Files.createTempDirectory("graft_ups_static").toString,
+        "silver", "t")
+      Seq((1L, "2024-01-01", 1.0), (3L, "2024-01-02", 3.0)).toDF("k", "d", "x")
+        .write.partitionBy("d").parquet(ref.path)
+      val updates = Seq((1L, "2024-01-01", 10.0)).toDF("k", "d", "x")
+      graft.operators.MergeOps.upsertPartitioned(spark, ref, updates, Seq("k"), "d")
+      val out = Storage.readTable(spark, ref)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(out === Set((1L, 10.0), (3L, 3.0)),
+        "untouched partition must survive a static-mode session")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  test("dedup operators release their corpus-sized shingle caches") {
+    val docs = Tables.documents(spark, sf).filter(
+      org.apache.spark.sql.functions.col("doc_id") < 100)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = graft.operators.DedupOps.ngramJaccardPairs(docs)
+    // only the small returned pair frame may remain cached — the shingle
+    // rows must have been unpersisted once the pairs materialized
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.size - before}")
+    pairs.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
 }
