@@ -128,6 +128,10 @@ object EventQueries {
         .select(to_date(col("ts")).as("d")).distinct()
       daily.join(firstDay, col("d") === col("first_day"), "left")
         .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        // unpartitioned window — INTENTIONAL, not a scale bug: the input is
+        // the per-day aggregate (calendar-bounded: thousands of rows at any
+        // corpus size), so the single-partition pass carries days, not
+        // events. Do not "fix" by salting; the curve is a global cumsum.
         .withColumn("cume_users", sum(col("new_users")).over(
           Window.orderBy(col("d"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -30,6 +30,19 @@ class SimilarityOpsSpec extends SparkSpecBase {
     assert(trained > 0.0)
   }
 
+  test("k-means training balances the inverted lists (probe-cost bound)") {
+    // the scale rationale for training: probe cost is bounded by the
+    // LARGEST inverted list a query can touch, so trained centroids must
+    // not be worse-balanced than the raw seeds
+    def maxList(cents: Array[(Long, Seq[Double], Double)]): Long =
+      SimilarityOps.ivfAssign(e, cents)
+        .groupBy(col("cid")).count()
+        .agg(max(col("count"))).first().getLong(0)
+    val seeds = maxList(SimilarityOps.ivfCentroids(e, 16))
+    val trained = maxList(SimilarityOps.kmeansCentroids(e, 16, iters = 2))
+    assert(trained <= seeds, s"trained max list $trained > seeds $seeds")
+  }
+
   test("kmeans centroids differ from seeds and keep deterministic ids") {
     val seeds = SimilarityOps.ivfCentroids(e, 16)
     val trained = SimilarityOps.kmeansCentroids(e, 16, iters = 2)
