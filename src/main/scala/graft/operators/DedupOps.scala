@@ -63,11 +63,19 @@ object DedupOps {
     * One shuffle on doc_id; the k hashes are k codegen'd aggregate columns
     * with map-side partial mins, so the shuffle carries k·|docs| strings. */
   def minhashSignatures(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    signaturesFromShingles(docs, shingleRows(docs, shingleN, textCol, idCol),
+      k, idCol)
+
+  /** Signatures over ALREADY-computed shingle rows — so callers that also
+    * need the shingles (near-dup verification, incremental indexing) hash
+    * each shingle once, not twice. */
+  private def signaturesFromShingles(docs: DataFrame, shr: DataFrame,
+                                     k: Int, idCol: String): DataFrame = {
     def sigExpr(i: Int) =
       min(substring(md5(concat(lit(s"${i / 4}:"), col("sh")).cast("binary")),
         1 + 8 * (i % 4), 8)).as(s"sig_$i")
-    val sigs = shingleRows(docs, shingleN, textCol, idCol)
+    val sigs = shr
       .groupBy(col("doc_id"))
       .agg(sigExpr(0), (1 until k).map(sigExpr): _*)
     // left join back so shingle-less docs keep null signatures
@@ -113,7 +121,7 @@ object DedupOps {
     val rowsPerBand = k / bands
     val shr = shingleRows(docs, shingleN, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = minhashSignatures(docs, k, shingleN, textCol, idCol)
+    val sigs = signaturesFromShingles(docs, shr, k, idCol)
     val bandRows = lshBands(sigs, bands, rowsPerBand)
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
@@ -122,6 +130,51 @@ object DedupOps {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     materializeAndRelease(jaccardOnPairs(cand, shr), shr)
+  }
+
+  /** The persisted LSH index of a corpus: (doc_id, band, bucket) rows plus
+    * (doc_id, sh) shingle rows — the two tables an incremental dedup
+    * pipeline stores (bucketed by `bucket` / `doc_id` respectively at
+    * scale) so each new batch hashes ONLY the delta. */
+  def buildBandIndex(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                     shingleN: Int = 3, textCol: String = "text",
+                     idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val shr = shingleRows(docs, shingleN, textCol, idCol)
+    val sigs = signaturesFromShingles(docs, shr, k, idCol)
+    (lshBands(sigs, bands, k / bands), shr)
+  }
+
+  /** Incremental near-dup: pairs introduced by a NEW batch against an
+    * existing corpus index — new×stored candidates come from joining the
+    * new docs' bands against the stored band table, new×new from a
+    * self-join of the delta; stored×stored pairs are never re-examined.
+    * Exactly the batch result restricted to pairs touching a new doc
+    * (hashing is per-doc deterministic — asserted in TextOpsSpec).
+    *
+    * 100 TB shape: the expensive side (the full corpus) is touched only
+    * through the equi-join on (band, bucket) against its STORED index, so
+    * a delta of d docs costs O(d) hashing + bucket-local joins, not a
+    * corpus re-scan. Jaccard verification reads only the shingle sets of
+    * docs that appear in some candidate pair. */
+  def incrementalNearDups(newDocs: DataFrame, storedBands: DataFrame,
+                          storedShingles: DataFrame, k: Int = 8, bands: Int = 4,
+                          shingleN: Int = 3, textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shrNew = shingleRows(newDocs, shingleN, textCol, idCol).persist(disk)
+    val sigs = signaturesFromShingles(newDocs, shrNew, k, idCol)
+    val newBands = lshBands(sigs, bands, k / bands)
+    def pairsOf(a: DataFrame, b: DataFrame) = a.as("a")
+      .join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cand = pairsOf(newBands, storedBands)
+      .union(pairsOf(storedBands, newBands))
+      .union(pairsOf(newBands, newBands))
+      .distinct()
+    val shrAll = storedShingles.select(col("doc_id"), col("sh")).union(shrNew)
+    materializeAndRelease(jaccardOnPairs(cand, shrAll), shrNew)
   }
 
   /** n-gram Jaccard near-dup pairs WITHOUT MinHash: candidates are pairs
@@ -377,8 +430,11 @@ object DedupOps {
     * `cluster` and `is_canonical` columns. */
   def dedupNearDups(docs: DataFrame, minJaccard: Double = 0.5,
                     idCol: String = "doc_id"): DataFrame = {
-    val pairs = minhashNearDups(docs).filter(col("jaccard") >= minJaccard)
-    val clusters = connectedComponents(pairs)
+    val pairs = minhashNearDups(docs)
+    val clusters = connectedComponents(pairs.filter(col("jaccard") >= minJaccard))
+    // connectedComponents materializes its labels before returning, so the
+    // cached pair set has served its purpose
+    pairs.unpersist(false)
     docs.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("label"), col(idCol)))
       .withColumn("is_canonical", col("cluster") === col(idCol))

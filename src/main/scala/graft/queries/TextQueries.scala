@@ -118,6 +118,19 @@ object TextQueries {
     "q_minhash_pairs" -> ((s, dir) =>
       DedupOps.minhashNearDups(Tables.documents(s, dir))),
 
+    // incremental dedup: docs >= 400 arrive as a new batch and are checked
+    // against the stored band index of docs < 400 — stored×stored pairs
+    // are never re-examined, the delta alone is hashed. The oracle is the
+    // batch pipeline restricted to pairs touching a new doc (the
+    // equivalence TextOpsSpec asserts directly).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val (bandIdx, shingleIdx) =
+        DedupOps.buildBandIndex(docs.filter(col("doc_id") < 400))
+      DedupOps.incrementalNearDups(docs.filter(col("doc_id") >= 400),
+        bandIdx, shingleIdx)
+    }),
+
     // headline n-gram dedup runs the operator's DEFAULT df cap (100): the
     // scale-safe phrasing is the benched one; the uncapped O(d²) fan-out is
     // opt-in via maxDf = Int.MaxValue, never the path a user lands on.
@@ -569,6 +582,17 @@ object TextQueries {
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |$jaccardTail""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH ${shingleCte(3)},
+         |$sigCte,
+         |$bandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id >= 400 OR b.doc_id >= 400),
          |$jaccardTail""".stripMargin,
 
     // same LSH candidate pipeline as q_minhash_pairs, thresholded at 0.3,

@@ -30,6 +30,22 @@ class TextOpsSpec extends SparkSpecBase {
     assert(p.getDouble(2) === 1.0)
   }
 
+  test("incremental near-dup == batch restricted to pairs touching the delta") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 300)
+    val split = 150L
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val batch = DedupOps.minhashNearDups(docs).collect().map(key)
+      .filter { case (a, b, _) => a >= split || b >= split }.toSet
+    val (bandIdx, shingleIdx) =
+      DedupOps.buildBandIndex(docs.filter(col("doc_id") < split))
+    val incr = DedupOps.incrementalNearDups(
+      docs.filter(col("doc_id") >= split), bandIdx, shingleIdx)
+      .collect().map(key).toSet
+    assert(incr === batch)
+    assert(incr.nonEmpty, "fixture must contain cross-batch near-dups")
+  }
+
   test("simhash is identical for identical docs, different for unrelated") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
