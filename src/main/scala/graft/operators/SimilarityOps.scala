@@ -69,23 +69,43 @@ object SimilarityOps {
   /** Embedding near-dup pairs via LSH bucketing — the 100 TB path for
     * [[nearDupPairs]]: candidates must share a random-hyperplane bucket
     * (a plain equi-join on the bucket id), then exact cosine confirms.
-    * The pair space is Σ_b |bucket_b|² instead of O(n²); recall is bounded
-    * by bucket collision probability (fewer planes / multiple tables raise
-    * it — same join shape, k× candidate rows). */
+    * The pair space is Σ_b |bucket_b|² instead of O(n²).
+    *
+    * `tables` is the recall lever: table t hashes with its OWN `planes`
+    * hyperplanes (plane indices t·planes…), a pair is a candidate if it
+    * collides in ANY table, and the miss probability decays as
+    * (1 − p^planes)^tables. Same join shape, tables× candidate rows;
+    * precision stays 1.0 because every candidate is cosine-verified. */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
-                      planes: Int = 8, dim: Int = 64,
+                      planes: Int = 8, dim: Int = 64, tables: Int = 1,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val b = lshBuckets(corpus, planes, dim, idCol, vecCol)
-      .join(corpus, Seq(idCol))
+    val withTables = (0 until tables).map { t =>
+      val bucket = (0 until planes).map { p =>
+        val plane = array((0 until dim).map(
+          i => lit(planeComponent(t * planes + p, i))): _*)
+        when(round(array_dot(col(vecCol), plane), 6) > 0, math.pow(2, p))
+          .otherwise(0.0)
+      }.reduce(_ + _).cast("long")
+      struct(lit(t).as("t"), bucket.as("b"))
+    }
+    val b = corpus.select(col(idCol), col(vecCol),
+        explode(array(withTables: _*)).as("tb"))
+      .select(col(idCol), col(vecCol),
+        col("tb.t").as("table"), col("tb.b").as("bucket"))
     val left = b.select(col(idCol).as("id_a"), col(vecCol).as("va"),
-      sqrt(array_dot(col(vecCol), col(vecCol))).as("na"), col("bucket"))
+      sqrt(array_dot(col(vecCol), col(vecCol))).as("na"),
+      col("table"), col("bucket"))
     val right = b.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
-      sqrt(array_dot(col(vecCol), col(vecCol))).as("nb"), col("bucket"))
-    left.join(right, Seq("bucket"))
+      sqrt(array_dot(col(vecCol), col(vecCol))).as("nb"),
+      col("table"), col("bucket"))
+    left.join(right, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+      // a pair colliding in several tables reaches here once per table —
+      // dedup on the 3 output columns (cheap), never shuffling the vectors
+      .distinct()
   }
 
   /** Deterministic pseudo-random hyperplane component: planes are derived

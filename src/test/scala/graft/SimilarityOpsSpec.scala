@@ -59,11 +59,19 @@ class SimilarityOpsSpec extends SparkSpecBase {
     val exact = SimilarityOps.nearDupPairs(e, threshold = 0.4)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SimilarityOps.lshNearDupPairs(e, threshold = 0.4, planes = 4)
-      .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.subsetOf(exact),
-      s"LSH pairs must be exact-verified: ${lsh.diff(exact)}")
-    assert(lsh.nonEmpty)
+    def lsh(tables: Int): Set[(Long, Long)] =
+      SimilarityOps.lshNearDupPairs(e, threshold = 0.4, planes = 4,
+        tables = tables)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = lsh(1)
+    assert(one.subsetOf(exact),
+      s"LSH pairs must be exact-verified: ${one.diff(exact)}")
+    assert(one.nonEmpty)
+    // more tables = monotonically more recall, never lost precision
+    val two = lsh(2)
+    assert(one.subsetOf(two), "table 1's collisions must survive the union")
+    assert(two.subsetOf(exact))
+    assert(two.size >= one.size)
   }
 }
