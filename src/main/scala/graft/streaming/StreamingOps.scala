@@ -170,6 +170,49 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming incremental near-dup: each micro-batch of documents is
+    * checked against the STORED LSH band index (pairs vs everything
+    * already indexed, plus within-batch), discovered pairs append to
+    * `pairsRef`, and the batch's own bands + shingles append to the index
+    * tables — the streaming twin of
+    * [[graft.operators.DedupOps.incrementalNearDups]], maintaining the
+    * same two tables batch [[graft.operators.DedupOps.buildBandIndex]]
+    * produces. No stored×stored pair is ever re-examined, so the
+    * accumulated pairs table converges to EXACTLY the batch near-dup
+    * result over the full corpus (every pair is discovered when its later
+    * member arrives — StreamingSpec asserts the equality). Returns the
+    * started query. */
+  def incrementalDedupSink(docs: DataFrame, bandsRef: graft.sources.TableRef,
+                           shinglesRef: graft.sources.TableRef,
+                           pairsRef: graft.sources.TableRef,
+                           checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.DedupOps
+    import graft.sources.Storage
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF()
+        val (newBands, newShr) = DedupOps.buildBandIndex(b)
+        val storedBands =
+          if (Storage.tableExists(s, bandsRef)) Storage.readTable(s, bandsRef)
+          else newBands.limit(0)
+        val storedShr =
+          if (Storage.tableExists(s, shinglesRef)) Storage.readTable(s, shinglesRef)
+          else newShr.limit(0)
+        val pairs = DedupOps.incrementalNearDups(b, storedBands, storedShr)
+        Storage.writeTable(pairs, pairsRef, org.apache.spark.sql.SaveMode.Append)
+        pairs.unpersist(false)
+        // grow the index AFTER pairing, so the batch never matches itself
+        // through the stored side (within-batch pairs come from the delta
+        // self-join inside incrementalNearDups)
+        Storage.writeTable(newBands, bandsRef, org.apache.spark.sql.SaveMode.Append)
+        Storage.writeTable(newShr, shinglesRef, org.apache.spark.sql.SaveMode.Append)
+      }
+      .start()
+  }
+
   /** Streaming MERGE sink: each micro-batch upserts into a stored table by
     * key (dedup-within-batch keep-last first, so a batch that touches one
     * key twice lands its final value). This is the continuous twin of

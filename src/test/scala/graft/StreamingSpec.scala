@@ -207,6 +207,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(keptIds.contains(1L) ^ keptIds.contains(3L)) // exactly one survivor
   }
 
+  test("streaming incremental dedup accumulates exactly the batch pair set") {
+    import graft.sources.{Storage, TableRef}
+    import org.apache.spark.sql.types._
+    val docsDir = Files.createTempDirectory("graft_sdocs").toString
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    // two arriving files → two micro-batches, each checked only against
+    // the index accumulated so far
+    all.filter(col("doc_id") < 150).coalesce(1).write.parquet(s"$docsDir/f1")
+    all.filter(col("doc_id") >= 150).coalesce(1).write.parquet(s"$docsDir/f2")
+    new java.io.File(docsDir).listFiles().filter(_.isDirectory).foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) => Files.move(f.toPath,
+          Paths.get(s"$docsDir/${d.getName}_$i.parquet"))
+      }
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+    val root = Files.createTempDirectory("graft_sdedup").toString
+    val bandsRef = TableRef(s"$root/bands", "index", "bands")
+    val shinglesRef = TableRef(s"$root/shingles", "index", "shingles")
+    val pairsRef = TableRef(s"$root/pairs", "index", "pairs")
+    val q = StreamingOps.incrementalDedupSink(stream, bandsRef, shinglesRef,
+      pairsRef, Files.createTempDirectory("graft_sdckpt").toString)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val streamed = Storage.readTable(spark, pairsRef).collect().map(key).toSet
+    val batch = graft.operators.DedupOps.minhashNearDups(all)
+      .collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must contain near-dups")
+    // the maintained index equals a from-scratch batch index build
+    val (bBands, bShr) = graft.operators.DedupOps.buildBandIndex(all)
+    assert(Storage.readTable(spark, bandsRef).except(bBands).count() === 0)
+    assert(bBands.except(Storage.readTable(spark, bandsRef)).count() === 0)
+    assert(Storage.readTable(spark, shinglesRef).except(bShr).count() === 0)
+    assert(bShr.except(Storage.readTable(spark, shinglesRef)).count() === 0)
+  }
+
   test("streaming upsert sink lands last-writer-wins state per key") {
     import graft.sources.{Storage, TableRef}
     val in = Files.createTempDirectory("graft_upsert_in").toString
