@@ -28,6 +28,29 @@ object TextQueries {
     "q_word_stats" -> ((s, dir) =>
       TextOps.wordStats(Tables.documents(s, dir))),
 
+    // composite quality FILTER — the accept/reject gate every corpus
+    // pipeline runs on top of the raw metrics (Gopher-style thresholds on
+    // length, word shape, punctuation, repetition). Per-rule flags are
+    // emitted alongside the verdict so rejected docs are attributable.
+    // One metrics projection + one word-stats aggregation, joined on
+    // doc_id — the gate itself adds no extra pass over the text.
+    "q_quality_filter" -> ((s, dir) => {
+      val m = TextOps.qualityMetrics(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("punct_ratio"))
+      val w = TextOps.wordStats(Tables.documents(s, dir))
+        .select(col("doc_id"), col("rep_ratio"))
+      val passLen = col("n_words") >= 10
+      val passWordLen = col("mean_word_len") >= 2 && col("mean_word_len") <= 12
+      val passPunct = col("punct_ratio") <= 0.2
+      val passRep = col("rep_ratio") <= 0.4
+      m.join(w, Seq("doc_id"))
+        .select(col("doc_id"),
+          passLen.as("pass_len"), passWordLen.as("pass_wordlen"),
+          passPunct.as("pass_punct"), passRep.as("pass_rep"),
+          (passLen && passWordLen && passPunct && passRep).as("keep"))
+    }),
+
     "q_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir))
         .select("doc_id", "lang", "score_en", "score_de", "score_fr",
@@ -489,6 +512,34 @@ object TextQueries {
         |    AS rep_ratio,
         |  CAST(MAX(f) AS BIGINT) AS max_word_freq
         |FROM f GROUP BY doc_id""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS mean_word_len,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio
+        |  FROM documents),
+        |wd AS (
+        |  SELECT doc_id, w
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+        |  WHERE w <> ''),
+        |f AS (SELECT doc_id, w, COUNT(*) AS f FROM wd GROUP BY doc_id, w),
+        |w AS (
+        |  SELECT doc_id,
+        |    ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(f) AS BIGINT), 6)
+        |      AS rep_ratio
+        |  FROM f GROUP BY doc_id)
+        |SELECT m.doc_id,
+        |  m.n_words >= 10 AS pass_len,
+        |  m.mean_word_len >= 2 AND m.mean_word_len <= 12 AS pass_wordlen,
+        |  m.punct_ratio <= 0.2 AS pass_punct,
+        |  w.rep_ratio <= 0.4 AS pass_rep,
+        |  (m.n_words >= 10 AND m.mean_word_len >= 2 AND m.mean_word_len <= 12
+        |   AND m.punct_ratio <= 0.2 AND w.rep_ratio <= 0.4) AS keep
+        |FROM m JOIN w ON w.doc_id = m.doc_id""".stripMargin,
 
     "q_lang_id" ->
       s"""SELECT doc_id, lang,
