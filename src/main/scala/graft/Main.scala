@@ -17,6 +17,17 @@ object Main {
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
     val spark = GraftSession.get()
     try stage match {
+      // live REST ingest (S6-S8): HTTP client when GRAFT_API_BASE_URL +
+      // GRAFT_API_KEY are set, deterministic fixture source otherwise
+      case "ingest" =>
+        val tickers = (0 until 10).map(i => s"T$i")
+        val source = graft.sources.HttpMarketSource.barsSourceFromEnv(tickers)
+        val startYear = sys.env.getOrElse("GRAFT_INGEST_START_YEAR", "2024").toInt
+        val today = sys.env.get("GRAFT_INGEST_TODAY")
+          .map(java.time.LocalDate.parse)
+          .getOrElse(java.time.LocalDate.now())
+        val (days, hitLimit) = Pipeline.runIngest(spark, source, lake, startYear, today)
+        println(s"ingest: days=$days hitLimit=$hitLimit")
       case "bronze"   => Pipeline.runBronze(spark, sfDir, lake)
       case "silver"   => Pipeline.runSilver(spark, lake)
       case "gold"     => Pipeline.runGold(spark, lake)

@@ -90,6 +90,43 @@ object Pipeline {
         ("bronze_stocks_last_date" -> maxDate.map(_.toString).getOrElse("")))
   }
 
+  /** Bronze ingest from a live [[graft.sources.BarsSource]] — the
+    * reference's actual bronze flow (`bronze/main.py:56-205`): plan the
+    * missing trading days (required minus stored, NEWEST first so a quota
+    * cutoff loses the oldest days), fetch them in parallel with
+    * cancel-on-403, append the fetched days as date partitions, advance
+    * the checkpoint. Fetching is driver-scale (a few thousand small HTTP
+    * calls); the write is one partitioned append. Returns (days fetched,
+    * hit plan limit). */
+  def runIngest(spark: SparkSession, source: graft.sources.BarsSource,
+                lake: Lake, startYear: Int, today: java.time.LocalDate,
+                parallelism: Int = 4): (Int, Boolean) = {
+    import spark.implicits._
+    val ref = lake.bronze("stocks")
+    val stored: Set[java.time.LocalDate] =
+      if (!Storage.tableExists(spark, ref)) Set.empty
+      else Storage.readTable(spark, ref).select(col("date")).distinct()
+        .collect().map(_.getDate(0).toLocalDate).toSet
+    val missing = graft.sources.IngestPlanner.missingDates(startYear, today, stored)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val (rows, doneDates, hitLimit) =
+      graft.sources.ParallelFetch.fetchAll(source, missing, parallelism)
+    if (rows.nonEmpty) {
+      val bars = rows.toDF()
+        .select(col("ticker"), col("date").cast("date"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("transactions"))
+        .repartition(col("date"))
+      Storage.writeTable(bars, ref, SaveMode.Append, partitionBy = Seq("date"))
+    }
+    val maxDate = Storage.maxDate(spark, ref)
+    Checkpoints.save(lake.checkpointPath,
+      Checkpoints.load(lake.checkpointPath) +
+        ("bronze_stocks_last_date" -> maxDate.map(_.toString).getOrElse("")))
+    (doneDates.size, hitLimit)
+  }
+
   /** Should silver fully rewrite? First run, or any split executed after
     * silver's high-water mark (retroactive adjustment invalidates history). */
   def shouldFullRewrite(spark: SparkSession, lake: Lake): Boolean = {

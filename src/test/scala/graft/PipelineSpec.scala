@@ -151,4 +151,42 @@ class PipelineSpec extends SparkSpecBase {
     assert(!Storage.tableExists(spark, lake.bronze("stocks")))
     assert(Storage.tableExists(spark, lake.silver("daily_aggregates")))
   }
+
+  test("source ingest lands missing trading days and is idempotent") {
+    import graft.sources.FixtureBarsSource
+    import graft.functions.TradingCalendar
+    val lake = Lake(Files.createTempDirectory("graft_ingest").toString)
+    val today = java.time.LocalDate.parse("2024-01-31")
+    val source = new FixtureBarsSource(Seq("T0", "T1"))
+    val (days, hit) = Pipeline.runIngest(spark, source, lake, 2024, today)
+    val expected = TradingCalendar
+      .tradingDays(java.time.LocalDate.parse("2024-01-01"), today).size
+    assert(days === expected && !hit)
+    val bronze = Storage.readTable(spark, lake.bronze("stocks"))
+    assert(bronze.count() === expected * 2L)
+    assert(Checkpoints.load(lake.checkpointPath)("bronze_stocks_last_date")
+      === "2024-01-31")
+    // second run: nothing missing, nothing fetched, nothing duplicated
+    val (days2, _) = Pipeline.runIngest(spark, source, lake, 2024, today)
+    assert(days2 === 0)
+    assert(Storage.readTable(spark, lake.bronze("stocks")).count() === expected * 2L)
+  }
+
+  test("source ingest under a quota cutoff keeps the NEWEST days") {
+    import graft.sources.FixtureBarsSource
+    val lake = Lake(Files.createTempDirectory("graft_ingestq").toString)
+    val today = java.time.LocalDate.parse("2024-01-31")
+    val quotaDay = java.time.LocalDate.parse("2024-01-10")
+    val source = new FixtureBarsSource(Seq("T0"), quotaDates = Set(quotaDay))
+    // parallelism 1 → deterministic: newest-first until the 403 day
+    val (days, hit) = Pipeline.runIngest(spark, source, lake, 2024, today,
+      parallelism = 1)
+    assert(hit, "quota must be reported")
+    val stored = Storage.readTable(spark, lake.bronze("stocks"))
+      .select(col("date")).collect().map(_.getDate(0).toLocalDate).toSet
+    assert(stored.size === days)
+    assert(stored.forall(_.isAfter(quotaDay)),
+      "a quota cutoff must cost the OLDEST days, never the newest")
+    assert(stored.contains(today.minusDays(1)) || stored.contains(today))
+  }
 }
