@@ -21,8 +21,9 @@ object Bench {
     "q1_agg", "q3_shipping_priority", "q5_local_supplier",
     "q_asof_join", "q_asof_native", "q_sma", "q_vwap_signals", "q_gap_fill",
     "q_weekly_rollup", "q_hvc_daily", "q_events_sessions",
-    "q_dedup_exact", "q_neardup_clusters", "q_simhash_neardup",
-    "q_ngram_jaccard", "q_embed_neardup_lsh", "q_cosine_knn", "q_ivf_knn",
+    "q_dedup_exact", "q_dedup_incremental", "q_neardup_clusters",
+    "q_simhash_neardup", "q_ngram_jaccard", "q_embed_neardup_lsh",
+    "q_cosine_knn", "q_ivf_knn", "q_quality_filter",
     "q_topk_per_group", "q_range_frame", "q_full_outer")
 
   def main(args: Array[String]): Unit = {

@@ -67,6 +67,20 @@ object TextQueries {
         TextOps.hashBucket(col("doc_id")).as("bucket"),
         TextOps.splitAssign(col("doc_id")).as("split"))),
 
+    // token budget report: total tokens per (lang, train/val/test split) —
+    // the accounting step every training-data pipeline runs before a
+    // mixing decision. One map-side-combined aggregation; token counting
+    // and split assignment are the already-oracled per-row expressions.
+    "q_token_budget" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextOps.splitAssign(col("doc_id")).as("split"),
+          TextOps.tokenCountWs(col("text")).as("ws"),
+          TextOps.tokenCountRegex(col("text")).cast("long").as("re"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws").cast("long")).as("ws_tokens"),
+          sum(col("re")).as("re_tokens"))),
+
     // stratified deterministic sampling: per-language keep-rates over the
     // same hash buckets — the downsample/rebalance op every corpus mix
     // needs, reproducible across engines and re-runs.
@@ -693,6 +707,20 @@ object TextQueries {
         |  CASE WHEN v % 100 < 80 THEN 'train'
         |       WHEN v % 100 < 90 THEN 'val' ELSE 'test' END AS split
         |FROM hv""".stripMargin),
+
+    "q_token_budget" -> (hashBucketCte +
+      """,
+        |t AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CASE WHEN hv.v % 100 < 80 THEN 'train'
+        |         WHEN hv.v % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+        |    CAST(len(string_split_regex(lower(trim(d.text)), '\s+')) AS BIGINT) AS ws,
+        |    CAST(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]+')) AS BIGINT) AS re
+        |  FROM documents d JOIN hv ON hv.doc_id = d.doc_id)
+        |SELECT lang, split, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(re) AS BIGINT) AS re_tokens
+        |FROM t GROUP BY 1, 2""".stripMargin),
 
     "q_stratified_sample" -> (hashBucketCte +
       """
