@@ -189,26 +189,45 @@ object StreamingOps {
   : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.DedupOps
     import graft.sources.Storage
+    // foreachBatch is at-least-once: a crash between the table writes and
+    // the checkpoint commit replays the batch. Plain Append would then
+    // duplicate pairs AND index rows, so every write lands in a
+    // batch_id=<id> partition under per-write dynamic overwrite — a replay
+    // rewrites its own partition and the sink is exactly-once end-to-end.
+    def writeBatchPartition(df: DataFrame, ref: graft.sources.TableRef,
+                            batchId: Long): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("batch_id")
+        .parquet(ref.path)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val b = batch.toDF()
         val (newBands, newShr) = DedupOps.buildBandIndex(b)
         val storedBands =
-          if (Storage.tableExists(s, bandsRef)) Storage.readTable(s, bandsRef)
-          else newBands.limit(0)
+          if (Storage.tableExists(s, bandsRef))
+            // a replayed batch must not see its own previous (partial)
+            // index writes as "stored", or within-batch pairs double
+            Storage.readTable(s, bandsRef).filter(col("batch_id") < batchId)
+          else newBands.limit(0).withColumn("batch_id", lit(0L))
         val storedShr =
-          if (Storage.tableExists(s, shinglesRef)) Storage.readTable(s, shinglesRef)
-          else newShr.limit(0)
-        val pairs = DedupOps.incrementalNearDups(b, storedBands, storedShr)
-        Storage.writeTable(pairs, pairsRef, org.apache.spark.sql.SaveMode.Append)
+          if (Storage.tableExists(s, shinglesRef))
+            Storage.readTable(s, shinglesRef).filter(col("batch_id") < batchId)
+          else newShr.limit(0).withColumn("batch_id", lit(0L))
+        val pairs = DedupOps.incrementalNearDups(b,
+          storedBands.drop("batch_id"), storedShr.drop("batch_id"))
+        writeBatchPartition(pairs, pairsRef, batchId)
         pairs.unpersist(false)
         // grow the index AFTER pairing, so the batch never matches itself
         // through the stored side (within-batch pairs come from the delta
         // self-join inside incrementalNearDups)
-        Storage.writeTable(newBands, bandsRef, org.apache.spark.sql.SaveMode.Append)
-        Storage.writeTable(newShr, shinglesRef, org.apache.spark.sql.SaveMode.Append)
+        writeBatchPartition(newBands, bandsRef, batchId)
+        writeBatchPartition(newShr, shinglesRef, batchId)
       }
       .start()
   }

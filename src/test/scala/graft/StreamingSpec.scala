@@ -238,17 +238,39 @@ class StreamingSpec extends SparkSpecBase {
     q.stop()
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDouble(2))
-    val streamed = Storage.readTable(spark, pairsRef).collect().map(key).toSet
+    def pairSet() = Storage.readTable(spark, pairsRef)
+      .select("id_a", "id_b", "jaccard").collect().map(key).toSet
+    def pairCount() = Storage.readTable(spark, pairsRef).count()
+    val streamed = pairSet()
     val batch = graft.operators.DedupOps.minhashNearDups(all)
       .collect().map(key).toSet
     assert(streamed === batch)
     assert(streamed.nonEmpty, "fixture must contain near-dups")
+    val nPairs = pairCount()
     // the maintained index equals a from-scratch batch index build
     val (bBands, bShr) = graft.operators.DedupOps.buildBandIndex(all)
-    assert(Storage.readTable(spark, bandsRef).except(bBands).count() === 0)
-    assert(bBands.except(Storage.readTable(spark, bandsRef)).count() === 0)
-    assert(Storage.readTable(spark, shinglesRef).except(bShr).count() === 0)
-    assert(bShr.except(Storage.readTable(spark, shinglesRef)).count() === 0)
+    def stored(ref: graft.sources.TableRef) =
+      Storage.readTable(spark, ref).drop("batch_id")
+    assert(stored(bandsRef).except(bBands).count() === 0)
+    assert(bBands.except(stored(bandsRef)).count() === 0)
+    assert(stored(shinglesRef).except(bShr).count() === 0)
+    assert(bShr.except(stored(shinglesRef)).count() === 0)
+    val nBands = stored(bandsRef).count()
+    // REPLAY: a fresh checkpoint re-delivers every micro-batch against the
+    // already-written tables (foreachBatch is at-least-once) — the
+    // batch_id-partition overwrites must keep the sink exactly-once:
+    // same pairs, same counts, no duplicates
+    val q2 = StreamingOps.incrementalDedupSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(docsDir),
+      bandsRef, shinglesRef, pairsRef,
+      Files.createTempDirectory("graft_sdckpt2").toString)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(pairSet() === batch, "replay must not change the pair set")
+    assert(pairCount() === nPairs, "replay must not duplicate pair rows")
+    assert(stored(bandsRef).count() === nBands,
+      "replay must not duplicate index rows")
   }
 
   test("streaming upsert sink lands last-writer-wins state per key") {
