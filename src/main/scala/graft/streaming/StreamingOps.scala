@@ -107,10 +107,12 @@ object StreamingOps {
 
   /** Streaming bronze→silver: bars files land in `bronzeDir`, each
     * micro-batch flows through the SAME split-adjustment transform the
-    * batch pipeline uses and appends to silver — the foreachBatch bridge
+    * batch pipeline uses and lands in silver — the foreachBatch bridge
     * that turns the reference's nightly incremental into a continuous one
-    * without forking the business logic. Returns the started query; caller
-    * stops it. */
+    * without forking the business logic. Writes are replay-idempotent
+    * (batch_id partitions — see [[idempotentBatchAppend]]); readers that
+    * want the plain silver schema drop the `batch_id` lineage column.
+    * Returns the started query; caller stops it. */
   def incrementalSilver(spark: SparkSession, bronzeDir: String,
                         splits: DataFrame, silverRef: graft.sources.TableRef,
                         checkpointDir: String)
@@ -125,12 +127,12 @@ object StreamingOps {
       .parquet(bronzeDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.Storage.writeTable(
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        idempotentBatchAppend(
           graft.functions.GraftFunctions.coerceTo(
             graft.operators.SilverOps.applySplits(batch.toDF(), splits),
             graft.Schemas.silverDaily),
-          silverRef, org.apache.spark.sql.SaveMode.Append)
+          silverRef, batchId)
       }
       .start()
   }
@@ -170,6 +172,24 @@ object StreamingOps {
       .start()
   }
 
+  /** Append for foreachBatch sinks that survives micro-batch REPLAY.
+    * foreachBatch is at-least-once: a crash between the table write and
+    * the checkpoint commit re-delivers the batch, and a plain
+    * SaveMode.Append would land its rows twice. Writing each batch into
+    * its own `batch_id=<id>` partition under per-write dynamic overwrite
+    * makes the replay rewrite the same partition instead — exactly-once
+    * end-to-end, at the cost of a visible `batch_id` partition column
+    * (which is also the write's lineage). */
+  private def idempotentBatchAppend(df: DataFrame, ref: graft.sources.TableRef,
+                                    batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("batch_id")
+      .parquet(ref.path)
+
   /** Streaming incremental near-dup: each micro-batch of documents is
     * checked against the STORED LSH band index (pairs vs everything
     * already indexed, plus within-batch), discovered pairs append to
@@ -189,20 +209,6 @@ object StreamingOps {
   : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.DedupOps
     import graft.sources.Storage
-    // foreachBatch is at-least-once: a crash between the table writes and
-    // the checkpoint commit replays the batch. Plain Append would then
-    // duplicate pairs AND index rows, so every write lands in a
-    // batch_id=<id> partition under per-write dynamic overwrite — a replay
-    // rewrites its own partition and the sink is exactly-once end-to-end.
-    def writeBatchPartition(df: DataFrame, ref: graft.sources.TableRef,
-                            batchId: Long): Unit =
-      df.withColumn("batch_id", lit(batchId))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .option("compression", "zstd")
-        .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("batch_id")
-        .parquet(ref.path)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -221,13 +227,13 @@ object StreamingOps {
           else newShr.limit(0).withColumn("batch_id", lit(0L))
         val pairs = DedupOps.incrementalNearDups(b,
           storedBands.drop("batch_id"), storedShr.drop("batch_id"))
-        writeBatchPartition(pairs, pairsRef, batchId)
+        idempotentBatchAppend(pairs, pairsRef, batchId)
         pairs.unpersist(false)
         // grow the index AFTER pairing, so the batch never matches itself
         // through the stored side (within-batch pairs come from the delta
         // self-join inside incrementalNearDups)
-        writeBatchPartition(newBands, bandsRef, batchId)
-        writeBatchPartition(newShr, shinglesRef, batchId)
+        idempotentBatchAppend(newBands, bandsRef, batchId)
+        idempotentBatchAppend(newShr, shinglesRef, batchId)
       }
       .start()
   }
