@@ -60,6 +60,34 @@ object TextQueries {
       TextOps.fingerprint(Tables.documents(s, dir))
         .select("doc_id", "fingerprint", "shard_key")),
 
+    // winnowing fingerprints (the rolling-hash document sketch): hash every
+    // char k-gram, slide a w-window over the hash sequence, keep each
+    // window's minimum — near-identical docs share most selected
+    // fingerprints, and any doc pair sharing one is findable by an
+    // equi-join on fp (same shape as the shingle inverted index). Ties
+    // break on position via the lexicographic (hash:pos) key, so selection
+    // is total-order deterministic in any engine. The w-row frame is
+    // CONSTANT (w=4) — O(rows·w), not the banned O(rows×data-frame) shape.
+    "q_winnow_fingerprint" -> ((s, dir) => {
+      val k = 8; val w = 4
+      val grams = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("t"))
+        .filter(length(col("t")) >= k)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, length(t) - $k), i -> substring(t, i + 1, $k))"))
+          .as(Seq("pos", "g")))
+      val sel = concat(substring(md5(col("g").cast("binary")), 1, 8),
+        lit(":"), lpad(col("pos").cast("string"), 8, "0"))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(-(w - 1), 0)
+      grams.withColumn("sel", sel)
+        .withColumn("m", min(col("sel")).over(win))
+        .filter(col("pos") >= w - 1)
+        .select(col("doc_id"), col("m")).distinct()
+        .select(col("doc_id"), substring(col("m"), 1, 8).as("fp"),
+          expr("cast(substring(m, 10, 8) as int)").as("fp_pos"))
+    }),
+
     // deterministic hash split/sample: same membership on any re-run,
     // any partitioning, any engine (rand() sampling is none of those).
     "q_hash_split" -> ((s, dir) =>
@@ -586,6 +614,31 @@ object TextQueries {
         |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 4) AS shard_key
         |FROM documents""".stripMargin,
+
+    "q_winnow_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (
+        |  -- constant range bound + filter (DuckDB range() can't take a
+        |  -- lateral column); 8192 comfortably exceeds the fixture's max
+        |  -- normalized doc length
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    substr(t, CAST(i AS INTEGER) + 1, 8) AS g
+        |  FROM d CROSS JOIN range(0, 8192) r(i)
+        |  WHERE length(t) >= 8 AND i + 8 <= length(t)),
+        |s AS (
+        |  SELECT doc_id, pos,
+        |    substr(md5(g), 1, 8) || ':' || lpad(CAST(pos AS VARCHAR), 8, '0') AS sel
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    MIN(sel) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+        |  FROM s)
+        |SELECT DISTINCT doc_id, substr(m, 1, 8) AS fp,
+        |  CAST(substr(m, 10, 8) AS INTEGER) AS fp_pos
+        |FROM m WHERE pos >= 3""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, fingerprint
