@@ -112,6 +112,17 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("hashpartitioning(bucket"), p)
   }
 
+  test("incremental dedup candidates join the stored index by hash, never NLJ") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val (bandIdx, shingleIdx) = graft.operators.DedupOps.buildBandIndex(
+      docs.filter(col("doc_id") < 150))
+    val p = formatted(graft.operators.DedupOps.incrementalNearDups(
+      docs.filter(col("doc_id") >= 150), bandIdx, shingleIdx))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must stay an equi-join on (band, bucket):\n$p")
+  }
+
   test("date filters prune hive partitions at the scan (PartitionFilters)") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
