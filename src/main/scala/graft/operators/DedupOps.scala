@@ -95,21 +95,6 @@ object DedupOps {
       .filter(col("bucket").isNotNull)
   }
 
-  /** Persist `result`, materialize it, then release the (large) upstream
-    * caches it was built from. The returned frame is the SMALL end product
-    * of a dedup pass (near-dup pairs / labels), cached so downstream
-    * consumers (threshold, cluster, write) never re-run the expensive
-    * candidate generation; callers may `unpersist()` when done. Without
-    * this, the shingle-row caches — corpus-sized — outlived every caller
-    * and accumulated across a long-lived session (round-2 bench
-    * contamination). */
-  private def materializeAndRelease(result: DataFrame,
-                                    upstream: DataFrame*): DataFrame = {
-    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    upstream.foreach(_.unpersist(false))
-    out
-  }
 
   /** Candidate pairs from LSH buckets, verified with exact Jaccard over the
     * shingle sets. Returns (id_a, id_b, jaccard) for every bucket-colliding
@@ -119,17 +104,26 @@ object DedupOps {
                       shingleN: Int = 3, textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     val rowsPerBand = k / bands
-    val shr = shingleRows(docs, shingleN, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = signaturesFromShingles(docs, shr, k, idCol)
-    val bandRows = lshBands(sigs, bands, rowsPerBand)
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shr = shingleRows(docs, shingleN, textCol, idCol).persist(disk)
+    // both sides of the candidate self-join consume the band rows, and the
+    // signature aggregation behind them is the most expensive map stage of
+    // the op — persist AND materialize before the join: a persisted-but-
+    // unmaterialized cache does not dedupe concurrent computation, so the
+    // join's two sides would otherwise race to compute the same partitions
+    // twice (a 3× whole-pass slowdown at the 200k-doc scale check; this
+    // count also populates the shingle cache in the same single pass)
+    val bandRows = lshBands(
+      signaturesFromShingles(docs, shr, k, idCol), bands, rowsPerBand)
+      .persist(disk)
+    graft.pipeline.Timing.stage("dedup", "bands")(bandRows.count())
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    materializeAndRelease(jaccardOnPairs(cand, shr), shr)
+    jaccardVerified(cand, shr, minJaccard = 0.0, shr, bandRows)
   }
 
   /** The persisted LSH index of a corpus: (doc_id, band, bucket) rows plus
@@ -163,7 +157,11 @@ object DedupOps {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shrNew = shingleRows(newDocs, shingleN, textCol, idCol).persist(disk)
     val sigs = signaturesFromShingles(newDocs, shrNew, k, idCol)
-    val newBands = lshBands(sigs, bands, k / bands)
+    // consumed by four candidate joins below — hash the delta once and
+    // materialize, so concurrent consumers read the cache instead of
+    // racing to compute the same partitions
+    val newBands = lshBands(sigs, bands, k / bands).persist(disk)
+    newBands.count()
     def pairsOf(a: DataFrame, b: DataFrame) = a.as("a")
       .join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -174,7 +172,7 @@ object DedupOps {
       .union(pairsOf(newBands, newBands))
       .distinct()
     val shrAll = storedShingles.select(col("doc_id"), col("sh")).union(shrNew)
-    materializeAndRelease(jaccardOnPairs(cand, shrAll), shrNew)
+    jaccardVerified(cand, shrAll, minJaccard = 0.0, shrNew, newBands)
   }
 
   /** n-gram Jaccard near-dup pairs WITHOUT MinHash: candidates are pairs
@@ -200,59 +198,99 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 2,
                         minJaccard: Double = 0.0, maxDf: Int = 100,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val shr = shingleRows(docs, shingleN, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shr = shingleRows(docs, shingleN, textCol, idCol).persist(disk)
+    val capped = maxDf != Int.MaxValue
     val candSource =
-      if (maxDf == Int.MaxValue) shr
+      if (!capped) shr
       else {
-        // df via a window on sh: same shuffle key the join needs anyway
+        // df via a window on sh: same shuffle key the join needs anyway.
+        // Persisted: both sides of the inverted-index self-join consume it,
+        // and the df window must not run once per side.
         val bySh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
         shr.withColumn("df", count(lit(1)).over(bySh))
           .filter(col("df") <= maxDf).drop("df")
+          .persist(disk)
       }
+    // materialize before the self-join (see minhashNearDups: an
+    // unmaterialized cache doesn't dedupe the two sides' concurrent work)
+    candSource.count()
     val cand = candSource.as("a")
       .join(candSource.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    materializeAndRelease(
-      jaccardOnPairs(cand, shr).filter(col("jaccard") >= minJaccard), shr)
+    jaccardVerified(cand, shr, minJaccard,
+      (if (capped) Seq(shr, candSource) else Seq(shr)): _*)
   }
 
-  /** Exact Jaccard for given candidate pairs over exploded shingle rows.
-    * The shingle table is first semi-joined to the docs that actually
-    * appear in a pair: on the incremental path the stored shingle table is
-    * corpus-sized while the pairs touch O(delta) docs, so without the
-    * restriction the size aggregation alone would re-scan the corpus on
-    * every delta. */
-  private def jaccardOnPairs(pairs: DataFrame, shingleRows: DataFrame): DataFrame = {
-    // the pair set participates in five joins below AND in the shingle
-    // restriction; localCheckpoint cuts its lineage so the verification
-    // plan stays linear — lazily composed, the candidate self-join would
-    // be embedded five times over (explain/AQE plan strings alone were
-    // heap-killers). Eager is fine: every caller materializes this result
-    // anyway, and the checkpointed pair set is the SMALL end of the op.
-    val p = pairs.localCheckpoint()
+  /** Exact-Jaccard verification of candidate pairs — EAGER: computes,
+    * persists and returns the (small) verified pair set, then releases
+    * every large cache involved, including the `release` varargs the
+    * caller hands over (the corpus-sized shingle cache). Without the
+    * in-function materialization the releases can't happen (round-2
+    * leaked them).
+    *
+    * Shape, chosen the hard way (each alternative measured at the
+    * 200k-doc / 4.9M-pair scale check):
+    *  - each doc's shingle set becomes ONE row: a sorted array of 60-bit
+    *    md5-derived hashes. The intersection is then
+    *    [[graft.functions.SortedArrayIntersectCount]] — an allocation-free
+    *    codegen merge per pair — reached by two 1:1 hash joins. The naive
+    *    `pairs ⨝ shingles ⨝ shingles` re-aggregation shuffles
+    *    |pairs|·|set| exploded rows instead (~880M there: the whole pass
+    *    was ~3× slower). Hashes not raw strings, so the arrays the joins
+    *    carry are 8 bytes/element; a 60-bit slice keeps within-doc
+    *    collisions at ~|set|²/2⁶⁰ (immaterial, and any collision is
+    *    computed identically by the SQL oracles' string-equality plan —
+    *    values only diverge if a collision actually fires, ~1e-14).
+    *  - sets are computed once over the shingle rows RESTRICTED to docs
+    *    appearing in a pair (left-semi): on the incremental path the
+    *    stored shingle table is corpus-sized while pairs touch O(delta)
+    *    docs, so the unrestricted aggregation would re-scan the corpus on
+    *    every delta.
+    *  - the set table is persisted AND materialized before the pair joins:
+    *    a persisted-but-unmaterialized cache does not dedupe in-flight
+    *    computation, so its two join consumers would race to compute the
+    *    same partitions twice.
+    *  - the pair set is localCheckpoint'd — it feeds three joins plus the
+    *    restriction, and lazily composed the candidate self-join would be
+    *    embedded once per consumer (explain/AQE plan strings alone were
+    *    heap-killers). */
+  private def jaccardVerified(pairs: DataFrame, shingleRows: DataFrame,
+                              minJaccard: Double,
+                              release: DataFrame*): DataFrame = {
+    import graft.functions.SetExpressions.sorted_intersect_count
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = graft.pipeline.Timing.stage("dedup", "cand-ckpt")(pairs.localCheckpoint())
     val docsInPairs = p.select(col("id_a").as("doc_id"))
       .union(p.select(col("id_b").as("doc_id")))
       .distinct()
-    val shr = shingleRows.join(docsInPairs, Seq("doc_id"), "left_semi")
-    val sizes = shr.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = p
-      .join(shr.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(shr.as("sb"),
-        col("id_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    p
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .withColumn("inter", coalesce(col("inter"), lit(0L)))
-      .join(sizes.withColumnRenamed("n", "na").withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("n", "nb").withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+    // 60-bit hash: 15 hex chars parse into a non-negative long exactly
+    val h = conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val sets = shingleRows
+      .join(docsInPairs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(h)).as("hs"), count(lit(1)).as("n"))
+      .persist(disk)
+    graft.pipeline.Timing.stage("dedup", "sets")(sets.count())
+    val out = p
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+        col("n").as("na")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+        col("n").as("nb")), Seq("id_b"))
+      .withColumn("inter", sorted_intersect_count(col("ha"), col("hb")))
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 6))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .persist(disk)
+    graft.pipeline.Timing.stage("dedup", "verify")(out.count())
+    sets.unpersist(false)
+    release.foreach(_.unpersist(false))
+    out
   }
 
   /** Connected components over a near-dup pair graph: iterative min-label

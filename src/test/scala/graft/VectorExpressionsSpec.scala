@@ -87,4 +87,29 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(rows(0).getDouble(0) === 32.0)
     assert(rows(1).isNullAt(0))
   }
+
+  test("sorted_intersect_count: merge semantics, empties, nulls, codegen≡eval") {
+    import graft.functions.SetExpressions.sorted_intersect_count
+    val df = Seq(
+      (1L, Some(Seq(1L, 3L, 5L, 9L)), Some(Seq(2L, 3L, 5L, 10L))), // 2
+      (2L, Some(Seq(1L, 2L)), Some(Seq(3L, 4L))),                  // 0
+      (3L, Some(Seq.empty[Long]), Some(Seq(1L))),                  // 0
+      (4L, Some(Seq(7L)), Some(Seq(7L))),                          // 1
+      (5L, None, Some(Seq(1L))))                                   // null
+      .toDF("id", "a", "b")
+    val rows = df.select($"id", sorted_intersect_count($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows === Map(1L -> Some(2L), 2L -> Some(0L), 3L -> Some(0L),
+      4L -> Some(1L), 5L -> None))
+    // interpreted eval agrees with the codegen path exercised above
+    val e = graft.functions.SortedArrayIntersectCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1L, 3L, 5L, 9L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(2L, 3L, 5L, 10L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+    assert(e.eval(null) === 2L)
+  }
 }
