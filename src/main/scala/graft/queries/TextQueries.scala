@@ -109,6 +109,44 @@ object TextQueries {
           sum(col("ws").cast("long")).as("ws_tokens"),
           sum(col("re")).as("re_tokens"))),
 
+    // budget-fill selection: after q_token_budget reports, THIS executes a
+    // mixing decision — keep docs per language, in deterministic md5
+    // order, until a per-language token budget is exhausted (the first doc
+    // to cross the line is kept, so every budget is met, not undershot).
+    // One window per language partition: running sums scale out across
+    // languages and are O(1)-state within each.
+    "q_budget_fill" -> ((s, dir) => {
+      val budget = 2000L
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("toks"))
+        .withColumn("cum", sum(col("toks")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cum") - col("toks") < budget)
+        .select(col("doc_id"), col("lang"), col("toks"), col("cum"))
+    }),
+
+    // train/test contamination screen: test-split docs sharing a MinHash
+    // LSH band bucket with any train doc — the near-dup decontamination
+    // pass every eval pipeline runs (exact-fingerprint equality misses
+    // paraphrased leaks; band collision is the standard suspect filter,
+    // exact verification follows on the tiny suspect set). One banding
+    // pass + a semi-join on (band, bucket).
+    "q_split_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bands = DedupOps.lshBands(DedupOps.minhashSignatures(docs), 4, 2)
+        .join(docs.select(col("doc_id"),
+          TextOps.splitAssign(col("doc_id")).as("split")), Seq("doc_id"))
+      val trainBuckets = bands.filter(col("split") === "train")
+        .select(col("band"), col("bucket"))
+      bands.filter(col("split") === "test")
+        .join(trainBuckets, Seq("band", "bucket"), "left_semi")
+        .select(col("doc_id")).distinct()
+    }),
+
     // stratified deterministic sampling: per-language keep-rates over the
     // same hash buckets — the downsample/rebalance op every corpus mix
     // needs, reproducible across engines and re-runs.
@@ -760,6 +798,40 @@ object TextQueries {
         |  CASE WHEN v % 100 < 80 THEN 'train'
         |       WHEN v % 100 < 90 THEN 'val' ELSE 'test' END AS split
         |FROM hv""".stripMargin),
+
+    "q_budget_fill" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, toks,
+        |    CAST(SUM(toks) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, toks, cum FROM c
+        |WHERE cum - toks < 2000""".stripMargin,
+
+    "q_split_contamination" -> (hashBucketCte +
+      s""",
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN v % 100 < 80 THEN 'train'
+         |         WHEN v % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM hv),
+         |${shingleCte(3)},
+         |$sigCte,
+         |$bandsCte,
+         |bs AS (
+         |  SELECT b.doc_id, b.band, b.bucket, sp.split
+         |  FROM bands b JOIN sp ON sp.doc_id = b.doc_id)
+         |SELECT DISTINCT t.doc_id
+         |FROM bs t
+         |WHERE t.split = 'test'
+         |  AND EXISTS (SELECT 1 FROM bs tr
+         |              WHERE tr.split = 'train'
+         |                AND tr.band = t.band AND tr.bucket = t.bucket)""".stripMargin),
 
     "q_token_budget" -> (hashBucketCte +
       """,
