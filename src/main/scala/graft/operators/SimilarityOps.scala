@@ -201,7 +201,7 @@ object SimilarityOps {
     * per-row (no shuffle, no explode): ties pick the smallest centroid id. */
   private def centroidScores(vecCol: Column, norm: Column,
                              cents: Array[(Long, Seq[Double], Double)]): Column =
-    array(cents.map { case (cid, ce, cn) =>
+    array(cents.toIndexedSeq.map { case (cid, ce, cn) =>
       struct(
         round(array_dot(vecCol, typedLit(ce)) / (norm * lit(cn)), 6).as("s"),
         lit(-cid).as("nc"))

@@ -82,7 +82,7 @@ object Storage {
     val allBounds = df.stat.approxQuantile(Array(colA, colB), probes, 0.01)
     def bucket(c: String, bounds: Array[Double]): org.apache.spark.sql.Column = {
       val bs = bounds.distinct.sorted
-      val arr = array(bs.map(lit): _*)
+      val arr = array(bs.toIndexedSeq.map(lit): _*)
       // index of the largest boundary ≤ value == the value's bucket —
       // then RESCALED onto the full 8-bit range: a low-cardinality column
       // yields few distinct boundaries, and without rescaling its bits
