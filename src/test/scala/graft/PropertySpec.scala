@@ -168,6 +168,33 @@ class PropertySpec extends SparkSpecBase {
     assert(df.map(_._3).distinct.length === pairs.length)
   }
 
+  test("near-dup jaccard equals brute-force set jaccard (hashed-set path)") {
+    // guards the sorted-hash-set verification: 60-bit hashing + merge
+    // count must reproduce exact |A∩B| / |A∪B| over the string shingles
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val docs = (0 until 40).map { i =>
+      val n = 5 + (i * 7) % 12
+      (i.toLong,
+        (0 until n).map(j => vocab((i * 3 + j * 5) % vocab.size)).mkString(" "))
+    }
+    val pairs = graft.operators.DedupOps
+      .minhashNearDups(docs.toDF("doc_id", "text")).collect()
+    assert(pairs.nonEmpty, "constructed corpus must contain near-dups")
+    def shingles(t: String): Set[String] = {
+      val w = t.trim.toLowerCase.split("\\s+").toVector
+      (0 to w.size - 3).map(k => w.slice(k, k + 3).mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    pairs.foreach { r =>
+      val (a, b) = (sets(r.getLong(0)), sets(r.getLong(1)))
+      val expected = BigDecimal(a.intersect(b).size.toDouble / a.union(b).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === expected,
+        s"pair (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("skyline keeps exactly the non-dominated points") {
     val rows = SparkEntry.queries("q_skyline")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
