@@ -156,6 +156,19 @@ object DomainQueries {
           col("split_from"), col("split_to"),
           col("matched_time").as("last_exec_date"))),
 
+    // As-of with a match-staleness tolerance (Polars join_asof(tolerance)):
+    // matches older than 90 days are nulled out. Oracle = ASOF join + the
+    // same CASE nulling.
+    "q_asof_tolerance" -> ((s, dir) =>
+      graft.operators.AsOfJoin.asOfWithTolerance(
+        Tables.bars(s, dir).select("ticker", "date", "close"),
+        syntheticSplits(s), Seq("ticker"),
+        "date", "execution_date", Seq("split_from", "split_to"),
+        toleranceDays = 90)
+        .select(col("ticker"), col("date"), col("close"),
+          col("split_from"), col("split_to"),
+          col("matched_time").as("last_exec_date"))),
+
     // Forward as-of: each bar picks up the EARLIEST split execution ≥ its
     // date. Oracle runs DuckDB's backward-only ASOF on negated day
     // numbers, which is the forward join exactly (equality included).
@@ -407,6 +420,17 @@ object DomainQueries {
     "q_asof_native" -> withBars(splitsSql,
       """SELECT b.ticker, b.date, b.close, s.split_from, s.split_to,
         |  s.execution_date AS last_exec_date
+        |FROM bars b ASOF LEFT JOIN splits s
+        |  ON b.ticker = s.ticker AND b.date >= s.execution_date""".stripMargin),
+
+    "q_asof_tolerance" -> withBars(splitsSql,
+      """SELECT b.ticker, b.date, b.close,
+        |  CASE WHEN b.date - s.execution_date > 90 THEN NULL
+        |       ELSE s.split_from END AS split_from,
+        |  CASE WHEN b.date - s.execution_date > 90 THEN NULL
+        |       ELSE s.split_to END AS split_to,
+        |  CASE WHEN b.date - s.execution_date > 90 THEN NULL
+        |       ELSE s.execution_date END AS last_exec_date
         |FROM bars b ASOF LEFT JOIN splits s
         |  ON b.ticker = s.ticker AND b.date >= s.execution_date""".stripMargin),
 
