@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main. Prints ONE JSON line the driver parses into BENCH_r{N}.json.
   *
@@ -15,13 +16,16 @@ object Bench {
 
   /** Representative heavy queries: flagship aggregations/joins, the window
     * machinery, each dedup/similarity family, and the medallion pipeline
-    * (added separately as pipeline_full).
+    * (added separately as pipeline_full). Incremental dedup is NOT here —
+    * it's benched as the two-phase dedup_index_build / dedup_incremental_delta
+    * pair below, because the single combined number measured index
+    * construction, not the operator's delta cost.
     */
   private val headline: Seq[String] = Seq(
     "q1_agg", "q3_shipping_priority", "q5_local_supplier",
     "q_asof_join", "q_asof_native", "q_sma", "q_vwap_signals", "q_gap_fill",
     "q_weekly_rollup", "q_hvc_daily", "q_events_sessions",
-    "q_dedup_exact", "q_dedup_incremental", "q_neardup_clusters",
+    "q_dedup_exact", "q_neardup_clusters",
     "q_simhash_neardup", "q_ngram_jaccard", "q_embed_neardup_lsh",
     "q_cosine_knn", "q_ivf_knn", "q_quality_filter",
     "q_topk_per_group", "q_range_frame", "q_full_outer")
@@ -59,14 +63,106 @@ object Bench {
       catch { case _: Throwable => if (!failed.contains(name)) failed ::= name }
       (System.nanoTime() - t0) / 1e9
     }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val queryResults = selected.map { case (name, fn) =>
       // noop write forces every output column to materialize; a count() here
       // would let Catalyst prune unused window/projection expressions and
       // time only the scan.
-      name -> median((1 to runs).map(_ => timed(name) {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }))
+      name -> median((1 to runs).map(_ => timed(name) { noop(fn(spark, sfDir)) }))
     }
+
+    // ---- two-phase incremental dedup (VERDICT r3 #2) ------------------
+    // The operator's value is delta cost ≪ corpus cost; the old combined
+    // q_dedup_incremental number was ~95% index construction. Build + store
+    // the index as its own metric, then time ONLY the delta pass against
+    // the stored tables. Split is scale-proportional (90% stored corpus,
+    // 10% arriving batch) so the ratio is meaningful at every sf.
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bench_aux").toString
+    val docs = Tables.documents(spark, sfDir)
+    val storedDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val deltaDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val idxBuild = median((1 to runs).map(_ => timed("dedup_index_build") {
+      val (bands, sets) = graft.operators.DedupOps.buildNearDupIndex(storedDocs)
+      bands.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$tmpRoot/idx/bands")
+      sets.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$tmpRoot/idx/sets")
+    }))
+    val storedBands = spark.read.parquet(s"$tmpRoot/idx/bands")
+    val storedSets = spark.read.parquet(s"$tmpRoot/idx/sets")
+    val idxDelta = median((1 to runs).map(_ => timed("dedup_incremental_delta") {
+      noop(graft.operators.DedupOps.incrementalNearDupsIndexed(
+        deltaDocs, storedBands, storedSets))
+    }))
+
+    // ---- skewed-key join: plain vs salted (VERDICT r3 #5) -------------
+    // Deterministic skew fixture: lineitem replicated 5× in-plan and half
+    // its rows collapsed onto ONE hot orderkey (~1.5M rows on a single
+    // shuffle partition at sf0.1), then joined to orders. Both variants
+    // force sort-merge — the shape skew actually hurts; a broadcast would
+    // dodge the question — and run under the same session config, AQE
+    // included: the hot partition sits well under AQE's 256MB
+    // skewedPartitionThresholdInBytes, which is precisely the regime
+    // saltedJoin exists for (skew AQE's split never sees).
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        explode(sequence(lit(0), lit(4))).as("rep"))
+      .withColumn("jk",
+        when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
+          .otherwise(col("l_orderkey")))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("jk"), col("o_custkey"), col("o_totalprice"))
+    val skewPlain = median((1 to runs).map(_ => timed("join_skew_plain") {
+      noop(lineitem.hint("merge").join(orders.hint("merge"), Seq("jk"))
+        .select(col("jk"), col("l_quantity"), col("o_totalprice")))
+    }))
+    val skewSalted = median((1 to runs).map(_ => timed("join_skew_salted") {
+      noop(graft.functions.GraftFunctions.saltedJoin(
+          lineitem.hint("merge"), orders.hint("merge"), Seq("jk"),
+          salts = 16,
+          leftUnique = col("l_orderkey") * lit(100) +
+            col("l_linenumber") * lit(10) + col("rep"))
+        .select(col("jk"), col("l_quantity"), col("o_totalprice")))
+    }))
+
+    // ---- streaming throughput (VERDICT r3 #6) -------------------------
+    // Feed the real tables through the exactly-once sinks as file-source
+    // micro-batches and report wall time + rows/s. Single run: a stream's
+    // checkpoint/replay machinery makes re-runs non-comparable anyway.
+    def streamTimed(name: String)(body: => Long): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val rows = try body
+        catch { case _: Throwable => failed ::= name; 0L }
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val nEvents = events.count()
+    events.repartition(4).write.parquet(s"$tmpRoot/feed/events")
+    val (tUpsert, upsertRows) = streamTimed("stream_upsert") {
+      val q = graft.streaming.StreamingOps.upsertSink(
+        graft.streaming.StreamingOps.readEventsStream(spark, s"$tmpRoot/feed/events"),
+        graft.sources.TableRef(tmpRoot, "stream", "upsert"),
+        keys = Seq("event_id"), orderCol = "ts",
+        checkpointDir = s"$tmpRoot/ckpt/upsert")
+      q.processAllAvailable(); q.stop()
+      nEvents
+    }
+    val nDocs = docs.count()
+    docs.repartition(4).write.parquet(s"$tmpRoot/feed/docs")
+    val (tDedupStream, dedupRows) = streamTimed("stream_dedup") {
+      val q = graft.streaming.StreamingOps.incrementalDedupSink(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmpRoot/feed/docs"),
+        graft.sources.TableRef(tmpRoot, "stream", "bands"),
+        graft.sources.TableRef(tmpRoot, "stream", "shingles"),
+        graft.sources.TableRef(tmpRoot, "stream", "pairs"),
+        checkpointDir = s"$tmpRoot/ckpt/dedup")
+      q.processAllAvailable(); q.stop()
+      nDocs
+    }
+
     // end-to-end medallion pipeline (bronze→silver→gold incl. indicators,
     // VWAP, pattern tables) — comparable to the reference's full-rewrite run
     val pipelineTime = median((1 to runs).map { _ =>
@@ -74,7 +170,14 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft_bench_lake").toString)
       timed("pipeline_full") { graft.pipeline.Pipeline.runAll(spark, sfDir, lake) }
     })
-    val results = queryResults :+ ("pipeline_full" -> pipelineTime)
+    val results = queryResults ++ Seq(
+      "dedup_index_build" -> idxBuild,
+      "dedup_incremental_delta" -> idxDelta,
+      "join_skew_plain" -> skewPlain,
+      "join_skew_salted" -> skewSalted,
+      "stream_upsert" -> tUpsert,
+      "stream_dedup" -> tDedupStream,
+      "pipeline_full" -> pipelineTime)
     def ms(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) =>
       // a failed query reports the -1 sentinel, not a normal-looking time
@@ -82,7 +185,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    def rps(rows: Long, sec: Double): Long =
+      if (sec > 0) (rows / sec).toLong else 0L
+    val streamJson =
+      s"""{"stream_upsert_rows_per_s":${rps(upsertRows, tUpsert)},"stream_dedup_rows_per_s":${rps(dedupRows, tDedupStream)}}"""
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"stream":$streamJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

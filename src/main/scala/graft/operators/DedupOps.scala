@@ -138,12 +138,86 @@ object DedupOps {
     (lshBands(sigs, bands, k / bands), shr)
   }
 
+  /** Per-doc sorted shingle-hash sets — ONE row per doc (sorted 60-bit
+    * hash array + cardinality): the verification half of the near-dup
+    * index. Stored instead of raw shingle rows, Jaccard verification of a
+    * delta JOINS this table on the pair members (point lookups on doc_id —
+    * bucketable/bloom-filterable at scale) instead of re-aggregating a
+    * corpus-sized shingle table on every batch. */
+  def shingleSets(shr: DataFrame): DataFrame =
+    shr.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(shingleHash)).as("hs"),
+        count(lit(1)).as("n"))
+
+  /** The near-dup index in its INCREMENTAL-friendly form: (bands, sets).
+    * Bands are identical to [[buildBandIndex]]'s; the second table is
+    * [[shingleSets]] (one row per doc) rather than raw shingle rows, so
+    * [[incrementalNearDupsIndexed]] verifies a delta with per-doc joins
+    * instead of an O(corpus) shingle re-aggregation. */
+  def buildNearDupIndex(docs: DataFrame, k: Int = 8, bands: Int = 4,
+                        shingleN: Int = 3, textCol: String = "text",
+                        idCol: String = "doc_id"): (DataFrame, DataFrame) = {
+    val shr = shingleRows(docs, shingleN, textCol, idCol)
+    val sigs = signaturesFromShingles(docs, shr, k, idCol)
+    (lshBands(sigs, bands, k / bands), shingleSets(shr))
+  }
+
+  /** [[incrementalNearDups]] against the [[buildNearDupIndex]] form of the
+    * stored index: same pair set and Jaccard values (TextOpsSpec asserts
+    * both equal the batch result restricted to delta-touching pairs), but
+    * the stored corpus is touched ONLY by (a) the band equi-join and (b) a
+    * doc_id join on the per-doc set table restricted to pair members —
+    * the delta cost is O(delta hashing + candidates), with no
+    * corpus-sized aggregation anywhere. */
+  def incrementalNearDupsIndexed(newDocs: DataFrame, storedBands: DataFrame,
+                                 storedSets: DataFrame, k: Int = 8,
+                                 bands: Int = 4, shingleN: Int = 3,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id"): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shrNew = shingleRows(newDocs, shingleN, textCol, idCol).persist(disk)
+    val sigs = signaturesFromShingles(newDocs, shrNew, k, idCol)
+    val newBands = lshBands(sigs, bands, k / bands).persist(disk)
+    newBands.count()
+    // ONE equi-join against the stored bands catches new×stored in both id
+    // orders (least/greatest normalizes — the stored side shuffles once,
+    // not twice); new×new comes from the delta self-join
+    val vsStored = newBands.as("a").join(storedBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+    val vsNew = newBands.as("a").join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val p = graft.pipeline.Timing.stage("dedup", "cand-ckpt")(
+      vsStored.union(vsNew).distinct().localCheckpoint())
+    val docsInPairs = p.select(col("id_a").as("doc_id"))
+      .union(p.select(col("id_b").as("doc_id")))
+      .distinct()
+    // delta docs' sets are built from the delta's own shingles; stored
+    // docs' sets come straight from the index. One semi-join restricts to
+    // pair members — Catalyst pushes left-semi through the union, so the
+    // stored read stays a member lookup, not a scan
+    val sets = storedSets.select(col("doc_id"), col("hs"), col("n"))
+      .union(shingleSets(shrNew))
+      .join(docsInPairs, Seq("doc_id"), "left_semi")
+      .persist(disk)
+    graft.pipeline.Timing.stage("dedup", "sets")(sets.count())
+    jaccardFromSets(p, sets, minJaccard = 0.0, sets, shrNew, newBands)
+  }
+
   /** Incremental near-dup: pairs introduced by a NEW batch against an
     * existing corpus index — new×stored candidates come from joining the
     * new docs' bands against the stored band table, new×new from a
     * self-join of the delta; stored×stored pairs are never re-examined.
     * Exactly the batch result restricted to pairs touching a new doc
     * (hashing is per-doc deterministic — asserted in TextOpsSpec).
+    * Prefer [[incrementalNearDupsIndexed]] when the stored index is in
+    * [[buildNearDupIndex]] form — it avoids re-aggregating the stored
+    * shingle table; this raw-shingle form is what the streaming sink
+    * maintains ([[graft.streaming.StreamingOps.incrementalDedupSink]]).
     *
     * 100 TB shape: the expensive side (the full corpus) is touched only
     * through the equi-join on (band, bucket) against its STORED index, so
@@ -260,21 +334,34 @@ object DedupOps {
   private def jaccardVerified(pairs: DataFrame, shingleRows: DataFrame,
                               minJaccard: Double,
                               release: DataFrame*): DataFrame = {
-    import graft.functions.SetExpressions.sorted_intersect_count
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val p = graft.pipeline.Timing.stage("dedup", "cand-ckpt")(pairs.localCheckpoint())
     val docsInPairs = p.select(col("id_a").as("doc_id"))
       .union(p.select(col("id_b").as("doc_id")))
       .distinct()
-    // 60-bit hash: 15 hex chars parse into a non-negative long exactly
-    val h = conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
-    val sets = shingleRows
-      .join(docsInPairs, Seq("doc_id"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(h)).as("hs"), count(lit(1)).as("n"))
+    val sets = shingleSets(
+      shingleRows.join(docsInPairs, Seq("doc_id"), "left_semi"))
       .persist(disk)
     graft.pipeline.Timing.stage("dedup", "sets")(sets.count())
+    jaccardFromSets(p, sets, minJaccard, sets +: release: _*)
+  }
+
+  /** 60-bit md5 slice of a shingle — the element hash the sorted-set
+    * intersection runs on (15 hex chars parse into a non-negative long
+    * exactly). */
+  private def shingleHash: org.apache.spark.sql.Column =
+    conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** The verification tail shared by every near-dup path: join each
+    * (already-checkpointed) pair to its two per-doc sets, codegen-merge the
+    * sorted arrays, threshold. EAGER — materializes the (small) verified
+    * pair set, then releases the `release` caches. */
+  private def jaccardFromSets(p: DataFrame, sets: DataFrame,
+                              minJaccard: Double,
+                              release: DataFrame*): DataFrame = {
+    import graft.functions.SetExpressions.sorted_intersect_count
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val out = p
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha"),
         col("n").as("na")), Seq("id_a"))
@@ -288,7 +375,6 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
       .persist(disk)
     graft.pipeline.Timing.stage("dedup", "verify")(out.count())
-    sets.unpersist(false)
     release.foreach(_.unpersist(false))
     out
   }

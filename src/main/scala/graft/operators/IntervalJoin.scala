@@ -33,15 +33,17 @@ object IntervalJoin {
   /** All overlapping pairs with the overlap length in days. Both inputs
     * need the same (`keyCol`, `startCol`, `endCol`) column names.
     *
-    * `self = true` (the default, and auto-detected when `left eq right`)
-    * treats the join as a self-join: each unordered pair is emitted once
-    * (`key_a < key_b`). Pass `self = false` for genuinely distinct inputs —
-    * there the key ordering would silently drop every overlap whose left
-    * key sorts ≥ its right key, so ALL overlapping (a, b) combinations are
-    * kept instead. */
+    * Self-join mode — each unordered pair emitted once (`key_a < key_b`) —
+    * is AUTO-DETECTED (`left eq right`) when `self` is left at `None`;
+    * genuinely distinct inputs then keep ALL overlapping (a, b)
+    * combinations, where the self-mode key ordering would silently drop
+    * every overlap whose left key sorts ≥ its right key. Pass
+    * `Some(true)`/`Some(false)` only to override the detection (e.g. a
+    * re-read of the same table under two plans). */
   def overlapPairs(left: DataFrame, right: DataFrame,
                    keyCol: String, startCol: String, endCol: String,
-                   grain: String = "auto", self: Boolean = true): DataFrame = {
+                   grain: String = "auto",
+                   self: Option[Boolean] = None): DataFrame = {
     require(grain == "auto" || grains.exists(_._1 == grain),
       s"bin grain must be auto|${grains.map(_._1).mkString("|")}, got $grain")
     val g = if (grain != "auto") grain else {
@@ -59,7 +61,7 @@ object IntervalJoin {
     val a = binned(left, "a")
     val b = binned(right, "b")
     val pairPred =
-      if (self || (left eq right)) col("key_a") < col("key_b")
+      if (self.getOrElse(left eq right)) col("key_a") < col("key_b")
       else lit(true)
     a.join(b, col("bin_a") === col("bin_b") && pairPred &&
         col("ds_a") <= col("de_b") && col("ds_b") <= col("de_a"))

@@ -75,9 +75,25 @@ object SimilarityOps {
     * hyperplanes (plane indices t·planes…), a pair is a candidate if it
     * collides in ANY table, and the miss probability decays as
     * (1 − p^planes)^tables. Same join shape, tables× candidate rows;
-    * precision stays 1.0 because every candidate is cosine-verified. */
+    * precision stays 1.0 because every candidate is cosine-verified.
+    *
+    * `maxBucket` caps the bucket population used for candidate generation —
+    * the embedding analogue of `maxDf` in
+    * [[graft.operators.DedupOps.ngramJaccardPairs]]: one degenerate bucket
+    * (zero vectors, template embeddings) otherwise fans out quadratically
+    * in the self-join. Over-full buckets are dropped from candidate
+    * generation (bounding any bucket's contribution at maxBucket²/2 pairs);
+    * precision is unaffected because survivors are still cosine-verified,
+    * and only recall inside the degenerate cluster is traded. Capped by
+    * DEFAULT — unbounded fan-out is opt-in via `maxBucket = Int.MaxValue`.
+    * Cost shape: one map-side-combined count over (table, bucket) — at
+    * most tables·2^planes groups — then the (by definition FEW) over-full
+    * bucket ids ride into the plan as an isin literal; the vector rows
+    * never shuffle for the cap, and when no bucket is degenerate the
+    * candidate join is untouched. */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
                       planes: Int = 8, dim: Int = 64, tables: Int = 1,
+                      maxBucket: Int = 1000,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val withTables = (0 until tables).map { t =>
       val bucket = (0 until planes).map { p =>
@@ -88,10 +104,21 @@ object SimilarityOps {
       }.reduce(_ + _).cast("long")
       struct(lit(t).as("t"), bucket.as("b"))
     }
-    val b = corpus.select(col(idCol), col(vecCol),
+    val raw = corpus.select(col(idCol), col(vecCol),
         explode(array(withTables: _*)).as("tb"))
       .select(col(idCol), col(vecCol),
         col("tb.t").as("table"), col("tb.b").as("bucket"))
+    val hot =
+      if (maxBucket == Int.MaxValue) Array.empty[String]
+      else raw.groupBy(col("table"), col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBucket)
+        .select(concat_ws(":", col("table"), col("bucket"))).collect()
+        .map(_.getString(0))
+    val b =
+      if (hot.isEmpty) raw
+      else raw.filter(!concat_ws(":", col("table"), col("bucket"))
+        .isin(hot.toIndexedSeq: _*))
     val left = b.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       sqrt(array_dot(col(vecCol), col(vecCol))).as("na"),
       col("table"), col("bucket"))
@@ -164,16 +191,29 @@ object SimilarityOps {
     * id, means are rounded to 6 decimals (absorbing summation-order ulps),
     * empty clusters keep their previous centroid.
     *
-    * Scale shape: each iteration is ONE narrow pass over the corpus — the
-    * k×d centroids ride inside the plan as literals and the assignment is
+    * `trainSample > 0` trains on the first `trainSample` vectors of the
+    * md5 order (the same deterministic order that picks the seeds, so
+    * seeds ⊆ sample) — the 100 TB path: Lloyd statistics converge on a
+    * sample, so training cost must be O(sample), never O(corpus), and
+    * must run ONCE, not inside every query (persist with
+    * [[centroidsToDf]]). The bounded sample is fetched in one
+    * TakeOrderedAndProject job (identical shape to the seed fetch) and the
+    * iterations are driver-local arithmetic over sample×d doubles — zero
+    * further cluster passes. `trainSample = 0` keeps the distributed
+    * full-corpus path: each iteration is ONE narrow pass — the k×d
+    * centroids ride inside the plan as literals and the assignment is
     * computed in the SAME projection that explodes the vector (no
     * assignment-to-vector self-join) — plus one map-side-combined
     * (cid, pos) aggregation whose shuffle carries k·d rows per input
     * partition; only k·d rows ever reach the driver. Centroid ids remain
-    * the seed vector ids throughout. */
+    * the seed vector ids throughout, and both paths share the exact
+    * rounding/tiebreak semantics (the DuckDB oracles replay them). */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int = 2,
+                      trainSample: Int = 0,
                       idCol: String = "vec_id", vecCol: String = "embedding")
   : Array[(Long, Seq[Double], Double)] = {
+    if (trainSample > 0)
+      return kmeansLocal(corpus, k, iters, trainSample, idCol, vecCol)
     var cents = ivfCentroids(corpus, k, idCol, vecCol)
     for (_ <- 1 to iters) {
       val means = corpus
@@ -195,6 +235,81 @@ object SimilarityOps {
     }
     cents
   }
+
+  /** round(x, 6) with Spark's Round semantics (HALF_UP over the decimal
+    * string representation) so local training and in-plan scoring agree. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** Driver-local Lloyd over the md5-ordered sample — the `trainSample > 0`
+    * branch of [[kmeansCentroids]]. Same semantics as the distributed
+    * path: rounded-cosine assignment with smallest-cid tiebreak, means
+    * rounded to 6 decimals, empty clusters keep their previous centroid. */
+  private def kmeansLocal(corpus: DataFrame, k: Int, iters: Int, sample: Int,
+                          idCol: String, vecCol: String)
+  : Array[(Long, Seq[Double], Double)] = {
+    val rows: Array[(Long, Array[Double], Double)] =
+      ivfSeedFrame(corpus, sample, idCol, vecCol).collect().map { r =>
+        val vec = r.getSeq[Float](1).map(_.toDouble).toArray
+        var s = 0.0; vec.foreach(x => s += x * x)
+        (r.getLong(0), vec, math.sqrt(s))
+      }
+    // seeds = first k of the md5 order (k ≤ sample ⇒ identical to the
+    // ivfCentroids fetch, without a second job)
+    var cents: Array[(Long, Seq[Double], Double)] =
+      rows.take(k).map { case (id, v, n) => (id, v.toSeq, n) }
+    for (_ <- 1 to iters) {
+      val assigned = rows.map { case (_, v, n) =>
+        val best = cents.map { case (cid, c, cn) =>
+          var dot = 0.0
+          var i = 0; while (i < v.length && i < c.length) { dot += v(i) * c(i); i += 1 }
+          (round6(dot / (n * cn)), cid)
+        }.maxBy { case (s, cid) => (s, -cid) } // score desc, cid asc
+        (best._2, v)
+      }
+      val byCid = assigned.groupBy(_._1)
+      cents = cents.map { case (cid, prev, prevNorm) =>
+        byCid.get(cid) match {
+          case Some(members) =>
+            val dim = members.head._2.length
+            val vec = (0 until dim).map { p =>
+              var s = 0.0; members.foreach(m => s += m._2(p))
+              round6(s / members.length)
+            }
+            var s = 0.0; vec.foreach(x => s += x * x)
+            (cid, vec, math.sqrt(s))
+          case None => (cid, prev, prevNorm)
+        }
+      }
+    }
+    cents
+  }
+
+  /** Trained centroids as a (cid, pos, v) DataFrame — the persistable form
+    * (store with [[graft.sources.Storage.writeTable]], symmetric to the
+    * dedup band index), so ANN queries LOAD centroids instead of
+    * retraining: training runs once per corpus version, not per query. */
+  def centroidsToDf(spark: org.apache.spark.sql.SparkSession,
+                    cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.flatMap { case (cid, vec, _) =>
+      vec.zipWithIndex.map { case (v, pos) => (cid, pos, v) }
+    }.toDF("cid", "pos", "v")
+  }
+
+  /** Inverse of [[centroidsToDf]]: rebuild the in-plan centroid array
+    * (k×d values — a driver-side constant by design) from a stored table. */
+  def centroidsFromDf(df: DataFrame): Array[(Long, Seq[Double], Double)] =
+    df.select(col("cid").cast("long"), col("pos").cast("int"),
+        col("v").cast("double"))
+      .collect()
+      .groupBy(_.getLong(0)).toArray.sortBy(_._1)
+      .map { case (cid, rows) =>
+        val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        var s = 0.0; vec.foreach(x => s += x * x)
+        (cid, vec, math.sqrt(s))
+      }
 
   /** Rounded cosine of each row's vector against every centroid, as an
     * array of (score, -cid) structs — argmax by struct comparison is
@@ -227,11 +342,24 @@ object SimilarityOps {
     * scale the assignment is precomputed and bucketed by cid. Centroids
     * come from `kmeansIters` Lloyd rounds over the md5 seeds (0 = raw
     * seeds); trained centroids balance the inverted lists, which is what
-    * bounds probe cost at N/nlists × nprobe. */
+    * bounds probe cost at N/nlists × nprobe. Training runs over the
+    * `trainSample`-bounded md5 sample (see [[kmeansCentroids]]) — a
+    * production pipeline trains once, persists via [[centroidsToDf]], and
+    * calls [[ivfKnnWith]] with the loaded centroids instead. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              nCentroids: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = kmeansCentroids(corpus, nCentroids, kmeansIters, idCol, vecCol)
+             trainSample: Int = 512,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfKnnWith(corpus, queries, k,
+      kmeansCentroids(corpus, nCentroids, kmeansIters, trainSample, idCol, vecCol),
+      nprobe, idCol, vecCol)
+
+  /** [[ivfKnn]] with PRE-TRAINED centroids — the query-path entry point at
+    * scale: centroids load from a stored table ([[centroidsFromDf]]) and no
+    * training work runs per query. */
+  def ivfKnnWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                 cents: Array[(Long, Seq[Double], Double)], nprobe: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // inverted-list build: assignment computed inline — one narrow pass,
     // no assignment-to-vector self-join
     val assigned = corpus
@@ -263,15 +391,25 @@ object SimilarityOps {
 
   /** ANN via LSH: candidates share the query's bucket; exact cosine re-rank
     * inside the bucket. Returns top-k per query with recall bounded by
-    * bucket collision probability. */
+    * bucket collision probability. `maxBucket` drops over-full corpus
+    * buckets from candidate generation (see [[lshNearDupPairs]]) so one
+    * degenerate cluster can't dominate the re-rank fan-out. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             planes: Int = 8, dim: Int = 64,
+             planes: Int = 8, dim: Int = 64, maxBucket: Int = 1000,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cb = lshBuckets(corpus, planes, dim, idCol, vecCol)
       .join(corpus, Seq(idCol))
     val qb = lshBuckets(queries, planes, dim, idCol, vecCol)
       .join(queries, Seq(idCol))
-    val cWithBucket = cb.select(col(idCol).as("nid"), col(vecCol).as("ne"),
+    val hot =
+      if (maxBucket == Int.MaxValue) Array.empty[Long]
+      else cb.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBucket)
+        .select(col("bucket")).collect().map(_.getLong(0))
+    val corpusSide = if (hot.isEmpty) cb
+      else cb.filter(!col("bucket").isin(hot.toIndexedSeq: _*))
+    val cWithBucket = corpusSide.select(col(idCol).as("nid"), col(vecCol).as("ne"),
       sqrt(array_dot(col(vecCol), col(vecCol))).as("nn"), col("bucket"))
     val qWithBucket = qb.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       sqrt(array_dot(col(vecCol), col(vecCol))).as("qn"), col("bucket"))

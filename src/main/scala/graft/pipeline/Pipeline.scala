@@ -120,7 +120,12 @@ object Pipeline {
         .repartition(col("date"))
       Storage.writeTable(bars, ref, SaveMode.Append, partitionBy = Seq("date"))
     }
-    val maxDate = Storage.maxDate(spark, ref)
+    // first run with zero fetched rows (immediate 403, or every day empty):
+    // the bronze path does not exist yet — the contract is (0, hitLimit)
+    // with an empty checkpoint, not an AnalysisException from the probe
+    val maxDate =
+      if (Storage.tableExists(spark, ref)) Storage.maxDate(spark, ref)
+      else None
     Checkpoints.save(lake.checkpointPath,
       Checkpoints.load(lake.checkpointPath) +
         ("bronze_stocks_last_date" -> maxDate.map(_.toString).getOrElse("")))

@@ -222,16 +222,18 @@ object TextQueries {
       DedupOps.minhashNearDups(Tables.documents(s, dir))),
 
     // incremental dedup: docs >= 400 arrive as a new batch and are checked
-    // against the stored band index of docs < 400 — stored×stored pairs
-    // are never re-examined, the delta alone is hashed. The oracle is the
-    // batch pipeline restricted to pairs touching a new doc (the
-    // equivalence TextOpsSpec asserts directly).
+    // against the stored index of docs < 400 — stored×stored pairs are
+    // never re-examined, the delta alone is hashed. Runs the INDEXED form
+    // (bands + per-doc hash sets): the stored corpus is touched only by
+    // member lookups, never an O(corpus) shingle re-aggregation. The
+    // oracle is the batch pipeline restricted to pairs touching a new doc
+    // (the equivalence TextOpsSpec asserts directly for both forms).
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val (bandIdx, shingleIdx) =
-        DedupOps.buildBandIndex(docs.filter(col("doc_id") < 400))
-      DedupOps.incrementalNearDups(docs.filter(col("doc_id") >= 400),
-        bandIdx, shingleIdx)
+      val (bandIdx, setsIdx) =
+        DedupOps.buildNearDupIndex(docs.filter(col("doc_id") < 400))
+      DedupOps.incrementalNearDupsIndexed(docs.filter(col("doc_id") >= 400),
+        bandIdx, setsIdx)
     }),
 
     // headline n-gram dedup runs the operator's DEFAULT df cap (100): the
@@ -288,10 +290,12 @@ object TextQueries {
       SimilarityOps.lshBuckets(Tables.embeddings(s, dir))),
 
     // IVF assignment under k-means-trained centroids (2 Lloyd rounds over
-    // the md5-seeded sample — the oracle replays the identical training).
+    // the md5-ordered 512-vector sample — the oracle replays the identical
+    // training; sample-bounded so training cost never scales with corpus).
     "q_ivf_assign" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      SimilarityOps.ivfAssign(e, SimilarityOps.kmeansCentroids(e, 16, iters = 2))
+      SimilarityOps.ivfAssign(e,
+        SimilarityOps.kmeansCentroids(e, 16, iters = 2, trainSample = 512))
     }),
 
     // kNN classification: majority label of the 5 nearest neighbors under
@@ -325,6 +329,10 @@ object TextQueries {
           round((col("s") / col("n")) / 1e6, 8).as("centroid_val"))
     }),
 
+    // IVF ANN with sample-bounded training (512-vector md5 sample, local
+    // Lloyd — one TakeOrderedAndProject job, zero per-iteration cluster
+    // passes); at scale centroids persist via centroidsToDf and queries
+    // call ivfKnnWith instead of retraining (CentroidStoreSpec).
     "q_ivf_knn" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       SimilarityOps.ivfKnn(e, e.filter(col("vec_id") < 10), k = 5)
@@ -501,30 +509,34 @@ object TextQueries {
     rows.mkString(",")
   }
 
-  /** Rounded cosine of every vector against a (cid, pos, v) centroid CTE —
-    * the shared scoring shape inside the k-means replay. */
+  /** Rounded cosine of every `evT` vector against a (cid, pos, v) centroid
+    * CTE — the shared scoring shape inside the k-means replay. `evT` /
+    * `normsT` select the vector universe: the training sample during Lloyd
+    * iterations, the full corpus for the final scores. */
   private def centroidScoreCte(name: String, centsCte: String,
-                               normCte: String): String =
+                               normCte: String, evT: String = "ev",
+                               normsT: String = "norms"): String =
     s"""$normCte AS (SELECT cid, SQRT(SUM(v * v)) AS cnrm FROM $centsCte GROUP BY 1),
        |$name AS (
        |  SELECT ev.vec_id, c.cid,
        |    ROUND(SUM(ev.v * c.v) / (MAX(n.nrm) * MAX(cn.cnrm)), 6) AS s
-       |  FROM ev JOIN $centsCte c ON c.pos = ev.pos
-       |  JOIN norms n ON n.vec_id = ev.vec_id
+       |  FROM $evT ev JOIN $centsCte c ON c.pos = ev.pos
+       |  JOIN $normsT n ON n.vec_id = ev.vec_id
        |  JOIN $normCte cn ON cn.cid = c.cid
        |  GROUP BY ev.vec_id, c.cid)""".stripMargin
 
   /** Shared IVF CTEs — a verbatim replay of
-    * [[graft.operators.SimilarityOps.kmeansCentroids]]: md5-seeded init,
-    * `iters` Lloyd rounds (assignment argmax on the 6-rounded cosine with
-    * smallest-cid tiebreak, means rounded to 6 decimals, empty clusters
-    * keep their previous centroid), then the rounded cosine of every
-    * vector against every trained centroid. Ends in `scores(vec_id, cid,
-    * s)`; leaves `e(vec_id, embedding)` and `norms(vec_id, nrm)` in scope
-    * for the knn tail. */
-  private def kmeansScoresCte(k: Int, iters: Int): String = {
+    * [[graft.operators.SimilarityOps.kmeansCentroids]] with
+    * `trainSample = sample`: md5-seeded init, `iters` Lloyd rounds over the
+    * first `sample` vectors of the SAME md5 order (assignment argmax on the
+    * 6-rounded cosine with smallest-cid tiebreak, means rounded to 6
+    * decimals, empty clusters keep their previous centroid), then the
+    * rounded cosine of every vector against every trained centroid. Ends
+    * in `scores(vec_id, cid, s)`; leaves `e(vec_id, embedding)` and
+    * `norms(vec_id, nrm)` in scope for the knn tail. */
+  private def kmeansScoresCte(k: Int, iters: Int, sample: Int): String = {
     val iterCtes = (1 to iters).map { t =>
-      s"""${centroidScoreCte(s"s$t", s"c${t - 1}", s"cn$t")},
+      s"""${centroidScoreCte(s"s$t", s"c${t - 1}", s"cn$t", "sev", "snorms")},
          |a$t AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid,
@@ -532,7 +544,7 @@ object TextQueries {
          |    FROM s$t) WHERE rn = 1),
          |m$t AS (
          |  SELECT a.cid, ev.pos, ROUND(AVG(ev.v), 6) AS v
-         |  FROM a$t a JOIN ev ON ev.vec_id = a.vec_id GROUP BY 1, 2),
+         |  FROM a$t a JOIN sev ev ON ev.vec_id = a.vec_id GROUP BY 1, 2),
          |c$t AS (
          |  SELECT cid, pos, v FROM m$t
          |  UNION ALL
@@ -545,6 +557,13 @@ object TextQueries {
        |    CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) AS v
        |  FROM e CROSS JOIN range(0, 64) t(i)),
        |norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ev GROUP BY 1),
+       |samp AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id,
+       |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM e) WHERE rn <= $sample),
+       |sev AS (SELECT ev.* FROM ev JOIN samp USING (vec_id)),
+       |snorms AS (SELECT norms.* FROM norms JOIN samp USING (vec_id)),
        |c0 AS (
        |  SELECT s.cid, ev.pos, ev.v FROM (
        |    SELECT vec_id AS cid FROM (
@@ -557,7 +576,7 @@ object TextQueries {
        |""".stripMargin
   }
 
-  private val ivfScoresCte = kmeansScoresCte(16, 2)
+  private val ivfScoresCte = kmeansScoresCte(16, 2, 512)
 
   def oracles: Map[String, String] = Map(
     "q_text_tokens" ->
@@ -973,9 +992,13 @@ object TextQueries {
          |  SELECT vec_id,
          |    CAST(SUM(CASE WHEN ROUND(d, 6) > 0 THEN POW(2, p) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM dots GROUP BY 1),
+         |bsz AS (SELECT bucket, COUNT(*) AS n FROM buckets GROUP BY 1),
+         |capped AS (
+         |  SELECT b.vec_id, b.bucket FROM buckets b
+         |  JOIN bsz ON bsz.bucket = b.bucket WHERE bsz.n <= 1000),
          |cand AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM buckets a JOIN buckets b
+         |  FROM capped a JOIN capped b
          |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |pairs AS (
          |  SELECT c.id_a, c.id_b,

@@ -25,18 +25,29 @@ import java.time.LocalDate
   * [[HttpMarketSource.barsSourceFromEnv]].
   */
 final class HttpMarketSource(baseUrl: String, apiKey: String,
-                             client: HttpClient = HttpClient.newHttpClient())
+                             client: HttpClient =
+                               HttpMarketSource.defaultClient())
     extends BarsSource {
 
   private val mapper = new ObjectMapper
 
+  /** Credential hygiene: error messages carry the URL for diagnosis, but
+    * [[withKey]] has suffixed it with the api key — strip it before it can
+    * reach driver logs or stack traces. */
+  private def redacted(url: String): String =
+    url.replaceAll("apiKey=[^&]+", "apiKey=***")
+
   private def get(url: String): JsonNode = {
-    val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
+    // per-request timeout: one hung TCP connection must fail the future,
+    // not stall the whole ingest (ParallelFetch awaits its futures)
+    val req = HttpRequest.newBuilder(URI.create(url)).GET()
+      .timeout(java.time.Duration.ofSeconds(60)).build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     resp.statusCode() match {
       case 200 => mapper.readTree(resp.body())
-      case 403 => throw new PlanLimitExceeded(s"HTTP 403 (plan limit): $url")
-      case s   => throw new RuntimeException(s"HTTP $s from $url")
+      case 403 => throw new PlanLimitExceeded(
+        s"HTTP 403 (plan limit): ${redacted(url)}")
+      case s   => throw new RuntimeException(s"HTTP $s from ${redacted(url)}")
     }
   }
 
@@ -98,6 +109,13 @@ final case class TickerRow(ticker: String, name: String,
                            primaryExchange: String)
 
 object HttpMarketSource {
+  /** Default client: bounded connect time — with the per-request timeout
+    * in [[HttpMarketSource.get]], no single dead endpoint can hang the
+    * ingest's future pool indefinitely. */
+  def defaultClient(): HttpClient =
+    HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
   /** Source selection: the live client when `GRAFT_API_BASE_URL` +
     * `GRAFT_API_KEY` are configured, fixture fallback otherwise — callers
     * program against [[BarsSource]] and never branch on connectivity. */

@@ -67,6 +67,18 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(splits.last.splitTo === 10.0)
   }
 
+  test("error messages never leak the api key") {
+    // both the 403 and generic non-200 paths interpolate the request URL,
+    // which carries apiKey=<secret> — the exception must redact it
+    val quota = intercept[PlanLimitExceeded](
+      source.fetchDay(LocalDate.parse("2024-01-03")))
+    assert(!quota.getMessage.contains("test-key"))
+    assert(quota.getMessage.contains("apiKey=***"))
+    val missing = intercept[RuntimeException](
+      source.fetchPaged(s"$base/no/such/endpoint?x=1"))
+    assert(!missing.getMessage.contains("test-key"))
+  }
+
   test("HTTP 403 raises PlanLimitExceeded and cancels outstanding fetches") {
     intercept[PlanLimitExceeded](source.fetchDay(LocalDate.parse("2024-01-03")))
     // newest-first through ParallelFetch: the 403 day stops older windows

@@ -189,4 +189,20 @@ class PipelineSpec extends SparkSpecBase {
       "a quota cutoff must cost the OLDEST days, never the newest")
     assert(stored.contains(today.minusDays(1)) || stored.contains(today))
   }
+
+  test("first-run ingest with zero fetched rows returns (0, true), no throw") {
+    // an immediate 403 on a fresh lake: bronze never materializes — the
+    // checkpoint probe must not explode on the missing path, and the
+    // checkpoint must still be written (empty high-water mark)
+    val lake = Lake(Files.createTempDirectory("graft_ingest0").toString)
+    val alwaysQuota = new graft.sources.BarsSource {
+      override def fetchDay(date: java.time.LocalDate) =
+        throw new graft.sources.PlanLimitExceeded("quota exhausted")
+    }
+    val (days, hit) = Pipeline.runIngest(spark, alwaysQuota, lake, 2024,
+      java.time.LocalDate.parse("2024-01-31"), parallelism = 1)
+    assert(days === 0 && hit)
+    assert(Checkpoints.load(lake.checkpointPath)("bronze_stocks_last_date")
+      === "")
+  }
 }

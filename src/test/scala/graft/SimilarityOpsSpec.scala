@@ -55,6 +55,70 @@ class SimilarityOpsSpec extends SparkSpecBase {
       again.map(t => (t._1, t._2)).toSeq)
   }
 
+  test("maxBucket cap: degenerate bucket bounded, precision untouched") {
+    import spark.implicits._
+    // adversarial fixture: 60 identical embeddings — every LSH table puts
+    // them in ONE bucket, so uncapped candidate generation is quadratic
+    val dup = (0L until 60L).map(i => (i, Array.fill(64)(0.5f)))
+    // plus two genuinely-similar distinct vectors in a normal bucket
+    val base = Array.tabulate(64)(d => 1.0f / (d + 1))
+    val tweaked = base.clone(); tweaked(63) = base(63) + 0.001f
+    val docs = (dup ++ Seq((100L, base), (101L, tweaked)))
+      .toDF("vec_id", "embedding")
+    val uncapped = SimilarityOps.lshNearDupPairs(docs, threshold = 0.4,
+      planes = 4, maxBucket = Int.MaxValue).collect()
+    assert(uncapped.length >= 60 * 59 / 2,
+      "fixture must actually be quadratic uncapped")
+    val capped = SimilarityOps.lshNearDupPairs(docs, threshold = 0.4,
+      planes = 4, maxBucket = 50)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the degenerate cluster's fan-out is gone; pairs outside it survive
+    assert(!capped.exists { case (a, b) => a < 60 && b < 60 },
+      "over-full bucket must be dropped from candidate generation")
+    assert(capped.contains((100L, 101L)),
+      "pairs in healthy buckets must survive the cap")
+    // precision stays 1: everything reported is exact-cosine verified
+    val exact = SimilarityOps.nearDupPairs(docs, threshold = 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exact))
+  }
+
+  test("centroid store/load roundtrip: ivfKnnWith(loaded) == ivfKnn") {
+    val cents = SimilarityOps.kmeansCentroids(e, 16, iters = 2,
+      trainSample = 512)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cents").toString
+    SimilarityOps.centroidsToDf(spark, cents)
+      .write.mode("overwrite").parquet(dir)
+    val loaded = SimilarityOps.centroidsFromDf(spark.read.parquet(dir))
+    // load order is cid-sorted, training order is seed order — values must
+    // match per cid (scoring is an argmax over the set, order-independent)
+    assert(loaded.map(c => (c._1, c._2)).sortBy(_._1).toSeq ===
+      cents.map(c => (c._1, c._2)).sortBy(_._1).toSeq)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(SimilarityOps.ivfKnnWith(e, q, k = 5, loaded)) ===
+      rows(SimilarityOps.ivfKnn(e, q, k = 5)))
+  }
+
+  test("nprobe recall curve: non-decreasing, exhaustive probe == brute force") {
+    val cents = SimilarityOps.kmeansCentroids(e, 16, iters = 2,
+      trainSample = 512)
+    def recallAt(nprobe: Int): Double = {
+      val approx = SimilarityOps.ivfKnnWith(e, q, k = 5, cents, nprobe = nprobe)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      approx.intersect(exactKnn).size.toDouble / exactKnn.size
+    }
+    val curve = Seq(1, 2, 4, 8, 16).map(recallAt)
+    curve.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi >= lo, s"recall must not drop as nprobe grows: $curve")
+    }
+    assert(curve.last === 1.0,
+      "probing every inverted list must reproduce brute force exactly")
+  }
+
   test("LSH near-dup pairs = exact pairs ∩ bucket collisions (precision 1)") {
     val exact = SimilarityOps.nearDupPairs(e, threshold = 0.4)
       .select("id_a", "id_b").collect()

@@ -44,6 +44,14 @@ class TextOpsSpec extends SparkSpecBase {
       .collect().map(key).toSet
     assert(incr === batch)
     assert(incr.nonEmpty, "fixture must contain cross-batch near-dups")
+    // the INDEXED form (bands + per-doc hash sets — no stored-shingle
+    // re-aggregation) must produce the identical pair set and jaccards
+    val (bandIdx2, setsIdx) =
+      DedupOps.buildNearDupIndex(docs.filter(col("doc_id") < split))
+    val indexed = DedupOps.incrementalNearDupsIndexed(
+      docs.filter(col("doc_id") >= split), bandIdx2, setsIdx)
+      .collect().map(key).toSet
+    assert(indexed === batch)
   }
 
   test("simhash is identical for identical docs, different for unrelated") {
