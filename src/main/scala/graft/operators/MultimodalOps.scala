@@ -8,14 +8,15 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata (builder brief).
   *
-  * The Spark-side plumbing — schema, batching, partition sizing — is real
-  * and tested; the actual media decode is STUBBED with a deterministic
-  * fake (this container has no image/audio codecs). A production deploy
-  * replaces [[decodeStub]]'s body with the codec call; everything around
-  * it (the `mapPartitions` batch shape, the output schema, the
-  * repartition-by-size strategy) is what matters at 100 TB: payloads are
-  * processed partition-at-a-time with zero driver involvement, and the
-  * feature schema is columnar so downstream training readers prune it.
+  * The decode path is REAL for uncompressed 24-bit BMP ([[decodeBmp]]):
+  * magic/offset/dimension header parse, little-endian multi-byte fields,
+  * 4-byte row-stride padding, bottom-up row order, per-channel pixel
+  * statistics — everything an image decoder must get right short of
+  * entropy coding. Compressed codecs (JPEG/PNG/PCM) are not in this
+  * container; they would slot into the same `mapPartitions` batch shape
+  * with the same output schema. At 100 TB payloads are processed
+  * partition-at-a-time with zero driver involvement, and the stats schema
+  * is columnar so downstream training readers prune it.
   */
 object MultimodalOps {
 
@@ -75,34 +76,127 @@ object MultimodalOps {
         md5(col("rhex").cast("binary")).as("resized_digest"))
   }
 
-  val featureSchema: StructType = StructType(Seq(
+  private val payloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", BinaryType)))
+
+  val bmpStatsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),
-    StructField("mean_byte", DoubleType),
-    StructField("feature", ArrayType(FloatType))))
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("bpp", IntegerType),
+    StructField("px_b", IntegerType),
+    StructField("px_g", IntegerType),
+    StructField("px_r", IntegerType),
+    StructField("mean_b", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_r", DoubleType)))
 
-  /** ??? REAL DECODER GOES HERE ??? — deterministic stand-in for an
-    * image/audio decode + feature extraction. Consumes (doc_id, payload)
-    * rows partition-at-a-time — the exact batch shape a Pandas-UDF/JNI
-    * decoder would use — and emits a fixed-width float feature vector
-    * derived from the bytes. Replace the body, keep the signature. */
-  def decodeStub(spark: SparkSession, payloads: DataFrame,
-                 featureDim: Int = 8): DataFrame = {
-    val enc = RowEncoder.encoderFor(featureSchema)
-    val input = payloads.select(col("doc_id").cast("long"), col("payload"))
-    input.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val mean = if (bytes.isEmpty) 0.0
-          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-        // fake "feature": strided byte means — stands in for pixels/PCM
-        val feat = (0 until featureDim).map { k =>
-          val slice = bytes.indices.filter(_ % featureDim == k).map(i => (bytes(i) & 0xff).toFloat)
-          if (slice.isEmpty) 0f else slice.sum / slice.length
-        }.toArray
-        Row(id, bytes.length, mean, feat)
-      }
+  private val BmpHeaderBytes = 54 // BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40)
+
+  /** Synthesize a REAL uncompressed 24-bit BMP per doc (the image corpus
+    * fixture this container can't download). Dimensions and pixel channels
+    * are closed-form functions of (doc_id, pixel index), so the DuckDB
+    * oracle verifies [[decodeBmp]] END TO END: if the decoder misreads a
+    * little-endian field, the stride padding, or the bottom-up row order,
+    * the decoded stats stop matching the formulas. Same `mapPartitions`
+    * batch shape a production encoder/codec uses. */
+  def encodeBmp(payloads: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    payloads.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), bmpBytes(r.getLong(0))))
     }(enc)
+  }
+
+  /** One deterministic BMP: width 4–8, height 4–6, pixel k's (B, G, R) =
+    * (id·7 + k·13, id·11 + k·17, id·3 + k·19) mod 256 — trivially
+    * replayable in SQL, non-trivially laid out in bytes (bottom-up rows,
+    * stride padded to 4). */
+  private[graft] def bmpBytes(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (4 + id % 3).toInt
+    val stride = ((3 * w + 3) / 4) * 4
+    val size = BmpHeaderBytes + stride * h
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(BmpHeaderBytes)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var s = 0
+    while (s < h) {
+      val row = h - 1 - s // bottom-up: storage row s holds image row h-1-s
+      var c = 0
+      while (c < w) {
+        val k = row * w + c
+        buf.put(((id * 7 + k * 13) % 256).toByte)
+        buf.put(((id * 11 + k * 17) % 256).toByte)
+        buf.put(((id * 3 + k * 19) % 256).toByte)
+        c += 1
+      }
+      var pad = 3 * w
+      while (pad < stride) { buf.put(0.toByte); pad += 1 }
+      s += 1
+    }
+    buf.array()
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** REAL BMP decode over binary payloads, partition-at-a-time: validates
+    * the magic, reads the little-endian header (pixel offset, dimensions,
+    * bit depth), walks the pixel grid honoring the 4-byte row stride and
+    * bottom-up row order, and emits header fields + the top-left pixel +
+    * per-channel means. Top-left is the layout sentinel: it lives in the
+    * LAST stored row, so a row-order bug is caught by the oracle even
+    * though means are order-blind. Supports the uncompressed 24-bit
+    * BI_RGB profile (what [[encodeBmp]] and most raw tooling emit). */
+  def decodeBmp(payloads: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(bmpStatsSchema)
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          require(bytes.length >= BmpHeaderBytes &&
+            bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+            s"not a BMP payload: doc $id")
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val offset = bb.getInt(10)
+          val w = bb.getInt(18)
+          val rawH = bb.getInt(22) // negative height = top-down layout
+          val bpp = bb.getShort(28).toInt
+          val compression = bb.getInt(30)
+          require(bpp == 24 && compression == 0,
+            s"unsupported BMP profile (bpp=$bpp compression=$compression): doc $id")
+          val h = math.abs(rawH)
+          val bottomUp = rawH > 0
+          val stride = ((3 * w + 3) / 4) * 4
+          var sb = 0L; var sg = 0L; var sr = 0L
+          var s = 0
+          while (s < h) {
+            var c = 0
+            val base = offset + s * stride
+            while (c < w) {
+              sb += bytes(base + 3 * c) & 0xff
+              sg += bytes(base + 3 * c + 1) & 0xff
+              sr += bytes(base + 3 * c + 2) & 0xff
+              c += 1
+            }
+            s += 1
+          }
+          val tl = offset + (if (bottomUp) (h - 1) * stride else 0)
+          val n = (w * h).toDouble
+          Row(id, bytes.length, w, h, bpp,
+            bytes(tl) & 0xff, bytes(tl + 1) & 0xff, bytes(tl + 2) & 0xff,
+            round6(sb / n), round6(sg / n), round6(sr / n))
+        }
+      }(enc)
   }
 }

@@ -369,15 +369,15 @@ object TextQueries {
       MultimodalOps.resizePayload(
         MultimodalOps.withPayload(Tables.documents(s, dir)))),
 
-    // decode-stub features: mapPartitions batch shape over binary payloads.
-    // No oracle (strided byte math isn't SQL-expressible) → the driver
-    // records the weaker rows-only check, which is the point: the plumbing
-    // runs end-to-end on the documents table.
+    // REAL image decode: encode each doc as an uncompressed 24-bit BMP
+    // (closed-form pixels), then parse the actual bytes back — header
+    // fields, stride padding, bottom-up rows, per-channel stats. The
+    // oracle replays the pixel formulas, so a decoder bug (endianness,
+    // stride, row order — the top-left pixel lives in the LAST stored
+    // row) breaks the hash. mapPartitions batch shape end to end.
     "q_mm_decode" -> ((s, dir) =>
-      MultimodalOps.decodeStub(s,
-        MultimodalOps.withPayload(Tables.documents(s, dir)))
-        .select(col("doc_id"), col("n_bytes"), round(col("mean_byte"), 6).as("mean_byte"),
-          size(col("feature")).as("feature_dim")))
+      MultimodalOps.decodeBmp(
+        MultimodalOps.encodeBmp(Tables.documents(s, dir))))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -1094,6 +1094,31 @@ object TextQueries {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |  md5(text) AS digest,
         |  substr(hex(CAST(text AS BLOB)), 1, 8) AS magic
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // replay of the BMP pixel formulas — the Spark side must reproduce
+    // these by PARSING the actual bytes it encoded (header, stride,
+    // bottom-up rows); px_* pin the top-left pixel, which lives in the
+    // LAST stored row
+    "q_mm_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS INTEGER) AS width,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height, CAST(t.i AS BIGINT) AS k
+        |  FROM d CROSS JOIN range(0, 48) t(i)
+        |  WHERE t.i < d.width * d.height)
+        |SELECT doc_id,
+        |  CAST(54 + ((3 * width + 3) // 4) * 4 * height AS INTEGER) AS n_bytes,
+        |  width, height, CAST(24 AS INTEGER) AS bpp,
+        |  CAST((doc_id * 7) % 256 AS INTEGER) AS px_b,
+        |  CAST((doc_id * 11) % 256 AS INTEGER) AS px_g,
+        |  CAST((doc_id * 3) % 256 AS INTEGER) AS px_r,
+        |  ROUND(AVG((doc_id * 7 + k * 13) % 256), 6) AS mean_b,
+        |  ROUND(AVG((doc_id * 11 + k * 17) % 256), 6) AS mean_g,
+        |  ROUND(AVG((doc_id * 3 + k * 19) % 256), 6) AS mean_r
+        |FROM px GROUP BY doc_id, width, height""".stripMargin
   )
 }

@@ -11,9 +11,10 @@ class ContractSpec extends AnyFunSuite {
     // an oracle without a query would silently never run
     assert(os.subsetOf(qs), s"orphan oracles: ${(os -- qs).toSeq.sorted}")
     // a query without an oracle silently degrades to the driver's weaker
-    // rows-only check — only the two documented sketch/byte-math queries
-    // are allowed there (bound-asserted in QueryBoundsSpec instead)
-    assert((qs -- os) === Set("q_approx_distinct", "q_mm_decode"),
+    // rows-only check — only the documented sketch query is allowed there
+    // (bound-asserted in QueryBoundsSpec instead; q_mm_decode graduated to
+    // a full oracle when the BMP decoder became real)
+    assert((qs -- os) === Set("q_approx_distinct"),
       s"un-oracled queries: ${(qs -- os).toSeq.sorted}")
   }
 

@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Bound assertions for the two queries that can't be oracle-hashed
-  * (sketch internals / non-SQL byte math differ across engines by design):
-  * the driver records them rows-only, so the correctness argument lives
-  * here instead. */
+/** Bound assertions for the one query that can't be oracle-hashed (sketch
+  * internals differ across engines by design): the driver records it
+  * rows-only, so the correctness argument lives here instead. Also pins
+  * the BMP decode's physical-layout behaviors the formula oracle is blind
+  * to (magic sniff, payload size). */
 class QueryBoundsSpec extends SparkSpecBase {
 
   test("q_approx_distinct: HLL estimate within rsd bounds of exact") {
@@ -25,20 +26,24 @@ class QueryBoundsSpec extends SparkSpecBase {
     }
   }
 
-  test("q_mm_decode: feature shape, byte-mean bounds, determinism") {
+  test("q_mm_decode: real BMP payloads sniff as BMP and decode in range") {
+    import graft.operators.MultimodalOps
+    val payloads = MultimodalOps.encodeBmp(
+      Tables.documents(spark, sf).limit(100))
+    // the metadata path must sniff the real magic: 'B''M' = 0x424D
+    val magics = MultimodalOps.payloadMetadata(payloads)
+      .select("magic").distinct().collect().map(_.getString(0))
+    assert(magics.forall(_.startsWith("424D")), magics.mkString(","))
     val run1 = SparkEntry.queries("q_mm_decode")(spark, sf).collect()
     assert(run1.nonEmpty)
     run1.foreach { r =>
-      assert(r.getInt(1) > 0, s"n_bytes must be positive: $r")
-      val mean = r.getDouble(2)
-      assert(mean >= 0.0 && mean <= 255.0, s"mean_byte out of range: $r")
-      assert(r.getInt(3) === 8, s"feature_dim must be the declared width: $r")
+      assert(r.getInt(1) > 54, s"payload must exceed the header: $r")
+      assert(r.getInt(4) === 24, s"bpp must decode as 24: $r")
+      Seq(5, 6, 7).foreach(i =>
+        assert(r.getInt(i) >= 0 && r.getInt(i) <= 255, s"pixel range: $r"))
+      Seq(8, 9, 10).foreach(i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 255.0, s"mean range: $r"))
     }
-    // n_bytes agrees with the oracle-checked metadata path
-    val metaBytes = SparkEntry.queries("q_mm_meta")(spark, sf)
-      .select("doc_id", "n_bytes").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    run1.foreach(r => assert(r.getInt(1) === metaBytes(r.getLong(0))))
     // byte-for-byte deterministic across runs (no partition-order effects)
     val run2 = SparkEntry.queries("q_mm_decode")(spark, sf).collect()
     assert(run1.map(_.toString).sorted.toSeq === run2.map(_.toString).sorted.toSeq)

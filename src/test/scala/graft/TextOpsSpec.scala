@@ -93,20 +93,57 @@ class TextOpsSpec extends SparkSpecBase {
     }
   }
 
-  test("multimodal decode stub: deterministic features with the declared schema") {
+  test("BMP decode: header, stride padding and bottom-up rows parsed right") {
+    // byte-level fixture check, independent of the Spark plumbing
+    val bytes = MultimodalOps.bmpBytes(3L) // w=4+3%5=7 → stride 24 (3 pad), h=4
+    assert(bytes(0) === 'B'.toByte && bytes(1) === 'M'.toByte)
+    assert(bytes.length === 54 + 24 * 4)
     val docs = Tables.documents(spark, sf).limit(50)
-    val payloads = MultimodalOps.withPayload(docs)
-    val feats = MultimodalOps.decodeStub(spark, payloads)
-    assert(feats.schema === MultimodalOps.featureSchema)
-    val rows = feats.collect()
+    val decoded = MultimodalOps.decodeBmp(MultimodalOps.encodeBmp(docs))
+    assert(decoded.schema === MultimodalOps.bmpStatsSchema)
+    val rows = decoded.collect()
     assert(rows.length === 50)
     rows.foreach { r =>
-      assert(r.getInt(1) > 0)
-      assert(r.getAs[scala.collection.Seq[Float]](3).length === 8)
+      val id = r.getLong(0)
+      val (w, h) = ((4 + id % 5).toInt, (4 + id % 3).toInt)
+      assert(r.getInt(2) === w && r.getInt(3) === h)
+      // top-left pixel = pixel k=0, which the encoder stores in the LAST
+      // row of the file — a row-order bug would surface here
+      assert(r.getInt(5) === ((id * 7) % 256).toInt)
+      assert(r.getInt(6) === ((id * 11) % 256).toInt)
+      assert(r.getInt(7) === ((id * 3) % 256).toInt)
+      // per-channel mean replayed from the formula (pad bytes excluded)
+      val n = w * h
+      val expB = BigDecimal((0 until n).map(k => (id * 7 + k * 13) % 256).sum
+        .toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(8) === expB, s"mean_b mismatch for doc $id")
     }
-    // determinism: second run produces identical bytes→features
-    val again = MultimodalOps.decodeStub(spark, payloads).collect()
-    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // a top-down (negative height) BMP decodes to the same stats
+    val td = {
+      val b = MultimodalOps.bmpBytes(3L).clone()
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val h = bb.getInt(22)
+      bb.putInt(22, -h)
+      // flip row storage order so the image content is unchanged
+      val stride = 24
+      val rowsBytes = (0 until h).map(s =>
+        b.slice(54 + s * stride, 54 + (s + 1) * stride))
+      rowsBytes.reverse.zipWithIndex.foreach { case (row, s) =>
+        System.arraycopy(row, 0, b, 54 + s * stride, stride)
+      }
+      b
+    }
+    import spark.implicits._
+    val one = MultimodalOps.decodeBmp(
+      Seq((3L, td)).toDF("doc_id", "payload")).collect().head
+    val ref = rows.find(_.getLong(0) === 3L)
+    // doc 3 may not be in the 50-doc slice; decode the bottom-up twin direct
+    val bu = MultimodalOps.decodeBmp(
+      Seq((3L, MultimodalOps.bmpBytes(3L))).toDF("doc_id", "payload"))
+      .collect().head
+    assert(one.toString === bu.toString, "top-down twin must decode equal")
+    assert(ref.forall(_.toString === bu.toString))
   }
 
   test("connected components: chains collapse to min label, singletons canonical") {
