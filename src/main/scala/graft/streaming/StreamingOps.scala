@@ -191,19 +191,22 @@ object StreamingOps {
       .parquet(ref.path)
 
   /** Streaming incremental near-dup: each micro-batch of documents is
-    * checked against the STORED LSH band index (pairs vs everything
-    * already indexed, plus within-batch), discovered pairs append to
-    * `pairsRef`, and the batch's own bands + shingles append to the index
+    * checked against the STORED LSH index (pairs vs everything already
+    * indexed, plus within-batch), discovered pairs append to `pairsRef`,
+    * and the batch's own bands + per-doc hash sets append to the index
     * tables — the streaming twin of
-    * [[graft.operators.DedupOps.incrementalNearDups]], maintaining the
-    * same two tables batch [[graft.operators.DedupOps.buildBandIndex]]
-    * produces. No stored×stored pair is ever re-examined, so the
-    * accumulated pairs table converges to EXACTLY the batch near-dup
-    * result over the full corpus (every pair is discovered when its later
-    * member arrives — StreamingSpec asserts the equality). Returns the
-    * started query. */
+    * [[graft.operators.DedupOps.incrementalNearDupsIndexed]], maintaining
+    * the same two tables batch
+    * [[graft.operators.DedupOps.buildNearDupIndex]] produces. The sets
+    * form matters per-batch: verification touches the stored corpus only
+    * through member lookups, so micro-batch cost is O(batch + candidates)
+    * — a stored-shingle index would re-aggregate the corpus every batch.
+    * No stored×stored pair is ever re-examined, so the accumulated pairs
+    * table converges to EXACTLY the batch near-dup result over the full
+    * corpus (every pair is discovered when its later member arrives —
+    * StreamingSpec asserts the equality). Returns the started query. */
   def incrementalDedupSink(docs: DataFrame, bandsRef: graft.sources.TableRef,
-                           shinglesRef: graft.sources.TableRef,
+                           setsRef: graft.sources.TableRef,
                            pairsRef: graft.sources.TableRef,
                            checkpointDir: String)
   : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -214,26 +217,26 @@ object StreamingOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val b = batch.toDF()
-        val (newBands, newShr) = DedupOps.buildBandIndex(b)
+        val (newBands, newSets) = DedupOps.buildNearDupIndex(b)
         val storedBands =
           if (Storage.tableExists(s, bandsRef))
             // a replayed batch must not see its own previous (partial)
             // index writes as "stored", or within-batch pairs double
             Storage.readTable(s, bandsRef).filter(col("batch_id") < batchId)
           else newBands.limit(0).withColumn("batch_id", lit(0L))
-        val storedShr =
-          if (Storage.tableExists(s, shinglesRef))
-            Storage.readTable(s, shinglesRef).filter(col("batch_id") < batchId)
-          else newShr.limit(0).withColumn("batch_id", lit(0L))
-        val pairs = DedupOps.incrementalNearDups(b,
-          storedBands.drop("batch_id"), storedShr.drop("batch_id"))
+        val storedSets =
+          if (Storage.tableExists(s, setsRef))
+            Storage.readTable(s, setsRef).filter(col("batch_id") < batchId)
+          else newSets.limit(0).withColumn("batch_id", lit(0L))
+        val pairs = DedupOps.incrementalNearDupsIndexed(b,
+          storedBands.drop("batch_id"), storedSets.drop("batch_id"))
         idempotentBatchAppend(pairs, pairsRef, batchId)
         pairs.unpersist(false)
         // grow the index AFTER pairing, so the batch never matches itself
         // through the stored side (within-batch pairs come from the delta
-        // self-join inside incrementalNearDups)
+        // self-join inside incrementalNearDupsIndexed)
         idempotentBatchAppend(newBands, bandsRef, batchId)
-        idempotentBatchAppend(newShr, shinglesRef, batchId)
+        idempotentBatchAppend(newSets, setsRef, batchId)
       }
       .start()
   }

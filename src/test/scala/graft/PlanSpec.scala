@@ -103,6 +103,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("IVF knn query plan carries NO training work") {
+    // training is sample-bounded and driver-local (or loaded from a stored
+    // centroid table) — the query plan must be probe + re-rank only: no
+    // posexplode fan-out, no (cid, pos) training aggregation
+    val p = plan("q_ivf_knn")
+    assert(!p.toLowerCase.contains("posexplode"),
+      s"Lloyd training leaked back into the query plan:\n$p")
+    val aggs = "\\(\\d+\\) HashAggregate".r.findAllIn(p).size
+    assert(aggs === 0, s"no aggregation belongs in the IVF probe path:\n$p")
+  }
+
   test("skyline runs a bucketed local frontier before the global pass") {
     val p = plan("q_skyline")
     val windows = "\\(\\d+\\) Window".r.findAllIn(p).size

@@ -230,9 +230,9 @@ class StreamingSpec extends SparkSpecBase {
       .option("maxFilesPerTrigger", 1).parquet(docsDir)
     val root = Files.createTempDirectory("graft_sdedup").toString
     val bandsRef = TableRef(s"$root/bands", "index", "bands")
-    val shinglesRef = TableRef(s"$root/shingles", "index", "shingles")
+    val setsRef = TableRef(s"$root/sets", "index", "sets")
     val pairsRef = TableRef(s"$root/pairs", "index", "pairs")
-    val q = StreamingOps.incrementalDedupSink(stream, bandsRef, shinglesRef,
+    val q = StreamingOps.incrementalDedupSink(stream, bandsRef, setsRef,
       pairsRef, Files.createTempDirectory("graft_sdckpt").toString)
     q.processAllAvailable()
     q.stop()
@@ -248,13 +248,13 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty, "fixture must contain near-dups")
     val nPairs = pairCount()
     // the maintained index equals a from-scratch batch index build
-    val (bBands, bShr) = graft.operators.DedupOps.buildBandIndex(all)
+    val (bBands, bSets) = graft.operators.DedupOps.buildNearDupIndex(all)
     def stored(ref: graft.sources.TableRef) =
       Storage.readTable(spark, ref).drop("batch_id")
     assert(stored(bandsRef).except(bBands).count() === 0)
     assert(bBands.except(stored(bandsRef)).count() === 0)
-    assert(stored(shinglesRef).except(bShr).count() === 0)
-    assert(bShr.except(stored(shinglesRef)).count() === 0)
+    assert(stored(setsRef).except(bSets).count() === 0)
+    assert(bSets.except(stored(setsRef)).count() === 0)
     val nBands = stored(bandsRef).count()
     // REPLAY: a fresh checkpoint re-delivers every micro-batch against the
     // already-written tables (foreachBatch is at-least-once) — the
@@ -263,7 +263,7 @@ class StreamingSpec extends SparkSpecBase {
     val q2 = StreamingOps.incrementalDedupSink(
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(docsDir),
-      bandsRef, shinglesRef, pairsRef,
+      bandsRef, setsRef, pairsRef,
       Files.createTempDirectory("graft_sdckpt2").toString)
     q2.processAllAvailable()
     q2.stop()
