@@ -96,20 +96,39 @@ object Bench {
         deltaDocs, storedBands, storedSets))
     }))
 
+    // ---- IVF: train+store vs pretrained query — the ANN twin of the
+    // dedup index split: centroid training runs once and persists; the
+    // query path loads and probes, nothing trains per query.
+    val emb = Tables.embeddings(spark, sfDir)
+    val ivfTrain = median((1 to runs).map(_ => timed("ivf_train_store") {
+      val cents = graft.operators.SimilarityOps.kmeansCentroids(
+        emb, 16, iters = 2, trainSample = 512)
+      graft.operators.SimilarityOps.centroidsToDf(spark, cents)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$tmpRoot/idx/cents")
+    }))
+    val storedCents = graft.operators.SimilarityOps.centroidsFromDf(
+      spark.read.parquet(s"$tmpRoot/idx/cents"))
+    val ivfPre = median((1 to runs).map(_ => timed("ivf_knn_pretrained") {
+      noop(graft.operators.SimilarityOps.ivfKnnWith(
+        emb, emb.filter(col("vec_id") < 10), k = 5, storedCents))
+    }))
+
     // ---- skewed-key join: plain vs salted (VERDICT r3 #5) -------------
-    // Deterministic skew fixture: lineitem replicated 5× in-plan and half
-    // its rows collapsed onto ONE hot orderkey (~1.5M rows on a single
-    // shuffle partition at sf0.1), then joined to orders. Both variants
-    // force sort-merge — the shape skew actually hurts; a broadcast would
-    // dodge the question — and run under the same session config, AQE
-    // included: the hot partition sits well under AQE's 256MB
+    // Deterministic skew fixture: lineitem replicated 8× in-plan and 95%
+    // of its rows collapsed onto ONE hot orderkey (~4.5M rows on a single
+    // shuffle partition at sf0.1 — one task sorts the hot key while 31
+    // cores idle), then joined to orders. Both variants force sort-merge —
+    // the shape skew actually hurts; a broadcast would dodge the question —
+    // and run under the same session config, AQE included: the hot
+    // partition sits well under AQE's 256MB
     // skewedPartitionThresholdInBytes, which is precisely the regime
     // saltedJoin exists for (skew AQE's split never sees).
     val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        explode(sequence(lit(0), lit(4))).as("rep"))
+        explode(sequence(lit(0), lit(7))).as("rep"))
       .withColumn("jk",
-        when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1L))
+        when(pmod(col("l_orderkey"), lit(20)) < 19, lit(1L))
           .otherwise(col("l_orderkey")))
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey").as("jk"), col("o_custkey"), col("o_totalprice"))
@@ -173,6 +192,8 @@ object Bench {
     val results = queryResults ++ Seq(
       "dedup_index_build" -> idxBuild,
       "dedup_incremental_delta" -> idxDelta,
+      "ivf_train_store" -> ivfTrain,
+      "ivf_knn_pretrained" -> ivfPre,
       "join_skew_plain" -> skewPlain,
       "join_skew_salted" -> skewSalted,
       "stream_upsert" -> tUpsert,

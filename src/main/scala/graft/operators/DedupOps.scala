@@ -249,6 +249,72 @@ object DedupOps {
     jaccardVerified(cand, shrAll, minJaccard = 0.0, shrNew, newBands)
   }
 
+  /** Chunk-level cross-corpus dedup statistics — the "remove duplicated
+    * passages" step (C4/RefinedWeb-style): text is cut into NON-overlapping
+    * `chunkWords`-word chunks, each chunk md5-hashed, and a chunk
+    * occurrence counts as duplicated when its hash appears ≥ 2 times
+    * corpus-wide (boilerplate passages, templated intros, within-doc
+    * loops all surface here at passage granularity, where doc-level
+    * near-dup misses partial overlap). Emits per doc: chunk count,
+    * duplicated-occurrence count, duplicated fraction. Docs shorter than
+    * one chunk emit no row.
+    *
+    * Scale shape: chunking is a per-row projection (slice over the word
+    * array); the df count is one map-combined aggregation shuffling the
+    * md5 keys (uniform); the join back is hash-equi on the same key. The
+    * removal op is this plus a filter — the stats form is what a corpus
+    * report needs. */
+  def chunkDupStats(docs: DataFrame, chunkWords: Int = 8,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val w = TextOps.words(col(textCol))
+    val nChunks = floor(size(w) / chunkWords).cast("int")
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), w.as("w"), nChunks.as("nc"))
+      .filter(col("nc") >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("nc") - 1)).as("i"), col("w"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("i") * chunkWords + 1, lit(chunkWords))).cast("binary"))
+          .as("h"))
+    val df = chunks.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    chunks.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+          .as("dup_fraction"))
+  }
+
+  /** Decontamination: KEEP the train docs that do NOT share an LSH band
+    * bucket with any test doc — the removal twin of the contamination
+    * SCREEN (`q_split_contamination` reports test-side suspects; this
+    * drops the train-side leak surface before training). Band collision
+    * is the standard suspect filter: exact-fingerprint equality misses
+    * paraphrased leaks. One banding pass over the corpus, a semi-join to
+    * find suspects, an anti-join to drop them — all bucket-local
+    * equi-joins; train docs with no shingles can't collide and are kept. */
+  def decontaminate(docs: DataFrame, splitCol: String,
+                    k: Int = 8, bands: Int = 4, shingleN: Int = 3,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val b = lshBands(
+      minhashSignatures(docs, k, shingleN, textCol, idCol), bands, k / bands)
+      .join(docs.select(col(idCol).as("doc_id"), col(splitCol).as("split")),
+        Seq("doc_id"))
+    val testBuckets = b.filter(col("split") === "test")
+      .select(col("band"), col("bucket"))
+    val suspects = b.filter(col("split") === "train")
+      .join(testBuckets, Seq("band", "bucket"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.select(col(idCol).as("doc_id"), col(splitCol).as("split"))
+      .filter(col("split") === "train")
+      .join(suspects, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
   /** n-gram Jaccard near-dup pairs WITHOUT MinHash: candidates are pairs
     * sharing ≥1 shingle (inverted-index join — still avoids the full cross
     * product), verified exactly. `minJaccard` prunes the long random tail.

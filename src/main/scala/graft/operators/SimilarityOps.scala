@@ -422,4 +422,75 @@ object SimilarityOps {
       .filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("cosine"), col("rn"))
   }
+
+  // -------- scalar quantization (int8 compression for the vector store) ---
+
+  /** Per-dimension [min, max] over the corpus — the scalar-quantization
+    * codebook (the affine analogue of the IVF centroid table: train once
+    * per corpus version, persist, reuse). One posexplode + map-combined
+    * aggregation — a single linear pass; the result is d rows. */
+  def sqStats(corpus: DataFrame, vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+
+  /** The [[sqStats]] frame as driver-side (mn, mx) arrays — 2×d scalars,
+    * the same driver-constant budget as the centroid pull. */
+  def sqCodebook(stats: DataFrame): (Seq[Double], Seq[Double]) = {
+    val rows = stats.select(col("pos").cast("int"), col("mn"), col("mx"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** int8 scalar-quantization encode: each dimension affinely mapped to
+    * [-128, 127] with its per-dimension codebook range; constant dimensions
+    * encode as 0. `floor(x + 0.5)` rather than round() — floor has
+    * identical semantics in every engine, half-up round does not. The
+    * codebook rides along as broadcast literals, so encoding is a pure
+    * per-row projection (no join, no shuffle) — at 100 TB this is the map
+    * stage that shrinks the vector store 4× before it ever hits disk. */
+  def sqEncode(corpus: DataFrame, mns: Seq[Double], mxs: Seq[Double],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mn = typedLit(mns)
+    val mx = typedLit(mxs)
+    val codes = transform(col(vecCol), (v, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      when(hi > lo,
+        (floor((v.cast("double") - lo) / (hi - lo) * 255.0 + 0.5) - 128.0)
+          .cast("int"))
+        .otherwise(lit(0))
+    })
+    corpus.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Reconstruction-error report for an int8 encoding: decode each code
+    * back through the codebook and emit per-vector mean absolute error —
+    * the quality gate that decides whether quantized search is usable.
+    * Decode + error are per-row (`zip_with` + `aggregate` over the two
+    * arrays); only the final summary would aggregate. */
+  def sqError(corpus: DataFrame, mns: Seq[Double], mxs: Seq[Double],
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mn = typedLit(mns)
+    val mx = typedLit(mxs)
+    // encode→decode→|err| fused into ONE per-row expression (no self-join
+    // back to the vectors — the decoded value is a function of the input).
+    // Each |err| is scaled to nano-units and floored to a LONG before
+    // summing: integer sums are associative, so Spark's in-order array fold
+    // and a SQL engine's unordered SUM agree exactly (the q_centroids
+    // doctrine — float summation order must never reach a compared value).
+    val absErrNanos = transform(col(vecCol), (v, i) => {
+      val lo = element_at(mn, i + 1)
+      val hi = element_at(mx, i + 1)
+      val code = floor((v.cast("double") - lo) / (hi - lo) * 255.0 + 0.5)
+      val dec = code / 255.0 * (hi - lo) + lo
+      floor(abs(v.cast("double") - when(hi > lo, dec).otherwise(lo)) * 1e9 + 0.5)
+        .cast("long")
+    })
+    corpus.select(col(idCol),
+      round(aggregate(absErrNanos, lit(0L), (acc, x) => acc + x).cast("double") /
+        size(col(vecCol)).cast("double") / 1e9, 6).as("mae"))
+  }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation primitives: URL parsing/normalization and per-domain
+  * balancing — the front half of every crawl-derived training pipeline
+  * (URL-level dedup runs before any text is even fetched, and domain caps
+  * are how a corpus avoids being 40% one boilerplate-heavy site).
+  *
+  * Everything is regexp-based rather than `parse_url`-based on purpose: the
+  * exact same pattern strings oracle in any SQL dialect (RE2-safe — no
+  * lookaround/backreferences), and the per-row projections stay inside
+  * whole-stage codegen with no shuffle. Only [[domainCap]] shuffles — one
+  * hash partition by domain, the minimum the semantics allow.
+  */
+object WebOps {
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val hostRe   = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+  private val restRe   = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+
+  /** URL scheme (lowercased; empty when the value isn't a URL). */
+  def scheme(url: Column): Column = lower(regexp_extract(url, schemeRe, 1))
+
+  /** Host (lowercased, default-port-stripped). */
+  def host(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, hostRe, 1)), ":(80|443)$", "")
+
+  /** Registered domain — last two labels of the host. (A production system
+    * uses the public-suffix list so `example.co.uk` groups correctly; the
+    * two-label fallback is the standard PSL-free approximation.) */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(host(url), "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+
+  /** Canonical URL normal form — the key URL-level exact dedup groups on:
+    * lowercased scheme+host, default port and fragment dropped, tracking
+    * (`utm_*`) params removed with separators repaired, trailing `?` and
+    * trailing path `/` stripped. Two-step utm removal: a utm param followed
+    * by another param loses its own trailing `&`; a trailing/solo utm param
+    * takes its LEADING separator with it — covers first/middle/last/only
+    * positions without lookaround. */
+  def normalizeUrl(url: Column): Column = {
+    val rest = regexp_extract(url, restRe, 1)
+    val noUtm = regexp_replace(
+      regexp_replace(rest, "utm_[A-Za-z]+=[^&#]*&", ""),
+      "[?&]utm_[A-Za-z]+=[^&#]*", "")
+    val tidy = regexp_replace(regexp_replace(noUtm, "\\?$", ""), "/$", "")
+    concat(scheme(url), lit("://"), host(url), tidy)
+  }
+
+  /** Per-domain share report: doc count and corpus fraction per registered
+    * domain — the imbalance screen run before [[domainCap]]. One
+    * map-combined aggregation; the total is a broadcast scalar. */
+  def domainStats(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val byDom = df
+      .groupBy(registeredDomain(col(urlCol)).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = byDom.agg(sum(col("n_docs"))).first().getLong(0)
+    byDom.select(col("domain"), col("n_docs"),
+      round(col("n_docs").cast("double") / total, 6).as("share"))
+  }
+
+  /** Deterministic per-domain cap: keep at most `maxPerDomain` docs per
+    * registered domain, chosen in md5(id) order — reproducible across
+    * engines and re-runs (same doctrine as the class cap / sampling ops).
+    * One shuffle on domain; `WindowGroupLimit` keeps the sort partial. */
+  def domainCap(df: DataFrame, maxPerDomain: Int,
+                urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    df.withColumn("domain", registeredDomain(col(urlCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPerDomain)
+      .drop("rn")
+  }
+}

@@ -12,6 +12,95 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  /** Documents with deterministic PII planted as a doc_id function — the
+    * synthetic corpus carries none, and an all-zeros oracle would verify
+    * nothing. Same arithmetic in the SQL oracle below. */
+  private def piiSalted(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 1,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 2,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), ((col("doc_id") * 3) % 256).cast("string")))
+          .otherwise(lit(""))).as("text"))
+
+  /** Documents with a deterministic crawl URL per doc — exercises scheme /
+    * host case, default ports, utm params in first/last/only position, and
+    * trailing slashes, all as doc_id arithmetic the oracle rebuilds. */
+  private def urlSalted(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 7 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 6 === 1, lit("WWW.")).otherwise(lit("www.")),
+        col("source"), (col("doc_id") % 5).cast("string"), lit("-ex."),
+        when(col("doc_id") % 3 === 0, lit("com"))
+          .when(col("doc_id") % 3 === 1, lit("org")).otherwise(lit("net")),
+        when(col("doc_id") % 11 === 4, lit(":443")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 11 === 5, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string")))
+          .when(col("doc_id") % 9 === 3,
+            concat(lit("?id="), (col("doc_id") % 7).cast("string"),
+              lit("&utm_campaign=x")))
+          .when(col("doc_id") % 9 === 7, lit("?utm_medium=rss"))
+          .otherwise(lit(""))).as("url"))
+
+  /** SQL twin of [[piiSalted]]. */
+  private val piiSaltedCte: String =
+    """WITH pii AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 1
+      |      THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |        || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 2
+      |      THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |        || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+      |      ELSE '' END AS text
+      |  FROM documents)""".stripMargin
+
+  /** SQL twin of [[urlSalted]]. */
+  private val urlSaltedCte: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+      |    CASE WHEN doc_id % 6 = 1 THEN 'WWW.' ELSE 'www.' END ||
+      |    source || CAST(doc_id % 5 AS VARCHAR) || '-ex.' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'com'
+      |         WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END ||
+      |    CASE WHEN doc_id % 11 = 4 THEN ':443' ELSE '' END ||
+      |    '/p/' || CAST(doc_id AS VARCHAR) ||
+      |    CASE WHEN doc_id % 11 = 5 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+      |         WHEN doc_id % 9 = 3
+      |      THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+      |         WHEN doc_id % 9 = 7 THEN '?utm_medium=rss'
+      |         ELSE '' END AS url
+      |  FROM documents)""".stripMargin
+
+  /** Per-dimension value + codebook CTEs for the scalar-quantization
+    * oracles (dim = 64). */
+  private val sqStatsCte: String =
+    """WITH ex AS (
+      |  SELECT vec_id, CAST(i AS INTEGER) AS pos,
+      |    CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS v
+      |  FROM embeddings, range(64) t(i)),
+      |stats AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY 1)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_text_tokens" -> ((s, dir) =>
@@ -145,6 +234,80 @@ object TextQueries {
       bands.filter(col("split") === "test")
         .join(trainBuckets, Seq("band", "bucket"), "left_semi")
         .select(col("doc_id")).distinct()
+    }),
+
+    // decontamination REMOVAL (the screen above reports; this drops):
+    // train docs sharing an LSH band bucket with any test doc are removed,
+    // the surviving train ids are the clean training corpus.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("split", TextOps.splitAssign(col("doc_id")))
+      DedupOps.decontaminate(docs, "split")
+    }),
+
+    // Gopher-style PHRASE repetition: per-doc 2-gram totals, repeated
+    // fraction, and the dominant 2-gram's share — catches looped phrases
+    // that single-word stats miss.
+    "q_rep_ngram" -> ((s, dir) =>
+      TextOps.ngramRepetition(Tables.documents(s, dir), n = 2)),
+
+    // chunk-level cross-corpus dedup report: 8-word non-overlapping chunks,
+    // md5 df across the corpus, per-doc duplicated-passage fraction — the
+    // passage-granularity dedup signal doc-level near-dup can't see.
+    "q_chunk_dedup" -> ((s, dir) =>
+      DedupOps.chunkDupStats(Tables.documents(s, dir))),
+
+    // PII screening report over the deterministically PII-salted corpus
+    // (the synthetic docs carry no PII, so the fixture plants emails /
+    // phones / IPs as a doc_id function both engines rebuild identically —
+    // nonzero, varied counts instead of a vacuous all-zeros oracle).
+    "q_pii_stats" -> ((s, dir) =>
+      TextOps.piiStats(piiSalted(s, dir))
+        .select(col("doc_id"), col("n_email").cast("int"),
+          col("n_ipv4").cast("int"), col("n_phone").cast("int"),
+          col("n_pii").cast("int"))),
+
+    // PII redaction: every pattern hit replaced by its <TYPE> placeholder;
+    // emits the redacted text + touched flag.
+    "q_pii_redact" -> ((s, dir) =>
+      TextOps.piiRedact(piiSalted(s, dir))
+        .select(col("doc_id"), col("redacted"), col("was_redacted"))),
+
+    // URL parsing + canonicalization over deterministically constructed
+    // crawl URLs (scheme/host case, default ports, utm params, trailing
+    // slashes all exercised by doc_id arithmetic).
+    "q_url_normalize" -> ((s, dir) => {
+      val u = urlSalted(s, dir)
+      u.select(col("doc_id"),
+        graft.operators.WebOps.scheme(col("url")).as("scheme"),
+        graft.operators.WebOps.host(col("url")).as("host"),
+        graft.operators.WebOps.registeredDomain(col("url")).as("domain"),
+        graft.operators.WebOps.normalizeUrl(col("url")).as("norm_url"))
+    }),
+
+    // per-domain cap: at most 3 docs per registered domain, kept in
+    // md5(doc_id) order — the crawl-balance primitive.
+    "q_domain_cap" -> ((s, dir) =>
+      graft.operators.WebOps.domainCap(urlSalted(s, dir), maxPerDomain = 3)
+        .select(col("doc_id"), col("domain"))),
+
+    // int8 scalar-quantization reconstruction error: per-dimension codebook
+    // trained on the corpus (one pass), per-vector mean absolute error of
+    // the encode→decode round trip.
+    "q_sq_error" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (mns, mxs) = SimilarityOps.sqCodebook(SimilarityOps.sqStats(e))
+      SimilarityOps.sqError(e, mns, mxs)
+    }),
+
+    // int8 encode itself, exploded to (vec_id, pos, code) rows so the
+    // integer codes — not a float summary — are what hashes against the
+    // oracle.
+    "q_sq_encode" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (mns, mxs) = SimilarityOps.sqCodebook(SimilarityOps.sqStats(e))
+      SimilarityOps.sqEncode(e, mns, mxs)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
     }),
 
     // stratified deterministic sampling: per-language keep-rates over the
@@ -851,6 +1014,161 @@ object TextQueries {
          |  AND EXISTS (SELECT 1 FROM bs tr
          |              WHERE tr.split = 'train'
          |                AND tr.band = t.band AND tr.bucket = t.bucket)""".stripMargin),
+
+    // the removal twin of q_split_contamination: same banding replay, but
+    // the output is the SURVIVING train set (no-shingle train docs can't
+    // collide and are kept — the base set is sp, not bands)
+    "q_decontaminate" -> (hashBucketCte +
+      s""",
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN v % 100 < 80 THEN 'train'
+         |         WHEN v % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM hv),
+         |${shingleCte(3)},
+         |$sigCte,
+         |$bandsCte,
+         |bs AS (
+         |  SELECT b.doc_id, b.band, b.bucket, sp.split
+         |  FROM bands b JOIN sp ON sp.doc_id = b.doc_id),
+         |susp AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM bs t
+         |  WHERE t.split = 'train'
+         |    AND EXISTS (SELECT 1 FROM bs tr
+         |                WHERE tr.split = 'test'
+         |                  AND tr.band = t.band AND tr.bucket = t.bucket))
+         |SELECT doc_id FROM sp
+         |WHERE split = 'train'
+         |  AND doc_id NOT IN (SELECT doc_id FROM susp)""".stripMargin),
+
+    "q_rep_ngram" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS sh
+        |  FROM words CROSS JOIN range(1, 4096) t(i)
+        |  WHERE i + 1 <= len(w)),
+        |f AS (SELECT doc_id, sh, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_ngrams,
+        |  COUNT(*) AS n_distinct,
+        |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
+        |    AS rep_fraction,
+        |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
+        |    AS top_fraction
+        |FROM f GROUP BY doc_id""".stripMargin,
+
+    "q_chunk_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, CAST(FLOOR(len(w) / 8) AS INTEGER) AS nc
+        |      FROM words),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(w[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ')) AS h
+        |  FROM d CROSS JOIN range(0, 512) t(i)
+        |  WHERE d.nc >= 1 AND i < d.nc),
+        |df AS (SELECT h, COUNT(*) AS occ FROM chunks GROUP BY 1)
+        |SELECT c.doc_id,
+        |  COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN df.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  ROUND(CAST(SUM(CASE WHEN df.occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_fraction
+        |FROM chunks c JOIN df ON df.h = c.h
+        |GROUP BY c.doc_id""".stripMargin,
+
+    "q_pii_stats" -> (piiSaltedCte +
+      """
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phone,
+        |  CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |    + len(regexp_extract_all(text,
+        |      '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_pii
+        |FROM pii""".stripMargin),
+
+    "q_pii_redact" -> (piiSaltedCte +
+      """,
+        |r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |  FROM pii)
+        |SELECT doc_id, redacted, (redacted <> text) AS was_redacted
+        |FROM r""".stripMargin),
+
+    "q_url_normalize" -> (urlSaltedCte +
+      """,
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(80|443)$', '', 'g')
+        |      AS host,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+        |      AS rest
+        |  FROM u)
+        |SELECT doc_id, scheme, host,
+        |  regexp_extract(host, '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) AS domain,
+        |  scheme || '://' || host ||
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(rest,
+        |        'utm_[A-Za-z]+=[^&#]*&', '', 'g'),
+        |        '[?&]utm_[A-Za-z]+=[^&#]*', '', 'g'),
+        |      '\?$', '', 'g'), '/$', '', 'g') AS norm_url
+        |FROM parts""".stripMargin),
+
+    "q_domain_cap" -> (urlSaltedCte +
+      """,
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_extract(
+        |      regexp_replace(lower(regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(80|443)$', '', 'g'),
+        |      '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) AS domain
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |    ROW_NUMBER() OVER (PARTITION BY domain
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM d)
+        |SELECT doc_id, domain FROM r WHERE rn <= 3""".stripMargin),
+
+    "q_sq_error" -> (sqStatsCte +
+      """
+        |SELECT e.vec_id,
+        |  ROUND(CAST(SUM(CAST(FLOOR(
+        |      ABS(e.v - CASE WHEN s.mx > s.mn
+        |        THEN FLOOR((e.v - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+        |          / 255.0 * (s.mx - s.mn) + s.mn
+        |        ELSE s.mn END) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1e9, 6) AS mae
+        |FROM ex e JOIN stats s ON s.pos = e.pos
+        |GROUP BY e.vec_id""".stripMargin),
+
+    "q_sq_encode" -> (sqStatsCte +
+      """
+        |SELECT e.vec_id, e.pos,
+        |  CASE WHEN s.mx > s.mn
+        |    THEN CAST(FLOOR((e.v - s.mn) / (s.mx - s.mn) * 255.0 + 0.5) - 128
+        |      AS INTEGER)
+        |    ELSE 0 END AS code
+        |FROM ex e JOIN stats s ON s.pos = e.pos""".stripMargin),
 
     "q_token_budget" -> (hashBucketCte +
       """,

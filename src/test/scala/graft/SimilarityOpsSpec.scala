@@ -138,4 +138,36 @@ class SimilarityOpsSpec extends SparkSpecBase {
     assert(two.subsetOf(exact))
     assert(two.size >= one.size)
   }
+
+  test("scalar quantization: codes bounded, roundtrip error within half-step") {
+    val (mns, mxs) = SimilarityOps.sqCodebook(SimilarityOps.sqStats(e))
+    val codes = SimilarityOps.sqEncode(e, mns, mxs)
+      .select(explode(col("codes"))).collect().map(_.getInt(0))
+    assert(codes.min >= -128 && codes.max <= 127)
+    // per-vector MAE can never exceed half a quantization step of the
+    // widest dimension
+    val maxStep = mns.zip(mxs).map { case (lo, hi) => (hi - lo) / 255.0 }.max
+    val maes = SimilarityOps.sqError(e, mns, mxs)
+      .select(col("mae")).collect().map(_.getDouble(0))
+    assert(maes.forall(m => m >= 0.0 && m <= maxStep / 2 + 1e-9),
+      s"max mae ${maes.max} vs half-step ${maxStep / 2}")
+    // a corpus-boundary vector hits the range ends exactly: min maps to
+    // -128, max to 127 in at least one dimension across the corpus
+    assert(codes.contains(-128) && codes.contains(127))
+  }
+
+  test("scalar quantization: constant dimension encodes to 0, zero error") {
+    import spark.implicits._
+    val docs = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(1.0f, -5.0f)))
+      .toDF("vec_id", "embedding")
+    val (mns, mxs) = SimilarityOps.sqCodebook(SimilarityOps.sqStats(docs))
+    val m = SimilarityOps.sqEncode(docs, mns, mxs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(m(1L) === Seq(0, 127))
+    assert(m(2L) === Seq(0, -128))
+    val errs = SimilarityOps.sqError(docs, mns, mxs).collect()
+      .map(_.getDouble(1))
+    assert(errs.forall(_ === 0.0),
+      "range endpoints and constant dims must reconstruct exactly")
+  }
 }

@@ -54,6 +54,47 @@ class TextOpsSpec extends SparkSpecBase {
     assert(indexed === batch)
   }
 
+  test("ngram repetition: looped phrase scores high, varied text low") {
+    val docs = Seq(
+      (1L, "a b a b a b"),            // 2-grams: ab,ba,ab,ba,ab → 5 tot / 2 dist
+      (2L, "one two three four five") // all distinct
+    ).toDF("doc_id", "text")
+    val m = TextOps.ngramRepetition(docs, n = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L) === ((5L, 2L, 0.6, 0.6)))
+    assert(m(2L) === ((4L, 4L, 0.0, 0.25)))
+  }
+
+  test("chunk dedup: shared 8-word passage flagged in both docs, unique not") {
+    val passage = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"$passage u1 u2 u3 u4 u5 u6 u7 u8"),  // chunk0 shared, chunk1 unique
+      (2L, s"$passage v1 v2 v3 v4 v5 v6 v7 v8"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9")          // 1 chunk, unique (tail dropped)
+    ).toDF("doc_id", "text")
+    val m = DedupOps.chunkDupStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(m(1L) === ((2L, 1L, 0.5)))
+    assert(m(2L) === ((2L, 1L, 0.5)))
+    assert(m(3L) === ((1L, 0L, 0.0)))
+  }
+
+  test("decontaminate drops only train docs colliding with a test doc") {
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    val docs = Seq(
+      (1L, leaked, "train"),                        // near-dup of the test doc
+      (2L, "unrelated clean training text about planets and orbits", "train"),
+      (3L, leaked + " iota", "test"),
+      (4L, "some validation text", "val")
+    ).toDF("doc_id", "text", "split")
+    val kept = DedupOps.decontaminate(docs, "split")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L),
+      s"leaked train doc must be dropped, clean one kept: $kept")
+  }
+
   test("simhash is identical for identical docs, different for unrelated") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
@@ -215,5 +256,32 @@ class TextOpsSpec extends SparkSpecBase {
   test("language id emits a guess for every doc") {
     val out = TextOps.langId(Tables.documents(spark, sf))
     assert(out.filter($"lang_guess".isNull).count() === 0)
+  }
+
+  test("pii stats counts emails, ips, phones; clean text scores zero") {
+    val docs = Seq(
+      (1L, "reach me at a.user+tag@mail.example.org or 555-123-4567"),
+      (2L, "server 192.168.0.1 and backup 10.0.0.2"),
+      (3L, "no personal data in this row at all")).toDF("doc_id", "text")
+    val m = TextOps.piiStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("n_email"),
+        r.getAs[Int]("n_ipv4"), r.getAs[Int]("n_phone"),
+        r.getAs[Int]("n_pii"))).toMap
+    assert(m(1L) === ((1, 0, 1, 2)))
+    assert(m(2L) === ((0, 2, 0, 2)))
+    assert(m(3L) === ((0, 0, 0, 0)))
+  }
+
+  test("pii redact replaces every hit with its placeholder, flags the doc") {
+    val docs = Seq(
+      (1L, "mail a@b.co or b@c.org, call 555-000-1111, host 1.2.3.4"),
+      (2L, "untouched")).toDF("doc_id", "text")
+    val out = TextOps.piiRedact(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[String]("redacted"), r.getAs[Boolean]("was_redacted"))).toMap
+    assert(out(1L)._1 ===
+      "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IPV4>")
+    assert(out(1L)._2 === true)
+    assert(out(2L) === (("untouched", false)))
   }
 }
