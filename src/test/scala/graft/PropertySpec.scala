@@ -210,4 +210,47 @@ class PropertySpec extends SparkSpecBase {
         s"part ${p._1}: kept=${kept.contains(p._1)} dominated=${dominated(p)}")
     }
   }
+
+  test("url normalization is idempotent over the salted crawl fixture") {
+    import graft.operators.WebOps
+    val urls = SparkEntry.queries("q_url_normalize")(spark, sf)
+      .select(col("norm_url").as("url"))
+    val twice = urls.select(col("url"),
+      WebOps.normalizeUrl(col("url")).as("again"))
+      .filter(col("again") =!= col("url"))
+    assert(twice.count() === 0,
+      s"re-normalizing must be a no-op: ${twice.take(3).mkString(", ")}")
+  }
+
+  test("pii redaction is idempotent and leaves no pattern hits behind") {
+    import graft.operators.TextOps
+    val redacted = SparkEntry.queries("q_pii_redact")(spark, sf)
+      .select(col("doc_id"), col("redacted").as("text"))
+    // second pass changes nothing (placeholders contain no digits or '@')
+    val twice = TextOps.piiRedact(redacted)
+      .filter(col("was_redacted"))
+    assert(twice.count() === 0, "second redaction pass must be a no-op")
+    // and the screening op agrees: zero residual hits
+    val residual = TextOps.piiStats(redacted).filter(col("n_pii") > 0)
+    assert(residual.count() === 0, "no pattern may survive redaction")
+  }
+
+  test("sq encode/decode error is bounded by half a step in EVERY dimension") {
+    import graft.operators.SimilarityOps
+    val e = Tables.embeddings(spark, sf)
+    val (mns, mxs) = SimilarityOps.sqCodebook(SimilarityOps.sqStats(e))
+    val steps = mns.zip(mxs).map { case (lo, hi) => (hi - lo) / 255.0 }
+    val rows = e.select(col("vec_id"), col("embedding")).collect()
+    val codeRows = SimilarityOps.sqEncode(e, mns, mxs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val codes = codeRows(r.getLong(0))
+      vec.indices.foreach { i =>
+        val dec = (codes(i) + 128.0) / 255.0 * (mxs(i) - mns(i)) + mns(i)
+        assert(math.abs(vec(i) - dec) <= steps(i) / 2 + 1e-9,
+          s"vec ${r.getLong(0)} dim $i: ${vec(i)} decoded $dec step ${steps(i)}")
+      }
+    }
+  }
 }
