@@ -310,6 +310,45 @@ object TextQueries {
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
     }),
 
+    // the CORPUS CARD — the per-language release report every dataset ships
+    // with, composed from the curation families in one query: doc/token
+    // counts, quality-gate keep rate, PII incidence, mean duplicated-passage
+    // fraction. Per-doc signals are per-row projections or doc_id-led aggs;
+    // the final rollup is one map-combined groupBy(lang). Mean dup_fraction
+    // aggregates in micro-units (exact integer sums — float order never
+    // reaches a compared value).
+    "q_corpus_card" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = TextOps.qualityMetrics(docs)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("punct_ratio"))
+      val w = TextOps.wordStats(docs).select(col("doc_id"), col("rep_ratio"))
+      val pii = TextOps.piiStats(piiSalted(s, dir))
+        .select(col("doc_id"), col("n_pii"))
+      val dup = DedupOps.chunkDupStats(docs)
+        .select(col("doc_id"), col("dup_fraction"))
+      val keep = col("n_words") >= 10 && col("mean_word_len") >= 2 &&
+        col("mean_word_len") <= 12 && col("punct_ratio") <= 0.2 &&
+        col("rep_ratio") <= 0.4
+      docs.select(col("doc_id"), col("lang"))
+        .join(m, Seq("doc_id")).join(w, Seq("doc_id")).join(pii, Seq("doc_id"))
+        .join(dup, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words").cast("long")).as("total_words"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_keep"),
+          sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_pii_docs"),
+          sum(floor(coalesce(col("dup_fraction"), lit(0.0)) * 1e6 + 0.5)
+            .cast("long")).as("dup_u"))
+        .select(col("lang"), col("n_docs"), col("total_words"),
+          round(col("n_keep").cast("double") / col("n_docs").cast("double"), 6)
+            .as("keep_rate"),
+          round(col("n_pii_docs").cast("double") / col("n_docs").cast("double"), 6)
+            .as("pii_doc_rate"),
+          round(col("dup_u").cast("double") / col("n_docs").cast("double") / 1e6, 6)
+            .as("mean_dup_fraction"))
+    }),
+
     // stratified deterministic sampling: per-language keep-rates over the
     // same hash buckets — the downsample/rebalance op every corpus mix
     // needs, reproducible across engines and re-runs.
@@ -1169,6 +1208,71 @@ object TextQueries {
         |      AS INTEGER)
         |    ELSE 0 END AS code
         |FROM ex e JOIN stats s ON s.pos = e.pos""".stripMargin),
+
+    "q_corpus_card" -> (piiSaltedCte +
+      """,
+        |pc AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |    + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS n_pii
+        |  FROM pii),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER)
+        |      AS n_words,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |      / len(string_split_regex(lower(trim(text)), '\s+')) AS mean_word_len,
+        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio
+        |  FROM documents),
+        |wd AS (
+        |  SELECT doc_id, w
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+        |  WHERE w <> ''),
+        |f AS (SELECT doc_id, w, COUNT(*) AS f FROM wd GROUP BY doc_id, w),
+        |ws AS (
+        |  SELECT doc_id,
+        |    ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(f) AS BIGINT), 6)
+        |      AS rep_ratio
+        |  FROM f GROUP BY doc_id),
+        |cw AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |cd0 AS (SELECT doc_id, w, CAST(FLOOR(len(w) / 8) AS INTEGER) AS nc
+        |        FROM cw),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(w[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ')) AS h
+        |  FROM cd0 CROSS JOIN range(0, 512) t(i)
+        |  WHERE cd0.nc >= 1 AND i < cd0.nc),
+        |cdf AS (SELECT h, COUNT(*) AS occ FROM chunks GROUP BY 1),
+        |cd AS (
+        |  SELECT c.doc_id,
+        |    ROUND(CAST(SUM(CASE WHEN cdf.occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / COUNT(*), 6) AS dup_fraction
+        |  FROM chunks c JOIN cdf ON cdf.h = c.h
+        |  GROUP BY c.doc_id)
+        |SELECT d.lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(m.n_words) AS BIGINT) AS total_words,
+        |  ROUND(CAST(SUM(CASE WHEN m.n_words >= 10 AND m.mean_word_len >= 2
+        |      AND m.mean_word_len <= 12 AND m.punct_ratio <= 0.2
+        |      AND ws.rep_ratio <= 0.4 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate,
+        |  ROUND(CAST(SUM(CASE WHEN pc.n_pii > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS pii_doc_rate,
+        |  ROUND(CAST(SUM(CAST(FLOOR(COALESCE(cd.dup_fraction, 0) * 1e6 + 0.5)
+        |      AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS mean_dup_fraction
+        |FROM documents d
+        |JOIN m ON m.doc_id = d.doc_id
+        |JOIN ws ON ws.doc_id = d.doc_id
+        |JOIN pc ON pc.doc_id = d.doc_id
+        |LEFT JOIN cd ON cd.doc_id = d.doc_id
+        |GROUP BY d.lang""".stripMargin),
 
     "q_token_budget" -> (hashBucketCte +
       """,
