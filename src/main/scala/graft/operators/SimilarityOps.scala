@@ -451,11 +451,11 @@ object SimilarityOps {
     * codebook rides along as broadcast literals, so encoding is a pure
     * per-row projection (no join, no shuffle) — at 100 TB this is the map
     * stage that shrinks the vector store 4× before it ever hits disk. */
-  def sqEncode(corpus: DataFrame, mns: Seq[Double], mxs: Seq[Double],
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The encode expression itself — reusable inside any projection. */
+  private def sqCodes(vecCol: Column, mns: Seq[Double], mxs: Seq[Double]): Column = {
     val mn = typedLit(mns)
     val mx = typedLit(mxs)
-    val codes = transform(col(vecCol), (v, i) => {
+    transform(vecCol, (v, i) => {
       val lo = element_at(mn, i + 1)
       val hi = element_at(mx, i + 1)
       when(hi > lo,
@@ -463,7 +463,45 @@ object SimilarityOps {
           .cast("int"))
         .otherwise(lit(0))
     })
-    corpus.select(col(idCol), codes.as("codes"))
+  }
+
+  def sqEncode(corpus: DataFrame, mns: Seq[Double], mxs: Seq[Double],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), sqCodes(col(vecCol), mns, mxs).as("codes"))
+
+  /** ANN over the QUANTIZED domain: candidates ranked by the exact integer
+    * dot product of int8 codes (the 4×-cheaper scan a compressed vector
+    * store runs at scale), top `k*refine` per query re-ranked by exact
+    * float cosine. Integer candidate scores are bit-identical in any
+    * engine, so the candidate set — not just the final ranking — is
+    * deterministic and oracle-checkable. Queries broadcast; the corpus
+    * pass is one narrow projection over codes. */
+  def sqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+            mns: Seq[Double], mxs: Seq[Double], refine: Int = 4,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cc = corpus.select(col(idCol).as("nid"), col(vecCol).as("ne"),
+      sqCodes(col(vecCol), mns, mxs).as("ncodes"),
+      sqrt(array_dot(col(vecCol), col(vecCol))).as("nn"))
+    val qq = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
+      sqCodes(col(vecCol), mns, mxs).as("qcodes"),
+      sqrt(array_dot(col(vecCol), col(vecCol))).as("qn")))
+    val qdot = aggregate(
+      zip_with(col("qcodes"), col("ncodes"),
+        (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("qdot").desc, col("nid"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    cc.crossJoin(qq)
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("qdot", qdot)
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= k * refine)
+      .withColumn("cosine", cosinePre(col("qe"), col("ne"), col("qn"), col("nn")))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rn"))
   }
 
   /** Reconstruction-error report for an int8 encoding: decode each code

@@ -310,6 +310,16 @@ object TextQueries {
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("pos", "code")))
     }),
 
+    // ANN in the quantized domain: integer int8-dot candidate scan (the
+    // 4×-cheaper pass a compressed vector store runs), exact-cosine
+    // re-rank of the top k*refine — candidate set AND ranking both
+    // deterministic because the candidate scores are exact integers.
+    "q_sq_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (mns, mxs) = SimilarityOps.sqCodebook(SimilarityOps.sqStats(e))
+      SimilarityOps.sqKnn(e, e.filter(col("vec_id") < 10), k = 5, mns, mxs)
+    }),
+
     // the CORPUS CARD — the per-language release report every dataset ships
     // with, composed from the curation families in one query: doc/token
     // counts, quality-gate keep rate, PII incidence, mean duplicated-passage
@@ -1208,6 +1218,46 @@ object TextQueries {
         |      AS INTEGER)
         |    ELSE 0 END AS code
         |FROM ex e JOIN stats s ON s.pos = e.pos""".stripMargin),
+
+    "q_sq_knn" -> (sqStatsCte +
+      """,
+        |codes AS (
+        |  SELECT e.vec_id, e.pos,
+        |    CASE WHEN s.mx > s.mn
+        |      THEN CAST(FLOOR((e.v - s.mn) / (s.mx - s.mn) * 255.0 + 0.5) - 128
+        |        AS BIGINT)
+        |      ELSE 0 END AS code
+        |  FROM ex e JOIN stats s ON s.pos = e.pos),
+        |qd AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid, SUM(q.code * n.code) AS qdot
+        |  FROM codes q JOIN codes n ON n.pos = q.pos
+        |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY qdot DESC, nid) AS arn
+        |    FROM qd) WHERE arn <= 20),
+        |pr AS (
+        |  SELECT c.qid, c.nid,
+        |    SUM(CAST(eq.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |      * CAST(en.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+        |    SUM(CAST(eq.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |      * CAST(eq.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qq2,
+        |    SUM(CAST(en.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |      * CAST(en.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS nn2
+        |  FROM cand c
+        |  JOIN embeddings eq ON eq.vec_id = c.qid
+        |  JOIN embeddings en ON en.vec_id = c.nid
+        |  CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, nid, ROUND(dot / (SQRT(qq2) * SQRT(nn2)), 6) AS cosine
+        |  FROM pr)
+        |SELECT qid, nid, cosine, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, nid) AS rn
+        |  FROM scored) WHERE rn <= 5""".stripMargin),
 
     "q_corpus_card" -> (piiSaltedCte +
       """,

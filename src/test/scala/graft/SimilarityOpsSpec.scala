@@ -156,6 +156,22 @@ class SimilarityOpsSpec extends SparkSpecBase {
     assert(codes.contains(-128) && codes.contains(127))
   }
 
+  test("quantized knn: high recall vs brute force, exhaustive refine is exact") {
+    val (mns, mxs) = SimilarityOps.sqCodebook(SimilarityOps.sqStats(e))
+    val q = e.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.bruteForceKnn(e, q, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SimilarityOps.sqKnn(e, q, k = 5, mns, mxs)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 candidate recall $recall < 0.9")
+    // refine covering the whole corpus = brute force exactly
+    val n = e.count().toInt
+    val full = SimilarityOps.sqKnn(e, q, k = 5, mns, mxs, refine = n)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "exhaustive refine must reproduce brute force")
+  }
+
   test("scalar quantization: constant dimension encodes to 0, zero error") {
     import spark.implicits._
     val docs = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(1.0f, -5.0f)))

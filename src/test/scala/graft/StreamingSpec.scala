@@ -309,5 +309,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(state === Map(1L -> (10L, "a"), 2L -> (22L, "b3"), 3L -> (30L, "c")))
   }
 
+  test("stateless curation ops (PII redact + quality metrics) stream as-is") {
+    // the per-row curation tier is all Column projections, so the SAME
+    // operator code runs under readStream with zero changes — micro-batched
+    // output must equal the batch run row-for-row
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf)
+    val in = Files.createTempDirectory("graft_cur_in").toString
+    docs.repartition(3).write.mode("overwrite").parquet(in)
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      TextOps.piiRedact(TextOps.qualityMetrics(df))
+        .select(col("doc_id"), col("n_words"), col("punct_ratio"),
+          col("redacted"), col("was_redacted"))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = curate(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curated_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cur_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curated_out").collect().map(_.toString).toSet
+    val batch = curate(docs).collect().map(_.toString).toSet
+    assert(streamed === batch)
+  }
+
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 }
