@@ -97,8 +97,32 @@ object ScaleBench {
       val (nPairs, tDedup) = timed {
         graft.operators.DedupOps.minhashNearDups(docs).count()
       }
+      // per-row curation tier at scale: the quality gate's FILTER forces
+      // every metric expression to evaluate per row (a bare count would
+      // let Catalyst prune the projections), PII screen likewise
+      import graft.operators.TextOps
+      val (nKeep, tQual) = timed {
+        val m = TextOps.qualityMetrics(docs)
+          .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+            col("punct_ratio"))
+        val w = TextOps.wordStats(docs).select(col("doc_id"), col("rep_ratio"))
+        val p = TextOps.piiStats(docs).select(col("doc_id"), col("n_pii"))
+        m.join(w, Seq("doc_id")).join(p, Seq("doc_id"))
+          .filter(col("n_words") >= 10 && col("mean_word_len") >= 2 &&
+            col("mean_word_len") <= 12 && col("punct_ratio") <= 0.2 &&
+            col("rep_ratio") <= 0.4 && col("n_pii") === 0)
+          .count()
+      }
+      // chunk-level passage dedup: the corpus-wide md5-df shuffle is the
+      // scale-relevant stage (the join back is equi on the same key, so
+      // Catalyst cannot eliminate it — output cardinality depends on it)
+      val (nChunked, tChunk) = timed {
+        graft.operators.DedupOps.chunkDupStats(docs).count()
+      }
       docs.unpersist(false)
-      s""","dedup_docs":$nDocs,"dedup_pairs":$nPairs,"dedup":$tDedup"""
+      s""","dedup_docs":$nDocs,"dedup_pairs":$nPairs,"dedup":$tDedup""" +
+        s""","curate_kept":$nKeep,"curate":$tQual""" +
+        s""","chunk_docs":$nChunked,"chunk_dedup":$tChunk"""
     }.getOrElse("")
 
     println(s"""{"metric":"scale_pipeline","unit":"sec","rows":$nRows,"tickers":$nTickers,"queries":{"bronze_write":$tBronze,"silver_full":$tSilver,"gold":$tGold$dedupJson},"value":${tBronze + tSilver + tGold}}""")
