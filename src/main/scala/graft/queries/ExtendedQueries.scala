@@ -707,6 +707,16 @@ object ExtendedQueries {
         graft.functions.GraftFunctions.zorder2(
           col("p_size"), col("p_partkey") % 500).as("z"))),
 
+    // order-independent table checksum (Storage.tableChecksum): the
+    // integrity manifest validated after migrations/compactions — row
+    // order, file layout, and partitioning may change, content must not.
+    // SUMs of 32-bit md5 windows are exact and commutative on any engine.
+    "q_table_checksum" -> ((s, dir) =>
+      graft.sources.Storage.tableChecksum(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus"))),
+
     // z-score outlier flags: per-ticker mean/std rebuilt from integer-cent
     // power sums (exact, order-independent — the q_moments doctrine), stats
     // broadcast back, |z| > 1.5 rows flagged. The outlier-filter pass every
@@ -759,7 +769,29 @@ object ExtendedQueries {
     })
   )
 
+  /** 8-hex-digit window of `expr` (1-based `start`) as its integer value —
+    * the [[graft.sources.Storage.tableChecksum]] oracle's hex→int, built
+    * from the same per-char CASE trick as the hash-bucket CTE. */
+  private def hexWindowSql(expr: String, start: Int): String =
+    (0 until 8).map { j =>
+      val i = start + j
+      val p = 1L << (4 * (7 - j))
+      s"CAST(CASE WHEN ascii(substr($expr,$i,1)) >= 97 THEN ascii(substr($expr,$i,1))-87 ELSE ascii(substr($expr,$i,1))-48 END AS BIGINT) * $p"
+    }.mkString("(", " + ", ")")
+
   def oracles: Map[String, String] = Map(
+    "q_table_checksum" ->
+      s"""WITH h AS (
+         |  SELECT md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+         |    CAST(l_partkey AS VARCHAR) || '|' ||
+         |    CAST(l_suppkey AS VARCHAR) || '|' ||
+         |    CAST(l_linenumber AS VARCHAR) || '|' ||
+         |    l_returnflag || '|' || l_linestatus) AS hx
+         |  FROM lineitem)
+         |SELECT COUNT(*) AS n_rows,
+         |  CAST(SUM(${hexWindowSql("hx", 1)}) AS BIGINT) AS sum_h1,
+         |  CAST(SUM(${hexWindowSql("hx", 9)}) AS BIGINT) AS sum_h2
+         |FROM h""".stripMargin,
     "q_rank_windows" ->
       """SELECT o_orderkey, o_orderpriority,
         |  RANK() OVER (PARTITION BY o_orderpriority

@@ -233,6 +233,24 @@ object Storage {
   /** S10 — drop a table (the reference's `clean` stage). */
   def deleteTable(spark: SparkSession, ref: TableRef): Boolean =
     fs(spark, ref.path).delete(new Path(ref.path), true)
+
+  /** Order-independent content checksum over the named columns: row count
+    * plus two SUMs of 32-bit windows of each row's md5 — the integrity
+    * manifest a lake validates after a migration, compaction, or engine
+    * swap (row order, file layout, and partitioning all change; content
+    * must not). SUM of per-row integers is exact and commutative, so the
+    * checksum is layout-invariant and reproducible on any engine from the
+    * same md5 recipe (columns joined with '|', nulls as ''). One
+    * map-combined aggregation — a single linear pass at any scale. */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h = md5(concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+      .cast("binary"))
+    df.agg(count(lit(1)).as("n_rows"),
+      sum(conv(substring(h, 1, 8), 16, 10).cast("long")).as("sum_h1"),
+      sum(conv(substring(h, 9, 8), 16, 10).cast("long")).as("sum_h2"))
+  }
 }
 
 /** S9 — JSON checkpoint state for incremental batch logic (reference

@@ -226,4 +226,30 @@ class SourcesSpec extends SparkSpecBase {
     pairs.unpersist()
     assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
   }
+
+  test("table checksum is layout-invariant but content-sensitive") {
+    import graft.sources.Storage
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Storage.tableChecksum(df, cols).first() match {
+        case r => (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+    val base = sums(li)
+    // any repartitioning / ordering of the same rows hashes identically
+    assert(sums(li.repartition(13)) === base)
+    assert(sums(li.orderBy(org.apache.spark.sql.functions.col("l_returnflag"))) === base)
+    // one flipped value in one row changes the checksum (pick a REAL row)
+    val first = li.select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber").first()
+    val mutated = li.withColumn("l_returnflag",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("l_orderkey") === first.getLong(0) &&
+          org.apache.spark.sql.functions.col("l_linenumber") === first.getInt(1),
+        org.apache.spark.sql.functions.lit(""))
+        .otherwise(org.apache.spark.sql.functions.col("l_returnflag")))
+    val m = sums(mutated)
+    assert(m._1 === base._1 && (m._2 != base._2 || m._3 != base._3),
+      "a single mutated value must move the checksum")
+  }
 }
