@@ -65,6 +65,17 @@ object Bench {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // multi-metric sections have dependencies BETWEEN timed calls (an index
+    // build feeding the reads that feed the delta pass): timed() swallows a
+    // body failure, so the next dependent read would otherwise throw out of
+    // main() and lose every other metric plus the JSON result line. A
+    // failed section marks all its metrics with the -1 sentinel instead.
+    def section[T](dependents: Seq[String], default: T)(body: => T): T =
+      try body catch {
+        case _: Throwable =>
+          dependents.foreach(n => if (!failed.contains(n)) failed ::= n)
+          default
+      }
     val queryResults = selected.map { case (name, fn) =>
       // noop write forces every output column to materialize; a count() here
       // would let Catalyst prune unused window/projection expressions and
@@ -82,37 +93,45 @@ object Bench {
     val docs = Tables.documents(spark, sfDir)
     val storedDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
     val deltaDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-    val idxBuild = median((1 to runs).map(_ => timed("dedup_index_build") {
-      val (bands, sets) = graft.operators.DedupOps.buildNearDupIndex(storedDocs)
-      bands.write.mode("overwrite").option("compression", "zstd")
-        .parquet(s"$tmpRoot/idx/bands")
-      sets.write.mode("overwrite").option("compression", "zstd")
-        .parquet(s"$tmpRoot/idx/sets")
-    }))
-    val storedBands = spark.read.parquet(s"$tmpRoot/idx/bands")
-    val storedSets = spark.read.parquet(s"$tmpRoot/idx/sets")
-    val idxDelta = median((1 to runs).map(_ => timed("dedup_incremental_delta") {
-      noop(graft.operators.DedupOps.incrementalNearDupsIndexed(
-        deltaDocs, storedBands, storedSets))
-    }))
+    val (idxBuild, idxDelta) = section(
+      Seq("dedup_index_build", "dedup_incremental_delta"), (0.0, 0.0)) {
+      val b = median((1 to runs).map(_ => timed("dedup_index_build") {
+        val (bands, sets) = graft.operators.DedupOps.buildNearDupIndex(storedDocs)
+        bands.write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$tmpRoot/idx/bands")
+        sets.write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$tmpRoot/idx/sets")
+      }))
+      val storedBands = spark.read.parquet(s"$tmpRoot/idx/bands")
+      val storedSets = spark.read.parquet(s"$tmpRoot/idx/sets")
+      val d = median((1 to runs).map(_ => timed("dedup_incremental_delta") {
+        noop(graft.operators.DedupOps.incrementalNearDupsIndexed(
+          deltaDocs, storedBands, storedSets))
+      }))
+      (b, d)
+    }
 
     // ---- IVF: train+store vs pretrained query — the ANN twin of the
     // dedup index split: centroid training runs once and persists; the
     // query path loads and probes, nothing trains per query.
     val emb = Tables.embeddings(spark, sfDir)
-    val ivfTrain = median((1 to runs).map(_ => timed("ivf_train_store") {
-      val cents = graft.operators.SimilarityOps.kmeansCentroids(
-        emb, 16, iters = 2, trainSample = 512)
-      graft.operators.SimilarityOps.centroidsToDf(spark, cents)
-        .write.mode("overwrite").option("compression", "zstd")
-        .parquet(s"$tmpRoot/idx/cents")
-    }))
-    val storedCents = graft.operators.SimilarityOps.centroidsFromDf(
-      spark.read.parquet(s"$tmpRoot/idx/cents"))
-    val ivfPre = median((1 to runs).map(_ => timed("ivf_knn_pretrained") {
-      noop(graft.operators.SimilarityOps.ivfKnnWith(
-        emb, emb.filter(col("vec_id") < 10), k = 5, storedCents))
-    }))
+    val (ivfTrain, ivfPre) = section(
+      Seq("ivf_train_store", "ivf_knn_pretrained"), (0.0, 0.0)) {
+      val t = median((1 to runs).map(_ => timed("ivf_train_store") {
+        val cents = graft.operators.SimilarityOps.kmeansCentroids(
+          emb, 16, iters = 2, trainSample = 512)
+        graft.operators.SimilarityOps.centroidsToDf(spark, cents)
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$tmpRoot/idx/cents")
+      }))
+      val storedCents = graft.operators.SimilarityOps.centroidsFromDf(
+        spark.read.parquet(s"$tmpRoot/idx/cents"))
+      val p = median((1 to runs).map(_ => timed("ivf_knn_pretrained") {
+        noop(graft.operators.SimilarityOps.ivfKnnWith(
+          emb, emb.filter(col("vec_id") < 10), k = 5, storedCents))
+      }))
+      (t, p)
+    }
 
     // ---- skewed-key join: plain vs salted (VERDICT r3 #5) -------------
     // Deterministic skew fixture: lineitem replicated 8× with 95% of its
@@ -131,6 +150,8 @@ object Bench {
     // replication crossed the threshold and AQE parallelized the plain
     // join itself, erasing the gap; that knife-edge is the point of the
     // demo).
+    val (skewPlain, skewSalted) = section(
+      Seq("join_skew_plain", "join_skew_salted"), (0.0, 0.0)) {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         explode(sequence(lit(0), lit(7))).as("rep"))
@@ -151,11 +172,11 @@ object Bench {
     // the plain join; salting spreads them over 16 tasks.
     val skewOut = sha2(concat_ws(":", col("jk"), col("l_quantity"),
       col("o_totalprice")), 256).as("row_sig")
-    val skewPlain = median((1 to runs).map(_ => timed("join_skew_plain") {
+    val p = median((1 to runs).map(_ => timed("join_skew_plain") {
       noop(lineitem.hint("merge").join(orders.hint("merge"), Seq("jk"))
         .select(col("jk"), skewOut))
     }))
-    val skewSalted = median((1 to runs).map(_ => timed("join_skew_salted") {
+    val s = median((1 to runs).map(_ => timed("join_skew_salted") {
       noop(graft.functions.GraftFunctions.saltedJoin(
           lineitem.hint("merge"), orders.hint("merge"), Seq("jk"),
           salts = 16,
@@ -163,42 +184,53 @@ object Bench {
             col("l_linenumber") * lit(10) + col("rep"))
         .select(col("jk"), skewOut))
     }))
+    (p, s)
+    }
 
     // ---- streaming throughput (VERDICT r3 #6) -------------------------
     // Feed the real tables through the exactly-once sinks as file-source
     // micro-batches and report wall time + rows/s. Single run: a stream's
     // checkpoint/replay machinery makes re-runs non-comparable anyway.
-    def streamTimed(name: String)(body: => Long): (Double, Long) = {
+    // the query is created and stopped HERE, not in the caller's body: a
+    // processAllAvailable failure must still stop() the stream, or its
+    // background thread keeps retrying — consuming cores and skewing every
+    // subsequent metric — until spark.stop()
+    def streamTimed(name: String)(
+        mk: => org.apache.spark.sql.streaming.StreamingQuery)(
+        rows: => Long): (Double, Long) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      val rows = try body
-        catch { case _: Throwable => failed ::= name; 0L }
-      ((System.nanoTime() - t0) / 1e9, rows)
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
+      val n = try { q = mk; q.processAllAvailable(); rows }
+        catch { case _: Throwable =>
+          if (!failed.contains(name)) failed ::= name; 0L }
+        finally { if (q != null) q.stop() }
+      ((System.nanoTime() - t0) / 1e9, n)
     }
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val nEvents = events.count()
-    events.repartition(4).write.parquet(s"$tmpRoot/feed/events")
-    val (tUpsert, upsertRows) = streamTimed("stream_upsert") {
-      val q = graft.streaming.StreamingOps.upsertSink(
-        graft.streaming.StreamingOps.readEventsStream(spark, s"$tmpRoot/feed/events"),
-        graft.sources.TableRef(tmpRoot, "stream", "upsert"),
-        keys = Seq("event_id"), orderCol = "ts",
-        checkpointDir = s"$tmpRoot/ckpt/upsert")
-      q.processAllAvailable(); q.stop()
-      nEvents
+    val (tUpsert, upsertRows) = section(Seq("stream_upsert"), (0.0, 0L)) {
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+      val nEvents = events.count()
+      events.repartition(4).write.parquet(s"$tmpRoot/feed/events")
+      streamTimed("stream_upsert") {
+        graft.streaming.StreamingOps.upsertSink(
+          graft.streaming.StreamingOps.readEventsStream(spark, s"$tmpRoot/feed/events"),
+          graft.sources.TableRef(tmpRoot, "stream", "upsert"),
+          keys = Seq("event_id"), orderCol = "ts",
+          checkpointDir = s"$tmpRoot/ckpt/upsert")
+      }(nEvents)
     }
-    val nDocs = docs.count()
-    docs.repartition(4).write.parquet(s"$tmpRoot/feed/docs")
-    val (tDedupStream, dedupRows) = streamTimed("stream_dedup") {
-      val q = graft.streaming.StreamingOps.incrementalDedupSink(
-        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
-          .parquet(s"$tmpRoot/feed/docs"),
-        graft.sources.TableRef(tmpRoot, "stream", "bands"),
-        graft.sources.TableRef(tmpRoot, "stream", "shingles"),
-        graft.sources.TableRef(tmpRoot, "stream", "pairs"),
-        checkpointDir = s"$tmpRoot/ckpt/dedup")
-      q.processAllAvailable(); q.stop()
-      nDocs
+    val (tDedupStream, dedupRows) = section(Seq("stream_dedup"), (0.0, 0L)) {
+      val nDocs = docs.count()
+      docs.repartition(4).write.parquet(s"$tmpRoot/feed/docs")
+      streamTimed("stream_dedup") {
+        graft.streaming.StreamingOps.incrementalDedupSink(
+          spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
+            .parquet(s"$tmpRoot/feed/docs"),
+          graft.sources.TableRef(tmpRoot, "stream", "bands"),
+          graft.sources.TableRef(tmpRoot, "stream", "shingles"),
+          graft.sources.TableRef(tmpRoot, "stream", "pairs"),
+          checkpointDir = s"$tmpRoot/ckpt/dedup")
+      }(nDocs)
     }
 
     // end-to-end medallion pipeline (bronze→silver→gold incl. indicators,

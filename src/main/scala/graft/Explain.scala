@@ -18,7 +18,14 @@ object Explain {
         "q_domain_cap", "q_table_checksum")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // per-name guard: a few queries (the trained-structure ones, e.g.
+      // q_sq_knn's codebook aggregation) run small jobs at DataFrame
+      // construction — a missing/corrupt table there must not abort the
+      // remaining plan dumps
+      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      catch { case e: Throwable =>
+        println(s"(failed to build plan: ${e.getClass.getSimpleName}: ${e.getMessage})")
+      }
     }
     spark.stop()
   }

@@ -89,6 +89,15 @@ object GraftFunctions {
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
   }
 
+  /** round(x, 6) with Spark's Round semantics (HALF_UP over the decimal
+    * string representation) so driver-local math — k-means centroids,
+    * decoded pixel stats — agrees bit-for-bit with in-plan `round(col, 6)`
+    * scoring. The cross-engine rounding doctrine lives here once; op
+    * modules share this instead of growing private copies. */
+  private[graft] def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
   /** P7 — non-strict schema coercion: cast every field, bad values → null
     * (`schemas.py:108-129`; Spark ANSI-off cast has the same semantics). */
   def coerceTo(df: org.apache.spark.sql.DataFrame,

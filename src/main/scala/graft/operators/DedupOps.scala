@@ -215,9 +215,11 @@ object DedupOps {
     * Exactly the batch result restricted to pairs touching a new doc
     * (hashing is per-doc deterministic — asserted in TextOpsSpec).
     * Prefer [[incrementalNearDupsIndexed]] when the stored index is in
-    * [[buildNearDupIndex]] form — it avoids re-aggregating the stored
-    * shingle table; this raw-shingle form is what the streaming sink
-    * maintains ([[graft.streaming.StreamingOps.incrementalDedupSink]]).
+    * [[buildNearDupIndex]] (bands, sets) form — it avoids re-aggregating
+    * the stored shingle table, and that form is what the streaming sink
+    * ([[graft.streaming.StreamingOps.incrementalDedupSink]]) maintains.
+    * This raw-shingle variant remains for indexes stored as plain
+    * [[shingleRows]] output (e.g. one shared with the batch verify path).
     *
     * 100 TB shape: the expensive side (the full corpus) is touched only
     * through the equi-join on (band, bucket) against its STORED index, so
@@ -260,10 +262,13 @@ object DedupOps {
     * one chunk emit no row.
     *
     * Scale shape: chunking is a per-row projection (slice over the word
-    * array); the df count is one map-combined aggregation shuffling the
-    * md5 keys (uniform); the join back is hash-equi on the same key. The
-    * removal op is this plus a filter — the stats form is what a corpus
-    * report needs. */
+    * array); the corpus-wide occurrence count is a WINDOW over the chunk
+    * hash — one shuffle on the (uniform) md5 key, and the chunking subtree
+    * is evaluated exactly once. The aggregate-then-join-back form computes
+    * the words/slice/md5 projection twice (the two consumers share no
+    * exchange) and its sort-merge join sorts both sides on h anyway — the
+    * window pays one of those sorts and skips the join. The removal op is
+    * this plus a filter — the stats form is what a corpus report needs. */
   def chunkDupStats(docs: DataFrame, chunkWords: Int = 8,
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
@@ -278,8 +283,8 @@ object DedupOps {
         md5(concat_ws(" ",
           slice(col("w"), col("i") * chunkWords + 1, lit(chunkWords))).cast("binary"))
           .as("h"))
-    val df = chunks.groupBy(col("h")).agg(count(lit(1)).as("occ"))
-    chunks.join(df, Seq("h"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    chunks.withColumn("occ", count(lit(1)).over(byHash))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))

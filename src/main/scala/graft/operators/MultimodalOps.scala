@@ -143,9 +143,8 @@ object MultimodalOps {
     buf.array()
   }
 
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
-      .toDouble
+  // cross-engine HALF_UP rounding shared with every op module
+  import graft.functions.GraftFunctions.round6
 
   /** REAL BMP decode over binary payloads, partition-at-a-time: validates
     * the magic, reads the little-endian header (pixel offset, dimensions,

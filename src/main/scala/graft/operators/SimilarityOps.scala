@@ -104,10 +104,17 @@ object SimilarityOps {
       }.reduce(_ + _).cast("long")
       struct(lit(t).as("t"), bucket.as("b"))
     }
+    // the tables·planes·dim bucketing projection is the dominant map cost
+    // and has three consumers (hot-bucket count + both self-join sides) —
+    // persist AND materialize so it runs once, not once per consumer
+    // (same doctrine as the minhash band rows, DedupOps.minhashNearDups)
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val raw = corpus.select(col(idCol), col(vecCol),
         explode(array(withTables: _*)).as("tb"))
       .select(col(idCol), col(vecCol),
         col("tb.t").as("table"), col("tb.b").as("bucket"))
+      .persist(disk)
+    raw.count()
     val hot =
       if (maxBucket == Int.MaxValue) Array.empty[String]
       else raw.groupBy(col("table"), col("bucket"))
@@ -125,7 +132,7 @@ object SimilarityOps {
     val right = b.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
       sqrt(array_dot(col(vecCol), col(vecCol))).as("nb"),
       col("table"), col("bucket"))
-    left.join(right, Seq("table", "bucket"))
+    val out = left.join(right, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") >= threshold)
@@ -133,6 +140,12 @@ object SimilarityOps {
       // a pair colliding in several tables reaches here once per table —
       // dedup on the 3 output columns (cheap), never shuffling the vectors
       .distinct()
+      .persist(disk)
+    // materialize the (small) verified pair set, then release the
+    // corpus-sized bucketing cache (the ngramJaccardPairs release doctrine)
+    out.count()
+    raw.unpersist(false)
+    out
   }
 
   /** Deterministic pseudo-random hyperplane component: planes are derived
@@ -236,11 +249,8 @@ object SimilarityOps {
     cents
   }
 
-  /** round(x, 6) with Spark's Round semantics (HALF_UP over the decimal
-    * string representation) so local training and in-plan scoring agree. */
-  private def round6(x: Double): Double =
-    BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
-      .toDouble
+  // cross-engine HALF_UP rounding shared with every op module
+  import graft.functions.GraftFunctions.round6
 
   /** Driver-local Lloyd over the md5-ordered sample — the `trainSample > 0`
     * branch of [[kmeansCentroids]]. Same semantics as the distributed
@@ -397,8 +407,13 @@ object SimilarityOps {
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              planes: Int = 8, dim: Int = 64, maxBucket: Int = 1000,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // two consumers of the corpus bucketing (hot count + candidate join):
+    // persist + materialize so the planes·dim projection runs once
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cb = lshBuckets(corpus, planes, dim, idCol, vecCol)
       .join(corpus, Seq(idCol))
+      .persist(disk)
+    cb.count()
     val qb = lshBuckets(queries, planes, dim, idCol, vecCol)
       .join(queries, Seq(idCol))
     val hot =
@@ -415,12 +430,16 @@ object SimilarityOps {
       sqrt(array_dot(col(vecCol), col(vecCol))).as("qn"), col("bucket"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nid"))
-    cWithBucket.join(broadcast(qWithBucket), Seq("bucket"))
+    val out = cWithBucket.join(broadcast(qWithBucket), Seq("bucket"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("cosine", cosinePre(col("qe"), col("ne"), col("qn"), col("nn")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("cosine"), col("rn"))
+      .persist(disk)
+    out.count()
+    cb.unpersist(false)
+    out
   }
 
   // -------- scalar quantization (int8 compression for the vector store) ---

@@ -711,11 +711,17 @@ object ExtendedQueries {
     // integrity manifest validated after migrations/compactions — row
     // order, file layout, and partitioning may change, content must not.
     // SUMs of 32-bit md5 windows are exact and commutative on any engine.
+    // The op returns the sums as decimal(38,0) (a long sum wraps past
+    // ~2^31 rows); the compared form is the digit STRING — the driver
+    // reads Spark decimals as decimal.Decimal but oracle decimals as
+    // float64, whose reprs diverge.
     "q_table_checksum" -> ((s, dir) =>
       graft.sources.Storage.tableChecksum(
         s.read.parquet(s"$dir/lineitem.parquet"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-          "l_returnflag", "l_linestatus"))),
+          "l_returnflag", "l_linestatus"))
+        .select(col("n_rows"), col("sum_h1").cast("string").as("sum_h1"),
+          col("sum_h2").cast("string").as("sum_h2"))),
 
     // z-score outlier flags: per-ticker mean/std rebuilt from integer-cent
     // power sums (exact, order-independent — the q_moments doctrine), stats
@@ -789,8 +795,8 @@ object ExtendedQueries {
          |    l_returnflag || '|' || l_linestatus) AS hx
          |  FROM lineitem)
          |SELECT COUNT(*) AS n_rows,
-         |  CAST(SUM(${hexWindowSql("hx", 1)}) AS BIGINT) AS sum_h1,
-         |  CAST(SUM(${hexWindowSql("hx", 9)}) AS BIGINT) AS sum_h2
+         |  CAST(SUM(${hexWindowSql("hx", 1)}) AS VARCHAR) AS sum_h1,
+         |  CAST(SUM(${hexWindowSql("hx", 9)}) AS VARCHAR) AS sum_h2
          |FROM h""".stripMargin,
     "q_rank_windows" ->
       """SELECT o_orderkey, o_orderpriority,

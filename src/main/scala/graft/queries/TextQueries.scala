@@ -1097,8 +1097,7 @@ object TextQueries {
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, w[i] || ' ' || w[i+1] AS sh
-        |  FROM words CROSS JOIN range(1, 4096) t(i)
-        |  WHERE i + 1 <= len(w)),
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM words)),
         |f AS (SELECT doc_id, sh, COUNT(*) AS c FROM g GROUP BY 1, 2)
         |SELECT doc_id,
         |  CAST(SUM(c) AS BIGINT) AS n_ngrams,
@@ -1118,8 +1117,7 @@ object TextQueries {
         |chunks AS (
         |  SELECT doc_id,
         |    md5(array_to_string(w[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ')) AS h
-        |  FROM d CROSS JOIN range(0, 512) t(i)
-        |  WHERE d.nc >= 1 AND i < d.nc),
+        |  FROM (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM d)),
         |df AS (SELECT h, COUNT(*) AS occ FROM chunks GROUP BY 1)
         |SELECT c.doc_id,
         |  COUNT(*) AS n_chunks,
@@ -1296,8 +1294,7 @@ object TextQueries {
         |chunks AS (
         |  SELECT doc_id,
         |    md5(array_to_string(w[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ')) AS h
-        |  FROM cd0 CROSS JOIN range(0, 512) t(i)
-        |  WHERE cd0.nc >= 1 AND i < cd0.nc),
+        |  FROM (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM cd0)),
         |cdf AS (SELECT h, COUNT(*) AS occ FROM chunks GROUP BY 1),
         |cd AS (
         |  SELECT c.doc_id,

@@ -240,16 +240,22 @@ object Storage {
     * swap (row order, file layout, and partitioning all change; content
     * must not). SUM of per-row integers is exact and commutative, so the
     * checksum is layout-invariant and reproducible on any engine from the
-    * same md5 recipe (columns joined with '|', nulls as ''). One
+    * same md5 recipe (columns joined with '|', nulls as ''). The windows
+    * are summed as decimal(38,0), not bigint: each row contributes up to
+    * 2^32−1, so a long sum overflows (silently, in non-ANSI mode) past
+    * ~2^31 rows — exactly the table size this op exists for. One
     * map-combined aggregation — a single linear pass at any scale. */
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
     val h = md5(concat_ws("|",
       cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
       .cast("binary"))
+    def win(start: Int) =
+      conv(substring(h, start, 8), 16, 10).cast(DecimalType(38, 0))
     df.agg(count(lit(1)).as("n_rows"),
-      sum(conv(substring(h, 1, 8), 16, 10).cast("long")).as("sum_h1"),
-      sum(conv(substring(h, 9, 8), 16, 10).cast("long")).as("sum_h2"))
+      sum(win(1)).as("sum_h1"),
+      sum(win(9)).as("sum_h2"))
   }
 }
 

@@ -233,7 +233,9 @@ class SourcesSpec extends SparkSpecBase {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     def sums(df: org.apache.spark.sql.DataFrame) =
       Storage.tableChecksum(df, cols).first() match {
-        case r => (r.getLong(0), r.getLong(1), r.getLong(2))
+        // the window sums are decimal(38,0) — a long sum would silently
+        // wrap past ~2^31 rows (each row contributes up to 2^32−1)
+        case r => (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
       }
     val base = sums(li)
     // any repartitioning / ordering of the same rows hashes identically
