@@ -262,13 +262,15 @@ object DedupOps {
     * one chunk emit no row.
     *
     * Scale shape: chunking is a per-row projection (slice over the word
-    * array); the corpus-wide occurrence count is a WINDOW over the chunk
-    * hash — one shuffle on the (uniform) md5 key, and the chunking subtree
-    * is evaluated exactly once. The aggregate-then-join-back form computes
-    * the words/slice/md5 projection twice (the two consumers share no
-    * exchange) and its sort-merge join sorts both sides on h anyway — the
-    * window pays one of those sorts and skips the join. The removal op is
-    * this plus a filter — the stats form is what a corpus report needs. */
+    * array), persisted+materialized so the two consumers (the df count and
+    * the join back) read the cache instead of each re-running the
+    * words/slice/md5 subtree (they share no exchange). The occurrence
+    * count stays an AGGREGATE + equi-join back, NOT a window over the
+    * hash: chunk hashes are nearly unique, so `count over (partition by
+    * h)` makes millions of single-row window groups — measured 4× slower
+    * at the 200k-doc corpus (20.4 s vs ~5 s) than the map-combined
+    * hash aggregate. The removal op is this plus a filter — the stats
+    * form is what a corpus report needs. */
   def chunkDupStats(docs: DataFrame, chunkWords: Int = 8,
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
@@ -283,14 +285,24 @@ object DedupOps {
         md5(concat_ws(" ",
           slice(col("w"), col("i") * chunkWords + 1, lit(chunkWords))).cast("binary"))
           .as("h"))
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    chunks.withColumn("occ", count(lit(1)).over(byHash))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize before the two consumers fork (in-flight computation is
+    // not deduped by an unmaterialized cache)
+    chunks.count()
+    val df = chunks.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val out = chunks.join(df, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
       .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
         round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
           .as("dup_fraction"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (doc-grain, much smaller) stats, then release the
+    // chunk-grain cache
+    out.count()
+    chunks.unpersist(false)
+    out
   }
 
   /** Decontamination: KEEP the train docs that do NOT share an LSH band
