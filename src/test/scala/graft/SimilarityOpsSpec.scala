@@ -55,6 +55,22 @@ class SimilarityOpsSpec extends SparkSpecBase {
       again.map(t => (t._1, t._2)).toSeq)
   }
 
+  test("lsh ops release their bucketing caches, keep only the small output") {
+    import spark.implicits._
+    val e = (0L until 40L).map(i =>
+      (i, Array.tabulate(64)(d => ((i % 4) + d).toFloat / 64))).toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = SimilarityOps.lshNearDupPairs(e, threshold = 0.4, planes = 4)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      s"lshNearDupPairs leaked: ${spark.sparkContext.getPersistentRDDs.size - before}")
+    pairs.unpersist()
+    val knn = SimilarityOps.lshKnn(e, e.filter($"vec_id" < 2), k = 3, planes = 4)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      s"lshKnn leaked: ${spark.sparkContext.getPersistentRDDs.size - before}")
+    knn.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
   test("maxBucket cap: degenerate bucket bounded, precision untouched") {
     import spark.implicits._
     // adversarial fixture: 60 identical embeddings — every LSH table puts

@@ -66,6 +66,20 @@ class TextOpsSpec extends SparkSpecBase {
     assert(m(2L) === ((4L, 4L, 0.0, 0.25)))
   }
 
+  test("chunk dedup releases its chunk-grain cache, keeps only the stats") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h q r s t u v w x")).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val stats = DedupOps.chunkDupStats(docs)
+    // only the materialized doc-grain stats frame may remain cached — the
+    // chunk-grain projection must have been unpersisted before returning
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.size - before}")
+    stats.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
   test("chunk dedup: shared 8-word passage flagged in both docs, unique not") {
     val passage = "w1 w2 w3 w4 w5 w6 w7 w8"
     val docs = Seq(
