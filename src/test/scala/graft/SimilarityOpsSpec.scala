@@ -128,6 +128,8 @@ class SimilarityOpsSpec extends SparkSpecBase {
       approx.intersect(exactKnn).size.toDouble / exactKnn.size
     }
     val curve = Seq(1, 2, 4, 8, 16).map(recallAt)
+    info(s"recall@5 vs brute force, nprobe 1/2/4/8/16 of 16 lists: " +
+      curve.map(c => f"$c%.3f").mkString(" → "))
     curve.sliding(2).foreach { case Seq(lo, hi) =>
       assert(hi >= lo, s"recall must not drop as nprobe grows: $curve")
     }
