@@ -232,6 +232,22 @@ object Bench {
           checkpointDir = s"$tmpRoot/ckpt/dedup")
       }(nDocs)
     }
+    // same corpus, ONE micro-batch: the 4-batch number above is dominated
+    // by per-batch fixed cost (trigger planning, checkpoint commit, index
+    // read-back) at toy batch sizes — this variant shows how far batch
+    // sizing alone moves throughput with identical exactly-once machinery
+    val (tDedupStream1, dedupRows1) = section(Seq("stream_dedup_1batch"), (0.0, 0L)) {
+      val nDocs = docs.count()
+      streamTimed("stream_dedup_1batch") {
+        graft.streaming.StreamingOps.incrementalDedupSink(
+          spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 4)
+            .parquet(s"$tmpRoot/feed/docs"),
+          graft.sources.TableRef(tmpRoot, "stream1", "bands"),
+          graft.sources.TableRef(tmpRoot, "stream1", "shingles"),
+          graft.sources.TableRef(tmpRoot, "stream1", "pairs"),
+          checkpointDir = s"$tmpRoot/ckpt/dedup1")
+      }(nDocs)
+    }
 
     // end-to-end medallion pipeline (bronze→silver→gold incl. indicators,
     // VWAP, pattern tables) — comparable to the reference's full-rewrite run
@@ -249,6 +265,7 @@ object Bench {
       "join_skew_salted" -> skewSalted,
       "stream_upsert" -> tUpsert,
       "stream_dedup" -> tDedupStream,
+      "stream_dedup_1batch" -> tDedupStream1,
       "pipeline_full" -> pipelineTime)
     def ms(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) =>
@@ -260,7 +277,7 @@ object Bench {
     def rps(rows: Long, sec: Double): Long =
       if (sec > 0) (rows / sec).toLong else 0L
     val streamJson =
-      s"""{"stream_upsert_rows_per_s":${rps(upsertRows, tUpsert)},"stream_dedup_rows_per_s":${rps(dedupRows, tDedupStream)}}"""
+      s"""{"stream_upsert_rows_per_s":${rps(upsertRows, tUpsert)},"stream_dedup_rows_per_s":${rps(dedupRows, tDedupStream)},"stream_dedup_1batch_rows_per_s":${rps(dedupRows1, tDedupStream1)}}"""
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"stream":$streamJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
