@@ -18,9 +18,11 @@ object Explain {
         "q_domain_cap", "q_table_checksum")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      // per-name guard: a few queries (the trained-structure ones, e.g.
-      // q_sq_knn's codebook aggregation) run small jobs at DataFrame
-      // construction — a missing/corrupt table there must not abort the
+      // per-name guard: a few queries (trained/eagerly-materialized
+      // structures — q_sq_knn's codebook, q_corpus_card's chunk stats)
+      // run real jobs at DataFrame construction and print their
+      // POST-materialization plan (cached-relation scans feeding the
+      // final shape); a missing/corrupt table there must not abort the
       // remaining plan dumps
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
       catch { case e: Throwable =>

@@ -117,7 +117,10 @@ object ScaleBench {
       // scale-relevant stage (the join back is equi on the same key, so
       // Catalyst cannot eliminate it — output cardinality depends on it)
       val (nChunked, tChunk) = timed {
-        graft.operators.DedupOps.chunkDupStats(docs).count()
+        val stats = graft.operators.DedupOps.chunkDupStats(docs)
+        val n = stats.count()
+        stats.unpersist(false) // doc-grain cache must not tax later sections
+        n
       }
       docs.unpersist(false)
       s""","dedup_docs":$nDocs,"dedup_pairs":$nPairs,"dedup":$tDedup""" +

@@ -407,13 +407,16 @@ object SimilarityOps {
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              planes: Int = 8, dim: Int = 64, maxBucket: Int = 1000,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // two consumers of the corpus bucketing (hot count + candidate join):
-    // persist + materialize so the planes·dim projection runs once
+    // two consumers of the corpus bucketing (hot count + candidate join)
+    // in the default capped branch: persist + materialize so the
+    // planes·dim projection runs once. Uncapped there is exactly one
+    // consumer — caching would ADD a corpus pass for zero reuse.
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val cb = lshBuckets(corpus, planes, dim, idCol, vecCol)
+    val capped = maxBucket != Int.MaxValue
+    val cb0 = lshBuckets(corpus, planes, dim, idCol, vecCol)
       .join(corpus, Seq(idCol))
-      .persist(disk)
-    cb.count()
+    val cb = if (capped) cb0.persist(disk) else cb0
+    if (capped) cb.count()
     val qb = lshBuckets(queries, planes, dim, idCol, vecCol)
       .join(queries, Seq(idCol))
     val hot =
@@ -438,7 +441,7 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cosine"), col("rn"))
       .persist(disk)
     out.count()
-    cb.unpersist(false)
+    if (capped) cb.unpersist(false)
     out
   }
 
