@@ -146,6 +146,12 @@ class TextOpsSpec extends SparkSpecBase {
       val key = (r.getLong(0), r.getLong(1))
       assert(bf.contains(key) && bf(key) === r.getDouble(2))
     }
+    // the uncapped branch (no hot-bucket count, no corpus-side cache)
+    // must return the same neighbors as the default capped branch when
+    // no bucket is actually over-full
+    val un = SimilarityOps.lshKnn(e, q, 5, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(un === lsh.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
   test("BMP decode: header, stride padding and bottom-up rows parsed right") {
