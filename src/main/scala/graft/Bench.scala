@@ -286,12 +286,17 @@ object Bench {
       "\"" + k + "\":" + (if (failed.contains(k)) "-1" else ms(v))
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
+    // the total alone is not comparable across rounds as structural
+    // metrics get added — split it so the query-workload trend and the
+    // (deliberately heavy) structural-metric cost are separately readable
+    val headlineTotal = queryResults
+      .collect { case (k, v) if !failed.contains(k) => v }.sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     def rps(rows: Long, sec: Double): Long =
       if (sec > 0) (rows / sec).toLong else 0L
     val streamJson =
       s"""{"stream_upsert_rows_per_s":${rps(upsertRows, tUpsert)},"stream_dedup_rows_per_s":${rps(dedupRows, tDedupStream)},"stream_dedup_1batch_rows_per_s":${rps(dedupRows1, tDedupStream1)}}"""
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"stream":$streamJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","query_total":${ms(headlineTotal)},"structural_total":${ms(total - headlineTotal)},"queries":$qs,"stream":$streamJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
