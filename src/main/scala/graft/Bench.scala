@@ -233,33 +233,28 @@ object Bench {
     // The ONE-batch variant runs FIRST and therefore pays the streaming
     // path's one-time codegen/JIT warm-up — any warm-up bias favors the
     // 4-batch run, making the measured 1-batch advantage conservative.
-    // maxFilesPerTrigger is deliberately huge (not the feed's file count):
-    // "everything available in one trigger" regardless of feed layout.
-    val (tDedupStream1, dedupRows1) = section(Seq("stream_dedup_1batch"), (0.0, 0L)) {
+    // maxFilesPerTrigger=1000000 is deliberately huge (not the feed's file
+    // count): "everything available in one trigger" regardless of layout.
+    // ONE section covers both variants: they share the feed write, so a
+    // failed write must mark BOTH metrics, not leave the second streaming
+    // an empty directory at full "speed".
+    val ((tDedupStream1, dedupRows1), (tDedupStream, dedupRows)) = section(
+      Seq("stream_dedup_1batch", "stream_dedup"), ((0.0, 0L), (0.0, 0L))) {
       val nDocs = docs.count()
       docs.repartition(4).write.parquet(s"$tmpRoot/feed/docs")
-      streamTimed("stream_dedup_1batch") {
-        graft.streaming.StreamingOps.incrementalDedupSink(
-          spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1000000)
-            .parquet(s"$tmpRoot/feed/docs"),
-          graft.sources.TableRef(tmpRoot, "stream1", "bands"),
-          graft.sources.TableRef(tmpRoot, "stream1", "shingles"),
-          graft.sources.TableRef(tmpRoot, "stream1", "pairs"),
-          checkpointDir = s"$tmpRoot/ckpt/dedup1")
-      }(nDocs)
-    }
-    val (tDedupStream, dedupRows) = section(Seq("stream_dedup"), (0.0, 0L)) {
-      val nDocs = docs.count()
-      streamTimed("stream_dedup") {
-        graft.streaming.StreamingOps.incrementalDedupSink(
-          spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1)
-            .parquet(s"$tmpRoot/feed/docs"),
-          graft.sources.TableRef(tmpRoot, "stream", "bands"),
-          graft.sources.TableRef(tmpRoot, "stream", "shingles"),
-          graft.sources.TableRef(tmpRoot, "stream", "pairs"),
-          checkpointDir = s"$tmpRoot/ckpt/dedup")
-      }(nDocs)
+      def dedupStream(name: String, maxFilesPerTrigger: Int, ns: String) =
+        streamTimed(name) {
+          graft.streaming.StreamingOps.incrementalDedupSink(
+            spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", maxFilesPerTrigger)
+              .parquet(s"$tmpRoot/feed/docs"),
+            graft.sources.TableRef(tmpRoot, ns, "bands"),
+            graft.sources.TableRef(tmpRoot, ns, "shingles"),
+            graft.sources.TableRef(tmpRoot, ns, "pairs"),
+            checkpointDir = s"$tmpRoot/ckpt/$name")
+        }(nDocs)
+      (dedupStream("stream_dedup_1batch", 1000000, "stream1"),
+        dedupStream("stream_dedup", 1, "stream"))
     }
 
     // end-to-end medallion pipeline (bronze→silver→gold incl. indicators,

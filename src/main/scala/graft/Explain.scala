@@ -28,6 +28,10 @@ object Explain {
       catch { case e: Throwable =>
         println(s"(failed to build plan: ${e.getClass.getSimpleName}: ${e.getMessage})")
       }
+      // the eager queries above persist small results; clear so a later
+      // name's dump shows its real cold plan, not a cached-relation
+      // substitution (the Bench.timed / Verify doctrine)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
