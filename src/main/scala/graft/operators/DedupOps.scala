@@ -173,7 +173,31 @@ object DedupOps {
                                  storedSets: DataFrame, k: Int = 8,
                                  bands: Int = 4, shingleN: Int = 3,
                                  textCol: String = "text",
-                                 idCol: String = "doc_id"): DataFrame = {
+                                 idCol: String = "doc_id"): DataFrame =
+    incrementalIndexedCore(newDocs, storedBands, storedSets, k, bands,
+      shingleN, textCol, idCol, keepDelta = false)._1
+
+  /** [[incrementalNearDupsIndexed]] that ALSO returns the delta's own
+    * (bands, sets) index rows, computed ONCE from the same cached shingles
+    * the pairing used and still persisted on return. This is what an
+    * index-maintaining caller (the streaming sink) appends to the stored
+    * tables — without it, building those rows separately re-runs the
+    * batch's entire shingle/signature/band pipeline a second time, because
+    * the pairing's caches are already released by the time the append
+    * executes. Caller owns the two returned caches (unpersist after
+    * writing). */
+  def incrementalNearDupsIndexedWithDelta(
+      newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
+      k: Int = 8, bands: Int = 4, shingleN: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id")
+  : (DataFrame, DataFrame, DataFrame) =
+    incrementalIndexedCore(newDocs, storedBands, storedSets, k, bands,
+      shingleN, textCol, idCol, keepDelta = true)
+
+  private def incrementalIndexedCore(
+      newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
+      k: Int, bands: Int, shingleN: Int, textCol: String, idCol: String,
+      keepDelta: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shrNew = shingleRows(newDocs, shingleN, textCol, idCol).persist(disk)
     val sigs = signaturesFromShingles(newDocs, shrNew, k, idCol)
@@ -199,13 +223,21 @@ object DedupOps {
     // delta docs' sets are built from the delta's own shingles; stored
     // docs' sets come straight from the index. One semi-join restricts to
     // pair members — Catalyst pushes left-semi through the union, so the
-    // stored read stays a member lookup, not a scan
+    // stored read stays a member lookup, not a scan. A keepDelta caller
+    // needs the FULL delta sets anyway, so they materialize once here and
+    // feed both the verification union and the returned index rows.
+    val newSets =
+      if (keepDelta) { val s = shingleSets(shrNew).persist(disk); s.count(); s }
+      else shingleSets(shrNew)
     val sets = storedSets.select(col("doc_id"), col("hs"), col("n"))
-      .union(shingleSets(shrNew))
+      .union(newSets.select(col("doc_id"), col("hs"), col("n")))
       .join(docsInPairs, Seq("doc_id"), "left_semi")
       .persist(disk)
     graft.pipeline.Timing.stage("dedup", "sets")(sets.count())
-    jaccardFromSets(p, sets, minJaccard = 0.0, sets, shrNew, newBands)
+    val released =
+      if (keepDelta) Seq(sets, shrNew) else Seq(sets, shrNew, newBands)
+    val pairs = jaccardFromSets(p, sets, minJaccard = 0.0, released: _*)
+    (pairs, newBands, newSets)
   }
 
   /** Incremental near-dup: pairs introduced by a NEW batch against an

@@ -217,26 +217,35 @@ object StreamingOps {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val b = batch.toDF()
-        val (newBands, newSets) = DedupOps.buildNearDupIndex(b)
+        // lazy, never executed: only the .limit(0) schema stand-ins below
+        // read these (PropagateEmptyRelation folds them away)
+        val (bandsSchema, setsSchema) = DedupOps.buildNearDupIndex(b)
         val storedBands =
           if (Storage.tableExists(s, bandsRef))
             // a replayed batch must not see its own previous (partial)
             // index writes as "stored", or within-batch pairs double
             Storage.readTable(s, bandsRef).filter(col("batch_id") < batchId)
-          else newBands.limit(0).withColumn("batch_id", lit(0L))
+          else bandsSchema.limit(0).withColumn("batch_id", lit(0L))
         val storedSets =
           if (Storage.tableExists(s, setsRef))
             Storage.readTable(s, setsRef).filter(col("batch_id") < batchId)
-          else newSets.limit(0).withColumn("batch_id", lit(0L))
-        val pairs = DedupOps.incrementalNearDupsIndexed(b,
-          storedBands.drop("batch_id"), storedSets.drop("batch_id"))
+          else setsSchema.limit(0).withColumn("batch_id", lit(0L))
+        // the WithDelta variant hands back the batch's own (bands, sets)
+        // STILL CACHED from the pairing pass — appending them re-reads the
+        // cache instead of re-running the batch's whole hashing pipeline
+        // (the plain variant releases those caches before returning)
+        val (pairs, newBands, newSets) = DedupOps.incrementalNearDupsIndexedWithDelta(
+          b, storedBands.drop("batch_id"), storedSets.drop("batch_id"))
         idempotentBatchAppend(pairs, pairsRef, batchId)
         pairs.unpersist(false)
         // grow the index AFTER pairing, so the batch never matches itself
         // through the stored side (within-batch pairs come from the delta
-        // self-join inside incrementalNearDupsIndexed)
+        // self-join inside the pairing)
         idempotentBatchAppend(newBands, bandsRef, batchId)
         idempotentBatchAppend(newSets, setsRef, batchId)
+        newBands.unpersist(false)
+        newSets.unpersist(false)
+        ()
       }
       .start()
   }
