@@ -162,6 +162,28 @@ object DedupOps {
     (lshBands(sigs, bands, k / bands), shingleSets(shr))
   }
 
+  /** Materialize BOTH index tables in ONE corpus pass. The two frames
+    * [[buildNearDupIndex]] returns share the shingle subtree but nothing
+    * forces them to share its evaluation — writing them independently
+    * shingles the corpus twice (a whole extra corpus scan at index-build
+    * scale). Here the shingle rows are persisted+materialized, each writer
+    * reads the cache, and the cache is released before returning. Writers
+    * own the storage choice (path, compression, partitioning). */
+  def writeNearDupIndex(docs: DataFrame,
+                        writeBands: DataFrame => Unit,
+                        writeSets: DataFrame => Unit,
+                        k: Int = 8, bands: Int = 4, shingleN: Int = 3,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): Unit = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shr = shingleRows(docs, shingleN, textCol, idCol).persist(disk)
+    shr.count()
+    writeBands(lshBands(signaturesFromShingles(docs, shr, k, idCol),
+      bands, k / bands))
+    writeSets(shingleSets(shr))
+    shr.unpersist(false)
+  }
+
   /** [[incrementalNearDups]] against the [[buildNearDupIndex]] form of the
     * stored index: same pair set and Jaccard values (TextOpsSpec asserts
     * both equal the batch result restricted to delta-touching pairs), but

@@ -52,6 +52,15 @@ class TextOpsSpec extends SparkSpecBase {
       docs.filter(col("doc_id") >= split), bandIdx2, setsIdx)
       .collect().map(key).toSet
     assert(indexed === batch)
+    // the ONE-PASS writer must store exactly the frames the lazy builder
+    // returns (it exists so writing both tables shingles the corpus once)
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    DedupOps.writeNearDupIndex(docs.filter(col("doc_id") < split),
+      _.write.parquet(s"$dir/bands"), _.write.parquet(s"$dir/sets"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(spark.read.parquet(s"$dir/bands")) === rows(bandIdx2))
+    assert(rows(spark.read.parquet(s"$dir/sets")) === rows(setsIdx))
   }
 
   test("ngram repetition: looped phrase scores high, varied text low") {
