@@ -156,19 +156,28 @@ object DedupOps {
     * instead of an O(corpus) shingle re-aggregation. */
   def buildNearDupIndex(docs: DataFrame, k: Int = 8, bands: Int = 4,
                         shingleN: Int = 3, textCol: String = "text",
-                        idCol: String = "doc_id"): (DataFrame, DataFrame) = {
-    val shr = shingleRows(docs, shingleN, textCol, idCol)
-    val sigs = signaturesFromShingles(docs, shr, k, idCol)
-    (lshBands(sigs, bands, k / bands), shingleSets(shr))
-  }
+                        idCol: String = "doc_id"): (DataFrame, DataFrame) =
+    indexFrames(docs, shingleRows(docs, shingleN, textCol, idCol), k, bands,
+      idCol)
+
+  /** The (bands, sets) index frames over a given shingling — the ONE
+    * definition of the index shape, shared by the lazy builder and the
+    * one-pass writer so the stored index can never diverge from what
+    * [[incrementalNearDupsIndexed]] expects. */
+  private def indexFrames(docs: DataFrame, shr: DataFrame, k: Int,
+                          bands: Int, idCol: String): (DataFrame, DataFrame) =
+    (lshBands(signaturesFromShingles(docs, shr, k, idCol), bands, k / bands),
+      shingleSets(shr))
 
   /** Materialize BOTH index tables in ONE corpus pass. The two frames
     * [[buildNearDupIndex]] returns share the shingle subtree but nothing
     * forces them to share its evaluation — writing them independently
     * shingles the corpus twice (a whole extra corpus scan at index-build
-    * scale). Here the shingle rows are persisted+materialized, each writer
-    * reads the cache, and the cache is released before returning. Writers
-    * own the storage choice (path, compression, partitioning). */
+    * scale). Here the shingle rows are persisted, the FIRST writer's job
+    * populates the cache (the writers run sequentially, so no eager
+    * count() is needed — that doctrine is for concurrent consumers), the
+    * second reads it, and the cache is released on every exit path.
+    * Writers own the storage choice (path, compression, partitioning). */
   def writeNearDupIndex(docs: DataFrame,
                         writeBands: DataFrame => Unit,
                         writeSets: DataFrame => Unit,
@@ -177,11 +186,9 @@ object DedupOps {
                         idCol: String = "doc_id"): Unit = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shr = shingleRows(docs, shingleN, textCol, idCol).persist(disk)
-    shr.count()
-    writeBands(lshBands(signaturesFromShingles(docs, shr, k, idCol),
-      bands, k / bands))
-    writeSets(shingleSets(shr))
-    shr.unpersist(false)
+    val (bandFrame, setFrame) = indexFrames(docs, shr, k, bands, idCol)
+    try { writeBands(bandFrame); writeSets(setFrame) }
+    finally shr.unpersist(false)
   }
 
   /** [[incrementalNearDups]] against the [[buildNearDupIndex]] form of the
