@@ -228,45 +228,66 @@ object DedupOps {
       k: Int, bands: Int, shingleN: Int, textCol: String, idCol: String,
       keepDelta: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shrNew = shingleRows(newDocs, shingleN, textCol, idCol).persist(disk)
-    val sigs = signaturesFromShingles(newDocs, shrNew, k, idCol)
-    val newBands = lshBands(sigs, bands, k / bands).persist(disk)
-    newBands.count()
-    // ONE equi-join against the stored bands catches new×stored in both id
-    // orders (least/greatest normalizes — the stored side shuffles once,
-    // not twice); new×new comes from the delta self-join
-    val vsStored = newBands.as("a").join(storedBands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
-    val vsNew = newBands.as("a").join(newBands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val p = graft.pipeline.Timing.stage("dedup", "cand-ckpt")(
-      vsStored.union(vsNew).distinct().localCheckpoint())
-    val docsInPairs = p.select(col("id_a").as("doc_id"))
-      .union(p.select(col("id_b").as("doc_id")))
-      .distinct()
-    // delta docs' sets are built from the delta's own shingles; stored
-    // docs' sets come straight from the index. One semi-join restricts to
-    // pair members — Catalyst pushes left-semi through the union, so the
-    // stored read stays a member lookup, not a scan. A keepDelta caller
-    // needs the FULL delta sets anyway, so they materialize once here and
-    // feed both the verification union and the returned index rows.
-    val newSets =
-      if (keepDelta) { val s = shingleSets(shrNew).persist(disk); s.count(); s }
-      else shingleSets(shrNew)
-    val sets = storedSets.select(col("doc_id"), col("hs"), col("n"))
-      .union(newSets.select(col("doc_id"), col("hs"), col("n")))
-      .join(docsInPairs, Seq("doc_id"), "left_semi")
-      .persist(disk)
-    graft.pipeline.Timing.stage("dedup", "sets")(sets.count())
-    val released =
-      if (keepDelta) Seq(sets, shrNew) else Seq(sets, shrNew, newBands)
-    val pairs = jaccardFromSets(p, sets, minJaccard = 0.0, released: _*)
-    (pairs, newBands, newSets)
+    // every persist is tracked so a mid-flight failure (stored-table read,
+    // checkpoint, verification join) releases them on the way out — without
+    // this, an exception leaks three corpus-sized caches for the session
+    // (the writeNearDupIndex finally-release doctrine)
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def track(df: DataFrame): DataFrame = { tracked += df.persist(disk); df }
+    try {
+      val shrNew = track(shingleRows(newDocs, shingleN, textCol, idCol))
+      val sigs = signaturesFromShingles(newDocs, shrNew, k, idCol)
+      val newBands = track(lshBands(sigs, bands, k / bands))
+      newBands.count()
+      // ONE equi-join against the stored bands catches new×stored in both id
+      // orders (least/greatest normalizes — the stored side shuffles once,
+      // not twice); new×new comes from the delta self-join
+      val vsStored = newBands.as("a").join(storedBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      val vsNew = newBands.as("a").join(newBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val p = graft.pipeline.Timing.stage("dedup", "cand-ckpt")(
+        vsStored.union(vsNew).distinct().localCheckpoint())
+      val docsInPairs = p.select(col("id_a").as("doc_id"))
+        .union(p.select(col("id_b").as("doc_id")))
+        .distinct()
+      // delta docs' sets are built from the delta's own shingles; stored
+      // docs' sets come straight from the index. One semi-join restricts to
+      // pair members — Catalyst pushes left-semi through the union, so the
+      // stored read stays a member lookup, not a scan. A keepDelta caller
+      // needs the FULL delta sets anyway, so they materialize once here and
+      // feed both the verification union and the returned index rows.
+      val newSets =
+        if (keepDelta) { val s = track(shingleSets(shrNew)); s.count(); s }
+        else shingleSets(shrNew)
+      // a doc RE-DELIVERED in the delta also has a row in the stored index;
+      // keeping both would double its set row and multiply every pair it
+      // appears in through the verification joins — the delta row wins
+      // (anti-join on the delta's doc ids: delta-sized build side)
+      val deltaIds = newDocs.select(col(idCol).as("doc_id")).distinct()
+      val sets = storedSets.select(col("doc_id"), col("hs"), col("n"))
+        .join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+        .union(newSets.select(col("doc_id"), col("hs"), col("n")))
+        .join(docsInPairs, Seq("doc_id"), "left_semi")
+        .persist(disk)
+      tracked += sets
+      graft.pipeline.Timing.stage("dedup", "sets")(sets.count())
+      val released =
+        if (keepDelta) Seq(sets, shrNew) else Seq(sets, shrNew, newBands)
+      val pairs = jaccardFromSets(p, sets, minJaccard = 0.0, released: _*)
+      // success: jaccardFromSets released `released`; keepDelta callers own
+      // newBands/newSets (still cached by contract)
+      (pairs, newBands, newSets)
+    } catch {
+      case t: Throwable =>
+        tracked.foreach(df => scala.util.Try(df.unpersist(false)))
+        throw t
+    }
   }
 
   /** Incremental near-dup: pairs introduced by a NEW batch against an

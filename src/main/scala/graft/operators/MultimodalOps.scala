@@ -177,6 +177,10 @@ object MultimodalOps {
           val h = math.abs(rawH)
           val bottomUp = rawH > 0
           val stride = ((3 * w + 3) / 4) * 4
+          // a truncated payload must fail with a diagnosable doc id, not an
+          // ArrayIndexOutOfBounds from the middle of the pixel loop
+          require(bytes.length >= offset + stride * h,
+            s"truncated BMP (${bytes.length} bytes < ${offset + stride * h}): doc $id")
           var sb = 0L; var sg = 0L; var sr = 0L
           var s = 0
           while (s < h) {

@@ -225,8 +225,14 @@ object SimilarityOps {
                       trainSample: Int = 0,
                       idCol: String = "vec_id", vecCol: String = "embedding")
   : Array[(Long, Seq[Double], Double)] = {
-    if (trainSample > 0)
+    if (trainSample > 0) {
+      // seeds are rows.take(k) of the sample fetch — a sample smaller than
+      // k would silently train fewer centroids (and diverge from the
+      // distributed path, which seeds limit(k) from the full corpus)
+      require(trainSample >= k,
+        s"trainSample ($trainSample) must be >= k ($k) — seeds are drawn from the sample")
       return kmeansLocal(corpus, k, iters, trainSample, idCol, vecCol)
+    }
     var cents = ivfCentroids(corpus, k, idCol, vecCol)
     for (_ <- 1 to iters) {
       val means = corpus

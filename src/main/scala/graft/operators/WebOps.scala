@@ -37,14 +37,18 @@ object WebOps {
   /** Canonical URL normal form — the key URL-level exact dedup groups on:
     * lowercased scheme+host, default port and fragment dropped, tracking
     * (`utm_*`) params removed with separators repaired, trailing `?` and
-    * trailing path `/` stripped. Two-step utm removal: a utm param followed
-    * by another param loses its own trailing `&`; a trailing/solo utm param
-    * takes its LEADING separator with it — covers first/middle/last/only
-    * positions without lookaround. */
+    * trailing path `/` stripped. Two-step utm removal, both steps anchored
+    * on a `[?&]` separator so a param whose name merely ENDS in `utm_*`
+    * (`?xutm_source=1`) is never clipped: step one eats a RUN of
+    * `&`-terminated utm params and re-emits the separator it anchored on
+    * (the run form matters — anchored single-param removal consumes the
+    * separator the next utm param would need); step two drops a
+    * trailing/solo utm param together with its leading separator. Covers
+    * first/middle/last/only positions without lookaround (RE2-safe). */
   def normalizeUrl(url: Column): Column = {
     val rest = regexp_extract(url, restRe, 1)
     val noUtm = regexp_replace(
-      regexp_replace(rest, "utm_[A-Za-z]+=[^&#]*&", ""),
+      regexp_replace(rest, "([?&])(utm_[A-Za-z]+=[^&#]*&)+", "$1"),
       "[?&]utm_[A-Za-z]+=[^&#]*", "")
     val tidy = regexp_replace(regexp_replace(noUtm, "\\?$", ""), "/$", "")
     concat(scheme(url), lit("://"), host(url), tidy)

@@ -1175,7 +1175,7 @@ object TextQueries {
         |  scheme || '://' || host ||
         |    regexp_replace(regexp_replace(
         |      regexp_replace(regexp_replace(rest,
-        |        'utm_[A-Za-z]+=[^&#]*&', '', 'g'),
+        |        '([?&])(utm_[A-Za-z]+=[^&#]*&)+', '\1', 'g'),
         |        '[?&]utm_[A-Za-z]+=[^&#]*', '', 'g'),
         |      '\?$', '', 'g'), '/$', '', 'g') AS norm_url
         |FROM parts""".stripMargin),
