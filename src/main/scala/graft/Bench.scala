@@ -217,16 +217,25 @@ object Bench {
         finally { if (q != null) q.stop() }
       ((System.nanoTime() - t0) / 1e9, n)
     }
+    // feed files are event-time-ordered (repartitionByRange on ts — how a
+    // real event stream actually arrives), the sink partitions the stored
+    // table by event date and merges via upsertPartitioned: each batch
+    // reads+rewrites only the date partitions it touches, so per-batch I/O
+    // is O(batch dates), not O(stored table) — the r4 full-rewrite sink's
+    // wall time grew with the table regardless of batch size
     val (tUpsert, upsertRows) = section(Seq("stream_upsert"), (0.0, 0L)) {
       val events = spark.read.parquet(s"$sfDir/events.parquet")
       val nEvents = events.count()
-      events.repartition(4).write.parquet(s"$tmpRoot/feed/events")
+      events.repartitionByRange(4, col("ts")).write
+        .parquet(s"$tmpRoot/feed/events")
       streamTimed("stream_upsert") {
         graft.streaming.StreamingOps.upsertSink(
-          graft.streaming.StreamingOps.readEventsStream(spark, s"$tmpRoot/feed/events"),
+          graft.streaming.StreamingOps.readEventsStream(spark, s"$tmpRoot/feed/events")
+            .withColumn("event_date", to_date(col("ts"))),
           graft.sources.TableRef(tmpRoot, "stream", "upsert"),
           keys = Seq("event_id"), orderCol = "ts",
-          checkpointDir = s"$tmpRoot/ckpt/upsert")
+          checkpointDir = s"$tmpRoot/ckpt/upsert",
+          partitionCol = Some("event_date"))
       }(nEvents)
     }
     // one corpus, two batch sizes: the per-micro-batch fixed cost (trigger

@@ -26,12 +26,18 @@ object MergeOps {
 
   /** MERGE into a stored table, rewriting only the hive partitions that
     * `updates` touches (dynamic partition overwrite). The merge itself is
-    * scoped: base rows from untouched partitions never enter the join. */
+    * scoped: base rows from untouched partitions never enter the join —
+    * the touched partition VALUES (bounded by the batch's distinct
+    * partition keys, driver-safe by construction) ride into the plan as an
+    * isin literal, so the base scan is STATICALLY partition-pruned: bytes
+    * read per merge is O(touched partitions) without relying on runtime
+    * DPP filter insertion. */
   def upsertPartitioned(spark: SparkSession, ref: TableRef, updates: DataFrame,
                         keys: Seq[String], partitionCol: String): Unit = {
     val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
     val base = Storage.readTable(spark, ref)
-      .join(broadcast(touched), Seq(partitionCol), "left_semi")
+      .filter(col(partitionCol).isin(touched: _*))
     val merged = upsert(base, updates, keys)
       .repartition(col(partitionCol))
     merged.write

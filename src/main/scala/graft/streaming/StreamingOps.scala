@@ -141,13 +141,25 @@ object StreamingOps {
     * silver micro-batch recomputes VWAP signals for ONLY the tickers it
     * touched (anchored VWAP needs a ticker's full history, but never the
     * other tickers') and upserts them into the gold table — the incremental
-    * gold rebuild the reference schedules nightly, as a running stream. At
-    * scale the recompute set is the day's active tickers, not the universe.
-    * Returns the started query; caller stops it. */
+    * gold rebuild the reference schedules nightly, as a running stream.
+    *
+    * The gold table is hive-partitioned on `tbucket` (a hash bucket of the
+    * ticker — a ticker's whole history co-locates, and the bucket is a
+    * function of the merge key so a key can never migrate partitions), and
+    * each micro-batch merges through
+    * [[graft.operators.MergeOps.upsertPartitioned]]: only the buckets whose
+    * tickers the batch touched are read or rewritten. That is the per-batch
+    * cost model a stream needs — O(touched buckets), not O(gold) — where
+    * the pre-r5 full read + [[graft.sources.Storage.overwriteWithSwap]]
+    * rewrote the entire gold table every micro-batch. At scale the
+    * recompute set is the day's active tickers, not the universe, and the
+    * write set is their buckets, not the table. Returns the started query;
+    * caller stops it. */
   def incrementalGold(spark: SparkSession, silverDir: String,
                       silverRef: graft.sources.TableRef,
                       goldRef: graft.sources.TableRef,
-                      checkpointDir: String)
+                      checkpointDir: String,
+                      tickerBuckets: Int = 16)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream
       .schema(graft.Schemas.silverDaily)
@@ -162,12 +174,16 @@ object StreamingOps {
           .join(org.apache.spark.sql.functions.broadcast(touched), Seq("ticker"),
             "left_semi")
         val fresh = graft.operators.GoldOps.vwapSignals(history)
+          .withColumn("tbucket",
+            pmod(xxhash64(col("ticker")), lit(tickerBuckets)).cast("int"))
         if (graft.sources.Storage.tableExists(s, goldRef))
-          graft.sources.Storage.overwriteWithSwap(
-            graft.operators.MergeOps.upsert(
-              graft.sources.Storage.readTable(s, goldRef), fresh,
-              Seq("ticker", "date")), goldRef)
-        else graft.sources.Storage.writeTable(fresh, goldRef)
+          graft.operators.MergeOps.upsertPartitioned(
+            s, goldRef, fresh, Seq("ticker", "date"), "tbucket")
+        else graft.sources.Storage.writeTable(
+          // one writer per bucket directory on the initial load, same as
+          // the merge path's repartition — not |tasks|×|dirs| small files
+          fresh.repartition(col("tbucket")), goldRef,
+          partitionBy = Seq("tbucket"))
       }
       .start()
   }
@@ -254,9 +270,22 @@ object StreamingOps {
     * key (dedup-within-batch keep-last first, so a batch that touches one
     * key twice lands its final value). This is the continuous twin of
     * [[graft.operators.MergeOps.upsert]] — CDC-style late corrections
-    * without rewriting the whole table. Returns the started query. */
+    * without rewriting the whole table.
+    *
+    * `partitionCol` is the scale path: the stored table is hive-partitioned
+    * on it and each batch merges via
+    * [[graft.operators.MergeOps.upsertPartitioned]] — per-batch read AND
+    * write cost is O(partitions the batch touches), not O(stored table).
+    * PRECONDITION: a key's partition value must be stable across
+    * deliveries (a function of the key columns — e.g. a key hash bucket —
+    * or an immutable attribute like an event's date); if an update moved a
+    * key to a new partition, its old row would survive in the old one, and
+    * partition-scoped merge cannot see it. `None` keeps the
+    * swap-the-whole-table merge for small state tables where a partition
+    * layout costs more than it saves. Returns the started query. */
   def upsertSink(stream: DataFrame, ref: graft.sources.TableRef,
-                 keys: Seq[String], orderCol: String, checkpointDir: String)
+                 keys: Seq[String], orderCol: String, checkpointDir: String,
+                 partitionCol: Option[String] = None)
   : org.apache.spark.sql.streaming.StreamingQuery = {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -268,11 +297,20 @@ object StreamingOps {
         val latest = batch.toDF()
           .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
-        if (graft.sources.Storage.tableExists(spark, ref))
-          graft.sources.Storage.overwriteWithSwap(
-            graft.operators.MergeOps.upsert(
-              graft.sources.Storage.readTable(spark, ref), latest, keys), ref)
-        else graft.sources.Storage.writeTable(latest, ref)
+        val exists = graft.sources.Storage.tableExists(spark, ref)
+        partitionCol match {
+          case Some(pc) if exists =>
+            graft.operators.MergeOps.upsertPartitioned(spark, ref, latest, keys, pc)
+          case Some(pc) =>
+            graft.sources.Storage.writeTable(
+              latest.repartition(col(pc)), ref, partitionBy = Seq(pc))
+          case None if exists =>
+            graft.sources.Storage.overwriteWithSwap(
+              graft.operators.MergeOps.upsert(
+                graft.sources.Storage.readTable(spark, ref), latest, keys), ref)
+          case None =>
+            graft.sources.Storage.writeTable(latest, ref)
+        }
       }
       .start()
   }
