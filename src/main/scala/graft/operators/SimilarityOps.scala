@@ -532,6 +532,74 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cosine"), col("rn"))
   }
 
+  /** Compressed ANN: IVF probing composed with the int8 candidate scan —
+    * the query shape a production vector store actually runs at 100 TB.
+    * [[sqKnn]] alone scans every corpus code per query (a crossJoin);
+    * [[ivfKnnWith]] alone re-ranks float vectors inside the probed lists.
+    * Here the nprobe probed lists bound WHICH codes are scanned (the same
+    * `assigned ⨝ broadcast(probes)` equi-join as IVF) and the integer int8
+    * dot ranks the candidates (the same 4×-cheaper scan as SQ); only the
+    * top k·refine per query are re-ranked by exact float cosine. Per-query
+    * cost is nprobe/nlists of the corpus scanned at int8 width — neither
+    * piece alone has that cost model. Candidate scores are exact integers
+    * and both ranking tiebreaks are on nid, so the candidate set and the
+    * final ranking are deterministic and oracle-checkable.
+    *
+    * Both sketches load from stored tables at scale ([[centroidsFromDf]],
+    * [[sqCodebook]]): nothing trains per query. At a real deployment the
+    * corpus-side projection (cid + codes) is itself precomputed and
+    * bucketed by cid — the in-plan assignment here stands in for reading
+    * that stored inverted list.
+    *
+    * The default `nprobe` is 12 of the 16 default lists — deliberately
+    * high: recall is IVF-probe-bounded (the int8 shortlist is measured
+    * lossless at refine=4 — see SimilarityOpsSpec), and on a fixture-sized
+    * corpus (hundreds of vectors, ~30 per list) a query's 5 true neighbors
+    * spread across many lists, so a large probe fraction is what recall
+    * ≥ 0.9 costs. At production scale nlists grows ~√n and the probe
+    * FRACTION shrinks (12/16 here ≠ 12/4096 there); the operator's cost
+    * model — nprobe/nlists of the corpus at int8 width — is what matters,
+    * not this fixture's ratio. */
+  def sqIvfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+               cents: Array[(Long, Seq[Double], Double)],
+               mns: Seq[Double], mxs: Seq[Double],
+               nprobe: Int = 12, refine: Int = 4,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("ne"),
+      sqCodes(col(vecCol), mns, mxs).as("ncodes"),
+      sqrt(array_dot(col(vecCol), col(vecCol))).as("nn"),
+      nearestCid(col(vecCol), cents).as("cid"))
+    val qnorm = sqrt(array_dot(col(vecCol), col(vecCol)))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qe"), qnorm.as("qn"),
+        sqCodes(col(vecCol), mns, mxs).as("qcodes"),
+        slice(reverse(array_sort(centroidScores(col(vecCol), qnorm, cents))),
+          1, nprobe).as("pr"))
+      .select(col("qid"), col("qe"), col("qn"), col("qcodes"),
+        explode(col("pr")).as("p"))
+      .select(col("qid"), col("qe"), col("qn"), col("qcodes"),
+        (-col("p.nc")).cast("long").as("cid"))
+    val qdot = aggregate(
+      zip_with(col("qcodes"), col("ncodes"),
+        (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("qdot").desc, col("nid"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    // a corpus vector has exactly ONE cid, so the probe join emits each
+    // (qid, nid) at most once — no DISTINCT pass needed before ranking
+    assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("qdot", qdot)
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= k * refine)
+      .withColumn("cosine", cosinePre(col("qe"), col("ne"), col("qn"), col("nn")))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rn"))
+  }
+
   /** Reconstruction-error report for an int8 encoding: decode each code
     * back through the codebook and emit per-vector mean absolute error —
     * the quality gate that decides whether quantized search is usable.

@@ -320,6 +320,19 @@ object TextQueries {
       SimilarityOps.sqKnn(e, e.filter(col("vec_id") < 10), k = 5, mns, mxs)
     }),
 
+    // COMPRESSED ANN — IVF probing × int8 scan composed: the probed
+    // inverted lists bound which codes are scanned, the integer dot ranks
+    // them, exact cosine re-ranks the top k·refine. The production query
+    // shape neither q_ivf_knn (float re-rank of probed lists) nor q_sq_knn
+    // (full-corpus code scan) has alone.
+    "q_sq_ivf_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (mns, mxs) = SimilarityOps.sqCodebook(SimilarityOps.sqStats(e))
+      val cents = SimilarityOps.kmeansCentroids(e, 16, iters = 2, trainSample = 512)
+      SimilarityOps.sqIvfKnn(e, e.filter(col("vec_id") < 10), k = 5,
+        cents, mns, mxs)
+    }),
+
     // the CORPUS CARD — the per-language release report every dataset ships
     // with, composed from the curation families in one query: doc/token
     // counts, quality-gate keep rate, PII incidence, mean duplicated-passage
@@ -1256,6 +1269,61 @@ object TextQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |    ORDER BY cosine DESC, nid) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin),
+
+    // compressed ANN: the IVF CTEs (training replay → scores) feed the
+    // probe/assign lists; the SQ codebook (stats over the SAME ev explode)
+    // feeds integer codes; candidates = probed lists, ranked by integer
+    // dot, top k·refine re-ranked by exact cosine — a verbatim replay of
+    // SimilarityOps.sqIvfKnn.
+    "q_sq_ivf_knn" -> (ivfScoresCte + ",\n" +
+      """stats AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM ev GROUP BY 1),
+        |codes AS (
+        |  SELECT ev.vec_id, ev.pos,
+        |    CASE WHEN s.mx > s.mn
+        |      THEN CAST(FLOOR((ev.v - s.mn) / (s.mx - s.mn) * 255.0 + 0.5) - 128
+        |        AS BIGINT)
+        |      ELSE 0 END AS code
+        |  FROM ev JOIN stats s ON s.pos = ev.pos),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM scores) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM scores WHERE vec_id < 10) WHERE rn <= 12),
+        |cand AS (
+        |  SELECT DISTINCT p.qid, a.vec_id AS nid
+        |  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+        |qd AS (
+        |  SELECT c.qid, c.nid, SUM(cq.code * cn.code) AS qdot
+        |  FROM cand c
+        |  JOIN codes cq ON cq.vec_id = c.qid
+        |  JOIN codes cn ON cn.vec_id = c.nid AND cn.pos = cq.pos
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY qdot DESC, nid) AS arn
+        |    FROM qd) WHERE arn <= 20),
+        |pairs AS (
+        |  SELECT t.qid, t.nid,
+        |    ROUND(SUM(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |            * CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+        |          / (MAX(nq.nrm) * MAX(nn.nrm)), 6) AS cosine
+        |  FROM top t
+        |  JOIN e q ON q.vec_id = t.qid
+        |  JOIN e n ON n.vec_id = t.nid
+        |  JOIN norms nq ON nq.vec_id = t.qid
+        |  JOIN norms nn ON nn.vec_id = t.nid
+        |  CROSS JOIN range(1, 65) t2(i)
+        |  GROUP BY t.qid, t.nid)
+        |SELECT qid, nid, cosine, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, nid) AS rn
+        |  FROM pairs) WHERE rn <= 5""".stripMargin),
 
     "q_corpus_card" -> (piiSaltedCte +
       """,

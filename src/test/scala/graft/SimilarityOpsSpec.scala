@@ -190,6 +190,32 @@ class SimilarityOpsSpec extends SparkSpecBase {
     assert(full === exact, "exhaustive refine must reproduce brute force")
   }
 
+  test("compressed ANN (IVF × int8): recall >= 0.9, bounded by its parents") {
+    val (mns, mxs) = SimilarityOps.sqCodebook(SimilarityOps.sqStats(e))
+    val cents = SimilarityOps.kmeansCentroids(e, 16, iters = 2,
+      trainSample = 512)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // measured on this fixture: recall is IVF-probe-bounded — refine 4 vs 8
+    // is identical at every nprobe (the int8 shortlist loses nothing), and
+    // nprobe 4/6/8/12 gives 0.58/0.72/0.82/0.98 — which is why the
+    // operator's default probes 12 of the 16 lists (see the Scaladoc)
+    val composed = ids(SimilarityOps.sqIvfKnn(e, q, k = 5, cents, mns, mxs))
+    val recall = composed.intersect(exactKnn).size.toDouble / exactKnn.size
+    info(f"sqIvfKnn recall@5 vs brute force: $recall%.3f")
+    assert(recall >= 0.9, s"compressed-ANN recall $recall < 0.9")
+    // with an exhaustive refine the int8 shortlist covers every candidate
+    // in the probed lists, so the result equals float IVF at the SAME
+    // nprobe exactly — the composition's only loss is the int8 shortlist
+    val ivfAll = ids(SimilarityOps.ivfKnnWith(e, q, k = 5, cents, nprobe = 12))
+    val n = e.count().toInt
+    val fullRefine = ids(SimilarityOps.sqIvfKnn(e, q, k = 5, cents, mns, mxs,
+      refine = n))
+    assert(fullRefine === ivfAll,
+      "exhaustive refine must reproduce the float IVF result")
+  }
+
   test("scalar quantization: constant dimension encodes to 0, zero error") {
     import spark.implicits._
     val docs = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(1.0f, -5.0f)))
