@@ -100,32 +100,77 @@ object Bench {
     val docs = Tables.documents(spark, sfDir)
     val storedDocs = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
     val deltaDocs = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-    val (idxBuild, idxDelta) = section(
-      Seq("dedup_index_build", "dedup_incremental_delta"), (0.0, 0.0)) {
+    // task-level bytes-read accumulator: evidence for the stored-side
+    // pruning claim — the same delta against a 3× larger index must read
+    // nearly the same bytes (IN-filter row-group skipping over the
+    // bucket/doc_id-clustered index), not 3× more
+    val inBytes = new java.util.concurrent.atomic.AtomicLong
+    val byteLst = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          inBytes.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+    }
+    def bytesOf(body: => Unit): Long = {
+      spark.sparkContext.addSparkListener(byteLst)
+      inBytes.set(0L)
+      try { body; Thread.sleep(1000) } // listener bus drains async
+      finally spark.sparkContext.removeSparkListener(byteLst)
+      inBytes.get
+    }
+    val (idxBuild, idxDelta, idxDeltaSmall, deltaBytesLarge, deltaBytesSmall) =
+      section(
+        Seq("dedup_index_build", "dedup_incremental_delta",
+          "dedup_delta_small_idx"), (0.0, 0.0, 0.0, 0L, 0L)) {
+      // index tables get SMALL parquet row groups (1 MB vs the 128 MB
+      // default): the incremental path does point lookups via pushed IN
+      // filters, and the row group is the skipping granularity — at the
+      // default size every lookup drags in 128 MB per touched group
+      def writeIdx(path: String)(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").option("compression", "zstd")
+          .option("parquet.block.size", (1 << 20).toString)
+          .parquet(path)
       val b = median((1 to runs).map(_ => timed("dedup_index_build") {
         // one-pass builder: both tables read ONE cached shingling of the
         // corpus instead of shingling it once per written table
         graft.operators.DedupOps.writeNearDupIndex(storedDocs,
-          _.write.mode("overwrite").option("compression", "zstd")
-            .parquet(s"$tmpRoot/idx/bands"),
-          _.write.mode("overwrite").option("compression", "zstd")
-            .parquet(s"$tmpRoot/idx/sets"))
+          writeIdx(s"$tmpRoot/idx/bands"), writeIdx(s"$tmpRoot/idx/sets"))
       }))
-      val storedBands = spark.read.parquet(s"$tmpRoot/idx/bands")
-      val storedSets = spark.read.parquet(s"$tmpRoot/idx/sets")
-      val d = median((1 to runs).map(_ => timed("dedup_incremental_delta") {
+      // a 3×-smaller stored index (30% of docs), SAME delta: the
+      // index-scaling control pair
+      graft.operators.DedupOps.writeNearDupIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)).isin(1, 2, 3)),
+        writeIdx(s"$tmpRoot/idx_small/bands"),
+        writeIdx(s"$tmpRoot/idx_small/sets"))
+      def deltaRun(root: String): Unit =
         noop(graft.operators.DedupOps.incrementalNearDupsIndexed(
-          deltaDocs, storedBands, storedSets))
-      }))
-      (b, d)
+          deltaDocs,
+          spark.read.parquet(s"$root/bands"),
+          spark.read.parquet(s"$root/sets")))
+      var dBytes = 0L
+      val d = median((1 to runs).map { _ =>
+        var t = 0.0
+        dBytes = bytesOf { t = timed("dedup_incremental_delta") {
+          deltaRun(s"$tmpRoot/idx") } }
+        t
+      })
+      var sBytes = 0L
+      val ds = median((1 to runs).map { _ =>
+        var t = 0.0
+        sBytes = bytesOf { t = timed("dedup_delta_small_idx") {
+          deltaRun(s"$tmpRoot/idx_small") } }
+        t
+      })
+      (b, d, ds, dBytes, sBytes)
     }
 
     // ---- IVF: train+store vs pretrained query — the ANN twin of the
     // dedup index split: centroid training runs once and persists; the
     // query path loads and probes, nothing trains per query.
     val emb = Tables.embeddings(spark, sfDir)
-    val (ivfTrain, ivfPre) = section(
-      Seq("ivf_train_store", "ivf_knn_pretrained"), (0.0, 0.0)) {
+    val (ivfTrain, ivfPre, sqIvfPre) = section(
+      Seq("ivf_train_store", "ivf_knn_pretrained", "sq_ivf_knn_pretrained"),
+      (0.0, 0.0, 0.0)) {
       val t = median((1 to runs).map(_ => timed("ivf_train_store") {
         val cents = graft.operators.SimilarityOps.kmeansCentroids(
           emb, 16, iters = 2, trainSample = 512)
@@ -139,7 +184,16 @@ object Bench {
         noop(graft.operators.SimilarityOps.ivfKnnWith(
           emb, emb.filter(col("vec_id") < 10), k = 5, storedCents))
       }))
-      (t, p)
+      // compressed-ANN query path: BOTH sketches pre-trained (centroids
+      // stored above; the 2×d SQ codebook is one stats pass, computed
+      // outside the timed region like any other stored training artifact)
+      val (mns, mxs) = graft.operators.SimilarityOps.sqCodebook(
+        graft.operators.SimilarityOps.sqStats(emb))
+      val sq = median((1 to runs).map(_ => timed("sq_ivf_knn_pretrained") {
+        noop(graft.operators.SimilarityOps.sqIvfKnn(
+          emb, emb.filter(col("vec_id") < 10), k = 5, storedCents, mns, mxs))
+      }))
+      (t, p, sq)
     }
 
     // ---- skewed-key join: plain vs salted (VERDICT r3 #5) -------------
@@ -269,17 +323,25 @@ object Bench {
     }
 
     // end-to-end medallion pipeline (bronze→silver→gold incl. indicators,
-    // VWAP, pattern tables) — comparable to the reference's full-rewrite run
+    // VWAP, pattern tables) — comparable to the reference's full-rewrite run.
+    // Stage timings recorded across the reps (bronze/silver/gold averages
+    // ride into BENCH json) so the flat total is attributable to a stage.
+    graft.pipeline.Timing.record(true)
     val pipelineTime = median((1 to runs).map { _ =>
       val lake = graft.pipeline.Lake(
         java.nio.file.Files.createTempDirectory("graft_bench_lake").toString)
       timed("pipeline_full") { graft.pipeline.Pipeline.runAll(spark, sfDir, lake) }
     })
+    val stageAvg = graft.pipeline.Timing.snapshot("pipeline")
+      .map { case (k, v) => k -> v / runs }
+    graft.pipeline.Timing.record(false)
     val results = queryResults ++ Seq(
       "dedup_index_build" -> idxBuild,
       "dedup_incremental_delta" -> idxDelta,
+      "dedup_delta_small_idx" -> idxDeltaSmall,
       "ivf_train_store" -> ivfTrain,
       "ivf_knn_pretrained" -> ivfPre,
+      "sq_ivf_knn_pretrained" -> sqIvfPre,
       "join_skew_plain" -> skewPlain,
       "join_skew_salted" -> skewSalted,
       "stream_upsert" -> tUpsert,
@@ -302,7 +364,15 @@ object Bench {
       if (sec > 0) (rows / sec).toLong else 0L
     val streamJson =
       s"""{"stream_upsert_rows_per_s":${rps(upsertRows, tUpsert)},"stream_dedup_rows_per_s":${rps(dedupRows, tDedupStream)},"stream_dedup_1batch_rows_per_s":${rps(dedupRows1, tDedupStream1)}}"""
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","query_total":${ms(headlineTotal)},"structural_total":${ms(total - headlineTotal)},"queries":$qs,"stream":$streamJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    // same delta, 3×-different index sizes: near-equal MB proves the
+    // stored-side reads are pruned (row-group skipping over the clustered
+    // index), i.e. delta cost does not scale with index size
+    def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+    val pruneJson =
+      s"""{"delta_mb_large_idx":${mb(deltaBytesLarge)},"delta_mb_small_idx":${mb(deltaBytesSmall)}}"""
+    val stagesJson = stageAvg.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","query_total":${ms(headlineTotal)},"structural_total":${ms(total - headlineTotal)},"queries":$qs,"stream":$streamJson,"dedup_prune":$pruneJson,"pipeline_stages":$stagesJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // the incremental-dedup path pushes the delta's touched keys into the
+      // stored-index scan as IN filters, chunked to 500 literals per scan
+      // (DedupOps.prunedByKeys): parquet evaluates a pushed In as a
+      // recursive or-chain and executor threads stack-overflow between
+      // 1000 and 2000 literals (measured on this build). 500 = the chunk
+      // size: each chunk pushes as a real set predicate and skips row
+      // groups; anything larger safely degrades to a min/max range filter.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "500")
       // custom Catalyst expressions (array_dot, …) — same mechanism a
       // cluster deploy uses: --conf spark.sql.extensions=graft.GraftExtensions
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -187,9 +187,48 @@ object DedupOps {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shr = shingleRows(docs, shingleN, textCol, idCol).persist(disk)
     val (bandFrame, setFrame) = indexFrames(docs, shr, k, bands, idCol)
-    try { writeBands(bandFrame); writeSets(setFrame) }
-    finally shr.unpersist(false)
+    // CLUSTER the stored index by its lookup key (bands by bucket, sets by
+    // doc_id): range-partitioned + sorted files give every parquet row
+    // group a narrow min/max span, so the IN filters the incremental path
+    // pushes ([[incrementalIndexedCore]]) skip all but the touched groups.
+    // This is what keeps stored-side bytes-read per delta O(delta keys) —
+    // an unclustered index forces every batch to scan it end to end no
+    // matter how the read is filtered. The extra range shuffle is paid
+    // once at build time, where it belongs, not per batch. Writers should
+    // also set a small parquet.block.size (~1 MB): the row group is the
+    // skipping granularity, and an index table serving point lookups wants
+    // many narrow groups, not the scan-optimized 128 MB default.
+    try {
+      writeBands(bandFrame.repartitionByRange(col("bucket"))
+        .sortWithinPartitions("bucket"))
+      writeSets(setFrame.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id"))
+    } finally shr.unpersist(false)
   }
+
+  /** Cap on the literal key lists [[incrementalIndexedCore]] collects for
+    * stored-side pushdown: a delta's touched buckets (≤ |delta|·bands) and
+    * pair-member ids (≤ 2·|candidates|) ride into the plan as IN filters
+    * only while they stay driver-sized; past the cap the code falls back
+    * to the unpruned scan — at that point the delta is a meaningful
+    * fraction of the corpus and a full pass is the right plan anyway. */
+  private val maxPushdownKeys = 20000
+
+  /** Stored-index point lookups as a pushdown-safe scan: parquet evaluates
+    * a pushed In filter as a recursively-built or-chain, and executor
+    * threads STACK-OVERFLOW between 1000 and 2000 literals (measured on
+    * this Spark build — the reason spark.sql.parquet.pushdown.
+    * inFilterThreshold defaults to 10). Chunking the key list into
+    * ≤500-literal scans unioned together keeps every pushed chain
+    * stack-safe while preserving the row-group skipping that makes the
+    * stored-side read O(touched keys): each chunk scan independently
+    * skips every row group of the clustered index whose min/max span
+    * contains none of its keys. Empty keys ⇒ statically empty relation. */
+  private def prunedByKeys(df: DataFrame, key: String,
+                           keys: IndexedSeq[Any]): DataFrame =
+    if (keys.isEmpty) df.limit(0)
+    else keys.grouped(500).map(c => df.filter(col(key).isin(c: _*)))
+      .reduce(_.union(_))
 
   /** [[incrementalNearDups]] against the [[buildNearDupIndex]] form of the
     * stored index: same pair set and Jaccard values (TextOpsSpec asserts
@@ -227,6 +266,25 @@ object DedupOps {
       newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
       k: Int, bands: Int, shingleN: Int, textCol: String, idCol: String,
       keepDelta: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    // AQE OFF for the delta pass (restored on exit): every stage here is a
+    // micro-job with a plan-time-known shape — literal-pruned index
+    // lookups, a delta-sized self-join, broadcast verification joins.
+    // AQE's per-stage materialization adds a driver round-trip to each of
+    // them and re-plans nothing useful; measured at sf0.1 it was ~40% of
+    // delta wall time (2.1-2.5 s → ~1.5 s). Batch-scale paths (index
+    // build, full near-dup runs) keep AQE — it earns its latency there.
+    val sess = newDocs.sparkSession
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try incrementalIndexedBody(newDocs, storedBands, storedSets, k, bands,
+      shingleN, textCol, idCol, keepDelta)
+    finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  private def incrementalIndexedBody(
+      newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
+      k: Int, bands: Int, shingleN: Int, textCol: String, idCol: String,
+      keepDelta: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // every persist is tracked so a mid-flight failure (stored-table read,
     // checkpoint, verification join) releases them on the way out — without
@@ -238,11 +296,26 @@ object DedupOps {
       val shrNew = track(shingleRows(newDocs, shingleN, textCol, idCol))
       val sigs = signaturesFromShingles(newDocs, shrNew, k, idCol)
       val newBands = track(lshBands(sigs, bands, k / bands))
-      newBands.count()
+      // ONE job both materializes the newBands cache (it has three join
+      // consumers below) and collects the delta's touched buckets — the
+      // stored-side pushdown list. A separate count() here would be a
+      // wasted pass.
+      val deltaBuckets = newBands.select(col("bucket")).distinct()
+        .limit(maxPushdownKeys + 1).collect().map(_.getString(0)).toIndexedSeq
+      // STATIC stored-side pruning: only stored rows in a delta-touched
+      // bucket can ever join, so the touched buckets ride into the plan as
+      // an IN filter. Against an index clustered by bucket
+      // ([[writeNearDupIndex]]) parquet row-group stats skip everything
+      // else — per-batch stored-band bytes-read is O(delta buckets), not
+      // O(index). Fallback past the cap: an over-cap delta is
+      // corpus-sized, where the full scan is the right plan.
+      val storedB =
+        if (deltaBuckets.size > maxPushdownKeys) storedBands
+        else prunedByKeys(storedBands, "bucket", deltaBuckets)
       // ONE equi-join against the stored bands catches new×stored in both id
       // orders (least/greatest normalizes — the stored side shuffles once,
       // not twice); new×new comes from the delta self-join
-      val vsStored = newBands.as("a").join(storedBands.as("b"),
+      val vsStored = newBands.as("a").join(storedB.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") =!= col("b.doc_id"))
         .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
@@ -251,17 +324,42 @@ object DedupOps {
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val p = graft.pipeline.Timing.stage("dedup", "cand-ckpt")(
-        vsStored.union(vsNew).distinct().localCheckpoint())
-      val docsInPairs = p.select(col("id_a").as("doc_id"))
+      // ONE job evaluates the candidate join. Small results (the normal
+      // incremental case: a delta's candidates are a sliver of the corpus)
+      // come back to the driver and re-enter the plan as a LocalRelation —
+      // that kills the localCheckpoint job, derives the pair-member list
+      // driver-side for free, and lets the verification joins BROADCAST
+      // the pair set. Past the cap (a corpus-sized delta) the old shape
+      // runs: localCheckpoint + semi-join restriction, no driver pull.
+      val candFrame = vsStored.union(vsNew).distinct()
+      val candidates = graft.pipeline.Timing.stage("dedup", "cand-ckpt")(
+        candFrame.limit(maxPushdownKeys + 1).collect())
+      val small = candidates.length <= maxPushdownKeys
+      val p =
+        if (small) newDocs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(candidates.toIndexedSeq: _*), candFrame.schema)
+        else graft.pipeline.Timing.stage("dedup", "cand-ckpt")(
+          candFrame.localCheckpoint())
+      // pair members as a literal list: under the cap it REPLACES the
+      // semi-join restriction and, like the bucket list, statically prunes
+      // the stored-sets read down to the touched row groups of the
+      // doc_id-clustered index.
+      val memberIds: IndexedSeq[Any] =
+        if (small)
+          candidates.iterator.flatMap(r => Iterator(r.get(0), r.get(1)))
+            .toSet.toIndexedSeq
+        else IndexedSeq.empty
+      val pushMembers = small
+      lazy val docsInPairs = p.select(col("id_a").as("doc_id"))
         .union(p.select(col("id_b").as("doc_id")))
         .distinct()
       // delta docs' sets are built from the delta's own shingles; stored
-      // docs' sets come straight from the index. One semi-join restricts to
-      // pair members — Catalyst pushes left-semi through the union, so the
-      // stored read stays a member lookup, not a scan. A keepDelta caller
-      // needs the FULL delta sets anyway, so they materialize once here and
-      // feed both the verification union and the returned index rows.
+      // docs' sets come straight from the index, restricted to pair
+      // members (IN-filter point lookups under the cap; a semi-join —
+      // which Catalyst pushes through the union — past it). A keepDelta
+      // caller needs the FULL delta sets anyway, so they materialize once
+      // here and feed both the verification union and the returned index
+      // rows.
       val newSets =
         if (keepDelta) { val s = track(shingleSets(shrNew)); s.count(); s }
         else shingleSets(shrNew)
@@ -270,11 +368,25 @@ object DedupOps {
       // appears in through the verification joins — the delta row wins
       // (anti-join on the delta's doc ids: delta-sized build side)
       val deltaIds = newDocs.select(col(idCol).as("doc_id")).distinct()
-      val sets = storedSets.select(col("doc_id"), col("hs"), col("n"))
-        .join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
-        .union(newSets.select(col("doc_id"), col("hs"), col("n")))
-        .join(docsInPairs, Seq("doc_id"), "left_semi")
-        .persist(disk)
+      val restricted =
+        if (pushMembers)
+          // point lookups on the doc_id-clustered stored sets (pushdown-
+          // safe chunked IN), then the re-delivery anti-join; the delta's
+          // own sets filter in memory (InSet — no pushdown involved)
+          prunedByKeys(storedSets.select(col("doc_id"), col("hs"), col("n")),
+              "doc_id", memberIds)
+            .join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+            // the delta sets' lineage ALSO bottoms out in a parquet scan
+            // (the feed), so its member filter must be chunked too
+            .union(prunedByKeys(
+              newSets.select(col("doc_id"), col("hs"), col("n")),
+              "doc_id", memberIds))
+        else
+          storedSets.select(col("doc_id"), col("hs"), col("n"))
+            .join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+            .union(newSets.select(col("doc_id"), col("hs"), col("n")))
+            .join(docsInPairs, Seq("doc_id"), "left_semi")
+      val sets = restricted.persist(disk)
       tracked += sets
       graft.pipeline.Timing.stage("dedup", "sets")(sets.count())
       val released =

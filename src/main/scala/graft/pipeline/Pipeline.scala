@@ -27,13 +27,31 @@ final case class Lake(root: String) {
 }
 
 /** Stage timer, printed only when GRAFT_PIPELINE_TIMING is set — shared by
-  * the pipeline orchestrator and the scale benchmark. */
+  * the pipeline orchestrator and the scale benchmark. The bench flips
+  * [[record]] on around its pipeline_full loop to get a per-stage
+  * breakdown into BENCH json (accumulated across reps; caller divides). */
 object Timing {
+  private val recorded =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  @volatile private var recording = false
+  def record(on: Boolean): Unit = { recorded.clear(); recording = on }
+  def snapshot(tag: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    recorded.asScala.toMap.collect {
+      case (k, v) if k.startsWith(tag + ".") =>
+        k.stripPrefix(tag + ".") -> v.doubleValue
+    }
+  }
   def stage[A](tag: String, name: String)(f: => A): A = {
     val t0 = System.nanoTime()
     val a = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (recording)
+      recorded.compute(s"$tag.$name",
+        (_, prev) => java.lang.Double.valueOf(
+          if (prev == null) secs else prev.doubleValue + secs))
     if (sys.env.contains("GRAFT_PIPELINE_TIMING"))
-      println(f"[$tag] $name%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[$tag] $name%-10s $secs%.2f s")
     a
   }
 }

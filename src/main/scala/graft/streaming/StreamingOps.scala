@@ -252,13 +252,17 @@ object StreamingOps {
         // (the plain variant releases those caches before returning)
         val (pairs, newBands, newSets) = DedupOps.incrementalNearDupsIndexedWithDelta(
           b, storedBands.drop("batch_id"), storedSets.drop("batch_id"))
-        idempotentBatchAppend(pairs, pairsRef, batchId)
+        // micro-batch outputs are small cached frames: coalesce before the
+        // append so each write commits a handful of files, not one per
+        // shuffle partition — 3 tables × 32 task-files per batch was a
+        // measurable slice of the per-batch fixed cost
+        idempotentBatchAppend(pairs.coalesce(4), pairsRef, batchId)
         pairs.unpersist(false)
         // grow the index AFTER pairing, so the batch never matches itself
         // through the stored side (within-batch pairs come from the delta
         // self-join inside the pairing)
-        idempotentBatchAppend(newBands, bandsRef, batchId)
-        idempotentBatchAppend(newSets, setsRef, batchId)
+        idempotentBatchAppend(newBands.coalesce(4), bandsRef, batchId)
+        idempotentBatchAppend(newSets.coalesce(4), setsRef, batchId)
         newBands.unpersist(false)
         newSets.unpersist(false)
         ()
