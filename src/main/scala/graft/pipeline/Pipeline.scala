@@ -96,13 +96,16 @@ object Pipeline {
         .repartition(col("month")), Seq("month"))
       case other => throw new IllegalArgumentException(s"bronze grain: $other")
     }
-    Storage.writeTable(bars, lake.bronze("stocks"), partitionBy = partCols)
-    Storage.writeTable(DomainQueries.syntheticSplits(spark), lake.bronze("splits"))
+    Timing.stage("pipesub", "bronze.stocks")(
+      Storage.writeTable(bars, lake.bronze("stocks"), partitionBy = partCols))
+    Timing.stage("pipesub", "bronze.splits")(
+      Storage.writeTable(DomainQueries.syntheticSplits(spark), lake.bronze("splits")))
     // checkpoint high-water mark from the WRITTEN table: `date` is its
     // partition column there, so max(date) is answered from the partition
     // index — probing the source instead would re-run the whole bars
     // aggregation a second time.
-    val maxDate = Storage.maxDate(spark, lake.bronze("stocks"))
+    val maxDate = Timing.stage("pipesub", "bronze.ckpt")(
+      Storage.maxDate(spark, lake.bronze("stocks")))
     Checkpoints.save(lake.checkpointPath,
       Checkpoints.load(lake.checkpointPath) +
         ("bronze_stocks_last_date" -> maxDate.map(_.toString).getOrElse("")))
@@ -186,7 +189,8 @@ object Pipeline {
     val daily = graft.functions.GraftFunctions.coerceTo(
       SilverOps.applySplits(input, splits), graft.Schemas.silverDaily)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Storage.writeTable(daily, lake.silver("daily_aggregates"), mode)
+    Timing.stage("pipesub", "silver.daily")(
+      Storage.writeTable(daily, lake.silver("daily_aggregates"), mode))
 
     // weekly/monthly + indicators always derive from the full silver daily
     // table (windows need history regardless of how much daily was new).
@@ -230,7 +234,8 @@ object Pipeline {
             SilverOps.indicators(allDaily), lake.silver("daily_indicators"))
         }
       }
-      Await.result(Future.sequence(grains :+ dailyInd), Duration.Inf)
+      Timing.stage("pipesub", "silver.derived")(
+        Await.result(Future.sequence(grains :+ dailyInd), Duration.Inf))
     }
     allDaily.unpersist(false)
     if (allDaily ne daily) daily.unpersist(false)
@@ -243,21 +248,24 @@ object Pipeline {
   /** Gold: VWAP signals + HVC pattern tables off silver. */
   def runGold(spark: SparkSession, lake: Lake): Unit = {
     val daily = Storage.readTable(spark, lake.silver("daily_aggregates"))
-    Storage.writeTable(GoldOps.vwapSignals(daily), lake.gold("vwap_signals"))
+    Timing.stage("pipesub", "gold.vwap")(
+      Storage.writeTable(GoldOps.vwapSignals(daily), lake.gold("vwap_signals")))
 
     val ind = Storage.readTable(spark, lake.silver("daily_indicators"))
     // hvc feeds its own table plus both stair-pattern directions — cache it
     // so the indicator scan + HVC windows run once, not three times.
     val hvc = PatternOps.highVolumeCloses(ind, threshold = 1.5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Storage.writeTable(hvc, lake.gold("daily_high_volume_closes"))
-    Storage.writeTable(
-      PatternOps.stairPatterns(hvc, ascending = true, minSteps = 2),
-      lake.gold("stairstepping_patterns"))
-    Storage.writeTable(
-      PatternOps.bestPatternPerTicker(
-        PatternOps.stairPatterns(hvc, ascending = false, minSteps = 2)),
-      lake.gold("falling_down_stairs_summary"))
+    Timing.stage("pipesub", "gold.patterns") {
+      Storage.writeTable(hvc, lake.gold("daily_high_volume_closes"))
+      Storage.writeTable(
+        PatternOps.stairPatterns(hvc, ascending = true, minSteps = 2),
+        lake.gold("stairstepping_patterns"))
+      Storage.writeTable(
+        PatternOps.bestPatternPerTicker(
+          PatternOps.stairPatterns(hvc, ascending = false, minSteps = 2)),
+        lake.gold("falling_down_stairs_summary"))
+    }
     hvc.unpersist(false)
   }
 
