@@ -168,9 +168,9 @@ object Bench {
     // dedup index split: centroid training runs once and persists; the
     // query path loads and probes, nothing trains per query.
     val emb = Tables.embeddings(spark, sfDir)
-    val (ivfTrain, ivfPre, sqIvfPre) = section(
-      Seq("ivf_train_store", "ivf_knn_pretrained", "sq_ivf_knn_pretrained"),
-      (0.0, 0.0, 0.0)) {
+    val (ivfTrain, ivfPre, sqIvfPre, ivfEqRecall) = section(
+      Seq("ivf_train_store", "ivf_knn_pretrained", "sq_ivf_knn_pretrained",
+        "ivf_knn_eqrecall"), (0.0, 0.0, 0.0, 0.0)) {
       val t = median((1 to runs).map(_ => timed("ivf_train_store") {
         val cents = graft.operators.SimilarityOps.kmeansCentroids(
           emb, 16, iters = 2, trainSample = 512)
@@ -193,7 +193,16 @@ object Bench {
         noop(graft.operators.SimilarityOps.sqIvfKnn(
           emb, emb.filter(col("vec_id") < 10), k = 5, storedCents, mns, mxs))
       }))
-      (t, p, sq)
+      // the FAIR parent comparison: float IVF probing the same 12 lists
+      // (equal recall by construction — the int8 shortlist is measured
+      // lossless); ivf_knn_pretrained above keeps its default nprobe=4
+      // (recall 0.58) so rounds stay comparable
+      val eq = median((1 to runs).map(_ => timed("ivf_knn_eqrecall") {
+        noop(graft.operators.SimilarityOps.ivfKnnWith(
+          emb, emb.filter(col("vec_id") < 10), k = 5, storedCents,
+          nprobe = 12))
+      }))
+      (t, p, sq, eq)
     }
 
     // ---- skewed-key join: plain vs salted (VERDICT r3 #5) -------------
@@ -342,6 +351,7 @@ object Bench {
       "ivf_train_store" -> ivfTrain,
       "ivf_knn_pretrained" -> ivfPre,
       "sq_ivf_knn_pretrained" -> sqIvfPre,
+      "ivf_knn_eqrecall" -> ivfEqRecall,
       "join_skew_plain" -> skewPlain,
       "join_skew_salted" -> skewSalted,
       "stream_upsert" -> tUpsert,

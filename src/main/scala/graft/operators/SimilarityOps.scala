@@ -513,10 +513,10 @@ object SimilarityOps {
     val qq = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       sqCodes(col(vecCol), mns, mxs).as("qcodes"),
       sqrt(array_dot(col(vecCol), col(vecCol))).as("qn")))
-    val qdot = aggregate(
-      zip_with(col("qcodes"), col("ncodes"),
-        (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // codegen integer dot — see sqIvfKnn: the interpreted zip_with form
+    // was the dominant per-pair cost of the candidate scan
+    val qdot = graft.functions.VectorExpressions.array_dot_long(
+      col("qcodes"), col("ncodes"))
     val wApprox = Window.partitionBy(col("qid"))
       .orderBy(col("qdot").desc, col("nid"))
     val wExact = Window.partitionBy(col("qid"))
@@ -579,10 +579,11 @@ object SimilarityOps {
         explode(col("pr")).as("p"))
       .select(col("qid"), col("qe"), col("qn"), col("qcodes"),
         (-col("p.nc")).cast("long").as("cid"))
-    val qdot = aggregate(
-      zip_with(col("qcodes"), col("ncodes"),
-        (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // codegen integer dot (ArrayDotLong): the interpreted zip_with form
+    // costs more per element than the float codegen dot, which erased the
+    // compressed scan's advantage at bench scale
+    val qdot = graft.functions.VectorExpressions.array_dot_long(
+      col("qcodes"), col("ncodes"))
     val wApprox = Window.partitionBy(col("qid"))
       .orderBy(col("qdot").desc, col("nid"))
     val wExact = Window.partitionBy(col("qid"))

@@ -61,6 +61,16 @@ class TextOpsSpec extends SparkSpecBase {
       df.collect().map(_.toString).sorted.toSeq
     assert(rows(spark.read.parquet(s"$dir/bands")) === rows(bandIdx2))
     assert(rows(spark.read.parquet(s"$dir/sets")) === rows(setsIdx))
+    // FILE-BACKED index + a 150-doc delta (~600 distinct touched buckets,
+    // i.e. > one 500-literal chunk): the chunked-IN stored-side pushdown
+    // (prunedByKeys) is on the execution path here, and the result must
+    // still be identical — this is the exact read shape a streaming
+    // micro-batch runs against the stored index.
+    val filed = DedupOps.incrementalNearDupsIndexed(
+      docs.filter(col("doc_id") >= split),
+      spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"))
+      .collect().map(key).toSet
+    assert(filed === batch)
   }
 
   test("ngram repetition: looped phrase scores high, varied text low") {

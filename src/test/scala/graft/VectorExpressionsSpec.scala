@@ -41,6 +41,31 @@ class VectorExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("array_dot_long: exact integer dot, int/long args, codegen≡eval") {
+    import graft.functions.VectorExpressions.array_dot_long
+    val df = Seq(
+      (Seq(1, -2, 3), Seq(4L, 5L, -6L)),
+      (Seq(127, -128, 0), Seq(127L, -128L, 99L))).toDF("a", "b")
+    def run() = df.select(array_dot_long(col("a"), col("b")).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    val withCodegen = run()
+    assert(withCodegen === Seq(1L * 4 - 2 * 5 - 3 * 6,
+      127L * 127 + 128L * 128 + 0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() === withCodegen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // matches the interpreted HOF form the operators previously used
+    val hof = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v).as("d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(hof === withCodegen)
+  }
+
   test("optimizer rewrites the HOF dot product to the native expression") {
     val e = Tables.embeddings(spark, sf).limit(20)
     def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
