@@ -260,9 +260,17 @@ object StreamingOps {
         pairs.unpersist(false)
         // grow the index AFTER pairing, so the batch never matches itself
         // through the stored side (within-batch pairs come from the delta
-        // self-join inside the pairing)
-        idempotentBatchAppend(newBands.coalesce(4), bandsRef, batchId)
-        idempotentBatchAppend(newSets.coalesce(4), setsRef, batchId)
+        // self-join inside the pairing). Appends keep the index's
+        // clustering contract cheaply: an IN-PARTITION sort on the lookup
+        // key (no shuffle — the batch is already coalesced small) so each
+        // appended file's row groups stay narrow and later batches' pushed
+        // IN filters can skip them as the index grows
+        idempotentBatchAppend(
+          newBands.coalesce(4).sortWithinPartitions("bucket"),
+          bandsRef, batchId)
+        idempotentBatchAppend(
+          newSets.coalesce(4).sortWithinPartitions("doc_id"),
+          setsRef, batchId)
         newBands.unpersist(false)
         newSets.unpersist(false)
         ()
