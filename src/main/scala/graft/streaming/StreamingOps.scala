@@ -278,6 +278,49 @@ object StreamingOps {
       .start()
   }
 
+  /** Fold the streaming dedup index's absorbed batch partitions into ONE
+    * clustered base partition (`batch_id = -1`), restoring the
+    * point-lookup layout the batch index builder guarantees
+    * ([[graft.operators.DedupOps.writeNearDupIndex]]: range-partitioned +
+    * sorted by the lookup key, so later batches' pushed IN filters skip
+    * row groups) which per-batch appends only approximate. Batches newer
+    * than `upToBatch` keep their own partitions untouched; a previously
+    * compacted base (-1 ≤ upToBatch) folds in with them. The rewrite is a
+    * checked-rename swap, and the union adds no shuffle: the base side is
+    * range-shuffled once by the clustering, the untouched side streams
+    * through.
+    *
+    * PRECONDITION: `upToBatch` must be ≤ the stream's last COMMITTED
+    * batch id. foreachBatch is at-least-once — a replay of batch k
+    * rewrites partition `batch_id=k` under dynamic overwrite, which is
+    * idempotent only while that partition holds exactly batch k's rows;
+    * folding an UNcommitted batch into the base would turn its replay
+    * into duplication. Sequence compaction after checkpoint commit, from
+    * the maintenance schedule — the same ordering every production
+    * stream-plus-compaction system uses. The sink's stored-side read
+    * (`batch_id < currentBatch`) sees the base partition unconditionally,
+    * since -1 < every batch id. */
+  def compactDedupIndex(spark: SparkSession, bandsRef: graft.sources.TableRef,
+                        setsRef: graft.sources.TableRef,
+                        upToBatch: Long): Unit = {
+    compactIndexTable(spark, bandsRef, "bucket", upToBatch)
+    compactIndexTable(spark, setsRef, "doc_id", upToBatch)
+  }
+
+  private def compactIndexTable(spark: SparkSession,
+                                ref: graft.sources.TableRef,
+                                key: String, upToBatch: Long): Unit = {
+    val t = graft.sources.Storage.readTable(spark, ref)
+    // partition-column type is whatever hive inference produced (int for
+    // small ids) — the base's sentinel must match it or the union fails
+    val base = t.filter(col("batch_id") <= upToBatch).drop("batch_id")
+      .repartitionByRange(col(key)).sortWithinPartitions(key)
+      .withColumn("batch_id", lit(-1).cast(t.schema("batch_id").dataType))
+    val rest = t.filter(col("batch_id") > upToBatch)
+    graft.sources.Storage.overwriteWithSwap(base.unionByName(rest), ref,
+      partitionBy = Seq("batch_id"))
+  }
+
   /** Streaming MERGE sink: each micro-batch upserts into a stored table by
     * key (dedup-within-batch keep-last first, so a batch that touches one
     * key twice lands its final value). This is the continuous twin of

@@ -326,6 +326,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(pairCount() === nPairs, "replay must not duplicate pair rows")
     assert(stored(bandsRef).count() === nBands,
       "replay must not duplicate index rows")
+    // COMPACTION: fold the committed batch partitions into the clustered
+    // base partition — content identical, every row lands in batch_id=-1,
+    // and a later delta sees exactly the same index as a from-scratch
+    // batch build (the maintenance op SURVEY's index-growth mitigation
+    // names, run AFTER checkpoint commit per its precondition)
+    val maxBatch = Storage.readTable(spark, bandsRef)
+      .agg(max(col("batch_id").cast("long"))).first().getLong(0)
+    StreamingOps.compactDedupIndex(spark, bandsRef, setsRef, maxBatch)
+    assert(stored(bandsRef).except(bBands).count() === 0)
+    assert(bBands.except(stored(bandsRef)).count() === 0)
+    assert(stored(setsRef).except(bSets).count() === 0)
+    assert(bSets.except(stored(setsRef)).count() === 0)
+    assert(Storage.readTable(spark, bandsRef).select(col("batch_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq === Seq(-1L),
+      "all index rows must fold into the base partition")
+    val nextDelta = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 300 && col("doc_id") < 350)
+      .select(col("doc_id"), col("text"))
+    def incr(b: org.apache.spark.sql.DataFrame,
+             s: org.apache.spark.sql.DataFrame) =
+      graft.operators.DedupOps.incrementalNearDupsIndexed(nextDelta, b, s)
+        .collect().map(key).toSet
+    assert(incr(stored(bandsRef), stored(setsRef)) === incr(bBands, bSets),
+      "a delta against the compacted index must equal the batch-index result")
   }
 
   test("streaming upsert sink lands last-writer-wins state per key") {
