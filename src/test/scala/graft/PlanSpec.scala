@@ -134,6 +134,27 @@ class PlanSpec extends SparkSpecBase {
       s"candidate generation must stay an equi-join on (band, bucket):\n$p")
   }
 
+  test("point-lookup IN filters reach the parquet scan as real set predicates") {
+    import org.apache.spark.sql.functions._
+    // the r5 stored-index design stands on this: a ≤500-literal chunk
+    // (DedupOps.prunedByKeys) must push to parquet as In(...) — NOT degrade
+    // to a min/max range filter, which spans everything over uniformly
+    // hashed keys and skips nothing. Guarded by the session's
+    // inFilterThreshold (= the chunk size); this pin catches anyone
+    // lowering it below the chunk size, which would silently un-prune
+    // every incremental dedup batch.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_inpush").toString
+    (0 until 5000).map(i => f"$i%032x").toDF("bucket")
+      .repartitionByRange(4, col("bucket")).sortWithinPartitions("bucket")
+      .write.mode("overwrite").parquet(dir)
+    val keys = (0 until 400).map(i => f"${i * 7}%032x")
+    val p = formatted(
+      spark.read.parquet(dir).filter(col("bucket").isin(keys: _*)))
+    assert(p.contains("PushedFilters: [In(bucket"),
+      s"a 400-literal IN must push as a set predicate:\n${p.take(2000)}")
+  }
+
   test("date filters prune hive partitions at the scan (PartitionFilters)") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
