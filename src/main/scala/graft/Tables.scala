@@ -25,19 +25,28 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** events.ts is TIMESTAMP(NANOS) in the fixture; Spark reads it as a long
-    * (nanosAsLong) — truncate to micros for a proper TimestampType, which is
-    * exactly what DuckDB's ns→µs timestamp cast does. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = table(spark, sfDir, "events")
+  /** The fixture's `ts` encoding has drifted across driver generations:
+    * TIMESTAMP(NANOS) (read as long under nanosAsLong), then timestamp[us]
+    * without UTC adjustment (read as TIMESTAMP_NTZ). Normalize every
+    * encoding to a session-zoned TimestampType so downstream epoch
+    * arithmetic (`unix_millis` et al.) analyzes regardless of which
+    * generation wrote the file. The session TZ is UTC (GraftSession), so
+    * the NTZ→TZ cast is a lossless relabel, matching DuckDB's treatment of
+    * the same column as a plain TIMESTAMP. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEventTs(table(spark, sfDir, "events"))
+
+  /** Shared ts normalization for batch and streaming event readers. */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // integer division: ns values overflow double precision, so a
-        // float-division-then-cast would be off by ±1µs
+        // int64 nanos: integer division — ns values overflow double
+        // precision, so a float-division-then-cast would be off by ±1µs
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
-  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 

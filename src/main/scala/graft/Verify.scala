@@ -14,13 +14,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A query that throws must still land in the correctness artifact
+        // as an explicit FAIL, not vanish and shrink the denominator
+        // (round 5 lost three regressed queries this way). Writing a
+        // one-row marker with a __error column guarantees the driver's
+        // DuckDB compare sees a schema/hash mismatch and records the
+        // failure by name.
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        import spark.implicits._
+        Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+          .toDF("__error").coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
       }
       // a few ops return persisted (small) results after releasing their
       // corpus-sized intermediates — drop those too so a 160-query dump
@@ -42,6 +54,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} FAILED: ${failed.sorted.mkString(", ")}")
     spark.stop()
   }
 }

@@ -265,21 +265,17 @@ object DedupOps {
   private def incrementalIndexedCore(
       newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
       k: Int, bands: Int, shingleN: Int, textCol: String, idCol: String,
-      keepDelta: Boolean): (DataFrame, DataFrame, DataFrame) = {
-    // AQE OFF for the delta pass (restored on exit): every stage here is a
-    // micro-job with a plan-time-known shape — literal-pruned index
-    // lookups, a delta-sized self-join, broadcast verification joins.
-    // AQE's per-stage materialization adds a driver round-trip to each of
-    // them and re-plans nothing useful; measured at sf0.1 it was ~40% of
-    // delta wall time (2.1-2.5 s → ~1.5 s). Batch-scale paths (index
-    // build, full near-dup runs) keep AQE — it earns its latency there.
-    val sess = newDocs.sparkSession
-    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try incrementalIndexedBody(newDocs, storedBands, storedSets, k, bands,
+      keepDelta: Boolean): (DataFrame, DataFrame, DataFrame) =
+    // AQE stays ON here. An earlier build flipped the session-global
+    // spark.sql.adaptive.enabled off for the delta pass — it shaved ~40%
+    // at local[8] but (a) mutated shared-session state visible to every
+    // concurrent query (the sink runs this inside foreachBatch), and
+    // (b) without AQE's partition coalescing each delta micro-stage ran
+    // the full shuffle.partitions width: at local[32] the pass regressed
+    // 1.5 s → 16 s. The pruning that matters (clustered index + chunked-IN
+    // point lookups) is independent of AQE and stays.
+    incrementalIndexedBody(newDocs, storedBands, storedSets, k, bands,
       shingleN, textCol, idCol, keepDelta)
-    finally sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-  }
 
   private def incrementalIndexedBody(
       newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
@@ -324,22 +320,26 @@ object DedupOps {
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      // ONE job evaluates the candidate join. Small results (the normal
-      // incremental case: a delta's candidates are a sliver of the corpus)
-      // come back to the driver and re-enter the plan as a LocalRelation —
-      // that kills the localCheckpoint job, derives the pair-member list
-      // driver-side for free, and lets the verification joins BROADCAST
-      // the pair set. Past the cap (a corpus-sized delta) the old shape
-      // runs: localCheckpoint + semi-join restriction, no driver pull.
-      val candFrame = vsStored.union(vsNew).distinct()
+      // ONE evaluation of the candidate join feeds BOTH the cap probe and
+      // the downstream pair joins. Small results (the normal incremental
+      // case: a delta's candidates are a sliver of the corpus) come back
+      // to the driver and re-enter the plan as a LocalRelation — that
+      // derives the pair-member list driver-side for free and lets the
+      // verification joins BROADCAST the pair set. Past the cap (a
+      // corpus-sized delta) the probe's partial materialization stays in
+      // the cache and the pair joins read the SAME cache — no second
+      // candidate job, no localCheckpoint recompute.
+      val candFrame = track(vsStored.union(vsNew).distinct())
       val candidates = graft.pipeline.Timing.stage("dedup", "cand-ckpt")(
         candFrame.limit(maxPushdownKeys + 1).collect())
       val small = candidates.length <= maxPushdownKeys
       val p =
-        if (small) newDocs.sparkSession.createDataFrame(
-          java.util.Arrays.asList(candidates.toIndexedSeq: _*), candFrame.schema)
-        else graft.pipeline.Timing.stage("dedup", "cand-ckpt")(
-          candFrame.localCheckpoint())
+        if (small) {
+          candFrame.unpersist(false)
+          newDocs.sparkSession.createDataFrame(
+            java.util.Arrays.asList(candidates.toIndexedSeq: _*),
+            candFrame.schema)
+        } else candFrame
       // pair members as a literal list: under the cap it REPLACES the
       // semi-join restriction and, like the bucket list, statically prunes
       // the stored-sets read down to the touched row groups of the
@@ -390,7 +390,8 @@ object DedupOps {
       tracked += sets
       graft.pipeline.Timing.stage("dedup", "sets")(sets.count())
       val released =
-        if (keepDelta) Seq(sets, shrNew) else Seq(sets, shrNew, newBands)
+        (if (keepDelta) Seq(sets, shrNew) else Seq(sets, shrNew, newBands)) ++
+          (if (small) Nil else Seq(p))
       val pairs = jaccardFromSets(p, sets, minJaccard = 0.0, released: _*)
       // success: jaccardFromSets released `released`; keepDelta callers own
       // newBands/newSets (still cached by contract)

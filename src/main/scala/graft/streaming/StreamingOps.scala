@@ -21,23 +21,24 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** On-disk schema: ts is TIMESTAMP(NANOS) which Spark reads as long
-    * (nanosAsLong) — normalized to a TimestampType column on read. */
-  val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream of event rows (one parquet file per micro-batch). */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** File-source stream of event rows (one parquet file per micro-batch).
+    *
+    * A file stream needs its schema declared up front, but the fixture's
+    * `ts` encoding has drifted across driver generations (int64 nanos,
+    * then timestamp[us]/NTZ) — so instead of hard-coding one encoding,
+    * sniff the schema from the files already in the feed directory (every
+    * caller seeds the feed before declaring the stream) and normalize `ts`
+    * with the same [[graft.Tables.normalizeEventTs]] the batch reader
+    * uses. Hard-coding int64-nanos against a timestamp[us] file silently
+    * read micros as nanos — every event time landed in 1970. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val onDisk = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(onDisk)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir))
+  }
 
   /** Tumbling 1-hour windows per event type with a 2-hour watermark:
     * count + sum(value). Append-mode compatible (finalized on watermark). */

@@ -2,8 +2,25 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Driver-contract invariants — no Spark session needed. */
-class ContractSpec extends AnyFunSuite {
+/** Driver-contract invariants. */
+class ContractSpec extends AnyFunSuite with SparkSpecBase {
+
+  test("every query ANALYZES against the current fixtures") {
+    // Plan-time-only gate (df.schema forces analysis, runs nothing): when
+    // a fixture dtype drifts (round 5: events.ts became TIMESTAMP_NTZ and
+    // three queries started throwing at analysis), this fails with the
+    // query's NAME instead of the regression surfacing as one aggregate
+    // run-everything failure — or worse, a silent CORRECTNESS dropout.
+    val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sf).schema; None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(2).mkString(" ")}")
+        }
+    }
+    assert(broken.isEmpty,
+      s"${broken.size} queries fail analysis:\n${broken.mkString("\n")}")
+  }
 
   test("every query is oracle-checked or explicitly rows-only") {
     val qs = SparkEntry.queries.keySet
