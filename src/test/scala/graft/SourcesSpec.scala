@@ -10,6 +10,32 @@ import scala.concurrent.ExecutionContext.Implicits.global
 
 class SourcesSpec extends SparkSpecBase {
 
+  test("normalizeEventTs maps both fixture ts encodings to the same instants") {
+    // The driver's events fixture has shipped ts as int64 nanos AND as
+    // timestamp[us] (TIMESTAMP_NTZ) across generations; round 5 broke when
+    // only one was handled. Pin that both normalize to identical
+    // session-zoned TimestampType instants, so the next encoding drift
+    // fails here by name instead of at 3 queries' analysis time.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ts_enc").toString
+    val micros = Seq(1700000000000000L, 1700003600500000L)
+    micros.map(m => (1L, m * 1000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/nanos")
+    micros.map(m => (1L, m)).toDF("event_id", "us")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/ntz")
+    val readBack = Seq(s"$dir/nanos", s"$dir/ntz").map { p =>
+      val df = Tables.normalizeEventTs(spark.read.parquet(p))
+      assert(df.schema("ts").dataType === TimestampType, p)
+      df.select(unix_micros(col("ts"))).orderBy("ts")
+        .collect().map(_.getLong(0)).toSeq
+    }
+    assert(readBack(0) === micros, "nanos encoding")
+    assert(readBack(1) === micros, "ntz encoding")
+  }
+
   test("missing-date planner: required minus stored, newest first") {
     val today = LocalDate.of(2024, 1, 31)
     val stored = Set(LocalDate.of(2024, 1, 2), LocalDate.of(2024, 1, 3))
