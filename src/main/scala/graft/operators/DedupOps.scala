@@ -211,8 +211,13 @@ object DedupOps {
     * pair-member ids (≤ 2·|candidates|) ride into the plan as IN filters
     * only while they stay driver-sized; past the cap the code falls back
     * to the unpruned scan — at that point the delta is a meaningful
-    * fraction of the corpus and a full pass is the right plan anyway. */
-  private val maxPushdownKeys = 20000
+    * fraction of the corpus and a full pass is the right plan anyway.
+    * Overridable via system property ONLY so the spec can force the
+    * over-cap fallback on fixture-sized data (the fixtures never produce
+    * 20k candidates, so without the override that code path would ship
+    * untested). */
+  private def maxPushdownKeys: Int =
+    Integer.getInteger("graft.dedup.maxPushdownKeys", 20000)
 
   /** Stored-index point lookups as a pushdown-safe scan: parquet evaluates
     * a pushed In filter as a recursively-built or-chain, and executor

@@ -71,6 +71,19 @@ class TextOpsSpec extends SparkSpecBase {
       spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"))
       .collect().map(key).toSet
     assert(filed === batch)
+    // OVER-CAP fallback (corpus-sized delta): force the pushdown cap below
+    // the delta's bucket/candidate counts so the unpruned-scan + semi-join
+    // + persisted-candidate-frame branch executes — the fixtures never
+    // reach the real 20k cap, and an untested fallback is where a silent
+    // wrong-result hides. Same pair set and jaccards required.
+    System.setProperty("graft.dedup.maxPushdownKeys", "2")
+    try {
+      val overCap = DedupOps.incrementalNearDupsIndexed(
+        docs.filter(col("doc_id") >= split),
+        spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"))
+        .collect().map(key).toSet
+      assert(overCap === batch)
+    } finally System.clearProperty("graft.dedup.maxPushdownKeys")
   }
 
   test("ngram repetition: looped phrase scores high, varied text low") {
