@@ -352,6 +352,61 @@ object SimilarityOps {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol), nearestCid(col(vecCol), cents).as("cid"))
 
+  /** Semantic dedup (the SemDeDup recipe — Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus in embedding space, find
+    * cosine-≥-threshold pairs WITHIN each cluster only, connect them into
+    * components, keep the smallest-id vector per component. Returns every
+    * corpus row with `cluster` (component label) and `is_kept` (true for
+    * the canonical survivor — exactly the rows a training pipeline
+    * retains).
+    *
+    * This is the published scale path for embedding-space dedup: the pair
+    * space is Σ_c |cluster_c|² instead of O(n²) — one equi-join shuffled
+    * on the centroid id, with k (the cluster count) the lever that bounds
+    * per-cluster population as the corpus grows. Recall is traded at
+    * cluster boundaries by design (a near-dup pair split across two
+    * centroids is missed); the exact all-pairs baseline is
+    * [[nearDupPairs]] and the hyperplane-bucketed middle ground is
+    * [[lshNearDupPairs]]. Centroids are caller-supplied so production
+    * trains once ([[kmeansCentroids]] → [[centroidsToDf]]) and dedup runs
+    * never retrain.
+    *
+    * Cost shape: one narrow assignment pass (k×d dots per row, no
+    * shuffle), the within-cluster join, then connected components over
+    * the (by definition sparse) dup edges — per-iteration ordinary
+    * shuffled joins, or a single union-find task for small graphs. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    cents: Array[(Long, Seq[Double], Double)],
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // the assignment projection (k×d dots per row) feeds BOTH sides of the
+    // within-cluster self-join — persist and materialize so it runs once
+    // (the lshNearDupPairs bucketing doctrine)
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(array_dot(col(vecCol), col(vecCol))).as("nrm"),
+        nearestCid(col(vecCol), cents).as("cid"))
+      .persist(disk)
+    assigned.count()
+    val a = assigned.select(col("cid"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosinePre(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // labels are materialized inside connectedComponents before it returns,
+    // so the assignment cache has served both its consumers by here
+    val labels = graft.operators.DedupOps.connectedComponents(pairs)
+    assigned.unpersist(false)
+    corpus.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("label"), col(idCol)))
+      .withColumn("is_kept", col("cluster") === col(idCol))
+      .drop("label")
+  }
+
   /** ANN via IVF: probe the `nprobe` nearest centroid lists per query, then
     * exact cosine re-rank over the candidates. The corpus-side shuffle is
     * on the centroid id — |corpus| rows once, reusable across queries; at

@@ -523,6 +523,17 @@ object TextQueries {
         SimilarityOps.kmeansCentroids(e, 16, iters = 2, trainSample = 512))
     }),
 
+    // SemDeDup: k-means clusters bound the pair space (within-cluster
+    // cosine only — never all-pairs), CC labels the dup components, the
+    // smallest id per component survives. Same trained centroids as
+    // q_ivf_assign (2 Lloyd rounds over the md5-ordered 512-vector
+    // sample), which the oracle replays verbatim.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilarityOps.semanticDedup(e, threshold = 0.4,
+        SimilarityOps.kmeansCentroids(e, 16, iters = 2, trainSample = 512))
+    }),
+
     // kNN classification: majority label of the 5 nearest neighbors under
     // a deterministic vote tiebreak — the label-propagation/eval step on
     // top of the exact kNN path.
@@ -1599,6 +1610,46 @@ object TextQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |    ORDER BY cosine DESC, nid) AS rn
         |  FROM pairs) WHERE rn <= 5""".stripMargin),
+
+    // Same k-means replay as q_ivf_assign, then within-cluster rounded
+    // cosine, CC as a recursive CTE (the q_neardup_clusters shape), keep
+    // the min id per component. `e`/`norms` stay in scope from the kmeans
+    // CTE; `e2` aliases edges to avoid colliding with the `e` CTE.
+    "q_semantic_dedup" -> (
+      ivfScoresCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      """assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM scores) WHERE rn = 1),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |dup AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN e va ON va.vec_id = c.id_a
+        |  JOIN e vb ON vb.vec_id = c.id_b
+        |  JOIN norms na ON na.vec_id = c.id_a
+        |  JOIN norms nb ON nb.vec_id = c.id_b
+        |  CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY c.id_a, c.id_b
+        |  HAVING ROUND(SUM(CAST(va.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |           * CAST(vb.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+        |         / (MAX(na.nrm) * MAX(nb.nrm)), 6) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM dup
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM dup),
+        |reach(id, lbl) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON r.id = e2.b),
+        |labels AS (SELECT id, MIN(lbl) AS label FROM reach GROUP BY id)
+        |SELECT em.vec_id,
+        |  COALESCE(l.label, em.vec_id) AS cluster,
+        |  COALESCE(l.label, em.vec_id) = em.vec_id AS is_kept
+        |FROM embeddings em LEFT JOIN labels l ON l.id = em.vec_id""".stripMargin),
 
     "q_mm_frames" ->
       """WITH hx AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hexp FROM documents)

@@ -23,6 +23,37 @@ class SimilarityOpsSpec extends SparkSpecBase {
     approx.intersect(exactKnn).size.toDouble / exactKnn.size
   }
 
+  test("semanticDedup: within-cluster pairs only, one canonical per component") {
+    val cents = SimilarityOps.kmeansCentroids(e, 16, iters = 2, trainSample = 512)
+    val out = SimilarityOps.semanticDedup(e, threshold = 0.4, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // total: every corpus vector appears exactly once
+    assert(out.length === e.count())
+    // the canonical IS the component's smallest member, exactly one per
+    // cluster, and every non-kept row points at a cluster that kept one
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cl, members) =>
+      assert(members.count(_._3) === 1, s"cluster $cl canonical count")
+      assert(members.filter(_._3).head._1 === members.map(_._1).min)
+      assert(cl === members.map(_._1).min, s"label $cl is not the min id")
+    }
+    // dedup must fire on this fixture (it contains replica families), and
+    // the dup relation must be a SUBSET of the exact all-pairs baseline at
+    // the same threshold (clustering only ever REMOVES candidate pairs)
+    val dropped = out.filter(!_._3).map(d => (d._2, d._1)).toSet
+    assert(dropped.nonEmpty, "fixture must contain semantic dups")
+    val exactPairs = SimilarityOps.nearDupPairs(e, threshold = 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every (canonical, dropped) edge is backed by a chain of exact pairs;
+    // check the direct-pair case which dominates on this fixture: a
+    // dropped doc must have SOME exact near-dup partner
+    val inAnyExact = exactPairs.flatMap(p => Seq(p._1, p._2))
+    dropped.foreach { case (_, id) =>
+      assert(inAnyExact.contains(id), s"dropped $id has no exact near-dup")
+    }
+  }
+
   test("k-means training: IVF recall vs brute force >= raw md5 seeds") {
     val seeds = ivfRecall(0)
     val trained = ivfRecall(2)
