@@ -27,6 +27,7 @@ object Bench {
     "q_weekly_rollup", "q_hvc_daily", "q_events_sessions",
     "q_dedup_exact", "q_neardup_clusters",
     "q_simhash_neardup", "q_ngram_jaccard", "q_embed_neardup_lsh",
+    "q_semantic_dedup",
     "q_cosine_knn", "q_ivf_knn", "q_quality_filter", "q_corpus_card",
     "q_topk_per_group", "q_range_frame", "q_full_outer")
 

@@ -505,6 +505,57 @@ object DedupOps {
     out
   }
 
+  /** Content-defined chunking (CDC) passage dedup: chunk boundaries are
+    * derived from the CONTENT (a word is a cut point when its md5 starts
+    * with a hex digit < 2 — P = 1/8, so chunks average 8 words), not from
+    * a fixed stride. The property that earns the extra window pass over
+    * [[chunkDupStats]]: inserting or deleting a word re-chunks only up to
+    * the next boundary, so shared passages at different offsets still
+    * produce IDENTICAL chunk hashes — fixed-stride chunking shifts every
+    * downstream chunk and misses all of them (the rsync/LBFS boundary
+    * idea, applied to passage dedup; asserted in TextOpsSpec). A boundary
+    * word CLOSES its chunk; every doc (even a one-word one) emits ≥ 1
+    * chunk. Emits the same per-doc stats shape as [[chunkDupStats]].
+    *
+    * Scale shape: one posexplode projection, a per-doc running-sum window
+    * (bounded by doc length, partitioned on doc_id), one (doc, chunk)
+    * aggregation with an in-group sort (array_sort over (pos, word)
+    * structs — collect_list alone has no order guarantee), then the same
+    * cached df-count + join-back as chunkDupStats. */
+  def cdcChunkStats(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val wordRows = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "w")))
+    val boundary =
+      when(substring(md5(col("w").cast("binary")), 1, 1) < "2", 1L)
+        .otherwise(0L)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val chunks = wordRows
+      .withColumn("cidx", coalesce(sum(boundary).over(cw), lit(0L)))
+      .groupBy(col("doc_id"), col("cidx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("sw"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          transform(col("sw"), x => x.getField("w"))).cast("binary")).as("h"))
+      .persist(disk)
+    chunks.count()
+    val df = chunks.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val out = chunks.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+          .as("dup_fraction"))
+      .persist(disk)
+    out.count()
+    chunks.unpersist(false)
+    out
+  }
+
   /** Decontamination: KEEP the train docs that do NOT share an LSH band
     * bucket with any test doc — the removal twin of the contamination
     * SCREEN (`q_split_contamination` reports test-side suspects; this

@@ -257,6 +257,12 @@ object TextQueries {
     "q_chunk_dedup" -> ((s, dir) =>
       DedupOps.chunkDupStats(Tables.documents(s, dir))),
 
+    // content-defined chunking twin of q_chunk_dedup: boundaries from the
+    // words themselves (md5 hex < '2', expected 8-word chunks), so shared
+    // passages at shifted offsets still hash identically.
+    "q_cdc_chunks" -> ((s, dir) =>
+      DedupOps.cdcChunkStats(Tables.documents(s, dir))),
+
     // PII screening report over the deterministically PII-salted corpus
     // (the synthetic docs carry no PII, so the fixture plants emails /
     // phones / IPs as a doc_id function both engines rebuild identically —
@@ -1142,6 +1148,37 @@ object TextQueries {
         |  SELECT doc_id,
         |    md5(array_to_string(w[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ')) AS h
         |  FROM (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM d)),
+        |df AS (SELECT h, COUNT(*) AS occ FROM chunks GROUP BY 1)
+        |SELECT c.doc_id,
+        |  COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN df.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  ROUND(CAST(SUM(CASE WHEN df.occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_fraction
+        |FROM chunks c JOIN df ON df.h = c.h
+        |GROUP BY c.doc_id""".stripMargin,
+
+    // CDC replay: same boundary rule (md5 hex digit < '2' closes the
+    // chunk), running-sum window for the chunk index, order-preserving
+    // string_agg for the chunk text, then the q_chunk_dedup df/join tail.
+    "q_cdc_chunks" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |wr AS (
+        |  SELECT doc_id, i AS pos, w[CAST(i AS INTEGER) + 1] AS wd
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM words)),
+        |ck AS (
+        |  SELECT doc_id, pos, wd,
+        |    COALESCE(SUM(CASE WHEN substr(md5(wd), 1, 1) < '2'
+        |                      THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS cidx
+        |  FROM wr),
+        |chunks AS (
+        |  SELECT doc_id, md5(string_agg(wd, ' ' ORDER BY pos)) AS h
+        |  FROM ck GROUP BY doc_id, cidx),
         |df AS (SELECT h, COUNT(*) AS occ FROM chunks GROUP BY 1)
         |SELECT c.doc_id,
         |  COUNT(*) AS n_chunks,

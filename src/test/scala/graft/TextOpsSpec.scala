@@ -98,6 +98,29 @@ class TextOpsSpec extends SparkSpecBase {
     assert(m(2L) === ((4L, 4L, 0.0, 0.25)))
   }
 
+  test("CDC chunking is shift-robust where fixed-stride chunking is not") {
+    // doc 2 = doc 1 with ONE word prepended. Fixed 8-word chunks all
+    // shift and share nothing; CDC boundaries re-sync at the first
+    // content-derived cut point, so the docs must share chunk hashes —
+    // i.e. both docs report dup_fraction > 0 under CDC. Long enough that
+    // several expected-8-word chunks exist.
+    val base = (1 to 120).map(i => s"w${i % 37}x$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, s"inserted $base")).toDF("doc_id", "text")
+    val cdc = DedupOps.cdcChunkStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cdc(1L) > 0.0, "original doc shares no CDC chunks with its shift")
+    assert(cdc(2L) > 0.0, "shifted doc shares no CDC chunks with original")
+    val fixed = DedupOps.chunkDupStats(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(fixed(1L) === 0.0 && fixed(2L) === 0.0,
+      "fixed-stride chunking unexpectedly survived the one-word shift")
+    // identical docs: every chunk duplicated under both schemes
+    val twins = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val cdcTwin = DedupOps.cdcChunkStats(twins).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cdcTwin(1L) === 1.0 && cdcTwin(2L) === 1.0)
+  }
+
   test("chunk dedup releases its chunk-grain cache, keeps only the stats") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),
