@@ -218,6 +218,30 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("toks"), col("cum"))
     }),
 
+    // sequence packing (concat-and-split): concatenate each language's
+    // docs in deterministic md5 order and split the token stream into
+    // fixed 256-token context windows — the step that turns a curated
+    // corpus into training sequences. Per doc: its first/last window and
+    // whether it was fragmented across a boundary (the packing-efficiency
+    // signal a mixing report needs). Per-lang window partitions scale out;
+    // running sums are O(1)-state within each.
+    "q_pack_sequences" -> ((s, dir) => {
+      val win = 256L
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+          col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCountWs(col("text")).cast("long").as("toks"))
+        .withColumn("cum", sum(col("toks")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("lang"), col("toks"),
+          floor((col("cum") - col("toks")) / win).as("first_window"),
+          floor((col("cum") - 1) / win).as("last_window"),
+          (floor((col("cum") - 1) / win) >
+            floor((col("cum") - col("toks")) / win)).as("fragmented"))
+    }),
+
     // train/test contamination screen: test-split docs sharing a MinHash
     // LSH band bucket with any train doc — the near-dup decontamination
     // pass every eval pipeline runs (exact-fingerprint equality misses
@@ -1073,6 +1097,25 @@ object TextQueries {
         |  FROM t)
         |SELECT doc_id, lang, toks, cum FROM c
         |WHERE cum - toks < 2000""".stripMargin,
+
+    // same per-lang md5-ordered running sum as q_budget_fill, mapped to
+    // fixed 256-token windows
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, toks,
+        |    CAST(SUM(toks) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, toks,
+        |  CAST(FLOOR((cum - toks) / 256) AS BIGINT) AS first_window,
+        |  CAST(FLOOR((cum - 1) / 256) AS BIGINT) AS last_window,
+        |  FLOOR((cum - 1) / 256) > FLOOR((cum - toks) / 256) AS fragmented
+        |FROM c""".stripMargin,
 
     "q_split_contamination" -> (hashBucketCte +
       s""",
