@@ -207,4 +207,25 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("WindowGroupLimit"),
       s"row_number<=k filter must push a group limit below the exchange:\n$p")
   }
+
+  test("centroid assignment is a pure projection (no exchange, no join)") {
+    // the semanticDedup/IVF assignment step: k×d dots per row, argmax via
+    // struct array_max — at 100 TB this must stay embarrassingly parallel;
+    // an assignment-by-join refactor would silently add a shuffle here
+    val p = plan("q_ivf_assign")
+    assert(!p.contains("Exchange"),
+      s"centroid assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"centroid assignment must not join:\n$p")
+  }
+
+  test("sequence packing shuffles once, on the language partition key") {
+    val p = plan("q_pack_sequences")
+    // count node-detail headers ("(3) Exchange"), not raw substrings — the
+    // formatted explain prints every node in both the tree and the details
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"packing must be ONE per-lang exchange, found $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(lang"),
+      s"packing exchange must partition by lang:\n$p")
+  }
 }
