@@ -352,6 +352,70 @@ object SimilarityOps {
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol), nearestCid(col(vecCol), cents).as("cid"))
 
+  /** The stored side of incremental semantic dedup: every corpus vector
+    * with its assigned cluster id. Persist this clustered/partitioned BY
+    * cid (the lookup key — `Storage.writeClustered` at scale) so a
+    * delta's touched-cluster reads skip everything else, the same way the
+    * near-dup band index is clustered by bucket. */
+  def buildSemanticIndex(corpus: DataFrame,
+                         cents: Array[(Long, Seq[Double], Double)],
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      nearestCid(col(vecCol), cents).as("cid"))
+
+  /** Incremental [[semanticDedup]]: the cosine-≥-threshold pairs a NEW
+    * batch introduces against a stored [[buildSemanticIndex]] corpus —
+    * delta×stored from a cid equi-join against the index (only the
+    * delta's ≤ k touched clusters are read: the cluster ids ride into the
+    * stored scan as an IN literal, bounded by the centroid count, so no
+    * chunking machinery is needed), delta×delta from a self-join;
+    * stored×stored pairs are never re-examined. A vector re-delivered in
+    * the delta wins over its stored row (anti-join, broadcast delta ids —
+    * the incrementalNearDupsIndexed doctrine). Exactly the batch
+    * within-cluster pair set restricted to pairs touching the delta
+    * (asserted in SimilarityOpsSpec); centroids must be the ones the
+    * index was built with — training happens at index-build time, never
+    * per delta. */
+  def semanticDedupIncremental(newVecs: DataFrame, storedIndex: DataFrame,
+                               threshold: Double,
+                               cents: Array[(Long, Seq[Double], Double)],
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val delta = newVecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(array_dot(col(vecCol), col(vecCol))).as("nrm"),
+        nearestCid(col(vecCol), cents).as("cid"))
+      .persist(disk)
+    delta.count()
+    // touched clusters: at most |cents| ids — a plan-literal IN filter
+    // that reaches the cid-clustered stored scan as a set predicate
+    val touched = delta.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val stored = storedIndex.filter(col("cid").isin(touched: _*))
+      .select(col("cid"), col(idCol).as("sid"), col(vecCol).as("sv"),
+        sqrt(array_dot(col(vecCol), col(vecCol))).as("snrm"))
+      .join(broadcast(delta.select(col("id"))),
+        col("sid") === col("id"), "left_anti")
+    val vsStored = delta.join(stored, Seq("cid"))
+      .withColumn("cosine",
+        cosinePre(col("v"), col("sv"), col("nrm"), col("snrm")))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("id"), col("sid")).as("id_a"),
+        greatest(col("id"), col("sid")).as("id_b"), col("cosine"))
+    val b = delta.select(col("cid"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val vsNew = delta.join(b, Seq("cid")).filter(col("id") < col("id_b"))
+      .withColumn("cosine",
+        cosinePre(col("v"), col("vb"), col("nrm"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id").as("id_a"), col("id_b"), col("cosine"))
+    val out = vsStored.union(vsNew).distinct().persist(disk)
+    out.count()
+    delta.unpersist(false)
+    out
+  }
+
   /** Semantic dedup (the SemDeDup recipe — Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus in embedding space, find
     * cosine-≥-threshold pairs WITHIN each cluster only, connect them into

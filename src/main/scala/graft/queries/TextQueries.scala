@@ -564,6 +564,20 @@ object TextQueries {
         SimilarityOps.kmeansCentroids(e, 16, iters = 2, trainSample = 512))
     }),
 
+    // incremental SemDeDup: the pairs a 10% delta introduces against the
+    // stored 90%'s assignment index — centroids train on the STORED side
+    // only (index-build time), the delta touches at most k cluster lists.
+    "q_semantic_dedup_incr" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val stored = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val delta = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val cents = SimilarityOps.kmeansCentroids(stored, 16, iters = 2,
+        trainSample = 512)
+      SimilarityOps.semanticDedupIncremental(delta,
+        SimilarityOps.buildSemanticIndex(stored, cents),
+        threshold = 0.4, cents)
+    }),
+
     // kNN classification: majority label of the 5 nearest neighbors under
     // a deterministic vote tiebreak — the label-propagation/eval step on
     // top of the exact kNN path.
@@ -800,7 +814,12 @@ object TextQueries {
     * rounded cosine of every vector against every trained centroid. Ends
     * in `scores(vec_id, cid, s)`; leaves `e(vec_id, embedding)` and
     * `norms(vec_id, nrm)` in scope for the knn tail. */
-  private def kmeansScoresCte(k: Int, iters: Int, sample: Int): String = {
+  /** `trainWhere` restricts the seed/sample TRAINING universe (e.g. the
+    * stored 90% in the incremental-dedup replay) while `scores` still
+    * covers every vector — mirroring kmeansCentroids(storedSubset) on the
+    * Spark side followed by assignment of the full corpus. */
+  private def kmeansScoresCte(k: Int, iters: Int, sample: Int,
+                              trainWhere: String = ""): String = {
     val iterCtes = (1 to iters).map { t =>
       s"""${centroidScoreCte(s"s$t", s"c${t - 1}", s"cn$t", "sev", "snorms")},
          |a$t AS (
@@ -827,7 +846,7 @@ object TextQueries {
        |  SELECT vec_id FROM (
        |    SELECT vec_id,
        |      ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-       |    FROM e) WHERE rn <= $sample),
+       |    FROM e $trainWhere) WHERE rn <= $sample),
        |sev AS (SELECT ev.* FROM ev JOIN samp USING (vec_id)),
        |snorms AS (SELECT norms.* FROM norms JOIN samp USING (vec_id)),
        |c0 AS (
@@ -835,7 +854,7 @@ object TextQueries {
        |    SELECT vec_id AS cid FROM (
        |      SELECT vec_id,
        |        ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-       |      FROM e) WHERE rn <= $k) s
+       |      FROM e $trainWhere) WHERE rn <= $k) s
        |  JOIN ev ON ev.vec_id = s.cid),
        |$iterCtes,
        |${centroidScoreCte("scores", s"c$iters", "fcn")}
@@ -1690,6 +1709,34 @@ object TextQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |    ORDER BY cosine DESC, nid) AS rn
         |  FROM pairs) WHERE rn <= 5""".stripMargin),
+
+    // incremental SemDeDup replay: k-means trains on the stored (vec_id %
+    // 10 <> 0) universe only, every vector is assigned, and the
+    // within-cluster pairs are restricted to those touching the delta.
+    "q_semantic_dedup_incr" -> (
+      kmeansScoresCte(16, 2, 512, "WHERE vec_id % 10 <> 0") + ",\n" +
+      """assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM scores) WHERE rn = 1),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id % 10 = 0 OR b.vec_id % 10 = 0),
+        |dup AS (
+        |  SELECT c.id_a, c.id_b,
+        |    ROUND(SUM(CAST(va.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |            * CAST(vb.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+        |          / (MAX(na.nrm) * MAX(nb.nrm)), 6) AS cosine
+        |  FROM cand c
+        |  JOIN e va ON va.vec_id = c.id_a
+        |  JOIN e vb ON vb.vec_id = c.id_b
+        |  JOIN norms na ON na.vec_id = c.id_a
+        |  JOIN norms nb ON nb.vec_id = c.id_b
+        |  CROSS JOIN range(1, 65) t(i)
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, cosine FROM dup WHERE cosine >= 0.4""".stripMargin),
 
     // Same k-means replay as q_ivf_assign, then within-cluster rounded
     // cosine, CC as a recursive CTE (the q_neardup_clusters shape), keep

@@ -54,6 +54,29 @@ class SimilarityOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental semantic dedup == batch within-cluster pairs touching the delta") {
+    val stored = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val cents = SimilarityOps.kmeansCentroids(stored, 16, iters = 2,
+      trainSample = 512)
+    val incr = SimilarityOps.semanticDedupIncremental(delta,
+        SimilarityOps.buildSemanticIndex(stored, cents), threshold = 0.4, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // expected = exact all-pairs ∩ same assigned cluster ∩ touching delta
+    val assign = SimilarityOps.ivfAssign(e, cents)
+    val expected = SimilarityOps.nearDupPairs(e, threshold = 0.4)
+      .join(assign.select(col("vec_id").as("id_a"), col("cid").as("ca")),
+        Seq("id_a"))
+      .join(assign.select(col("vec_id").as("id_b"), col("cid").as("cb")),
+        Seq("id_b"))
+      .filter(col("ca") === col("cb") &&
+        (pmod(col("id_a"), lit(10)) === 0 || pmod(col("id_b"), lit(10)) === 0))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr === expected)
+    assert(incr.nonEmpty, "fixture must contain cross-batch semantic dups")
+  }
+
   test("k-means training: IVF recall vs brute force >= raw md5 seeds") {
     val seeds = ivfRecall(0)
     val trained = ivfRecall(2)
