@@ -279,6 +279,53 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming SEMANTIC dedup sink — the embedding-space twin of
+    * [[incrementalDedupSink]]: each micro-batch of (vec_id, embedding)
+    * rows finds its cosine-≥-threshold pairs against the stored
+    * assignment index ([[graft.operators.SimilarityOps.semanticDedupIncremental]]),
+    * appends them, THEN appends its own index rows — so a batch never
+    * matches itself through the stored side, and the pairs table
+    * converges to exactly the batch within-cluster pair set over the full
+    * corpus (every pair is discovered when its later member arrives;
+    * StreamingSpec asserts the equality). Centroids are FIXED at sink
+    * creation — they are index-build-time state; retraining per batch
+    * would silently re-cluster history and break convergence. Index
+    * appends sort by cid within partitions so later batches'
+    * touched-cluster IN filters skip the appended files' row groups. */
+  def semanticDedupSink(vecs: DataFrame,
+                        cents: Array[(Long, Seq[Double], Double)],
+                        threshold: Double,
+                        indexRef: graft.sources.TableRef,
+                        pairsRef: graft.sources.TableRef,
+                        checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SimilarityOps
+    import graft.sources.Storage
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF()
+        val stored =
+          if (Storage.tableExists(s, indexRef))
+            // a replayed batch must not see its own previous (partial)
+            // index writes as "stored", or within-batch pairs double
+            Storage.readTable(s, indexRef).filter(col("batch_id") < batchId)
+              .drop("batch_id")
+          else SimilarityOps.buildSemanticIndex(b.limit(0), cents)
+        val pairs = SimilarityOps.semanticDedupIncremental(
+          b, stored, threshold, cents)
+        idempotentBatchAppend(pairs.coalesce(4), pairsRef, batchId)
+        pairs.unpersist(false)
+        idempotentBatchAppend(
+          SimilarityOps.buildSemanticIndex(b, cents)
+            .coalesce(4).sortWithinPartitions("cid"),
+          indexRef, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Fold the streaming dedup index's absorbed batch partitions into ONE
     * clustered base partition (`batch_id = -1`), restoring the
     * point-lookup layout the batch index builder guarantees

@@ -352,6 +352,67 @@ class StreamingSpec extends SparkSpecBase {
       "a delta against the compacted index must equal the batch-index result")
   }
 
+  test("streaming semantic dedup sink == batch within-cluster pairs + index") {
+    import graft.operators.SimilarityOps
+    import graft.sources.{Storage, TableRef}
+    val all = Tables.embeddings(spark, sf)
+    val cents = SimilarityOps.kmeansCentroids(all, 16, iters = 2,
+      trainSample = 512)
+    val vecsDir = Files.createTempDirectory("graft_semvec").toString
+    all.filter(col("vec_id") < 50).coalesce(1).write.parquet(s"$vecsDir/f1")
+    all.filter(col("vec_id") >= 50).coalesce(1).write.parquet(s"$vecsDir/f2")
+    new java.io.File(vecsDir).listFiles().filter(_.isDirectory).foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) => Files.move(f.toPath,
+          Paths.get(s"$vecsDir/${d.getName}_$i.parquet"))
+      }
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    val schema = spark.read.parquet(vecsDir).schema
+    val root = Files.createTempDirectory("graft_semidx").toString
+    val indexRef = TableRef(s"$root/index", "index", "semantic")
+    val pairsRef = TableRef(s"$root/pairs", "index", "sempairs")
+    def startSink(ckpt: String) = StreamingOps.semanticDedupSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(vecsDir),
+      cents, threshold = 0.4, indexRef, pairsRef, ckpt)
+    val q = startSink(Files.createTempDirectory("graft_semck").toString)
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    def pairSet() = Storage.readTable(spark, pairsRef)
+      .select("id_a", "id_b", "cosine").collect().map(key).toSet
+    // batch expectation: exact all-pairs restricted to same assigned
+    // cluster under the SAME fixed centroids
+    val assign = SimilarityOps.ivfAssign(all, cents)
+    val batch = SimilarityOps.nearDupPairs(all, threshold = 0.4)
+      .join(assign.select(col("vec_id").as("id_a"), col("cid").as("ca")),
+        Seq("id_a"))
+      .join(assign.select(col("vec_id").as("id_b"), col("cid").as("cb")),
+        Seq("id_b"))
+      .filter(col("ca") === col("cb"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .collect().map(key).toSet
+    val streamed = pairSet()
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "fixture must contain semantic dups")
+    // the maintained index equals a from-scratch batch assignment index
+    val bIdx = SimilarityOps.buildSemanticIndex(all, cents)
+    val sIdx = Storage.readTable(spark, indexRef).drop("batch_id")
+    assert(sIdx.except(bIdx).count() === 0)
+    assert(bIdx.except(sIdx).count() === 0)
+    val nPairs = Storage.readTable(spark, pairsRef).count()
+    // replay from a fresh checkpoint: batch_id-partition overwrites keep
+    // the sink exactly-once — same pairs, no duplicate rows
+    val q2 = startSink(Files.createTempDirectory("graft_semck2").toString)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(pairSet() === batch, "replay must not change the pair set")
+    assert(Storage.readTable(spark, pairsRef).count() === nPairs,
+      "replay must not duplicate pair rows")
+  }
+
   test("streaming upsert sink lands last-writer-wins state per key") {
     import graft.sources.{Storage, TableRef}
     val in = Files.createTempDirectory("graft_upsert_in").toString
