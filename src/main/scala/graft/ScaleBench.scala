@@ -123,9 +123,36 @@ object ScaleBench {
         n
       }
       docs.unpersist(false)
+      // semantic dedup at scale: replicate the embedding corpus ×mult
+      // (exact replicas — the duplicate families every real corpus has),
+      // scale the CLUSTER COUNT with the corpus (SemDeDup's lever: k ∝ n
+      // keeps per-cluster population — and so the within-cluster pair
+      // space — bounded as the corpus grows), time train + assign +
+      // within-cluster pairs + CC + survivor pick end-to-end
+      import graft.operators.SimilarityOps
+      val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .crossJoin(spark.range(m).withColumnRenamed("id", "rep"))
+        .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"),
+          col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nVecs = vecs.count()
+      val kClusters = math.max(16, (nVecs / 500).toInt)
+      val (semStats, tSem) = timed {
+        val cents = SimilarityOps.kmeansCentroids(vecs, kClusters,
+          iters = 2, trainSample = 4096)
+        // 0.8: the tight-duplicate operating point — at 0.4 this fixture's
+        // correlated synthetic embeddings connect almost everything and the
+        // run measures CC over a near-complete graph, not dedup
+        SimilarityOps.semanticDedup(vecs, threshold = 0.8, cents)
+          .agg(count(lit(1)).as("n"),
+            sum(when(!col("is_kept"), 1L).otherwise(0L)).as("dups"))
+          .first()
+      }
+      vecs.unpersist(false)
       s""","dedup_docs":$nDocs,"dedup_pairs":$nPairs,"dedup":$tDedup""" +
         s""","curate_kept":$nKeep,"curate":$tQual""" +
-        s""","chunk_docs":$nChunked,"chunk_dedup":$tChunk"""
+        s""","chunk_docs":$nChunked,"chunk_dedup":$tChunk""" +
+        s""","semantic_vecs":${semStats.getLong(0)},"semantic_dups":${semStats.getLong(1)},"semantic_k":$kClusters,"semantic_dedup":$tSem"""
     }.getOrElse("")
 
     println(s"""{"metric":"scale_pipeline","unit":"sec","rows":$nRows,"tickers":$nTickers,"queries":{"bronze_write":$tBronze,"silver_full":$tSilver,"gold":$tGold$dedupJson},"value":${tBronze + tSilver + tGold}}""")

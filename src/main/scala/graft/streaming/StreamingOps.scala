@@ -355,6 +355,16 @@ object StreamingOps {
     compactIndexTable(spark, setsRef, "doc_id", upToBatch)
   }
 
+  /** [[compactDedupIndex]] for the streaming SEMANTIC index: fold the
+    * committed batch partitions into one cid-clustered base partition so
+    * the touched-cluster IN lookups keep their row-group skipping as the
+    * index grows. Same precondition: `upToBatch` ≤ the stream's last
+    * COMMITTED batch id. */
+  def compactSemanticIndex(spark: SparkSession,
+                           indexRef: graft.sources.TableRef,
+                           upToBatch: Long): Unit =
+    compactIndexTable(spark, indexRef, "cid", upToBatch)
+
   private def compactIndexTable(spark: SparkSession,
                                 ref: graft.sources.TableRef,
                                 key: String, upToBatch: Long): Unit = {

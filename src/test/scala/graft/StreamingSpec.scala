@@ -411,6 +411,17 @@ class StreamingSpec extends SparkSpecBase {
     assert(pairSet() === batch, "replay must not change the pair set")
     assert(Storage.readTable(spark, pairsRef).count() === nPairs,
       "replay must not duplicate pair rows")
+    // compaction folds every committed batch partition into the
+    // cid-clustered base; content identical, all rows in batch_id=-1
+    val maxBatch = Storage.readTable(spark, indexRef)
+      .agg(max(col("batch_id").cast("long"))).first().getLong(0)
+    StreamingOps.compactSemanticIndex(spark, indexRef, maxBatch)
+    val cIdx = Storage.readTable(spark, indexRef)
+    assert(cIdx.drop("batch_id").except(bIdx).count() === 0)
+    assert(bIdx.except(cIdx.drop("batch_id")).count() === 0)
+    assert(cIdx.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(-1L),
+      "all index rows must fold into the base partition")
   }
 
   test("streaming upsert sink lands last-writer-wins state per key") {
