@@ -451,7 +451,7 @@ object SimilarityOps {
         sqrt(array_dot(col(vecCol), col(vecCol))).as("nrm"),
         nearestCid(col(vecCol), cents).as("cid"))
       .persist(disk)
-    assigned.count()
+    graft.pipeline.Timing.stage("semdedup", "assign")(assigned.count())
     val a = assigned.select(col("cid"), col("id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cid"), col("id").as("id_b"),
@@ -461,8 +461,11 @@ object SimilarityOps {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"))
     // labels are materialized inside connectedComponents before it returns,
-    // so the assignment cache has served both its consumers by here
-    val labels = graft.operators.DedupOps.connectedComponents(pairs)
+    // so the assignment cache has served both its consumers by here (the
+    // within-cluster cosine pass is billed to this stage — CC's first
+    // action evaluates it)
+    val labels = graft.pipeline.Timing.stage("semdedup", "pairs+cc")(
+      graft.operators.DedupOps.connectedComponents(pairs))
     assigned.unpersist(false)
     corpus.select(col(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
