@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic cardinality sketches.
+  *
+  * Spark's `approx_count_distinct` (HyperLogLog++) is the right tool on a
+  * cluster, but its register layout is engine-private, so no external
+  * oracle can replay the estimate bit-for-bit. For cross-engine verified
+  * pipelines we carry a KMV (k-minimum-values / bottom-k) sketch instead
+  * [Bar-Yossef et al. 2002]: hash every value with md5, keep the k
+  * smallest hashes, and estimate distinct = (k-1) * H / h_(k) where H is
+  * the hash-space size and h_(k) the k-th smallest hash. Every step —
+  * md5, lexicographic bottom-k, 48-bit prefix, integer division — is
+  * expressible in ANSI SQL, so DuckDB (the driver's oracle) reproduces
+  * the estimate EXACTLY, unlike HLL where only bounds can be asserted.
+  *
+  * Determinism choices:
+  *  - 12-hex-digit (48-bit) prefix: fits a signed 64-bit integer both in
+  *    `conv(...,16,10)` (Spark) and `('0x'||x)::BIGINT` (DuckDB), and
+  *    (k-1) * 2^48 stays in int64 for any practical k.
+  *  - integer division (`div`), not float: no rounding-mode drift.
+  *  - when fewer than k distinct hashes exist the count itself is exact,
+  *    so the estimate degrades to the true distinct count.
+  *
+  * Scale shape: one hash projection, one distinct (map-side partial), one
+  * bounded per-group top-k — the same cost profile as any groupBy agg; no
+  * driver collection, no global sort (the window is per-group and the
+  * group cardinality is the distinct-hash count, already reduced).
+  *
+  * Reference capability: approximate distinct surfaces in the published
+  * query tier (SURVEY §2 A5/A9 family); the reference's engine delegates
+  * to its own sketch the same way we delegate to this one.
+  */
+object Sketches {
+
+  /** 2^48: size of the truncated hash space. */
+  val HashSpace: Long = 1L << 48
+
+  /** 48-bit integer hash of a string column via the md5 hex prefix — the
+    * exact expression an ANSI-SQL oracle can replay. */
+  def md5Hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** Per-group KMV distinct estimate of `valueCol`.
+    *
+    * Output: (groupCols..., est_distinct: bigint). Exact below k distinct
+    * values; (k-1)*2^48 div h_(k) at or above.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2 && (k - 1) <= Long.MaxValue / HashSpace,
+      s"k=$k out of the int64-safe range")
+    val hashes = df
+      .select(col(groupCol), md5Hash48(col(valueCol)).as("h"))
+      .distinct() // distinct hash multiset per group — KMV's input
+    val w = Window.partitionBy(groupCol).orderBy(col("h"))
+    hashes
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("rn") <= k, col("h"))).as("kth"),
+        count(lit(1)).as("n_hashes"))
+      .select(
+        col(groupCol),
+        when(col("n_hashes") < k, col("n_hashes"))
+          .otherwise(expr(s"${(k - 1) * HashSpace}L div kth"))
+          .as("est_distinct"),
+        col("n_hashes"))
+  }
+
+  /** The DuckDB replay of [[kmvDistinct]] — same hash, same k, same
+    * integer arithmetic, so the driver's oracle hash-matches exactly. */
+  def kmvOracleSql(table: String, groupCol: String, valueCol: String,
+                   k: Int = 64): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT $groupCol,
+       |    ('0x' || substr(md5($valueCol), 1, 12))::BIGINT AS h
+       |  FROM $table),
+       |r AS (
+       |  SELECT $groupCol, h,
+       |    row_number() OVER (PARTITION BY $groupCol ORDER BY h) AS rn
+       |  FROM h)
+       |SELECT $groupCol,
+       |  CASE WHEN count(*) < $k THEN count(*)
+       |       ELSE ${(k - 1) * HashSpace} // max(CASE WHEN rn <= $k THEN h END)
+       |  END AS est_distinct,
+       |  count(*) AS n_hashes
+       |FROM r GROUP BY $groupCol""".stripMargin
+}

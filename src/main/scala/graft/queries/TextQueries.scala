@@ -625,13 +625,16 @@ object TextQueries {
       DedupOps.dedupNearDups(Tables.documents(s, dir), minJaccard = 0.3)
         .select(col("doc_id"), col("cluster"), col("is_canonical"))),
 
-    // HLL approximate distinct (A9): rows-only — sketch internals differ
-    // across engines by design.
+    // Approximate distinct (A9) via the deterministic KMV bottom-k sketch
+    // (Sketches.kmvDistinct): unlike HLL — whose register layout is
+    // engine-private, leaving only bound checks — every step (md5,
+    // bottom-k, integer division) replays exactly in the DuckDB oracle,
+    // so this query hash-matches like any other. HLL remains available
+    // through approx_count_distinct for cluster use; accuracy of this
+    // sketch vs exact is asserted in QueryBoundsSpec.
     "q_approx_distinct" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .groupBy(col("lang"))
-        .agg(approx_count_distinct(col("source")).as("approx_sources"),
-          count(lit(1)).as("n"))),
+      graft.functions.Sketches.kmvDistinct(
+        Tables.documents(s, dir), "lang", "source", k = 64)),
 
     "q_mm_meta" -> ((s, dir) =>
       MultimodalOps.payloadMetadata(
@@ -864,6 +867,10 @@ object TextQueries {
   private val ivfScoresCte = kmeansScoresCte(16, 2, 512)
 
   def oracles: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      graft.functions.Sketches.kmvOracleSql("documents", "lang", "source",
+        k = 64),
+
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS ws_tokens,

@@ -28,10 +28,11 @@ class ContractSpec extends AnyFunSuite with SparkSpecBase {
     // an oracle without a query would silently never run
     assert(os.subsetOf(qs), s"orphan oracles: ${(os -- qs).toSeq.sorted}")
     // a query without an oracle silently degrades to the driver's weaker
-    // rows-only check — only the documented sketch query is allowed there
-    // (bound-asserted in QueryBoundsSpec instead; q_mm_decode graduated to
-    // a full oracle when the BMP decoder became real)
-    assert((qs -- os) === Set("q_approx_distinct"),
+    // rows-only check — nothing is allowed there anymore: q_mm_decode
+    // graduated when the BMP decoder became real, and q_approx_distinct
+    // graduated in r7 when the HLL was replaced by the deterministic KMV
+    // sketch DuckDB can replay exactly
+    assert((qs -- os) === Set.empty[String],
       s"un-oracled queries: ${(qs -- os).toSeq.sorted}")
   }
 

@@ -2,28 +2,53 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Bound assertions for the one query that can't be oracle-hashed (sketch
-  * internals differ across engines by design): the driver records it
-  * rows-only, so the correctness argument lives here instead. Also pins
-  * the BMP decode's physical-layout behaviors the formula oracle is blind
-  * to (magic sniff, payload size). */
+/** Accuracy assertions the hash oracle is blind to: the KMV sketch
+  * hash-matches DuckDB (so correctness-vs-oracle is covered), but only
+  * this spec pins that the *estimate* is actually close to the true
+  * distinct count — a sketch that replayed exactly yet estimated garbage
+  * would pass the driver. Also pins the BMP decode's physical-layout
+  * behaviors the formula oracle is blind to (magic sniff, payload size). */
 class QueryBoundsSpec extends SparkSpecBase {
 
-  test("q_approx_distinct: HLL estimate within rsd bounds of exact") {
+  test("q_approx_distinct: KMV estimate accurate, and exact below k") {
     val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = Tables.documents(spark, sf)
       .groupBy(col("lang"))
-      .agg(countDistinct(col("source")).as("nd"), count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .agg(countDistinct(col("source")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet === exact.keySet)
-    exact.foreach { case (lang, (nd, n)) =>
-      val (a, an) = approx(lang)
-      // approx_count_distinct default rsd = 5%; 3σ + slack for tiny groups
-      assert(math.abs(a - nd) <= math.max(2L, math.ceil(nd * 0.2).toLong),
-        s"lang=$lang approx=$a exact=$nd")
-      assert(an === n, s"exact count column must match: $lang")
+    exact.foreach { case (lang, nd) =>
+      val (est, nHashes) = approx(lang)
+      if (nd < 64) {
+        // below k the sketch IS the exact distinct count (mod 48-bit
+        // collisions, absent at fixture scale)
+        assert(est === nd, s"lang=$lang est=$est exact=$nd (sub-k)")
+      } else {
+        // KMV rse ~ 1/sqrt(k-2) ≈ 12.7% at k=64; allow 3σ
+        assert(math.abs(est - nd) <= math.max(3L, math.ceil(nd * 0.4).toLong),
+          s"lang=$lang est=$est exact=$nd")
+      }
+      assert(nHashes <= nd, s"distinct hashes cannot exceed distinct values")
     }
+  }
+
+  test("kmvDistinct scales its accuracy with k") {
+    import graft.functions.Sketches
+    // one group, 5000 synthetic distinct values: estimate must tighten
+    // from k=16 to k=256
+    val df = spark.range(5000).toDF("i")
+      .select(org.apache.spark.sql.functions.lit("g").as("g"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("v"), col("i")).as("v"))
+    def err(k: Int): Double = {
+      val est = Sketches.kmvDistinct(df, "g", "v", k)
+        .collect().head.getLong(1)
+      math.abs(est - 5000.0) / 5000.0
+    }
+    val e16 = err(16); val e256 = err(256)
+    assert(e256 <= 0.10, s"k=256 should be within 10%: $e256")
+    assert(e256 <= e16 + 0.02, s"larger k should not be worse: $e16 vs $e256")
   }
 
   test("q_mm_decode: real BMP payloads sniff as BMP and decode in range") {
