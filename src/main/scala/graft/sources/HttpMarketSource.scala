@@ -26,7 +26,9 @@ import java.time.LocalDate
   */
 final class HttpMarketSource(baseUrl: String, apiKey: String,
                              client: HttpClient =
-                               HttpMarketSource.defaultClient())
+                               HttpMarketSource.defaultClient(),
+                             retry: RetryPolicy = RetryPolicy(),
+                             sleeper: Long => Unit = Thread.sleep)
     extends BarsSource {
 
   private val mapper = new ObjectMapper
@@ -37,17 +39,58 @@ final class HttpMarketSource(baseUrl: String, apiKey: String,
   private def redacted(url: String): String =
     url.replaceAll("apiKey=[^&]+", "apiKey=***")
 
-  private def get(url: String): JsonNode = {
+  /** GET with bounded retry (reference `clients.py:8-10` — the SDK's
+    * transient-failure retry, re-expressed):
+    *
+    *  - retryable: 429, any 5xx, and transport faults (connect/read
+    *    timeout, reset) — a daily ingest makes thousands of calls, so
+    *    transient faults are routine, not exceptional
+    *  - NOT retryable: 403 → [[PlanLimitExceeded]] immediately (a quota
+    *    cutoff never heals within a backoff window, and ParallelFetch
+    *    uses it to cancel all outstanding work), and any other 4xx (the
+    *    request itself is wrong; resending it is API abuse)
+    *  - backoff: exponential with decorrelating jitter, `Retry-After`
+    *    honored when the server sends one, capped attempts so a dead
+    *    endpoint fails the ingest loudly rather than hanging it
+    */
+  private def get(url: String): JsonNode = getWithRetry(url, attempt = 0)
+
+  @scala.annotation.tailrec
+  private def getWithRetry(url: String, attempt: Int): JsonNode = {
     // per-request timeout: one hung TCP connection must fail the future,
     // not stall the whole ingest (ParallelFetch awaits its futures)
     val req = HttpRequest.newBuilder(URI.create(url)).GET()
       .timeout(java.time.Duration.ofSeconds(60)).build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    resp.statusCode() match {
-      case 200 => mapper.readTree(resp.body())
-      case 403 => throw new PlanLimitExceeded(
-        s"HTTP 403 (plan limit): ${redacted(url)}")
-      case s   => throw new RuntimeException(s"HTTP $s from ${redacted(url)}")
+    // Left = retryable failure (reason, server-requested delay);
+    // non-retryable failures throw from inside the try
+    val outcome: Either[(String, Option[Long]), JsonNode] =
+      try {
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        resp.statusCode() match {
+          case 200 => Right(mapper.readTree(resp.body()))
+          case 403 => throw new PlanLimitExceeded(
+            s"HTTP 403 (plan limit): ${redacted(url)}")
+          case s if s == 429 || s >= 500 =>
+            val retryAfterMs = Option(
+              resp.headers().firstValue("Retry-After").orElse(null))
+              .flatMap(_.toLongOption).map(_ * 1000L)
+            Left((s"HTTP $s", retryAfterMs))
+          case s => throw new RuntimeException(
+            s"HTTP $s from ${redacted(url)}")
+        }
+      } catch {
+        case e: java.io.IOException => // timeouts, resets, refused connects
+          Left((s"${e.getClass.getSimpleName}: " +
+            redacted(Option(e.getMessage).getOrElse("")), None))
+      }
+    outcome match {
+      case Right(node) => node
+      case Left((why, _)) if attempt + 1 >= retry.maxAttempts =>
+        throw new RuntimeException(
+          s"$why from ${redacted(url)} (gave up after ${retry.maxAttempts} attempts)")
+      case Left((why, serverDelay)) =>
+        sleeper(retry.delayMs(attempt, serverDelay))
+        getWithRetry(url, attempt + 1)
     }
   }
 
@@ -100,6 +143,25 @@ final class HttpMarketSource(baseUrl: String, apiKey: String,
     fetchPaged(s"$baseUrl/v3/reference/tickers?market=stocks&active=true&limit=1000")
       .map(r => TickerRow(r.path("ticker").asText(), r.path("name").asText(),
         r.path("primary_exchange").asText()))
+}
+
+/** Backoff schedule for transient HTTP failures: exponential growth with
+  * full jitter (delay drawn uniformly from [cap/2, cap] where cap doubles
+  * per attempt) — jitter de-synchronizes the retry herd when many fetch
+  * futures hit the same rate limit simultaneously, which is exactly the
+  * 429 case. A server-sent `Retry-After` floors the delay; `maxDelayMs`
+  * ceils it. Defaults trace the reference SDK's shape (bounded attempts,
+  * seconds-scale waits) without copying its constants. */
+final case class RetryPolicy(maxAttempts: Int = 5,
+                             baseDelayMs: Long = 250,
+                             maxDelayMs: Long = 10000) {
+  require(maxAttempts >= 1 && baseDelayMs >= 1 && maxDelayMs >= baseDelayMs)
+
+  def delayMs(attempt: Int, serverRequestedMs: Option[Long] = None): Long = {
+    val cap = math.min(maxDelayMs, baseDelayMs << math.min(attempt, 20))
+    val jittered = cap / 2 + math.round(math.random() * (cap - cap / 2))
+    math.min(maxDelayMs, math.max(jittered, serverRequestedMs.getOrElse(0L)))
+  }
 }
 
 final case class SplitRow(ticker: String, executionDate: LocalDate,

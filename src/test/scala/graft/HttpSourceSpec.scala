@@ -45,8 +45,34 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"""{"results":[{"ticker":"AAPL","execution_date":"2020-08-31","split_from":1,"split_to":4}],
              |"next_url":"$base/v3/reference/splits?cursor=page2"}""".stripMargin)
     })
+    // transient-failure fixtures for the retry contract
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      val n = flakyHits.incrementAndGet()
+      if (n <= 2) respond(ex, 503, """{"status":"UNAVAILABLE"}""")
+      else respond(ex, 200, """{"results":[{"ticker":"OK"}]}""")
+    })
+    server.createContext("/dead", (ex: HttpExchange) => {
+      deadHits.incrementAndGet()
+      respond(ex, 500, """{"status":"ERROR"}""")
+    })
+    server.createContext("/ratelimited", (ex: HttpExchange) => {
+      val n = rlHits.incrementAndGet()
+      if (n == 1) {
+        ex.getResponseHeaders.add("Retry-After", "7")
+        respond(ex, 429, """{"status":"RATE_LIMIT"}""")
+      } else respond(ex, 200, """{"results":[{"ticker":"OK"}]}""")
+    })
+    server.createContext("/forbidden", (ex: HttpExchange) => {
+      forbiddenHits.incrementAndGet()
+      respond(ex, 403, """{"status":"NOT_AUTHORIZED"}""")
+    })
     server.start()
   }
+
+  private val flakyHits = new java.util.concurrent.atomic.AtomicInteger
+  private val deadHits = new java.util.concurrent.atomic.AtomicInteger
+  private val rlHits = new java.util.concurrent.atomic.AtomicInteger
+  private val forbiddenHits = new java.util.concurrent.atomic.AtomicInteger
 
   override def afterAll(): Unit = server.stop(0)
 
@@ -91,6 +117,57 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hitLimit)
     assert(done === Set(LocalDate.parse("2024-01-04")))
     assert(rows.isEmpty) // the only completed day is the empty one
+  }
+
+  // --- retry/backoff contract (reference clients.py:8-10) -----------------
+
+  /** Source with instant recorded sleeps so retry tests run in μs. */
+  private def retrying(maxAttempts: Int): (HttpMarketSource, scala.collection.mutable.Buffer[Long]) = {
+    val slept = scala.collection.mutable.Buffer.empty[Long]
+    val src = new HttpMarketSource(base, "test-key",
+      HttpMarketSource.defaultClient(),
+      RetryPolicy(maxAttempts = maxAttempts, baseDelayMs = 4, maxDelayMs = 32),
+      sleeper = slept += _)
+    (src, slept)
+  }
+
+  test("5xx retries with backoff and succeeds once the server heals") {
+    flakyHits.set(0)
+    val (src, slept) = retrying(maxAttempts = 5)
+    val rows = src.fetchPaged(s"$base/flaky")
+    assert(rows.map(_.path("ticker").asText()) === Seq("OK"))
+    assert(flakyHits.get() === 3) // 503, 503, 200
+    assert(slept.size === 2)
+    // exponential cap doubles per attempt: first delay in [2,4], second in [4,8]
+    assert(slept(0) >= 2 && slept(0) <= 4, s"slept=$slept")
+    assert(slept(1) >= 4 && slept(1) <= 8, s"slept=$slept")
+  }
+
+  test("a dead endpoint gives up after maxAttempts with a loud error") {
+    deadHits.set(0)
+    val (src, slept) = retrying(maxAttempts = 3)
+    val e = intercept[RuntimeException](src.fetchPaged(s"$base/dead"))
+    assert(e.getMessage.contains("HTTP 500"))
+    assert(e.getMessage.contains("gave up after 3 attempts"))
+    assert(deadHits.get() === 3)
+    assert(slept.size === 2) // no sleep after the final attempt
+  }
+
+  test("429 honors Retry-After as the delay floor") {
+    rlHits.set(0)
+    val (src, slept) = retrying(maxAttempts = 5)
+    val rows = src.fetchPaged(s"$base/ratelimited")
+    assert(rows.map(_.path("ticker").asText()) === Seq("OK"))
+    // Retry-After: 7s floors the jittered delay but maxDelayMs=32ms ceils it
+    assert(slept === Seq(32L), s"slept=$slept")
+  }
+
+  test("403 is never retried: quota exhaustion fails fast") {
+    forbiddenHits.set(0)
+    val (src, slept) = retrying(maxAttempts = 5)
+    intercept[PlanLimitExceeded](src.fetchPaged(s"$base/forbidden"))
+    assert(forbiddenHits.get() === 1)
+    assert(slept.isEmpty)
   }
 
   test("env selection falls back to the fixture source offline") {
