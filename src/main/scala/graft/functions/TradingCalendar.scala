@@ -70,4 +70,45 @@ object TradingCalendar {
       .takeWhile(!_.isAfter(end))
       .filter(isTradingDay)
       .toSeq
+
+  // --- market-session gating (reference `utils/calendar.py:36-116`) --------
+  // A scheduled ingest must not fetch an in-progress trading day: the API
+  // serves partial bars until the session closes and the provider finishes
+  // publishing. All clock math happens in the exchange's own zone so the
+  // gate is correct from any runner timezone, across DST.
+
+  /** NYSE's zone: session times are defined in local exchange time. */
+  val MarketZone: java.time.ZoneId = java.time.ZoneId.of("America/New_York")
+  val OpenTime: java.time.LocalTime = java.time.LocalTime.of(9, 30)
+  val CloseTime: java.time.LocalTime = java.time.LocalTime.of(16, 0)
+  /** Providers finalize the day's bars ~after close; the reference waits
+    * 30 minutes (`calendar.py:115-116`). */
+  val PublishDelayMinutes: Long = 30
+
+  /** Is the NYSE actively trading at `now`? (`calendar.py:36-71`:
+    * open ≤ now ≤ close on a trading day, bounds inclusive). */
+  def isMarketOpen(now: java.time.Instant): Boolean = {
+    val zdt = now.atZone(MarketZone)
+    isTradingDay(zdt.toLocalDate) && {
+      val t = zdt.toLocalTime
+      !t.isBefore(OpenTime) && !t.isAfter(CloseTime)
+    }
+  }
+
+  /** Should today's bars exist upstream yet? (`calendar.py:74-116`: today
+    * is a trading day, the session has closed, and the publish delay has
+    * elapsed). Pre-open and mid-session both gate to false. */
+  def isDataAvailableForToday(now: java.time.Instant): Boolean = {
+    val zdt = now.atZone(MarketZone)
+    isTradingDay(zdt.toLocalDate) && !isMarketOpen(now) &&
+      !zdt.toLocalTime.isBefore(CloseTime.plusMinutes(PublishDelayMinutes))
+  }
+
+  /** Newest date an ingest planner may request at `now`: today once its
+    * data is published, otherwise yesterday (non-trading days fall out of
+    * the required-dates grid regardless). */
+  def ingestEndDate(now: java.time.Instant): LocalDate = {
+    val today = now.atZone(MarketZone).toLocalDate
+    if (isDataAvailableForToday(now)) today else today.minusDays(1)
+  }
 }

@@ -153,6 +153,18 @@ object Pipeline {
     (doneDates.size, hitLimit)
   }
 
+  /** Clock-gated ingest (reference `bronze/main.py` guarded by
+    * `utils/calendar.py:74-116`): derives the newest fetchable day from
+    * the wall clock via [[graft.functions.TradingCalendar.ingestEndDate]],
+    * so a cron'd run during (or within the publish delay after) a trading
+    * session never ingests a partial day. The date-explicit overload stays
+    * the testable core. */
+  def runIngest(spark: SparkSession, source: graft.sources.BarsSource,
+                lake: Lake, startYear: Int,
+                now: java.time.Instant): (Int, Boolean) =
+    runIngest(spark, source, lake, startYear,
+      graft.functions.TradingCalendar.ingestEndDate(now))
+
   /** Should silver fully rewrite? First run, or any split executed after
     * silver's high-water mark (retroactive adjustment invalidates history). */
   def shouldFullRewrite(spark: SparkSession, lake: Lake): Boolean = {

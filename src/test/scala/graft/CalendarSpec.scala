@@ -44,4 +44,63 @@ class CalendarSpec extends AnyFunSuite {
     assert(TradingCalendar.tradingDays(
       LocalDate.of(2024, 1, 1), LocalDate.of(2024, 12, 31)).size === 252)
   }
+
+  // --- market-session gating (reference utils/calendar.py:36-116) ---------
+
+  private def utc(s: String) = java.time.Instant.parse(s)
+
+  test("pre-open on a trading day: closed, data not yet available") {
+    // Wed 2024-01-10 09:00 ET (EST = UTC-5)
+    val now = utc("2024-01-10T14:00:00Z")
+    assert(!TradingCalendar.isMarketOpen(now))
+    assert(!TradingCalendar.isDataAvailableForToday(now))
+    assert(TradingCalendar.ingestEndDate(now) === LocalDate.of(2024, 1, 9))
+  }
+
+  test("mid-session: open, data not available") {
+    val now = utc("2024-01-10T15:30:00Z") // 10:30 ET
+    assert(TradingCalendar.isMarketOpen(now))
+    assert(!TradingCalendar.isDataAvailableForToday(now))
+  }
+
+  test("session bounds are inclusive: 09:30 and 16:00 ET both open") {
+    assert(TradingCalendar.isMarketOpen(utc("2024-01-10T14:30:00Z")))
+    assert(TradingCalendar.isMarketOpen(utc("2024-01-10T21:00:00Z")))
+  }
+
+  test("just after close: inside the publish delay, still unavailable") {
+    val now = utc("2024-01-10T21:10:00Z") // 16:10 ET
+    assert(!TradingCalendar.isMarketOpen(now))
+    assert(!TradingCalendar.isDataAvailableForToday(now))
+    assert(TradingCalendar.ingestEndDate(now) === LocalDate.of(2024, 1, 9))
+  }
+
+  test("30 minutes past close: today's data is fetchable") {
+    val now = utc("2024-01-10T21:30:00Z") // 16:30 ET, delay elapsed
+    assert(!TradingCalendar.isMarketOpen(now))
+    assert(TradingCalendar.isDataAvailableForToday(now))
+    assert(TradingCalendar.ingestEndDate(now) === LocalDate.of(2024, 1, 10))
+  }
+
+  test("DST: the ET session math holds in July (EDT = UTC-4)") {
+    assert(TradingCalendar.isMarketOpen(utc("2024-07-10T15:30:00Z"))) // 11:30 EDT
+    assert(TradingCalendar.isDataAvailableForToday(
+      utc("2024-07-10T20:45:00Z"))) // 16:45 EDT
+    // same wall-clock UTC instant in January would still be mid-session
+    assert(TradingCalendar.isMarketOpen(utc("2024-01-10T20:45:00Z"))) // 15:45 EST
+  }
+
+  test("weekend: closed all day, ingest ends at Friday") {
+    val now = utc("2024-01-13T17:00:00Z") // Saturday noon ET
+    assert(!TradingCalendar.isMarketOpen(now))
+    assert(!TradingCalendar.isDataAvailableForToday(now))
+    assert(TradingCalendar.ingestEndDate(now) === LocalDate.of(2024, 1, 12))
+  }
+
+  test("holiday: Christmas Wednesday is closed with yesterday as end") {
+    val now = utc("2024-12-25T17:00:00Z")
+    assert(!TradingCalendar.isMarketOpen(now))
+    assert(!TradingCalendar.isDataAvailableForToday(now))
+    assert(TradingCalendar.ingestEndDate(now) === LocalDate.of(2024, 12, 24))
+  }
 }

@@ -172,6 +172,25 @@ class PipelineSpec extends SparkSpecBase {
     assert(Storage.readTable(spark, lake.bronze("stocks")).count() === expected * 2L)
   }
 
+  test("clock-gated ingest skips an in-progress trading day") {
+    import graft.sources.FixtureBarsSource
+    val lake = Lake(Files.createTempDirectory("graft_ingestg").toString)
+    val source = new FixtureBarsSource(Seq("T0"))
+    // Wed 2024-01-10 10:30 ET: mid-session — today must NOT be fetched
+    val midSession = java.time.Instant.parse("2024-01-10T15:30:00Z")
+    Pipeline.runIngest(spark, source, lake, 2024, midSession)
+    val stored = Storage.readTable(spark, lake.bronze("stocks"))
+      .select(col("date")).collect().map(_.getDate(0).toLocalDate).toSet
+    assert(stored.max === java.time.LocalDate.parse("2024-01-09"))
+    // 16:35 ET the same day: publish delay elapsed — today lands
+    val afterPublish = java.time.Instant.parse("2024-01-10T21:35:00Z")
+    val (days, _) = Pipeline.runIngest(spark, source, lake, 2024, afterPublish)
+    assert(days === 1)
+    val stored2 = Storage.readTable(spark, lake.bronze("stocks"))
+      .select(col("date")).collect().map(_.getDate(0).toLocalDate).toSet
+    assert(stored2.max === java.time.LocalDate.parse("2024-01-10"))
+  }
+
   test("source ingest under a quota cutoff keeps the NEWEST days") {
     import graft.sources.FixtureBarsSource
     val lake = Lake(Files.createTempDirectory("graft_ingestq").toString)
