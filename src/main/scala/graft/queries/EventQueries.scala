@@ -126,16 +126,30 @@ object EventQueries {
         .groupBy(col("first_day")).agg(count(lit(1)).as("new_users"))
       val daily = Tables.events(s, dir)
         .select(to_date(col("ts")).as("d")).distinct()
-      daily.join(firstDay, col("d") === col("first_day"), "left")
+      // two-level cumsum, no global window anywhere in the plan: running
+      // sums are per-MONTH partitions, and each month's carry-in is the
+      // sum of all prior months' totals via a broadcast self-join over the
+      // (tiny) month dimension. Same curve as a single global cumsum, but
+      // the widest window partition is one month of days — parallel and
+      // bounded at any corpus size.
+      val perDay = daily
+        .join(firstDay, col("d") === col("first_day"), "left")
         .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
-        // unpartitioned window — INTENTIONAL, not a scale bug: the input is
-        // the per-day aggregate (calendar-bounded: thousands of rows at any
-        // corpus size), so the single-partition pass carries days, not
-        // events. Do not "fix" by salting; the curve is a global cumsum.
-        .withColumn("cume_users", sum(col("new_users")).over(
-          Window.orderBy(col("d"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("d"), col("new_users"), col("cume_users"))
+        .withColumn("m", trunc(col("d"), "month"))
+      val inMonth = sum(col("new_users")).over(
+        Window.partitionBy(col("m")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val monthTotals = perDay.groupBy(col("m"))
+        .agg(sum(col("new_users")).as("m_total"))
+      val carryIn = monthTotals.as("a")
+        .join(broadcast(monthTotals.select(col("m").as("m2"),
+          col("m_total").as("t2"))), col("m2") < col("a.m"), "left")
+        .groupBy(col("a.m").as("cm"))
+        .agg(coalesce(sum(col("t2")), lit(0L)).as("carry"))
+      perDay.withColumn("cume_in_month", inMonth)
+        .join(broadcast(carryIn), col("m") === col("cm"))
+        .select(col("d"), col("new_users"),
+          (col("cume_in_month") + col("carry")).as("cume_users"))
     })
   )
 

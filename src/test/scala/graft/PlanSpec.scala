@@ -218,6 +218,19 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"centroid assignment must not join:\n$p")
   }
 
+  test("cume_users has no unpartitioned window (two-level cumsum)") {
+    // the growth curve used to run one global-window pass; it is now a
+    // per-month running sum plus a broadcast month-carry join, so every
+    // Window node must carry a partition key — an unpartitioned window
+    // prints "Window ... ORDER BY" with an empty PARTITION BY and logs
+    // the single-partition WindowExec warning
+    val p = plan("q_cume_users")
+    val windows = """\(\d+\) Window""".r.findAllIn(p).size
+    assert(windows >= 1, s"expected the per-month running sum:\n$p")
+    assert(!p.toLowerCase.contains("singlepartition"),
+      s"no stage may collapse to a single partition:\n$p")
+  }
+
   test("sequence packing shuffles once, on the language partition key") {
     val p = plan("q_pack_sequences")
     // count node-detail headers ("(3) Exchange"), not raw substrings — the
