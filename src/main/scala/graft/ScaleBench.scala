@@ -138,8 +138,10 @@ object ScaleBench {
       val nVecs = vecs.count()
       val kClusters = math.max(16, (nVecs / 500).toInt)
       val (semStats, tSem) = timed {
+        // trainSample must cover k (kmeansCentroids requires sample >= k);
+        // kClusters grows with the corpus, so scale the sample with it
         val cents = SimilarityOps.kmeansCentroids(vecs, kClusters,
-          iters = 2, trainSample = 4096)
+          iters = 2, trainSample = math.max(4096, kClusters))
         // 0.8: the tight-duplicate operating point — at 0.4 this fixture's
         // correlated synthetic embeddings connect almost everything and the
         // run measures CC over a near-complete graph, not dedup

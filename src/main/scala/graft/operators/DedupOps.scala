@@ -212,12 +212,12 @@ object DedupOps {
     * only while they stay driver-sized; past the cap the code falls back
     * to the unpruned scan — at that point the delta is a meaningful
     * fraction of the corpus and a full pass is the right plan anyway.
-    * Overridable via system property ONLY so the spec can force the
-    * over-cap fallback on fixture-sized data (the fixtures never produce
-    * 20k candidates, so without the override that code path would ship
-    * untested). */
-  private def maxPushdownKeys: Int =
-    Integer.getInteger("graft.dedup.maxPushdownKeys", 20000)
+    * The cap is an explicit parameter (JVM-global state would leak a
+    * lowered cap across concurrently-running suites); specs pass a tiny
+    * cap to force the over-cap fallback on fixture-sized data (the
+    * fixtures never produce 20k candidates, so without the override that
+    * code path would ship untested). */
+  val DefaultMaxPushdownKeys: Int = 20000
 
   /** Stored-index point lookups as a pushdown-safe scan: parquet evaluates
     * a pushed In filter as a recursively-built or-chain, and executor
@@ -246,9 +246,10 @@ object DedupOps {
                                  storedSets: DataFrame, k: Int = 8,
                                  bands: Int = 4, shingleN: Int = 3,
                                  textCol: String = "text",
-                                 idCol: String = "doc_id"): DataFrame =
+                                 idCol: String = "doc_id",
+                                 maxPushdownKeys: Int = DefaultMaxPushdownKeys): DataFrame =
     incrementalIndexedCore(newDocs, storedBands, storedSets, k, bands,
-      shingleN, textCol, idCol, keepDelta = false)._1
+      shingleN, textCol, idCol, keepDelta = false, maxPushdownKeys)._1
 
   /** [[incrementalNearDupsIndexed]] that ALSO returns the delta's own
     * (bands, sets) index rows, computed ONCE from the same cached shingles
@@ -262,15 +263,16 @@ object DedupOps {
   def incrementalNearDupsIndexedWithDelta(
       newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
       k: Int = 8, bands: Int = 4, shingleN: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id")
+      textCol: String = "text", idCol: String = "doc_id",
+      maxPushdownKeys: Int = DefaultMaxPushdownKeys)
   : (DataFrame, DataFrame, DataFrame) =
     incrementalIndexedCore(newDocs, storedBands, storedSets, k, bands,
-      shingleN, textCol, idCol, keepDelta = true)
+      shingleN, textCol, idCol, keepDelta = true, maxPushdownKeys)
 
   private def incrementalIndexedCore(
       newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
       k: Int, bands: Int, shingleN: Int, textCol: String, idCol: String,
-      keepDelta: Boolean): (DataFrame, DataFrame, DataFrame) =
+      keepDelta: Boolean, maxPushdownKeys: Int): (DataFrame, DataFrame, DataFrame) =
     // AQE stays ON here. An earlier build flipped the session-global
     // spark.sql.adaptive.enabled off for the delta pass — it shaved ~40%
     // at local[8] but (a) mutated shared-session state visible to every
@@ -280,12 +282,12 @@ object DedupOps {
     // 1.5 s → 16 s. The pruning that matters (clustered index + chunked-IN
     // point lookups) is independent of AQE and stays.
     incrementalIndexedBody(newDocs, storedBands, storedSets, k, bands,
-      shingleN, textCol, idCol, keepDelta)
+      shingleN, textCol, idCol, keepDelta, maxPushdownKeys)
 
   private def incrementalIndexedBody(
       newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
       k: Int, bands: Int, shingleN: Int, textCol: String, idCol: String,
-      keepDelta: Boolean): (DataFrame, DataFrame, DataFrame) = {
+      keepDelta: Boolean, maxPushdownKeys: Int): (DataFrame, DataFrame, DataFrame) = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // every persist is tracked so a mid-flight failure (stored-table read,
     // checkpoint, verification join) releases them on the way out — without

@@ -32,12 +32,39 @@ object StreamingOps {
     * uses. Hard-coding int64-nanos against a timestamp[us] file silently
     * read micros as nanos — every event time landed in 1970. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val onDisk = spark.read.parquet(dir).schema
+    // Declaring a stream over a not-yet-seeded feed directory is legal
+    // (the sink starts before the producer), so when the sniff finds no
+    // files fall back to the current driver generation's encoding;
+    // normalizeEventTs accepts every encoding either path yields.
+    val onDisk =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              (e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+                e.getMessage.contains("PATH_NOT_FOUND")) =>
+          defaultEventsSchema
+      }
     graft.Tables.normalizeEventTs(
       spark.readStream
         .schema(onDisk)
         .option("maxFilesPerTrigger", 1)
         .parquet(dir))
+  }
+
+  /** Fallback schema for an empty feed: the current fixture generation
+    * (timestamp[us] without tz → TIMESTAMP_NTZ under Spark 4's parquet
+    * inference; normalizeEventTs also handles the int64-nanos generation
+    * if files of that vintage later land in the feed). */
+  private val defaultEventsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
   }
 
   /** Tumbling 1-hour windows per event type with a 2-hour watermark:

@@ -6,11 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite with SparkSpecBase {
 
   test("every query ANALYZES against the current fixtures") {
-    // Plan-time-only gate (df.schema forces analysis, runs nothing): when
-    // a fixture dtype drifts (round 5: events.ts became TIMESTAMP_NTZ and
-    // three queries started throwing at analysis), this fails with the
-    // query's NAME instead of the regression surfacing as one aggregate
+    // Analysis gate: df.schema forces Catalyst analysis of the returned
+    // plan, so a fixture dtype drift (round 5: events.ts became
+    // TIMESTAMP_NTZ and three queries started throwing at analysis) fails
+    // with the query's NAME instead of surfacing as one aggregate
     // run-everything failure — or worse, a silent CORRECTNESS dropout.
+    // NOTE: this is NOT execution-free for every entry — constructors that
+    // train or materialize eagerly (kmeansCentroids, semanticDedup's
+    // persist/count/CC, the dedup ops' materializing probes) run real
+    // Spark jobs inside fn(spark, sf), so this test executes a share of
+    // the workload and a query that hangs at execution hangs here too.
+    // That is acceptable: the gate's job is failing BY NAME, not speed.
     val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try { fn(spark, sf).schema; None }

@@ -35,6 +35,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.subsetOf(batch))
   }
 
+  test("stream declares before the feed is seeded (empty-dir schema fallback)") {
+    // sink-before-producer startup order: declaring the stream over an
+    // empty feed directory must not throw at declaration time; rows fed
+    // AFTER the declaration still flow with normalized event times
+    val dir = Files.createTempDirectory("graft_emptyfeed").toString
+    val stream = StreamingOps.readEventsStream(spark, dir)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("lateseed_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("lateseed_out").count() === 0)
+    // seed the feed with the RAW fixture encoding after declaration (raw
+    // read, not Tables.events — the fallback schema must match what the
+    // driver actually writes)
+    spark.read.parquet(s"$sf/events.parquet").limit(25).coalesce(1)
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("lateseed_out")
+    assert(out.count() === 25)
+    // ts must have been normalized to a real event-time column (not 1970)
+    val maxYear = out.select(year(max(col("ts")))).collect().head.getInt(0)
+    assert(maxYear > 2000, s"event times must survive the fallback: $maxYear")
+  }
+
   test("built-in session_window agrees with the custom-state sessionizer") {
     // batch mode: withWatermark is a no-op, groupBy(session_window) runs as
     // a plain aggregation — proving semantics against the q_events_sessions

@@ -76,14 +76,12 @@ class TextOpsSpec extends SparkSpecBase {
     // + persisted-candidate-frame branch executes — the fixtures never
     // reach the real 20k cap, and an untested fallback is where a silent
     // wrong-result hides. Same pair set and jaccards required.
-    System.setProperty("graft.dedup.maxPushdownKeys", "2")
-    try {
-      val overCap = DedupOps.incrementalNearDupsIndexed(
-        docs.filter(col("doc_id") >= split),
-        spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"))
-        .collect().map(key).toSet
-      assert(overCap === batch)
-    } finally System.clearProperty("graft.dedup.maxPushdownKeys")
+    val overCap = DedupOps.incrementalNearDupsIndexed(
+      docs.filter(col("doc_id") >= split),
+      spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"),
+      maxPushdownKeys = 2)
+      .collect().map(key).toSet
+    assert(overCap === batch)
   }
 
   test("ngram repetition: looped phrase scores high, varied text low") {
