@@ -362,6 +362,53 @@ object Bench {
       }(n10k)
     }
 
+    // ---- 10x scale tier (VERDICT r6 #5) -------------------------------
+    // Per-query SCALING stays measured, not asserted: replicate sf0.1
+    // tenfold with key-offset replicas (docs token-prefixed so text pair
+    // work scales linearly, not quadratically) and re-run one headline
+    // query per tier against the scaled dir. The JSON carries t10 and the
+    // ratio vs this same session's 1x median — linear-ish operators should
+    // ratio near the 10x data factor or below (fixed costs amortize);
+    // anything super-linear is a scale regression caught here.
+    val scaleRep = 10
+    val scaleQueries = Seq("q1_agg", "q3_shipping_priority", "q_sma",
+      "q_events_sessions", "q_text_quality", "q_dedup_exact",
+      "q_minhash_pairs", "q_cosine_knn")
+    val scale10: Seq[(String, Double)] = section(
+      scaleQueries.map("scale10_" + _), Seq.empty[(String, Double)]) {
+      val dir = s"$tmpRoot/scale10"
+      val reps = spark.range(scaleRep).withColumnRenamed("id", "rep")
+      def scaled(name: String)(
+          f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit =
+        f(spark.read.parquet(s"$sfDir/$name.parquet").crossJoin(reps))
+          .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      val off = col("rep") * 10000000L
+      scaled("lineitem")(df => df
+        .withColumn("l_orderkey", col("l_orderkey") + off).drop("rep"))
+      scaled("orders")(df => df
+        .withColumn("o_orderkey", col("o_orderkey") + off)
+        .withColumn("o_custkey", col("o_custkey") + off).drop("rep"))
+      scaled("customer")(df => df
+        .withColumn("c_custkey", col("c_custkey") + off).drop("rep"))
+      scaled("events")(df => df
+        .withColumn("event_id", col("event_id") + off)
+        .withColumn("user_id", col("user_id") + off).drop("rep"))
+      scaled("documents")(df => df
+        .withColumn("doc_id", col("doc_id") + off)
+        .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
+          concat(col("rep").cast("string"), lit("$1")))).drop("rep"))
+      scaled("embeddings")(df => df
+        .withColumn("vec_id", col("vec_id") + off).drop("rep"))
+      Seq("region", "nation", "supplier", "part").foreach(t =>
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet"))
+      scaleQueries.map { name =>
+        val t = section(Seq(s"scale10_$name"), -1.0)(
+          timed(s"scale10_$name") { noop(SparkEntry.queries(name)(spark, dir)) })
+        s"scale10_$name" -> t
+      }
+    }
+
     // end-to-end medallion pipeline (bronze→silver→gold incl. indicators,
     // VWAP, pattern tables) — comparable to the reference's full-rewrite run.
     // Stage timings recorded across the reps (bronze/silver/gold averages
@@ -389,7 +436,7 @@ object Bench {
       "stream_dedup" -> tDedupStream,
       "stream_dedup_1batch" -> tDedupStream1,
       "stream_dedup_10k" -> tDedup10k,
-      "pipeline_full" -> pipelineTime)
+      "pipeline_full" -> pipelineTime) ++ scale10
     def ms(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) =>
       // a failed query reports the -1 sentinel, not a normal-looking time
@@ -414,7 +461,16 @@ object Bench {
       s"""{"delta_mb_large_idx":${mb(deltaBytesLarge)},"delta_mb_small_idx":${mb(deltaBytesSmall)}}"""
     val stagesJson = stageAvg.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","query_total":${ms(headlineTotal)},"structural_total":${ms(total - headlineTotal)},"queries":$qs,"stream":$streamJson,"dedup_prune":$pruneJson,"pipeline_stages":$stagesJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    // scale tier: t10 plus the ratio vs this session's own 1x median —
+    // a ratio far above the 10x data factor flags super-linear scaling
+    val oneX = queryResults.toMap
+    val scaleJson = scale10.map { case (k, t10) =>
+      val base = oneX.get(k.stripPrefix("scale10_"))
+      val ratio = base.filter(_ > 0).map(b => f"${t10 / b}%.2f").getOrElse("null")
+      "\"" + k.stripPrefix("scale10_") + "\":{\"t10\":" + ms(t10) +
+        ",\"ratio_vs_1x\":" + ratio + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","query_total":${ms(headlineTotal)},"structural_total":${ms(total - headlineTotal)},"queries":$qs,"stream":$streamJson,"dedup_prune":$pruneJson,"scale10":$scaleJson,"pipeline_stages":$stagesJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
