@@ -38,6 +38,13 @@ object Main {
           f"maxAbsError=${r.maxAbsError}%.6f ${if (r.ok) "OK" else "FAILED"}")
         if (!r.ok) sys.exit(1)
       case "clean"    => Pipeline.runClean(spark, lake)
+      // Datasette-style publishing (reference metadata.json surface):
+      // SQLite-loadable dump + query metadata under <lakeRoot>/publish
+      case "publish"  =>
+        val counts = graft.publish.Publisher.publish(
+          spark, sfDir, s"${lake.root}/publish")
+        println(s"publish: tables=${counts.size} rows=${counts.values.sum} " +
+          s"-> ${lake.root}/publish")
       case other      => throw new IllegalArgumentException(s"unknown stage: $other")
     } finally spark.stop()
   }

@@ -83,6 +83,12 @@ object DeclaredCatalog {
       if (!name.startsWith("_")) df.createOrReplaceTempView(name)
     }
 
+  /** The publishable catalog tables (view name → DataFrame), i.e. every
+    * table the 19 canned queries run over — the export set for
+    * [[graft.publish.Publisher]]. */
+  def catalogTables(s: SparkSession, dir: String): Map[String, DataFrame] =
+    built(s, dir).filter { case (name, _) => !name.startsWith("_") }
+
   /** The raw rising/falling pattern tables for `dir` (pre-enrichment) —
     * one cached computation shared with the DeclaredQueries surface. */
   def patternTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
