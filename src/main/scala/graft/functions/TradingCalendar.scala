@@ -63,6 +63,25 @@ object TradingCalendar {
       d.getDayOfWeek != DayOfWeek.SUNDAY &&
       !holidays(d.getYear).contains(d)
 
+  /** Early-close (1:00 PM ET half-day) sessions for a year. NYSE rules as
+    * modeled by `pandas_market_calendars`' NYSE calendar (the reference's
+    * backing library): the Friday after Thanksgiving, July 3 when it falls
+    * Mon–Thu (if July 4 lands on Saturday, July 3 becomes the *observed
+    * full-close holiday* instead — e.g. 2026), and Christmas Eve when it
+    * falls Mon–Thu (same observance interaction with Dec 25 — e.g. 2021).
+    * Half-days keep the same *day set* (`isTradingDay` is unchanged) but
+    * close at [[EarlyCloseTime]], which moves the ingest-gating cutoffs. */
+  def earlyCloses(year: Int): Set[LocalDate] = {
+    val dayAfterThanksgiving =
+      nthWeekday(year, Month.NOVEMBER, DayOfWeek.THURSDAY, 4).plusDays(1)
+    val monToThu: LocalDate => Boolean = d => {
+      val v = d.getDayOfWeek.getValue; v >= 1 && v <= 4
+    }
+    (Seq(dayAfterThanksgiving) ++
+      Seq(LocalDate.of(year, 7, 3), LocalDate.of(year, 12, 24)).filter(monToThu))
+      .filter(isTradingDay).toSet
+  }
+
   /** Trading days in [start, end] inclusive — the missing-date planner's
     * required-dates grid (`bronze/main.py:42-53`). */
   def tradingDays(start: LocalDate, end: LocalDate): Seq[LocalDate] =
@@ -81,6 +100,12 @@ object TradingCalendar {
   val MarketZone: java.time.ZoneId = java.time.ZoneId.of("America/New_York")
   val OpenTime: java.time.LocalTime = java.time.LocalTime.of(9, 30)
   val CloseTime: java.time.LocalTime = java.time.LocalTime.of(16, 0)
+  /** Half-day sessions close at 1:00 PM ET (see [[earlyCloses]]). */
+  val EarlyCloseTime: java.time.LocalTime = java.time.LocalTime.of(13, 0)
+
+  /** Session close for a given trading day: 1 PM on half-days, 4 PM else. */
+  def closeTime(d: LocalDate): java.time.LocalTime =
+    if (earlyCloses(d.getYear).contains(d)) EarlyCloseTime else CloseTime
   /** Providers finalize the day's bars ~after close; the reference waits
     * 30 minutes (`calendar.py:115-116`). */
   val PublishDelayMinutes: Long = 30
@@ -91,17 +116,20 @@ object TradingCalendar {
     val zdt = now.atZone(MarketZone)
     isTradingDay(zdt.toLocalDate) && {
       val t = zdt.toLocalTime
-      !t.isBefore(OpenTime) && !t.isAfter(CloseTime)
+      !t.isBefore(OpenTime) && !t.isAfter(closeTime(zdt.toLocalDate))
     }
   }
 
   /** Should today's bars exist upstream yet? (`calendar.py:74-116`: today
     * is a trading day, the session has closed, and the publish delay has
-    * elapsed). Pre-open and mid-session both gate to false. */
+    * elapsed). Pre-open and mid-session both gate to false. On a half-day
+    * the cutoff is 1:30 PM ET, not 4:30 — an early close *advances* data
+    * availability, which a full-day-only model would miss. */
   def isDataAvailableForToday(now: java.time.Instant): Boolean = {
     val zdt = now.atZone(MarketZone)
     isTradingDay(zdt.toLocalDate) && !isMarketOpen(now) &&
-      !zdt.toLocalTime.isBefore(CloseTime.plusMinutes(PublishDelayMinutes))
+      !zdt.toLocalTime.isBefore(
+        closeTime(zdt.toLocalDate).plusMinutes(PublishDelayMinutes))
   }
 
   /** Newest date an ingest planner may request at `now`: today once its

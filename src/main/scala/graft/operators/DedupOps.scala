@@ -310,11 +310,21 @@ object DedupOps {
       // an IN filter. Against an index clustered by bucket
       // ([[writeNearDupIndex]]) parquet row-group stats skip everything
       // else — per-batch stored-band bytes-read is O(delta buckets), not
-      // O(index). Fallback past the cap: an over-cap delta is
-      // corpus-sized, where the full scan is the right plan.
+      // O(index). Past the cap the delta is corpus-sized and the stored
+      // side must be scanned — but it need not all be SHUFFLED: a bloom
+      // over the delta's buckets (built from the cache, one cheap job)
+      // drops non-matching stored rows at the scan, before the join
+      // exchange. False positives only re-admit rows the join's equality
+      // rejects, so the result is exact; the shuffled stored volume falls
+      // to matching rows + fpp·rest, which at 100 TB is the difference
+      // between shuffling the corpus index and shuffling the overlap.
       val storedB =
-        if (deltaBuckets.size > maxPushdownKeys) storedBands
-        else prunedByKeys(storedBands, "bucket", deltaBuckets)
+        if (deltaBuckets.size > maxPushdownKeys) {
+          val bloom = newBands.stat.bloomFilter(
+            "bucket", math.max(newBands.count(), 1L), 0.01)
+          storedBands.filter(graft.functions.BloomExpressions
+            .mightContain(bloom, col("bucket")))
+        } else prunedByKeys(storedBands, "bucket", deltaBuckets)
       // ONE equi-join against the stored bands catches new×stored in both id
       // orders (least/greatest normalizes — the stored side shuffles once,
       // not twice); new×new comes from the delta self-join

@@ -28,6 +28,20 @@ object EventQueries {
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"), col("total_value"))),
 
+    // Hopping (sliding) 1-hour windows every 15 minutes: each event lands
+    // in exactly 4 overlapping windows. Spark expands the window() slide
+    // into a 4-row generator BEFORE the hash aggregate — one shuffle on
+    // (window, type), state ∝ open windows, same as tumbling. The oracle
+    // replays the expansion explicitly (bucket minus k·hop for k=0..3).
+    "q_hopping_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(D6)).cast("double").as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))),
+
     // F1 — epoch-ms ⇄ timestamp/date round trip (`bronze/transformers.py:72`).
     "q_epoch_roundtrip" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -162,6 +176,14 @@ object EventQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_hopping_window" ->
+      """SELECT ws AS window_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM (
+        |  SELECT e.event_type, e.value,
+        |    time_bucket(INTERVAL 15 MINUTE, e.ts) - (k.i * INTERVAL 15 MINUTE) AS ws
+        |  FROM events e CROSS JOIN (VALUES (0),(1),(2),(3)) k(i)
+        |) GROUP BY 1, 2""".stripMargin,
     "q_events_funnel" ->
       """WITH t1 AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events

@@ -77,6 +77,21 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Hopping (sliding) windows — 1-hour length, 15-minute hop — per event
+    * type. Each event contributes to length/hop = 4 overlapping windows;
+    * Spark expands the slide into a generator before the aggregate, so the
+    * shuffle key is still (window, type) and state is bounded by open
+    * windows × types, finalized in append mode once the watermark passes
+    * window end. Batch twin: `q_hopping_window` (oracle-checked). */
+  def hoppingTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks in the preceding hour (attribution). Both sides are
     * watermarked, so Spark bounds the join state to watermark + interval —

@@ -103,4 +103,38 @@ class CalendarSpec extends AnyFunSuite {
     assert(!TradingCalendar.isDataAvailableForToday(now))
     assert(TradingCalendar.ingestEndDate(now) === LocalDate.of(2024, 12, 24))
   }
+
+  test("early closes: 2024 has exactly the three NYSE half-days") {
+    assert(TradingCalendar.earlyCloses(2024) === Set(
+      LocalDate.of(2024, 7, 3),    // Wednesday before July 4
+      LocalDate.of(2024, 11, 29),  // Friday after Thanksgiving
+      LocalDate.of(2024, 12, 24))) // Tuesday Christmas Eve
+  }
+
+  test("early closes interact with observance: 2026 July 3 and 2021 Dec 24 " +
+    "are observed full-close holidays, not half-days") {
+    // July 4 2026 is a Saturday → July 3 is the observed holiday
+    assert(!TradingCalendar.earlyCloses(2026).contains(LocalDate.of(2026, 7, 3)))
+    assert(!TradingCalendar.isTradingDay(LocalDate.of(2026, 7, 3)))
+    // Dec 25 2021 is a Saturday → Dec 24 (Friday) is the observed holiday
+    assert(!TradingCalendar.earlyCloses(2021).contains(LocalDate.of(2021, 12, 24)))
+    assert(!TradingCalendar.isTradingDay(LocalDate.of(2021, 12, 24)))
+    // the Friday after Thanksgiving is a half-day every year
+    assert(TradingCalendar.earlyCloses(2021).contains(LocalDate.of(2021, 11, 26)))
+  }
+
+  test("half-day session: closes at 1 PM ET, data available at 1:30 PM") {
+    // Black Friday 2024 (Nov 29): 1 PM ET close = 18:00 UTC (EST)
+    assert(TradingCalendar.isMarketOpen(utc("2024-11-29T17:59:00Z")))  // 12:59 ET
+    assert(TradingCalendar.isMarketOpen(utc("2024-11-29T18:00:00Z")))  // 13:00 inclusive
+    assert(!TradingCalendar.isMarketOpen(utc("2024-11-29T19:00:00Z"))) // 14:00 closed
+    // inside the publish delay (13:15 ET) → not yet available
+    assert(!TradingCalendar.isDataAvailableForToday(utc("2024-11-29T18:15:00Z")))
+    // 13:30 ET → available three hours earlier than a full day would allow
+    assert(TradingCalendar.isDataAvailableForToday(utc("2024-11-29T18:30:00Z")))
+    assert(TradingCalendar.ingestEndDate(utc("2024-11-29T18:30:00Z")) ===
+      LocalDate.of(2024, 11, 29))
+    // July 3 2024 half-day under EDT: 13:30 ET = 17:30 UTC
+    assert(TradingCalendar.isDataAvailableForToday(utc("2024-07-03T17:30:00Z")))
+  }
 }

@@ -35,6 +35,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.subsetOf(batch))
   }
 
+  test("streaming hopping windows match the batch twin") {
+    val stream = StreamingOps.readEventsStream(spark, eventsDir)
+    val q = StreamingOps.hoppingTypeCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hopping_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hopping_out")
+      .select("window_start", "event_type", "n")
+      .collect().map(_.toString).toSet
+    val batch = SparkEntry.queries("q_hopping_window")(spark, sf)
+      .select("window_start", "event_type", "n")
+      .collect().map(_.toString).toSet
+    assert(streamed.subsetOf(batch))
+    // the slide expansion must really overlap: ~4x the tumbling row count
+    val tumbling = SparkEntry.queries("q_events_hourly")(spark, sf).count()
+    assert(batch.size > 2 * tumbling,
+      s"hopping windows should multiply rows: ${batch.size} vs $tumbling")
+  }
+
   test("stream declares before the feed is seeded (empty-dir schema fallback)") {
     // sink-before-producer startup order: declaring the stream over an
     // empty feed directory must not throw at declaration time; rows fed

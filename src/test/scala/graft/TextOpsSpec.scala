@@ -72,10 +72,12 @@ class TextOpsSpec extends SparkSpecBase {
       .collect().map(key).toSet
     assert(filed === batch)
     // OVER-CAP fallback (corpus-sized delta): force the pushdown cap below
-    // the delta's bucket/candidate counts so the unpruned-scan + semi-join
-    // + persisted-candidate-frame branch executes — the fixtures never
-    // reach the real 20k cap, and an untested fallback is where a silent
-    // wrong-result hides. Same pair set and jaccards required.
+    // the delta's bucket/candidate counts so the bloom-prefiltered-scan +
+    // semi-join + persisted-candidate-frame branch executes — the fixtures
+    // never reach the real 20k cap, and an untested fallback is where a
+    // silent wrong-result hides. The bloom prefilter admits false
+    // positives only (the band join's equality rejects them), so the same
+    // pair set and jaccards are required.
     val overCap = DedupOps.incrementalNearDupsIndexed(
       docs.filter(col("doc_id") >= split),
       spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"),

@@ -137,4 +137,33 @@ class VectorExpressionsSpec extends SparkSpecBase {
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
     assert(e.eval(null) === 2L)
   }
+
+  test("bloom might_contain: no false negatives, prunes, codegen≡eval, " +
+    "null passthrough") {
+    import graft.functions.BloomExpressions.mightContain
+    val keys = (1 to 400).map(i => s"bucket_$i")
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(400, 0.01)
+    keys.foreach(bloom.putString)
+    val df = ((1 to 400).map(i => s"bucket_$i") ++
+      (1 to 4000).map(i => s"other_$i") :+ null.asInstanceOf[String])
+      .toDF("k")
+    def run() = df.filter(mightContain(bloom, col("k")))
+      .collect().map(_.getString(0)).toSet
+    val withCodegen = run()
+    // every inserted key survives (bloom guarantees no false negatives)…
+    assert(keys.toSet.subsetOf(withCodegen))
+    // …and the 1%-fpp filter prunes essentially all of the 4000 others
+    assert(withCodegen.size < 400 + 200,
+      s"bloom should prune non-members: ${withCodegen.size}")
+    // null keys: predicate is null → filtered, never a match
+    assert(!withCodegen.contains(null))
+    // interpreted path agrees exactly (same hash over UTF-8 bytes)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() === withCodegen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
