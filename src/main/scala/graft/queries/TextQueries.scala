@@ -5,6 +5,7 @@ import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Training-data pipeline operators (dedup / similarity / text analysis /
   * multimodal) over the `documents` and `embeddings` fixtures, each with a
@@ -116,6 +117,32 @@ object TextQueries {
 
     "q_word_stats" -> ((s, dir) =>
       TextOps.wordStats(Tables.documents(s, dir))),
+
+    // Unigram language-model scoring (the CCNet-style fluency proxy): word
+    // frequencies trained on the corpus itself, each doc scored by its
+    // mean -log2 p(word) — high bits/word flags gibberish and boilerplate
+    // against the corpus distribution. Scale shape: the vocabulary table
+    // is sub-linear in the corpus (heap's law), so at 100 TB the freq side
+    // broadcasts or AQE skew-splits the join on hot stopwords; scoring is
+    // then one words-sized join + one doc_id aggregation. Float doctrine:
+    // each word's bit cost is rounded then summed as DECIMAL (exact,
+    // order-independent — the q_corr power-sum doctrine), so the per-doc
+    // mean is bit-identical across engines and partitionings.
+    "q_unigram_lm" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+      val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).as("tot"))
+      words.join(freq, "w").crossJoin(broadcast(tot))
+        .withColumn("bits",
+          round(-log2(col("c").cast("double") / col("tot").cast("double")), 6)
+            .cast(DecimalType(28, 6)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          round(sum(col("bits")).cast("double") / count(lit(1)), 4)
+            .as("bits_per_word"))
+    }),
 
     // composite quality FILTER — the accept/reject gate every corpus
     // pipeline runs on top of the raw metrics (Gopher-style thresholds on
@@ -903,6 +930,23 @@ object TextQueries {
         |    AS rep_ratio,
         |  CAST(MAX(f) AS BIGINT) AS max_word_freq
         |FROM f GROUP BY doc_id""".stripMargin,
+
+    "q_unigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id, w
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(w)
+        |  WHERE w <> ''),
+        |f AS (SELECT w, COUNT(*) AS c FROM w GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM f),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(ROUND(-log2(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+        |      AS DECIMAL(28,6)) AS bits
+        |  FROM w JOIN f USING (w) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_words,
+        |  ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS bits_per_word
+        |FROM b GROUP BY doc_id""".stripMargin,
 
     "q_quality_filter" ->
       """WITH m AS (
