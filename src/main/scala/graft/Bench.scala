@@ -165,6 +165,65 @@ object Bench {
       (b, d, ds, dBytes, sBytes)
     }
 
+    // ---- over-cap delta: bloom prefilter vs full stored-side shuffle ---
+    // When the delta touches more buckets than the IN-pushdown cap, the
+    // stored index can't be row-group-pruned — but a bloom over the
+    // delta's buckets still drops non-matching stored rows BEFORE the band
+    // join's exchange. Same pair set both ways (TextOpsSpec); this pair of
+    // runs measures what the prefilter saves. Cap forced to 0 so the
+    // over-cap branch runs at fixture scale; shuffle-write bytes captured
+    // per run alongside wall time.
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    val shufLst = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shufBytes.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    def shuffleOf(body: => Unit): Long = {
+      spark.sparkContext.addSparkListener(shufLst)
+      shufBytes.set(0L)
+      try { body; Thread.sleep(1000) } // listener bus drains async
+      finally spark.sparkContext.removeSparkListener(shufLst)
+      shufBytes.get
+    }
+    val (tOcBloom, tOcPlain, ocBloomShuf, ocPlainShuf) = section(
+      Seq("dedup_overcap_bloom", "dedup_overcap_nobloom"), (0.0, 0.0, 0L, 0L)) {
+      def overCapRun(bloom: Boolean): Unit =
+        noop(graft.operators.DedupOps.incrementalNearDupsIndexed(
+          deltaDocs,
+          spark.read.parquet(s"$tmpRoot/idx/bands"),
+          spark.read.parquet(s"$tmpRoot/idx/sets"),
+          maxPushdownKeys = 0, overCapBloom = bloom))
+      // at fixture scale AQE broadcasts the delta side and no exchange
+      // carries the stored bands at all — but the over-cap regime this
+      // measures is BOTH sides too big to broadcast. Pin that plan shape
+      // (broadcast off) so the shuffle-MB pair reflects the at-scale
+      // exchange the bloom actually prunes; restore the threshold after.
+      // Expect bloom's fixed cost (~one delta-sized agg job) to make its
+      // WALL time worse at this corpus size — the shuffle bytes are the
+      // scale-relevant signal, which is why both are reported.
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        var bShuf = 0L
+        val tb = median((1 to runs).map { _ =>
+          var t = 0.0
+          bShuf = shuffleOf { t = timed("dedup_overcap_bloom") {
+            overCapRun(bloom = true) } }
+          t
+        })
+        var pShuf = 0L
+        val tp = median((1 to runs).map { _ =>
+          var t = 0.0
+          pShuf = shuffleOf { t = timed("dedup_overcap_nobloom") {
+            overCapRun(bloom = false) } }
+          t
+        })
+        (tb, tp, bShuf, pShuf)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+
     // ---- IVF: train+store vs pretrained query — the ANN twin of the
     // dedup index split: centroid training runs once and persists; the
     // query path loads and probes, nothing trains per query.
@@ -426,6 +485,8 @@ object Bench {
       "dedup_index_build" -> idxBuild,
       "dedup_incremental_delta" -> idxDelta,
       "dedup_delta_small_idx" -> idxDeltaSmall,
+      "dedup_overcap_bloom" -> tOcBloom,
+      "dedup_overcap_nobloom" -> tOcPlain,
       "ivf_train_store" -> ivfTrain,
       "ivf_knn_pretrained" -> ivfPre,
       "sq_ivf_knn_pretrained" -> sqIvfPre,
@@ -458,7 +519,7 @@ object Bench {
     // index), i.e. delta cost does not scale with index size
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     val pruneJson =
-      s"""{"delta_mb_large_idx":${mb(deltaBytesLarge)},"delta_mb_small_idx":${mb(deltaBytesSmall)}}"""
+      s"""{"delta_mb_large_idx":${mb(deltaBytesLarge)},"delta_mb_small_idx":${mb(deltaBytesSmall)},"overcap_shuffle_mb_bloom":${mb(ocBloomShuf)},"overcap_shuffle_mb_nobloom":${mb(ocPlainShuf)}}"""
     val stagesJson = stageAvg.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     // scale tier: t10 plus the ratio vs this session's own 1x median —

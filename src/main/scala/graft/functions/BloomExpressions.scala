@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -32,18 +32,26 @@ case class BloomMightContain(child: Expression, bloom: BloomFilter)
   override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType | LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"might_contain requires a string key column, got ${other.sql}")
+      s"might_contain requires a string/long/int key column, got ${other.sql}")
   }
 
-  override def nullSafeEval(v: Any): Any =
-    bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case StringType => bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+    case LongType   => bloom.mightContainLong(v.asInstanceOf[Long])
+    case IntegerType => bloom.mightContainLong(v.asInstanceOf[Int].toLong)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftBloom", bloom,
       classOf[BloomFilter].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+      case _ =>
+        defineCodeGen(ctx, ev, c => s"$ref.mightContainLong((long) $c)")
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

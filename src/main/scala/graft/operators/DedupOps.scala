@@ -247,9 +247,11 @@ object DedupOps {
                                  bands: Int = 4, shingleN: Int = 3,
                                  textCol: String = "text",
                                  idCol: String = "doc_id",
-                                 maxPushdownKeys: Int = DefaultMaxPushdownKeys): DataFrame =
+                                 maxPushdownKeys: Int = DefaultMaxPushdownKeys,
+                                 overCapBloom: Boolean = true): DataFrame =
     incrementalIndexedCore(newDocs, storedBands, storedSets, k, bands,
-      shingleN, textCol, idCol, keepDelta = false, maxPushdownKeys)._1
+      shingleN, textCol, idCol, keepDelta = false, maxPushdownKeys,
+      overCapBloom)._1
 
   /** [[incrementalNearDupsIndexed]] that ALSO returns the delta's own
     * (bands, sets) index rows, computed ONCE from the same cached shingles
@@ -267,12 +269,14 @@ object DedupOps {
       maxPushdownKeys: Int = DefaultMaxPushdownKeys)
   : (DataFrame, DataFrame, DataFrame) =
     incrementalIndexedCore(newDocs, storedBands, storedSets, k, bands,
-      shingleN, textCol, idCol, keepDelta = true, maxPushdownKeys)
+      shingleN, textCol, idCol, keepDelta = true, maxPushdownKeys,
+      overCapBloom = true)
 
   private def incrementalIndexedCore(
       newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
       k: Int, bands: Int, shingleN: Int, textCol: String, idCol: String,
-      keepDelta: Boolean, maxPushdownKeys: Int): (DataFrame, DataFrame, DataFrame) =
+      keepDelta: Boolean, maxPushdownKeys: Int,
+      overCapBloom: Boolean): (DataFrame, DataFrame, DataFrame) =
     // AQE stays ON here. An earlier build flipped the session-global
     // spark.sql.adaptive.enabled off for the delta pass — it shaved ~40%
     // at local[8] but (a) mutated shared-session state visible to every
@@ -282,12 +286,13 @@ object DedupOps {
     // 1.5 s → 16 s. The pruning that matters (clustered index + chunked-IN
     // point lookups) is independent of AQE and stays.
     incrementalIndexedBody(newDocs, storedBands, storedSets, k, bands,
-      shingleN, textCol, idCol, keepDelta, maxPushdownKeys)
+      shingleN, textCol, idCol, keepDelta, maxPushdownKeys, overCapBloom)
 
   private def incrementalIndexedBody(
       newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
       k: Int, bands: Int, shingleN: Int, textCol: String, idCol: String,
-      keepDelta: Boolean, maxPushdownKeys: Int): (DataFrame, DataFrame, DataFrame) = {
+      keepDelta: Boolean, maxPushdownKeys: Int,
+      overCapBloom: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // every persist is tracked so a mid-flight failure (stored-table read,
     // checkpoint, verification join) releases them on the way out — without
@@ -318,12 +323,16 @@ object DedupOps {
       // rejects, so the result is exact; the shuffled stored volume falls
       // to matching rows + fpp·rest, which at 100 TB is the difference
       // between shuffling the corpus index and shuffling the overlap.
+      // (overCapBloom=false is the measurement control — Bench times the
+      // over-cap delta both ways to keep the claim empirical)
       val storedB =
         if (deltaBuckets.size > maxPushdownKeys) {
-          val bloom = newBands.stat.bloomFilter(
-            "bucket", math.max(newBands.count(), 1L), 0.01)
-          storedBands.filter(graft.functions.BloomExpressions
-            .mightContain(bloom, col("bucket")))
+          if (overCapBloom) {
+            val bloom = newBands.stat.bloomFilter(
+              "bucket", math.max(newBands.count(), 1L), 0.01)
+            storedBands.filter(graft.functions.BloomExpressions
+              .mightContain(bloom, col("bucket")))
+          } else storedBands
         } else prunedByKeys(storedBands, "bucket", deltaBuckets)
       // ONE equi-join against the stored bands catches new×stored in both id
       // orders (least/greatest normalizes — the stored side shuffles once,

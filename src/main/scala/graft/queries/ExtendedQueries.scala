@@ -261,6 +261,29 @@ object ExtendedQueries {
           sum(col("s_acctbal").cast(D2)).cast(D4).cast("double").as("bal_total"))
     }),
 
+    // Bloom-pruned semi-join (the runtime-filter pattern, user-facing):
+    // the filtering side's keys go into a compact bloom that prefilters
+    // the fact scan BEFORE the semi-join's shuffle — the regime where the
+    // dim side is too big to broadcast as a hash table but its ~MB bloom
+    // still ships with the task binary. The semi-join's exact equality
+    // then drops the bloom's false positives, so the RESULT is identical
+    // to the plain semi-join (which is exactly what the oracle runs) —
+    // the bloom changes shuffled volume, never the answer.
+    "q_bloom_semi_join" -> ((s, dir) => {
+      val hot = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"))
+      val bloom = hot.stat.bloomFilter(
+        "o_orderkey", math.max(hot.count(), 1L), 0.01)
+      Tables.lineitem(s, dir)
+        .filter(graft.functions.BloomExpressions.mightContain(
+          bloom, col("l_orderkey")))
+        .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(D2)).cast("double").as("sum_qty"))
+    }),
+
     // scalar string-function breadth: one projection exercising the
     // everyday string surface. Per-row, codegen'd, no shuffle.
     "q_string_functions" -> ((s, dir) =>
@@ -936,6 +959,13 @@ object ExtendedQueries {
         |             ('D',5000.0,7500.0),('E',7500.0,10000.0)) b(band, lo, hi)
         |  ON s_acctbal >= lo AND s_acctbal < hi
         |GROUP BY band""".stripMargin,
+    "q_bloom_semi_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)
+        |GROUP BY 1""".stripMargin,
     "q_string_functions" ->
       """SELECT p_partkey,
         |  UPPER(p_name) AS up, LOWER(p_brand) AS lo,

@@ -166,4 +166,17 @@ class VectorExpressionsSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("bloom might_contain on long keys matches stat.bloomFilter hashing") {
+    // the q_bloom_semi_join path: bloom built by DataFrameStatFunctions
+    // over a bigint key, probed by the expression's mightContainLong —
+    // a hashing mismatch between the two would surface as false negatives
+    import graft.functions.BloomExpressions.mightContain
+    val keys = spark.range(1000).toDF("k")
+    val bloom = keys.stat.bloomFilter("k", 1000, 0.01)
+    val kept = spark.range(100000).toDF("k")
+      .filter(mightContain(bloom, col("k"))).count()
+    assert(kept >= 1000, s"false negatives: only $kept of 1000 members kept")
+    assert(kept < 1000 + 3000, s"bloom should prune non-members: $kept")
+  }
 }
