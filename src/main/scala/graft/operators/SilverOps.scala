@@ -143,4 +143,99 @@ object SilverOps {
           col("volume").cast("double") / col("volume_ma_20").cast("double")))
       .drop("c_cum", "c_cnt", "tr_cum", "tr_cnt", "v_cum", "v_cnt")
   }
+
+  /** Exponential moving average per ticker: `ema_t = α·x_t + (1−α)·ema_{t−1}`,
+    * seeded `ema_0 = x_0` — the recursive indicator family (EMA/MACD/RSI-
+    * Wilder/Kaufman) that NO SQL window frame can express: each output
+    * depends on the previous *output*, not on a bounded frame of inputs,
+    * so the W-family's running-cumulative doctrine doesn't apply.
+    *
+    * Shape: one shuffle on `ticker`, then a per-key ordered fold over the
+    * collected history inside a higher-order `aggregate` — the same
+    * sequential-scan-per-key plan Flink/kdb run for recursive indicators.
+    * Per-key state is the ticker's full daily history, which is
+    * calendar-bounded (~250 rows/year — the same boundedness argument the
+    * W-family windows rely on); keys scale out across executors. The HOF
+    * doesn't codegen, but it runs once per ticker-history, not per row
+    * pair — O(n) per key.
+    *
+    * Float parity: the fold evaluates `α·x + β·prev` with β passed
+    * explicitly — callers wanting cross-engine bit-identity (the oracle)
+    * pick α with exact binary representation (0.25 ⇒ β = 0.75 exact);
+    * deriving β = 1−α in code would differ from a SQL `0.75` literal by
+    * one ulp when α itself isn't exact. */
+  def ema(daily: DataFrame, alpha: Double, valueCol: String = "close"): DataFrame = {
+    val beta = 1.0 - alpha
+    val hist = daily
+      .groupBy(col("ticker"))
+      .agg(sort_array(collect_list(struct(col("date"),
+        col(valueCol).cast("double").as("x")))).as("h"))
+    val zero = struct(
+      array().cast("array<double>").as("es"),
+      lit(null).cast("double").as("prev"))
+    val folded = aggregate(
+      col("h"), zero,
+      (acc, e) => {
+        val x = e.getField("x")
+        val nxt = when(acc.getField("prev").isNull, x)
+          .otherwise(lit(alpha) * x + lit(beta) * acc.getField("prev"))
+        struct(concat(acc.getField("es"), array(nxt)).as("es"),
+          nxt.as("prev"))
+      },
+      acc => acc.getField("es"))
+    hist
+      .withColumn("z", explode(arrays_zip(col("h"), folded.as("e"))))
+      .select(col("ticker"), col("z.h.date").as("date"),
+        col("z.h.x").as(valueCol), col("z.e").as("ema"))
+  }
+
+  /** MACD (fast EMA − slow EMA, signal = EMA of MACD, histogram = MACD −
+    * signal) in ONE per-ticker fold carrying all three recursive
+    * accumulators — not three [[ema]] calls stitched with (ticker, date)
+    * joins, which would shuffle the bars three times and join twice for
+    * the same answer. The signal line is an EMA *of a derived recursive
+    * series*, so no window/join composition avoids the fold anyway.
+    *
+    * Defaults are the binary-exact α variants (0.1875/0.0625/0.25 — each
+    * k/2^m, so α and 1−α are both exact doubles and the oracle's decimal
+    * literals reproduce the identical IEEE sequence); the classic
+    * 2/13 · 2/27 · 2/10 MACD(12,26,9) alphas are representable but not
+    * exactly, which would put the oracle one ulp adrift per step. */
+  def macd(daily: DataFrame, alphaFast: Double = 0.1875,
+           alphaSlow: Double = 0.0625, alphaSignal: Double = 0.25,
+           valueCol: String = "close"): DataFrame = {
+    val (bF, bS, bG) = (1.0 - alphaFast, 1.0 - alphaSlow, 1.0 - alphaSignal)
+    val hist = daily
+      .groupBy(col("ticker"))
+      .agg(sort_array(collect_list(struct(col("date"),
+        col(valueCol).cast("double").as("x")))).as("h"))
+    val zero = struct(
+      array().cast("array<struct<m:double,g:double>>").as("out"),
+      lit(null).cast("double").as("pf"),
+      lit(null).cast("double").as("ps"),
+      lit(null).cast("double").as("pg"))
+    val folded = aggregate(
+      col("h"), zero,
+      (acc, e) => {
+        val x = e.getField("x")
+        val f = when(acc.getField("pf").isNull, x)
+          .otherwise(lit(alphaFast) * x + lit(bF) * acc.getField("pf"))
+        val sl = when(acc.getField("ps").isNull, x)
+          .otherwise(lit(alphaSlow) * x + lit(bS) * acc.getField("ps"))
+        val m = f - sl
+        val g = when(acc.getField("pg").isNull, m)
+          .otherwise(lit(alphaSignal) * m + lit(bG) * acc.getField("pg"))
+        struct(
+          concat(acc.getField("out"),
+            array(struct(m.as("m"), g.as("g")))).as("out"),
+          f.as("pf"), sl.as("ps"), g.as("pg"))
+      },
+      acc => acc.getField("out"))
+    hist
+      .withColumn("z", explode(arrays_zip(col("h"), folded.as("e"))))
+      .select(col("ticker"), col("z.h.date").as("date"),
+        col("z.h.x").as(valueCol),
+        col("z.e.m").as("macd"), col("z.e.g").as("signal"),
+        (col("z.e.m") - col("z.e.g")).as("histogram"))
+  }
 }

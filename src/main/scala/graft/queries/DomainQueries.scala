@@ -94,6 +94,22 @@ object DomainQueries {
       SilverOps.indicators(Tables.bars(s, dir))
         .select("ticker", "date", "true_range", "atr_14")),
 
+    // Recursive indicator — EMA(α=0.25) via the per-ticker ordered fold
+    // (no SQL window expresses output-recursion; see SilverOps.ema).
+    // α=0.25 ⇒ β=0.75, both exact binary doubles, so the fold and the
+    // oracle's recursive CTE run the identical IEEE op sequence.
+    "q_ema" -> ((s, dir) =>
+      SilverOps.ema(Tables.bars(s, dir), alpha = 0.25)
+        .withColumn("ema", round(col("ema"), 6))),
+
+    // MACD + signal + histogram from the single three-accumulator fold.
+    "q_macd" -> ((s, dir) =>
+      SilverOps.macd(Tables.bars(s, dir))
+        .select(col("ticker"), col("date"), col("close"),
+          round(col("macd"), 6).as("macd"),
+          round(col("signal"), 6).as("signal"),
+          round(col("histogram"), 6).as("histogram"))),
+
     // W4 — volume MA(20) with floor cast + volume ratio.
     "q_volratio" -> ((s, dir) =>
       SilverOps.indicators(Tables.bars(s, dir))
@@ -445,6 +461,44 @@ object DomainQueries {
 
     "q_sma" -> withBars(indSql,
       "SELECT ticker, date, close, prev_close, sma_20, sma_50 FROM ind"),
+
+    // the EMA recursion replayed as a recursive CTE: row n joins the
+    // frontier row n-1 per ticker — same seed, same 0.25/0.75 literals,
+    // same operation order as the Spark fold
+    "q_ema" -> (Tables.barsSql.replace("WITH bars", "WITH RECURSIVE bars") +
+      """,
+        |o AS (SELECT ticker, date, close,
+        |        ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+        |      FROM bars),
+        |r AS (
+        |  SELECT ticker, date, close, rn, close AS ema FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.ticker, o.date, o.close, o.rn,
+        |    0.25 * o.close + 0.75 * r.ema
+        |  FROM o JOIN r ON o.ticker = r.ticker AND o.rn = r.rn + 1)
+        |SELECT ticker, date, close, ROUND(ema, 6) AS ema FROM r""".stripMargin),
+
+    // MACD recursion: the CTE frontier carries all three accumulators
+    // (fast, slow, signal), exactly like the Spark fold's struct state
+    "q_macd" -> (Tables.barsSql.replace("WITH bars", "WITH RECURSIVE bars") +
+      """,
+        |o AS (SELECT ticker, date, close,
+        |        ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+        |      FROM bars),
+        |r AS (
+        |  SELECT ticker, date, close, rn,
+        |    close AS ef, close AS es,
+        |    close - close AS macd, close - close AS sig
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.ticker, o.date, o.close, o.rn, nf, ns,
+        |    nf - ns, 0.25 * (nf - ns) + 0.75 * r.sig
+        |  FROM o JOIN r ON o.ticker = r.ticker AND o.rn = r.rn + 1,
+        |  LATERAL (SELECT 0.1875 * o.close + 0.8125 * r.ef AS nf,
+        |                  0.0625 * o.close + 0.9375 * r.es AS ns) c)
+        |SELECT ticker, date, close, ROUND(macd, 6) AS macd,
+        |  ROUND(sig, 6) AS signal, ROUND(macd - sig, 6) AS histogram
+        |FROM r""".stripMargin),
 
     "q_atr" -> withBars(
       """tr AS (

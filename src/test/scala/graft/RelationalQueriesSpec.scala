@@ -45,4 +45,40 @@ class RelationalQueriesSpec extends SparkSpecBase {
     val totals = rows.map(_.getDouble(1))
     assert(totals.sameElements(totals.sorted.reverse))
   }
+
+  test("EMA fold matches the hand-computed recursion; MACD equals the " +
+    "three-ema composition") {
+    import java.sql.Date
+    import spark.implicits._
+    val bars = Seq(
+      ("A", Date.valueOf("2024-01-02"), 10.0),
+      ("A", Date.valueOf("2024-01-03"), 20.0),
+      ("A", Date.valueOf("2024-01-04"), 30.0),
+      ("B", Date.valueOf("2024-01-02"), 5.0))
+      .toDF("ticker", "date", "close")
+    val ema = graft.operators.SilverOps.ema(bars, alpha = 0.25)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r.getDouble(3)).toMap
+    // seed 10; then .25*20+.75*10 = 12.5; then .25*30+.75*12.5 = 16.875
+    assert(ema(("A", "2024-01-02")) === 10.0)
+    assert(ema(("A", "2024-01-03")) === 12.5)
+    assert(ema(("A", "2024-01-04")) === 16.875)
+    assert(ema(("B", "2024-01-02")) === 5.0)   // per-key recursion restarts
+    // MACD single-fold == fast-ema minus slow-ema, signal == ema of macd
+    val fast = graft.operators.SilverOps.ema(bars, 0.1875)
+      .withColumnRenamed("ema", "f")
+    val slow = graft.operators.SilverOps.ema(bars, 0.0625)
+      .select(col("ticker"), col("date"), col("ema").as("s"))
+    val composed = fast.join(slow, Seq("ticker", "date"))
+      .withColumn("macd", col("f") - col("s"))
+    val sig = graft.operators.SilverOps.ema(composed, 0.25, valueCol = "macd")
+      .select(col("ticker"), col("date"), col("ema").as("sig"))
+    val expect = composed.join(sig, Seq("ticker", "date"))
+      .select(col("ticker"), col("date"), col("macd"), col("sig"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val got = graft.operators.SilverOps.macd(bars)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(got === expect)
+  }
 }
