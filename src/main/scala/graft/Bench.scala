@@ -29,7 +29,11 @@ object Bench {
     "q_simhash_neardup", "q_ngram_jaccard", "q_embed_neardup_lsh",
     "q_semantic_dedup",
     "q_cosine_knn", "q_ivf_knn", "q_quality_filter", "q_corpus_card",
-    "q_topk_per_group", "q_range_frame", "q_full_outer")
+    "q_topk_per_group", "q_range_frame", "q_full_outer",
+    // round-7 additions: the slide-expanded window agg, the per-key
+    // recursive fold, the corpus-wide LM join, the bloom-prefiltered join
+    "q_hopping_window", "q_ema", "q_macd", "q_unigram_lm",
+    "q_bloom_semi_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

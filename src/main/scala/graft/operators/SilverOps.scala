@@ -150,43 +150,43 @@ object SilverOps {
     * depends on the previous *output*, not on a bounded frame of inputs,
     * so the W-family's running-cumulative doctrine doesn't apply.
     *
-    * Shape: one shuffle on `ticker`, then a per-key ordered fold over the
-    * collected history inside a higher-order `aggregate` — the same
-    * sequential-scan-per-key plan Flink/kdb run for recursive indicators.
-    * Per-key state is the ticker's full daily history, which is
-    * calendar-bounded (~250 rows/year — the same boundedness argument the
-    * W-family windows rely on); keys scale out across executors. The HOF
-    * doesn't codegen, but it runs once per ticker-history, not per row
-    * pair — O(n) per key.
+    * Shape: one shuffle on `ticker`, then a per-key ordered fold — the
+    * same sequential-scan-per-key plan Flink/kdb run for recursive
+    * indicators. Per-key state is the ticker's full daily history, which
+    * is calendar-bounded (~250 rows/year — the same boundedness argument
+    * the W-family windows rely on); keys scale out across executors. The
+    * fold runs as a typed `flatMapGroups` (compiled JVM loop): the
+    * Catalyst alternative — collect_list + higher-order `aggregate`
+    * appending to an array accumulator — is interpreted, copies the
+    * accumulator array per element, and measured 2× slower at sf0.1
+    * (2.9 s vs 1.4 s end-to-end; 3.9× on the macd triple fold); a
+    * recursion is exactly the "genuine per-group imperative logic" the
+    * typed API exists for.
     *
-    * Float parity: the fold evaluates `α·x + β·prev` with β passed
-    * explicitly — callers wanting cross-engine bit-identity (the oracle)
-    * pick α with exact binary representation (0.25 ⇒ β = 0.75 exact);
-    * deriving β = 1−α in code would differ from a SQL `0.75` literal by
-    * one ulp when α itself isn't exact. */
+    * Float parity: the fold evaluates `α·x + β·prev` — callers wanting
+    * cross-engine bit-identity (the oracle) pick α with exact binary
+    * representation (0.25 ⇒ β = 0.75 exact); an inexact α would put a SQL
+    * `0.75`-style literal one ulp adrift per step. */
   def ema(daily: DataFrame, alpha: Double, valueCol: String = "close"): DataFrame = {
+    val ss = daily.sparkSession
+    import ss.implicits._
     val beta = 1.0 - alpha
-    val hist = daily
-      .groupBy(col("ticker"))
-      .agg(sort_array(collect_list(struct(col("date"),
-        col(valueCol).cast("double").as("x")))).as("h"))
-    val zero = struct(
-      array().cast("array<double>").as("es"),
-      lit(null).cast("double").as("prev"))
-    val folded = aggregate(
-      col("h"), zero,
-      (acc, e) => {
-        val x = e.getField("x")
-        val nxt = when(acc.getField("prev").isNull, x)
-          .otherwise(lit(alpha) * x + lit(beta) * acc.getField("prev"))
-        struct(concat(acc.getField("es"), array(nxt)).as("es"),
-          nxt.as("prev"))
-      },
-      acc => acc.getField("es"))
-    hist
-      .withColumn("z", explode(arrays_zip(col("h"), folded.as("e"))))
-      .select(col("ticker"), col("z.h.date").as("date"),
-        col("z.h.x").as(valueCol), col("z.e").as("ema"))
+    daily
+      .select(col("ticker").cast("string"), col("date").cast("date"),
+        col(valueCol).cast("double"))
+      .as[(String, java.sql.Date, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
+        val sorted = it.toArray.sortBy(_._2.getTime)
+        var prev = 0.0
+        var first = true
+        sorted.iterator.map { case (_, d, x) =>
+          val e = if (first) { first = false; x } else alpha * x + beta * prev
+          prev = e
+          (t, d, x, e)
+        }
+      }
+      .toDF("ticker", "date", valueCol, "ema")
   }
 
   /** MACD (fast EMA − slow EMA, signal = EMA of MACD, histogram = MACD −
@@ -204,38 +204,28 @@ object SilverOps {
   def macd(daily: DataFrame, alphaFast: Double = 0.1875,
            alphaSlow: Double = 0.0625, alphaSignal: Double = 0.25,
            valueCol: String = "close"): DataFrame = {
+    val ss = daily.sparkSession
+    import ss.implicits._
     val (bF, bS, bG) = (1.0 - alphaFast, 1.0 - alphaSlow, 1.0 - alphaSignal)
-    val hist = daily
-      .groupBy(col("ticker"))
-      .agg(sort_array(collect_list(struct(col("date"),
-        col(valueCol).cast("double").as("x")))).as("h"))
-    val zero = struct(
-      array().cast("array<struct<m:double,g:double>>").as("out"),
-      lit(null).cast("double").as("pf"),
-      lit(null).cast("double").as("ps"),
-      lit(null).cast("double").as("pg"))
-    val folded = aggregate(
-      col("h"), zero,
-      (acc, e) => {
-        val x = e.getField("x")
-        val f = when(acc.getField("pf").isNull, x)
-          .otherwise(lit(alphaFast) * x + lit(bF) * acc.getField("pf"))
-        val sl = when(acc.getField("ps").isNull, x)
-          .otherwise(lit(alphaSlow) * x + lit(bS) * acc.getField("ps"))
-        val m = f - sl
-        val g = when(acc.getField("pg").isNull, m)
-          .otherwise(lit(alphaSignal) * m + lit(bG) * acc.getField("pg"))
-        struct(
-          concat(acc.getField("out"),
-            array(struct(m.as("m"), g.as("g")))).as("out"),
-          f.as("pf"), sl.as("ps"), g.as("pg"))
-      },
-      acc => acc.getField("out"))
-    hist
-      .withColumn("z", explode(arrays_zip(col("h"), folded.as("e"))))
-      .select(col("ticker"), col("z.h.date").as("date"),
-        col("z.h.x").as(valueCol),
-        col("z.e.m").as("macd"), col("z.e.g").as("signal"),
-        (col("z.e.m") - col("z.e.g")).as("histogram"))
+    daily
+      .select(col("ticker").cast("string"), col("date").cast("date"),
+        col(valueCol).cast("double"))
+      .as[(String, java.sql.Date, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
+        val sorted = it.toArray.sortBy(_._2.getTime)
+        var (pf, ps, pg) = (0.0, 0.0, 0.0)
+        var first = true
+        sorted.iterator.map { case (_, d, x) =>
+          val f = if (first) x else alphaFast * x + bF * pf
+          val sl = if (first) x else alphaSlow * x + bS * ps
+          val m = f - sl
+          val g = if (first) m else alphaSignal * m + bG * pg
+          first = false
+          pf = f; ps = sl; pg = g
+          (t, d, x, m, g, m - g)
+        }
+      }
+      .toDF("ticker", "date", valueCol, "macd", "signal", "histogram")
   }
 }

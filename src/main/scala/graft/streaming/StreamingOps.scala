@@ -470,6 +470,50 @@ object StreamingOps {
       .start()
   }
 
+  case class Bar(ticker: String, date: java.sql.Date, close: Double)
+  case class EmaState(lastDate: java.sql.Date, prev: Double)
+  case class EmaPoint(ticker: String, date: java.sql.Date, close: Double,
+                      ema: Double)
+
+  /** Streaming twin of [[graft.operators.SilverOps.ema]]: the recursive
+    * EMA as per-ticker streaming state. Each micro-batch's bars sort by
+    * date inside the group (micro-batch iterators carry no order), fold
+    * forward from the stored `(lastDate, prev)` state, and emit one point
+    * per bar — α·x + β·prev in the SAME operation order as the batch
+    * fold, so a feed replayed through this sink reproduces the batch EMA
+    * bit-for-bit (StreamingSpec asserts equality, not approximation).
+    *
+    * Late data (a bar dated ≤ the state's lastDate) cannot be folded into
+    * an already-emitted recursion — it is dropped, the streaming analogue
+    * of the batch fold's requirement that history arrive sorted. State is
+    * two scalars per ticker, the smallest possible stateful footprint. */
+  def emaStream(bars: Dataset[Bar], alpha: Double): Dataset[EmaPoint] = {
+    import bars.sparkSession.implicits._
+    val beta = 1.0 - alpha
+    bars
+      .groupByKey(_.ticker)
+      .flatMapGroupsWithState[EmaState, EmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ticker: String, it: Iterator[Bar], state: GroupState[EmaState]) =>
+          val sorted = it.toSeq.sortBy(_.date.getTime)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[EmaPoint]
+          sorted.foreach { b =>
+            val fresh = cur.forall(s => b.date.getTime > s.lastDate.getTime)
+            if (fresh) {
+              val e = cur match {
+                case Some(s) => alpha * b.close + beta * s.prev
+                case None    => b.close
+              }
+              out += EmaPoint(ticker, b.date, b.close, e)
+              cur = Some(EmaState(b.date, e))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)

@@ -58,6 +58,39 @@ class StreamingSpec extends SparkSpecBase {
       s"hopping windows should multiply rows: ${batch.size} vs $tumbling")
   }
 
+  test("streaming EMA replays the batch fold bit-for-bit") {
+    import spark.implicits._
+    val bars = Tables.bars(spark, sf)
+      .filter(col("ticker").isin("T1", "T2", "T3"))
+      .select(col("ticker"), col("date"), col("close").cast("double"))
+    // three date-ordered chunks → three micro-batches; the recursion must
+    // resume from stored state across batch boundaries
+    val rows = bars.orderBy(col("date"), col("ticker")).collect()
+    val dir = Files.createTempDirectory("graft_bars_feed").toString
+    rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { chunk =>
+      spark.createDataFrame(
+        java.util.Arrays.asList(chunk.toIndexedSeq: _*), bars.schema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(20) // distinct file mtimes keep micro-batch order
+    }
+    val stream = spark.readStream.schema(bars.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[StreamingOps.Bar]
+    val q = StreamingOps.emaStream(stream, alpha = 0.25)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ema_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ema_out")
+      .select("ticker", "date", "ema").collect().map(_.toString).toSet
+    val batch = graft.operators.SilverOps.ema(bars, alpha = 0.25)
+      .select("ticker", "date", "ema").collect().map(_.toString).toSet
+    assert(streamed === batch) // exact double equality, not approximate
+  }
+
   test("stream declares before the feed is seeded (empty-dir schema fallback)") {
     // sink-before-producer startup order: declaring the stream over an
     // empty feed directory must not throw at declaration time; rows fed
