@@ -241,4 +241,41 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("hashpartitioning(lang"),
       s"packing exchange must partition by lang:\n$p")
   }
+
+  test("bloom semi-join: the might_contain prefilter sits scan-side, " +
+    "before the join") {
+    val p = plan("q_bloom_semi_join")
+    val lower = p.toLowerCase
+    assert(lower.contains("bloommightcontain"),
+      s"bloom predicate must survive into the physical plan:\n$p")
+    // the prefilter must run in the lineitem scan's stage, NOT after an
+    // exchange: in formatted explain the Filter node referencing the bloom
+    // appears before any Exchange in node order
+    val bloomAt = lower.indexOf("bloommightcontain")
+    val firstExchange = lower.indexOf("exchange")
+    assert(firstExchange == -1 || bloomAt < firstExchange ||
+      !lower.substring(0, bloomAt).contains("exchange hashpartitioning(l_"),
+      s"bloom prefilter must precede the fact-side shuffle:\n$p")
+  }
+
+  test("recursive fold (EMA) adds exactly one exchange over the bars agg") {
+    val p = plan("q_ema")
+    // bars derivation shuffles once (lineitem groupBy); the per-ticker
+    // fold adds ONE more (groupByKey on ticker); nothing else may shuffle
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"EMA must be bars-agg + one ticker exchange, found $exchanges:\n$p")
+  }
+
+  test("hopping window is one aggregation pass, not four self-unions") {
+    val p = plan("q_hopping_window")
+    // Spark expands the slide via an Expand/generator feeding ONE hash
+    // aggregate — a union-of-four-tumbling-queries shape would scan the
+    // events four times
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans === 1, s"slide expansion must not rescan the input:\n$p")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges === 1,
+      s"one (window,type) exchange expected, found $exchanges:\n$p")
+  }
 }
