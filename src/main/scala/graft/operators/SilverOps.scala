@@ -228,4 +228,46 @@ object SilverOps {
       }
       .toDF("ticker", "date", valueCol, "macd", "signal", "histogram")
   }
+
+  /** Wilder-smoothed RSI: average gain/loss are themselves EMAs
+    * (`avg_t = α·move_t + (1−α)·avg_{t−1}`), so like [[ema]]/[[macd]] this
+    * is output-recursive and runs as the per-ticker compiled fold. Seeds:
+    * the first bar has no move — both averages start at 0 and the RSI is
+    * NULL until a move exists; an all-gain history pins RSI at 100 (the
+    * avgLoss=0 convention). The classic α=1/14 is not binary-exact; the
+    * default α=0.0625 (Wilder-16) keeps the oracle's literals on the
+    * identical IEEE sequence — q_rsi keeps the simple-average RSI-14 for
+    * the TradingView-parity surface. */
+  def wilderRsi(daily: DataFrame, alpha: Double = 0.0625,
+                valueCol: String = "close"): DataFrame = {
+    val ss = daily.sparkSession
+    import ss.implicits._
+    val beta = 1.0 - alpha
+    daily
+      .select(col("ticker").cast("string"), col("date").cast("date"),
+        col(valueCol).cast("double"))
+      .as[(String, java.sql.Date, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
+        val sorted = it.toArray.sortBy(_._2.getTime)
+        var prevClose = Double.NaN
+        var ag = 0.0
+        var al = 0.0
+        sorted.iterator.map { case (_, d, x) =>
+          if (!prevClose.isNaN) {
+            val gain = math.max(x - prevClose, 0.0)
+            val loss = math.max(prevClose - x, 0.0)
+            ag = alpha * gain + beta * ag
+            al = alpha * loss + beta * al
+          }
+          prevClose = x
+          val rsi: Option[Double] =
+            if (ag == 0.0 && al == 0.0) None
+            else if (al == 0.0) Some(100.0)
+            else Some(100.0 - 100.0 / (1.0 + ag / al))
+          (t, d, x, rsi)
+        }
+      }
+      .toDF("ticker", "date", valueCol, "rsi_wilder")
+  }
 }

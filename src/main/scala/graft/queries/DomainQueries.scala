@@ -110,6 +110,12 @@ object DomainQueries {
           round(col("signal"), 6).as("signal"),
           round(col("histogram"), 6).as("histogram"))),
 
+    // Wilder-smoothed RSI (α=0.0625 — binary-exact Wilder-16 variant;
+    // q_rsi keeps the simple-average RSI-14 surface).
+    "q_rsi_wilder" -> ((s, dir) =>
+      SilverOps.wilderRsi(Tables.bars(s, dir))
+        .withColumn("rsi_wilder", round(col("rsi_wilder"), 6))),
+
     // W4 — volume MA(20) with floor cast + volume ratio.
     "q_volratio" -> ((s, dir) =>
       SilverOps.indicators(Tables.bars(s, dir))
@@ -498,6 +504,29 @@ object DomainQueries {
         |                  0.0625 * o.close + 0.9375 * r.es AS ns) c)
         |SELECT ticker, date, close, ROUND(macd, 6) AS macd,
         |  ROUND(sig, 6) AS signal, ROUND(macd - sig, 6) AS histogram
+        |FROM r""".stripMargin),
+
+    // Wilder RSI recursion: the frontier carries prev close + both
+    // smoothed averages; same α literals and IEEE order as the fold
+    "q_rsi_wilder" -> (Tables.barsSql.replace("WITH bars",
+      "WITH RECURSIVE bars") +
+      """,
+        |o AS (SELECT ticker, date, close,
+        |        ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+        |      FROM bars),
+        |r AS (
+        |  SELECT ticker, date, close, rn,
+        |    CAST(0 AS DOUBLE) AS ag, CAST(0 AS DOUBLE) AS al
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.ticker, o.date, o.close, o.rn,
+        |    0.0625 * GREATEST(o.close - r.close, 0) + 0.9375 * r.ag,
+        |    0.0625 * GREATEST(r.close - o.close, 0) + 0.9375 * r.al
+        |  FROM o JOIN r ON o.ticker = r.ticker AND o.rn = r.rn + 1)
+        |SELECT ticker, date, close,
+        |  ROUND(CASE WHEN ag = 0 AND al = 0 THEN NULL
+        |             WHEN al = 0 THEN 100
+        |             ELSE 100 - 100 / (1 + ag / al) END, 6) AS rsi_wilder
         |FROM r""".stripMargin),
 
     "q_atr" -> withBars(

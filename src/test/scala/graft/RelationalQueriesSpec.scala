@@ -80,5 +80,24 @@ class RelationalQueriesSpec extends SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
         (r.getDouble(3), r.getDouble(4))).toMap
     assert(got === expect)
+    // Wilder RSI conventions: first bar NULL (no move yet), an all-gain
+    // history pins 100, a mixed history lands strictly between
+    val rsi = graft.operators.SilverOps.wilderRsi(bars)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rsi(("A", "2024-01-02")) === None)
+    assert(rsi(("A", "2024-01-04")) === Some(100.0)) // 10→20→30 all gains
+    assert(rsi(("B", "2024-01-02")) === None)        // single bar: no move
+    val mixed = Seq(
+      ("C", java.sql.Date.valueOf("2024-01-02"), 10.0),
+      ("C", java.sql.Date.valueOf("2024-01-03"), 20.0),
+      ("C", java.sql.Date.valueOf("2024-01-04"), 15.0))
+      .toDF("ticker", "date", "close")
+    val m3 = graft.operators.SilverOps.wilderRsi(mixed).collect()
+      .map(r => r.getDate(1).toString ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // ag = .9375*.625 = .5859375, al = .0625*5 = .3125 → between 0 and 100
+    val v = m3("2024-01-04").get
+    assert(v > 0 && v < 100)
   }
 }
