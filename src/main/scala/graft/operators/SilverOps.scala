@@ -270,4 +270,155 @@ object SilverOps {
       }
       .toDF("ticker", "date", valueCol, "rsi_wilder")
   }
+
+  /** Trailing-n rolling extrema (max of `high`, min of `low`) per ticker —
+    * the third case of the window discipline. The W-family's running-sum
+    * doctrine (trailing sum = cum − lag(cum, n)) requires an *invertible*
+    * aggregate; min/max are not invertible, so no running frame recovers
+    * them, and a literal `rowsBetween(-(n-1), 0)` frame re-scans n rows per
+    * row in WindowExec (the O(rows×frame) shape PlanSpec bans). The
+    * monotonic deque is the O(rows) answer: each row index enters and
+    * leaves each deque at most once, so the whole per-ticker pass is
+    * amortized constant per row regardless of n. Distribution shape is the
+    * [[ema]] fold's: one shuffle on ticker, compiled per-key ordered fold,
+    * calendar-bounded key state.
+    *
+    * Strict min-periods: `min_low`/`max_high` are NULL until the trailing
+    * window holds exactly n rows, matching [[indicators]]' SMA semantics.
+    */
+  def rollingExtrema(daily: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"window must be >= 1, got $n")
+    val ss = daily.sparkSession
+    import ss.implicits._
+    daily
+      .select(col("ticker").cast("string"), col("date").cast("date"),
+        col("close").cast("double"), col("high").cast("double"),
+        col("low").cast("double"))
+      .as[(String, java.sql.Date, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t: String,
+                        it: Iterator[(String, java.sql.Date, Double, Double, Double)]) =>
+        val s = it.toArray.sortBy(_._2.getTime)
+        val m = s.length
+        val maxHigh = new Array[Double](m)
+        val minLow = new Array[Double](m)
+        // index deques: head = current window extremum; values strictly
+        // decrease (max) / increase (min) toward the tail
+        val dqMax = new java.util.ArrayDeque[Int](math.min(n + 1, m + 1))
+        val dqMin = new java.util.ArrayDeque[Int](math.min(n + 1, m + 1))
+        var i = 0
+        while (i < m) {
+          if (!dqMax.isEmpty && dqMax.peekFirst <= i - n) dqMax.pollFirst()
+          if (!dqMin.isEmpty && dqMin.peekFirst <= i - n) dqMin.pollFirst()
+          while (!dqMax.isEmpty && s(dqMax.peekLast)._4 <= s(i)._4) dqMax.pollLast()
+          while (!dqMin.isEmpty && s(dqMin.peekLast)._5 >= s(i)._5) dqMin.pollLast()
+          dqMax.addLast(i); dqMin.addLast(i)
+          maxHigh(i) = s(dqMax.peekFirst)._4
+          minLow(i) = s(dqMin.peekFirst)._5
+          i += 1
+        }
+        (0 until m).iterator.map { j =>
+          val (_, d, c, h, l) = s(j)
+          val full = j >= n - 1
+          (t, d, c, h, l,
+            if (full) Some(minLow(j)) else None,
+            if (full) Some(maxHigh(j)) else None)
+        }
+      }
+      .toDF("ticker", "date", "close", "high", "low", "min_low", "max_high")
+  }
+
+  /** Stochastic oscillator %K/%D over the deque extrema:
+    * `%K = 100·(close − minLow_n)/(maxHigh_n − minLow_n)`,
+    * `%D = (K_t + K_{t−1} + K_{t−2})/3` (left-associated, so the oracle's
+    * `(k + LAG(k,1) + LAG(k,2))/3.0` runs the identical IEEE sequence).
+    * NULL while the window is short or the range is degenerate
+    * (maxHigh == minLow); %D NULL-propagates from any missing %K. */
+  def stochastic(daily: DataFrame, n: Int = 14): DataFrame = {
+    val w = F.tickerWindow()
+    rollingExtrema(daily, n)
+      .withColumn("pct_k",
+        when(col("max_high") > col("min_low"),
+          lit(100.0) * (col("close") - col("min_low")) /
+            (col("max_high") - col("min_low"))))
+      .withColumn("pct_d",
+        (col("pct_k") + lag(col("pct_k"), 1).over(w) +
+          lag(col("pct_k"), 2).over(w)) / 3.0)
+      .select("ticker", "date", "close", "pct_k", "pct_d")
+  }
+
+  /** Donchian channel: upper = trailing-n max high, lower = trailing-n min
+    * low, mid = (upper + lower)/2; breakout flags compare close against the
+    * *previous* bar's channel (entering today's close into today's channel
+    * would never break out — today's high/low already contain it). */
+  def donchian(daily: DataFrame, n: Int = 20): DataFrame = {
+    val w = F.tickerWindow()
+    rollingExtrema(daily, n)
+      .withColumn("upper", col("max_high"))
+      .withColumn("lower", col("min_low"))
+      .withColumn("mid", (col("upper") + col("lower")) / 2.0)
+      .withColumn("breakout_up", col("close") > lag(col("upper"), 1).over(w))
+      .withColumn("breakout_down", col("close") < lag(col("lower"), 1).over(w))
+      .select("ticker", "date", "close", "upper", "lower", "mid",
+        "breakout_up", "breakout_down")
+  }
+
+  /** On-balance volume: signed cumulative volume
+    * (`+volume` on an up-close, `−volume` on a down-close, 0 on flat or the
+    * first bar). Pure running frame over exact BIGINT addends — the
+    * W-family cumulative shape, no fold needed. */
+  def obv(daily: DataFrame): DataFrame = {
+    val w = F.tickerWindow()
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("close"), 1).over(w)
+    daily
+      .withColumn("signed_vol",
+        when(prev.isNull || col("close") === prev, lit(0L))
+          .when(col("close") > prev, col("volume"))
+          .otherwise(-col("volume")))
+      .withColumn("obv", sum(col("signed_vol")).over(run))
+      .select("ticker", "date", "close", "obv")
+  }
+
+  /** Trailing-n Pearson correlation between two bar columns (default
+    * close vs volume) from *integer* running co-moments: close is exact
+    * 2-decimal, so `xc = round(close·100)` is an exact integer and every
+    * co-moment sum (Σx, Σy, Σxy, Σx², Σy²) is integer-exact and
+    * order-independent — the property double sums lack (both engines'
+    * window aggregation may re-associate float addends; integer/decimal
+    * sums are associative, so the cum − lag(cum, n) trailing-difference
+    * doctrine stays bit-exact). Cums accumulate as DECIMAL(38,0) (long would
+    * overflow on Σx² at ~60k rows/key), the five trailing sums are cast to
+    * double (each ≤ 2^53 — exact), and the final formula
+    * `(n·Σxy − Σx·Σy)/√((n·Σx² − Σx²)·(n·Σy² − Σy²))` is written with the
+    * identical association in the oracle SQL, so the lone rounding steps
+    * are the same IEEE ops on identical inputs. */
+  def rollingCorr(daily: DataFrame, n: Int = 20): DataFrame = {
+    val w = F.tickerWindow()
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d38 = DecimalType(38, 0)
+    val base = daily
+      .withColumn("xc", round(col("close") * 100).cast("long"))
+      .withColumn("yc", col("volume").cast("long"))
+    val cums = base
+      .withColumn("cx", sum(col("xc").cast(d38)).over(run))
+      .withColumn("cy", sum(col("yc").cast(d38)).over(run))
+      .withColumn("cxy", sum((col("xc") * col("yc")).cast(d38)).over(run))
+      .withColumn("cxx", sum((col("xc") * col("xc")).cast(d38)).over(run))
+      .withColumn("cyy", sum((col("yc") * col("yc")).cast(d38)).over(run))
+      .withColumn("cn", count(lit(1)).over(run))
+    def lastN(c: String): Column =
+      (col(c) - coalesce(lag(col(c), n).over(w), lit(0).cast(d38)))
+        .cast("double")
+    val cntN = col("cn") - coalesce(lag(col("cn"), n).over(w), lit(0L))
+    val (sx, sy, sxy, sxx, syy) =
+      (lastN("cx"), lastN("cy"), lastN("cxy"), lastN("cxx"), lastN("cyy"))
+    val varx = lit(n.toDouble) * sxx - sx * sx
+    val vary = lit(n.toDouble) * syy - sy * sy
+    cums
+      .withColumn("corr_n",
+        when(cntN === n && varx > 0.0 && vary > 0.0,
+          round((lit(n.toDouble) * sxy - sx * sy) / sqrt(varx * vary), 6)))
+      .select("ticker", "date", "corr_n")
+  }
 }

@@ -121,6 +121,30 @@ object DomainQueries {
       SilverOps.indicators(Tables.bars(s, dir))
         .select("ticker", "date", "volume", "volume_ma_20", "volume_ratio")),
 
+    // Rolling extrema — min/max are non-invertible aggregates, so neither
+    // the running-sum doctrine nor a sane sliding frame applies; these run
+    // the O(rows) monotonic-deque fold (SilverOps.rollingExtrema).
+    "q_stoch" -> ((s, dir) =>
+      SilverOps.stochastic(Tables.bars(s, dir))
+        .withColumn("pct_k", round(col("pct_k"), 6))
+        .withColumn("pct_d", round(col("pct_d"), 6))),
+
+    "q_donchian" -> ((s, dir) =>
+      SilverOps.donchian(Tables.bars(s, dir))
+        .select(col("ticker"), col("date"), col("close"),
+          col("upper").as("ch_upper"), col("lower").as("ch_lower"),
+          col("mid").as("ch_mid"),
+          col("breakout_up"), col("breakout_down"))),
+
+    // On-balance volume — signed cumulative BIGINT, pure running frame.
+    "q_obv" -> ((s, dir) => SilverOps.obv(Tables.bars(s, dir))),
+
+    // Trailing-20 Pearson correlation (close vs volume) from integer
+    // running co-moments — exact cents-scaled sums make cum − lag(cum, 20)
+    // bit-identical cross-engine (see SilverOps.rollingCorr).
+    "q_rolling_corr" -> ((s, dir) =>
+      SilverOps.rollingCorr(Tables.bars(s, dir))),
+
     // W5/W6+F4+F9 — anchored VWAP YTD/QTD + boolean signals.
     "q_vwap_signals" -> ((s, dir) =>
       GoldOps.vwapSignals(Tables.bars(s, dir))),
@@ -553,6 +577,82 @@ object DomainQueries {
         |  CASE WHEN volume_ma_20 IS NOT NULL AND volume_ma_20 > 0
         |       THEN CAST(volume AS DOUBLE) / CAST(volume_ma_20 AS DOUBLE) END AS volume_ratio
         |FROM ind""".stripMargin),
+
+    // sliding MIN/MAX frames are fine for the ORACLE (DuckDB-only); the
+    // Spark side runs the deque fold precisely to avoid that shape
+    "q_stoch" -> withBars(
+      """ext AS (
+        |  SELECT ticker, date, close,
+        |    CASE WHEN COUNT(*) OVER w14 = 14 THEN MIN(low)  OVER w14 END AS mn,
+        |    CASE WHEN COUNT(*) OVER w14 = 14 THEN MAX(high) OVER w14 END AS mx
+        |  FROM bars
+        |  WINDOW w14 AS (PARTITION BY ticker ORDER BY date
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |k AS (
+        |  SELECT ticker, date, close,
+        |    CASE WHEN mx > mn THEN 100.0 * (close - mn) / (mx - mn) END AS pct_k
+        |  FROM ext)""".stripMargin,
+      """SELECT ticker, date, close, ROUND(pct_k, 6) AS pct_k,
+        |  ROUND((pct_k + LAG(pct_k, 1) OVER wt + LAG(pct_k, 2) OVER wt) / 3.0, 6) AS pct_d
+        |FROM k WINDOW wt AS (PARTITION BY ticker ORDER BY date)""".stripMargin),
+
+    "q_donchian" -> withBars(
+      """ext AS (
+        |  SELECT ticker, date, close,
+        |    CASE WHEN COUNT(*) OVER w20 = 20 THEN MAX(high) OVER w20 END AS mx,
+        |    CASE WHEN COUNT(*) OVER w20 = 20 THEN MIN(low)  OVER w20 END AS mn
+        |  FROM bars
+        |  WINDOW w20 AS (PARTITION BY ticker ORDER BY date
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))""".stripMargin,
+      """SELECT ticker, date, close, mx AS ch_upper, mn AS ch_lower,
+        |  (mx + mn) / 2.0 AS ch_mid,
+        |  close > LAG(mx, 1) OVER wt AS breakout_up,
+        |  close < LAG(mn, 1) OVER wt AS breakout_down
+        |FROM ext WINDOW wt AS (PARTITION BY ticker ORDER BY date)""".stripMargin),
+
+    "q_obv" -> withBars(
+      """prevs AS (
+        |  SELECT ticker, date, close, volume,
+        |    LAG(close, 1) OVER (PARTITION BY ticker ORDER BY date) AS prev_close
+        |  FROM bars)""".stripMargin,
+      """SELECT ticker, date, close,
+        |  CAST(SUM(CASE WHEN prev_close IS NULL OR close = prev_close THEN 0
+        |                WHEN close > prev_close THEN volume ELSE -volume END)
+        |    OVER (PARTITION BY ticker ORDER BY date ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS obv
+        |FROM prevs""".stripMargin),
+
+    // integer co-moment sums (HUGEINT-exact in DuckDB, DECIMAL(38,0) in
+    // Spark) → identical doubles into the identical-association formula
+    "q_rolling_corr" -> withBars(
+      """ints AS (
+        |  SELECT ticker, date,
+        |    CAST(ROUND(close * 100) AS BIGINT) AS xc, volume AS yc
+        |  FROM bars),
+        |cums AS (
+        |  SELECT ticker, date,
+        |    SUM(xc) OVER run AS cx, SUM(yc) OVER run AS cy,
+        |    SUM(xc * yc) OVER run AS cxy, SUM(xc * xc) OVER run AS cxx,
+        |    SUM(yc * yc) OVER run AS cyy, COUNT(*) OVER run AS cn
+        |  FROM ints
+        |  WINDOW run AS (PARTITION BY ticker ORDER BY date
+        |    ROWS UNBOUNDED PRECEDING)),
+        |tr AS (
+        |  SELECT ticker, date,
+        |    CAST(cx  - COALESCE(LAG(cx,  20) OVER wt, 0) AS DOUBLE) AS sx,
+        |    CAST(cy  - COALESCE(LAG(cy,  20) OVER wt, 0) AS DOUBLE) AS sy,
+        |    CAST(cxy - COALESCE(LAG(cxy, 20) OVER wt, 0) AS DOUBLE) AS sxy,
+        |    CAST(cxx - COALESCE(LAG(cxx, 20) OVER wt, 0) AS DOUBLE) AS sxx,
+        |    CAST(cyy - COALESCE(LAG(cyy, 20) OVER wt, 0) AS DOUBLE) AS syy,
+        |    cn - COALESCE(LAG(cn, 20) OVER wt, 0) AS nn
+        |  FROM cums WINDOW wt AS (PARTITION BY ticker ORDER BY date))""".stripMargin,
+      """SELECT ticker, date,
+        |  CASE WHEN nn = 20 AND 20.0 * sxx - sx * sx > 0.0
+        |            AND 20.0 * syy - sy * sy > 0.0
+        |       THEN ROUND((20.0 * sxy - sx * sy) /
+        |            SQRT((20.0 * sxx - sx * sx) * (20.0 * syy - sy * sy)), 6)
+        |  END AS corr_n
+        |FROM tr""".stripMargin),
 
     "q_vwap_signals" -> withBars(
       """base AS (

@@ -267,6 +267,29 @@ class PlanSpec extends SparkSpecBase {
       s"EMA must be bars-agg + one ticker exchange, found $exchanges:\n$p")
   }
 
+  test("rolling extrema plan the deque fold, never a sliding min/max frame") {
+    for (q <- Seq("q_stoch", "q_donchian")) {
+      val p = plan(q)
+      // a naive port would write max(high).over(rowsBetween(-(n-1), 0)) —
+      // the exact O(rows×frame) WindowExec shape the deque fold replaces
+      assert("specifiedwindowframe\\(RowFrame, -\\d+, currentrow"
+        .r.findFirstIn(p).isEmpty,
+        s"$q must not plan a sliding aggregate frame:\n$p")
+      assert(p.contains("MapGroups"),
+        s"$q must run the compiled deque fold:\n$p")
+    }
+  }
+
+  test("obv and rolling corr stay on running frames (cum − lag doctrine)") {
+    for (q <- Seq("q_obv", "q_rolling_corr")) {
+      val p = plan(q)
+      assert("specifiedwindowframe\\(RowFrame, -\\d+, currentrow"
+        .r.findFirstIn(p).isEmpty, s"$q:\n$p")
+      assert(p.contains("unboundedpreceding$()") ||
+        p.contains("UNBOUNDED PRECEDING"), s"$q:\n$p")
+    }
+  }
+
   test("hopping window is one aggregation pass, not four self-unions") {
     val p = plan("q_hopping_window")
     // Spark expands the slide via an Expand/generator feeding ONE hash
