@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over a deterministic edge set derived from the shared
+  * fixtures: directed part→supplier links (`l_partkey % 100 →
+  * l_suppkey % 100`), deduped, self-loops dropped — rebuildable verbatim by
+  * the DuckDB oracle. PageRank runs in fixed-point integers and the oracle
+  * unrolls the identical three iterations as chained CTEs, so both engines
+  * execute the same exact integer arithmetic (see GraphOps determinism
+  * doctrine).
+  */
+object GraphQueries {
+
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      (col("l_partkey") % 100).as("src"),
+      (col("l_suppkey") % 100).as("dst"))
+
+  private val edgesSql =
+    """edges AS (
+      |  SELECT DISTINCT (l_partkey % 100) AS src, (l_suppkey % 100) AS dst
+      |  FROM lineitem WHERE (l_partkey % 100) <> (l_suppkey % 100))""".stripMargin
+
+  /** One unrolled fixed-point PageRank iteration as oracle CTE text. */
+  private def iterSql(i: Int): String = {
+    val (prev, c, d, r) = (s"r${i - 1}", s"c$i", s"d$i", s"r$i")
+    s"""$c AS (
+       |  SELECT e.dst AS n, SUM(p.r // o.od) AS c
+       |  FROM edges e JOIN $prev p ON e.src = p.n
+       |  JOIN outdeg o ON e.src = o.src
+       |  GROUP BY e.dst),
+       |$d AS (
+       |  SELECT COALESCE(SUM(p.r), 0) AS dang
+       |  FROM $prev p LEFT JOIN outdeg o ON p.n = o.src
+       |  WHERE o.src IS NULL),
+       |$r AS (
+       |  SELECT nd.n,
+       |    (15 * 1000000000000) // 100 // nn
+       |      + (85 * (COALESCE(c.c, 0) + dang // nn)) // 100 AS r
+       |  FROM nodes nd LEFT JOIN $c c ON nd.n = c.n, cnt, $d)""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(edges(s, dir), iters = 3)),
+
+    "q_triangles" -> ((s, dir) =>
+      GraphOps.triangleCounts(edges(s, dir))))
+
+  def oracles: Map[String, String] = Map(
+    "q_pagerank" ->
+      s"""WITH $edgesSql,
+         |nodes AS (
+         |  SELECT DISTINCT n FROM
+         |    (SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)),
+         |cnt AS (SELECT COUNT(*) AS nn FROM nodes),
+         |outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+         |r0 AS (SELECT n, 1000000000000 // nn AS r FROM nodes, cnt),
+         |${iterSql(1)},
+         |${iterSql(2)},
+         |${iterSql(3)}
+         |SELECT n AS node, CAST(r AS BIGINT) AS rank_fp FROM r3""".stripMargin,
+
+    "q_triangles" ->
+      s"""WITH $edgesSql,
+         |und AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM edges),
+         |deg AS (
+         |  SELECT n, COUNT(*) AS d FROM
+         |    (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY n),
+         |ori AS (
+         |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+         |              THEN u.a ELSE u.b END AS s,
+         |         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+         |              THEN u.b ELSE u.a END AS t
+         |  FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
+         |tri AS (
+         |  SELECT o1.s AS x, o1.t AS y, o2.t AS z
+         |  FROM ori o1 JOIN ori o2 ON o1.t = o2.s
+         |  JOIN ori o3 ON o3.s = o1.s AND o3.t = o2.t)
+         |SELECT n AS node, COUNT(*) AS tri_count FROM
+         |  (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+         |   UNION ALL SELECT z FROM tri)
+         |GROUP BY n""".stripMargin)
+}
