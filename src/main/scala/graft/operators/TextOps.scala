@@ -218,4 +218,88 @@ object TextOps {
     df.withColumn("redacted", redacted)
       .withColumn("was_redacted", col("redacted") =!= col(textCol))
   }
+
+  /** Priority sampling (Duffield-Lund-Thorup, SIGMOD'05): weighted
+    * sampling without replacement where priority = w/u with u uniform in
+    * (0,1]. u derives from md5(id): the first 13 hex chars parse to an
+    * integer v < 2^52, and u = (v+1)/2^52 — every step (hex parse,
+    * +1, divide by a power of two, w/u) is exact or a single shared IEEE
+    * op, so the sample membership AND priorities are reproducible across
+    * engines, re-runs and repartitions (a `rand()` sample is none of
+    * those). Returns the top-k rows by (priority DESC, id) plus
+    * `est_weight = max(w, τ)` where τ is the (k+1)-th priority — the DLT
+    * unbiased subset-sum estimator.
+    *
+    * Scale: the global top-(k+1) plans as TakeOrderedAndProject (per-
+    * partition partial top-k, no global sort), and τ joins back as a
+    * broadcast scalar. */
+  def prioritySample(df: DataFrame, k: Int, weightCol: String,
+                     idCol: String = "doc_id"): DataFrame = {
+    val v = conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 13), 16, 10).cast("long")
+    val u = (v + 1).cast("double") / lit(4503599627370496.0) // 2^52
+    val prio = df
+      .withColumn("priority", col(weightCol).cast("double") / u)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k + 1)
+    val withRn = prio.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("priority").desc, col(idCol))))
+    val tau = withRn.filter(col("rn") === k + 1)
+      .select(col("priority").as("tau"))
+    withRn.filter(col("rn") <= k).drop("rn")
+      .crossJoin(broadcast(tau))
+      .withColumn("est_weight",
+        greatest(col(weightCol).cast("double"), col("tau")))
+  }
+
+  /** Okapi BM25 scores of every document against a fixed query-term set
+    * (k1 = 1.2, b = 0.75). Term statistics follow [[words]] + the ≥3-char
+    * filter (the q_tfidf convention); dl = per-doc filtered term count,
+    * avgdl = corpus mean. Per-term contributions land in fixed-order
+    * conditional sums and total left-associatively — float sums over an
+    * unordered aggregation would be partitioning-dependent; ≤|Q| pivoted
+    * columns added in query order are not. Only documents containing at
+    * least one query term appear.
+    *
+    * Scale: two hash aggregations — (doc, term) tf and per-term df — the
+    * df/avgdl/N statistics broadcast as 1-row scalars; no corpus-wide
+    * shuffle beyond the tf aggregation every retrieval engine pays. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 16,
+      "queryTerms must be 1..16 fixed terms")
+    val terms = docs.select(col(idCol),
+      explode(words(col(textCol))).as("term"))
+      .filter(length(col("term")) >= 3)
+    val dl = terms.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = terms.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfc), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0))
+      .withColumn("contrib",
+        // operand order flipped vs the SQL text where Scala needs
+        // Column-first (1.2 * col doesn't compile); IEEE ·/+ are
+        // commutative so the values are bit-identical
+        col("idf") * ((col("tf").cast("double") * 2.2) /
+          (col("tf").cast("double") +
+            (((col("dl").cast("double") / col("avgdl")) * 0.75 + 0.25) * 1.2))))
+    // pivot the fixed terms into columns (each a ≤1-element sum — exact),
+    // then total in declaration order: deterministic float association
+    val aggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("contrib"))).as(s"c$i")
+    }
+    val byDoc = scored.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val total = queryTerms.indices
+      .map(i => coalesce(col(s"c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    byDoc.select(col(idCol), total.as("score"))
+  }
 }

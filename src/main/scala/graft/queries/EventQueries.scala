@@ -164,10 +164,44 @@ object EventQueries {
         .join(broadcast(carryIn), col("m") === col("cm"))
         .select(col("d"), col("new_users"),
           (col("cume_in_month") + col("carry")).as("cume_users"))
+    }),
+
+    // First-order Markov transition matrix over per-user event sequences:
+    // lag within (user, ts, event_id)-ordered streams → pair counts →
+    // per-source probabilities. Counts are integers and the probability is
+    // one BIGINT/BIGINT double division, so no rounding is needed. Scale:
+    // one user shuffle for the lag, one (prev, next) aggregation; the
+    // per-source totals re-aggregate the tiny transition matrix itself.
+    "q_markov" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = pairs.groupBy("prev_type").agg(sum("cnt").as("tot"))
+      pairs.join(broadcast(totals), "prev_type")
+        .withColumn("prob", col("cnt").cast("double") / col("tot").cast("double"))
+        .select("prev_type", "next_type", "cnt", "prob")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "q_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    LAG(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |totals AS (
+        |  SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS tot
+        |  FROM pairs GROUP BY 1)
+        |SELECT p.prev_type, p.next_type, p.cnt,
+        |  CAST(p.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
+        |FROM pairs p JOIN totals t USING (prev_type)""".stripMargin,
     "q_epoch_roundtrip" ->
       """SELECT event_id, epoch_ms(ts) AS epoch_val, CAST(ts AS DATE) AS d
         |FROM events""".stripMargin,

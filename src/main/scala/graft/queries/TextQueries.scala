@@ -497,6 +497,23 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("rn"))
     }),
 
+    // Duffield-Lund-Thorup priority sampling: weighted top-k by w/u with
+    // md5-derived u and the unbiased max(w, τ) estimator — the weighted
+    // counterpart of q_sample_n's deterministic uniform sample.
+    "q_priority_sample" -> ((s, dir) =>
+      TextOps.prioritySample(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        k = 50, weightCol = "n_chars")
+        .select(col("doc_id"), col("n_chars"), col("priority"),
+          col("est_weight"))),
+
+    // Okapi BM25 ranked retrieval against a fixed query-term set (k1=1.2,
+    // b=0.75) — the scoring layer over q_tfidf's term statistics.
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25(Tables.documents(s, dir),
+        Seq("hash", "join", "vector", "stream", "window"))
+        .withColumn("score", round(col("score"), 6))),
+
     "q_minhash_sig" -> ((s, dir) =>
       DedupOps.minhashSignatures(Tables.documents(s, dir))),
 
@@ -1079,6 +1096,58 @@ object TextQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM r WHERE rn <= 25""".stripMargin,
+
+    // u = (first 13 md5 hex chars + 1) / 2^52 — hex parse, +1, and the
+    // power-of-two divide are exact, so priority = w/u is one shared IEEE
+    // division and needs no rounding
+    "q_priority_sample" ->
+      """WITH pr AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |             AS BIGINT) + 1) / 4503599627370496.0) AS priority
+        |  FROM documents),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rn
+        |    FROM pr) WHERE rn <= 51),
+        |tau AS (SELECT priority AS tau FROM top WHERE rn = 51)
+        |SELECT t.doc_id, t.n_chars, t.priority,
+        |  GREATEST(CAST(t.n_chars AS DOUBLE), tau.tau) AS est_weight
+        |FROM top t, tau WHERE t.rn <= 50""".stripMargin,
+
+    "q_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id, t.term
+        |  FROM documents, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+        |  WHERE length(t.term) >= 3),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |          FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+        |       WHERE term IN ('hash','join','vector','stream','window')
+        |       GROUP BY 1, 2),
+        |dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    LN((CAST(s.n_docs AS DOUBLE) - CAST(dfc.df AS DOUBLE) + 0.5)
+        |       / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0)
+        |    * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |       / (CAST(tf.tf AS DOUBLE)
+        |          + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl)))) AS contrib
+        |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+        |byd AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN term = 'hash'   THEN contrib END) AS c0,
+        |    SUM(CASE WHEN term = 'join'   THEN contrib END) AS c1,
+        |    SUM(CASE WHEN term = 'vector' THEN contrib END) AS c2,
+        |    SUM(CASE WHEN term = 'stream' THEN contrib END) AS c3,
+        |    SUM(CASE WHEN term = 'window' THEN contrib END) AS c4
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, ROUND(COALESCE(c0, 0.0) + COALESCE(c1, 0.0)
+        |  + COALESCE(c2, 0.0) + COALESCE(c3, 0.0) + COALESCE(c4, 0.0), 6) AS score
+        |FROM byd""".stripMargin,
 
     "q_minhash_sig" ->
       s"""WITH ${shingleCte(3)},

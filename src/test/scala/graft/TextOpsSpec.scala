@@ -359,4 +359,47 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(1L)._2 === true)
     assert(out(2L) === (("untouched", false)))
   }
+
+  test("priority sample matches an in-test replica of the DLT scheme") {
+    val docs = (1L to 200L).map(i => (i, 10L + (i * 37) % 500))
+      .toDF("doc_id", "n_chars")
+    val k = 20
+    // replica: same md5-derived u, same priority, same (k+1)-th threshold
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val prio = (1L to 200L).map { i =>
+      val v = java.lang.Long.parseLong(md5hex(i.toString).take(13), 16)
+      val u = (v + 1).toDouble / 4503599627370496.0
+      (i, (10L + (i * 37) % 500).toDouble / u)
+    }.sortBy { case (id, p) => (-p, id) }
+    val tau = prio(k)._2
+    val expect = prio.take(k).map { case (id, p) =>
+      id -> (p, math.max((10L + (id * 37) % 500).toDouble, tau))
+    }.toMap
+    val got = TextOps.prioritySample(docs, k, "n_chars").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("priority"), r.getAs[Double]("est_weight"))).toMap
+    assert(got === expect)
+  }
+
+  test("bm25: term frequency raises score; termless docs are absent") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha filler filler filler filler filler"),
+      (2L, "alpha filler filler filler filler filler filler filler"),
+      (3L, "nothing relevant here at all whatsoever truly none")) // no 'alpha'
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, Seq("alpha")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) > out(2L))
+    assert(out.values.forall(_ > 0.0))
+  }
+
+  test("priority sample plans a partial top-k, not a global sort") {
+    val p = SparkEntry.queries("q_priority_sample")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
