@@ -49,7 +49,8 @@ class ContractSpec extends AnyFunSuite with SparkSpecBase {
       "Text" -> graft.queries.TextQueries.queries.keySet,
       "Event" -> graft.queries.EventQueries.queries.keySet,
       "Declared" -> graft.queries.DeclaredQueries.queries.keySet,
-      "Extended" -> graft.queries.ExtendedQueries.queries.keySet)
+      "Extended" -> graft.queries.ExtendedQueries.queries.keySet,
+      "Graph" -> graft.queries.GraphQueries.queries.keySet)
     for {
       (na, a) <- modules; (nb, b) <- modules if na < nb
       dup = a.intersect(b) if dup.nonEmpty
