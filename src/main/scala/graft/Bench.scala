@@ -31,9 +31,11 @@ object Bench {
     "q_cosine_knn", "q_ivf_knn", "q_quality_filter", "q_corpus_card",
     "q_topk_per_group", "q_range_frame", "q_full_outer",
     // round-7 additions: the slide-expanded window agg, the per-key
-    // recursive fold, the corpus-wide LM join, the bloom-prefiltered join
+    // recursive fold, the corpus-wide LM join, the bloom-prefiltered join,
+    // the deque-fold extrema + integer-co-moment corr, and the graph tier
     "q_hopping_window", "q_ema", "q_macd", "q_unigram_lm",
-    "q_bloom_semi_join")
+    "q_bloom_semi_join", "q_stoch", "q_rolling_corr", "q_pagerank",
+    "q_triangles", "q_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -323,6 +325,33 @@ object Bench {
     (p, s)
     }
 
+    // ---- rolling extrema: deque fold vs sliding WindowExec frame ------
+    // Rolling min/max cannot use the cum − lag running-sum doctrine (max
+    // is not invertible), so the naive Spark spelling is a rowsBetween
+    // sliding frame — WindowExec re-aggregates the n-row frame per row,
+    // O(rows×n) at n=200. The monotonic-deque fold is O(rows). Same
+    // inputs, identical output values; the pair keeps the measured gap on
+    // the record the way join_skew does for salting.
+    val (tExtremaDeque, tExtremaSliding) = section(
+      Seq("extrema_deque", "extrema_sliding"), (0.0, 0.0)) {
+      val bars = Tables.bars(spark, sfDir)
+      val n = 200
+      val dq = median((1 to runs).map(_ => timed("extrema_deque") {
+        noop(graft.operators.SilverOps.rollingExtrema(bars, n)
+          .select("ticker", "date", "min_low", "max_high"))
+      }))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ticker").orderBy("date").rowsBetween(-(n - 1), 0)
+      val sl = median((1 to runs).map(_ => timed("extrema_sliding") {
+        noop(bars.select(col("ticker"), col("date"),
+          when(count(lit(1)).over(w) === n,
+            min(col("low")).over(w)).as("min_low"),
+          when(count(lit(1)).over(w) === n,
+            max(col("high")).over(w)).as("max_high")))
+      }))
+      (dq, sl)
+    }
+
     // ---- streaming throughput (VERDICT r3 #6) -------------------------
     // Feed the real tables through the exactly-once sinks as file-source
     // micro-batches and report wall time + rows/s. Single run: a stream's
@@ -437,8 +466,16 @@ object Bench {
     val scaleQueries = Seq("q1_agg", "q3_shipping_priority", "q_sma",
       "q_events_sessions", "q_text_quality", "q_dedup_exact",
       "q_minhash_pairs", "q_cosine_knn")
+    // 1x medians for ratio denominators: headline queries already have
+    // one; the rest are timed here (not emitted — only the ratio rides)
+    val scaleBase = scala.collection.mutable.Map.empty[String, Double]
     val scale10: Seq[(String, Double)] = section(
       scaleQueries.map("scale10_" + _), Seq.empty[(String, Double)]) {
+      scaleQueries.filterNot(headline.contains).foreach { name =>
+        scaleBase(name) = median((1 to runs).map(_ =>
+          timed(s"scale1x_$name") {
+            noop(SparkEntry.queries(name)(spark, sfDir)) }))
+      }
       val dir = s"$tmpRoot/scale10"
       val reps = spark.range(scaleRep).withColumnRenamed("id", "rep")
       def scaled(name: String)(
@@ -501,8 +538,17 @@ object Bench {
       "stream_dedup" -> tDedupStream,
       "stream_dedup_1batch" -> tDedupStream1,
       "stream_dedup_10k" -> tDedup10k,
-      "pipeline_full" -> pipelineTime) ++ scale10
-    def ms(v: Double): String = f"$v%.3f"
+      "extrema_deque" -> tExtremaDeque,
+      "extrema_sliding" -> tExtremaSliding,
+      "pipeline_full" -> pipelineTime)
+    // scale10_* timings ride ONLY in scaleJson (with their ratio) — also
+    // listing them in `queries` doubled the JSON line toward the driver's
+    // 2000-char stdout capture window (the round-1 truncation failure mode)
+    // 2-decimal seconds: the full line must stay comfortably under the
+    // driver's 2000-char capture INCLUDING the trailing sbt epilogue —
+    // at 3 decimals + verbose stream/prune keys the r7 line hit 1962
+    // chars, one sbt "[success]" line away from head truncation
+    def ms(v: Double): String = f"$v%.2f"
     val qs = results.map { case (k, v) =>
       // a failed query reports the -1 sentinel, not a normal-looking time
       "\"" + k + "\":" + (if (failed.contains(k)) "-1" else ms(v))
@@ -516,24 +562,29 @@ object Bench {
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     def rps(rows: Long, sec: Double): Long =
       if (sec > 0) (rows / sec).toLong else 0L
+    // *_rps = rows/second through the corresponding stream_* sink above
     val streamJson =
-      s"""{"stream_upsert_rows_per_s":${rps(upsertRows, tUpsert)},"stream_dedup_rows_per_s":${rps(dedupRows, tDedupStream)},"stream_dedup_1batch_rows_per_s":${rps(dedupRows1, tDedupStream1)},"stream_dedup_10k_rows_per_s":${rps(dedupRows10k, tDedup10k)},"stream_dedup_10k_docs":$dedupRows10k}"""
+      s"""{"upsert_rps":${rps(upsertRows, tUpsert)},"dedup_rps":${rps(dedupRows, tDedupStream)},"dedup_1batch_rps":${rps(dedupRows1, tDedupStream1)},"dedup_10k_rps":${rps(dedupRows10k, tDedup10k)},"dedup_10k_docs":$dedupRows10k}"""
     // same delta, 3×-different index sizes: near-equal MB proves the
     // stored-side reads are pruned (row-group skipping over the clustered
     // index), i.e. delta cost does not scale with index size
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+    // large/small = delta read MB vs the two index sizes; oc_* = shuffle
+    // MB of the over-cap dedup path with/without the bloom prefilter
     val pruneJson =
-      s"""{"delta_mb_large_idx":${mb(deltaBytesLarge)},"delta_mb_small_idx":${mb(deltaBytesSmall)},"overcap_shuffle_mb_bloom":${mb(ocBloomShuf)},"overcap_shuffle_mb_nobloom":${mb(ocPlainShuf)}}"""
+      s"""{"large_mb":${mb(deltaBytesLarge)},"small_mb":${mb(deltaBytesSmall)},"oc_bloom_mb":${mb(ocBloomShuf)},"oc_plain_mb":${mb(ocPlainShuf)}}"""
     val stagesJson = stageAvg.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     // scale tier: t10 plus the ratio vs this session's own 1x median —
     // a ratio far above the 10x data factor flags super-linear scaling
     val oneX = queryResults.toMap
+    // compact [t10_sec, ratio_vs_1x] pairs — the verbose object form plus
+    // the scale10_* duplicates in `queries` overflowed the capture window
     val scaleJson = scale10.map { case (k, t10) =>
-      val base = oneX.get(k.stripPrefix("scale10_"))
+      val name = k.stripPrefix("scale10_")
+      val base = oneX.get(name).orElse(scaleBase.get(name))
       val ratio = base.filter(_ > 0).map(b => f"${t10 / b}%.2f").getOrElse("null")
-      "\"" + k.stripPrefix("scale10_") + "\":{\"t10\":" + ms(t10) +
-        ",\"ratio_vs_1x\":" + ratio + "}"
+      "\"" + name + "\":[" + ms(t10) + "," + ratio + "]"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","query_total":${ms(headlineTotal)},"structural_total":${ms(total - headlineTotal)},"queries":$qs,"stream":$streamJson,"dedup_prune":$pruneJson,"scale10":$scaleJson,"pipeline_stages":$stagesJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -71,6 +71,93 @@ object Sketches {
         col("n_hashes"))
   }
 
+  /** Per-group KMV sketch in mergeable form: the sorted bottom-k hash
+    * array plus the distinct-hash count. Mergeability is THE scale
+    * property of a sketch — bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪
+    * bottom-k(B)), so sketches combine associatively like any partial
+    * aggregate: build once per partition/group/day, merge k-sized arrays
+    * instead of re-scanning data. */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+                k: Int = 64): DataFrame = {
+    require(k >= 2 && (k - 1) <= Long.MaxValue / HashSpace,
+      s"k=$k out of the int64-safe range")
+    val hashes = df
+      .select(col(groupCol), md5Hash48(col(valueCol)).as("h"))
+      .distinct()
+    val w = Window.partitionBy(groupCol).orderBy(col("h"))
+    hashes
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        sort_array(collect_list(when(col("rn") <= k, col("h"))))
+          .as("sketch"),
+        count(lit(1)).as("n_hashes"))
+  }
+
+  /** Set-operation estimates for every pair of group sketches: union
+    * cardinality from the merged bottom-k, Jaccard from the fraction of
+    * the merged bottom-k present in both sides, and intersection =
+    * (matches · union_est) div k [Beyer et al., SIGMOD'07]. All integer
+    * arithmetic over the k-sized arrays — the pair join carries 2k longs
+    * per row, never the underlying values. Exact (not estimated) when the
+    * merged distinct count is below k. */
+  def kmvSetOps(sketches: DataFrame, groupCol: String,
+                k: Int = 64): DataFrame = {
+    val a = sketches.select(col(groupCol).as("ga"), col("sketch").as("sa"))
+    val b = sketches.select(col(groupCol).as("gb"), col("sketch").as("sb"))
+    val merged = array_sort(array_union(col("sa"), col("sb")))
+    a.join(b, col("ga") < col("gb"))
+      .withColumn("m", slice(merged, 1, k))
+      .withColumn("m_full", size(merged) >= k)
+      .withColumn("union_est",
+        when(!col("m_full"), size(col("m")).cast("long"))
+          .otherwise(expr(s"${(k - 1) * HashSpace}L div element_at(m, $k)")))
+      .withColumn("matches",
+        size(array_intersect(col("m"),
+          array_intersect(col("sa"), col("sb")))).cast("long"))
+      .withColumn("intersect_est",
+        when(!col("m_full"), col("matches"))
+          .otherwise(expr(s"(matches * union_est) div $k")))
+      .select(col("ga"), col("gb"), col("union_est"),
+        col("matches"), col("intersect_est"))
+  }
+
+  /** DuckDB replay of [[kmvSketch]] + [[kmvSetOps]] over `table`. */
+  def kmvSetOpsOracleSql(table: String, groupCol: String, valueCol: String,
+                         k: Int = 64): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT $groupCol,
+       |    ('0x' || substr(md5($valueCol), 1, 12))::BIGINT AS h
+       |  FROM $table),
+       |r AS (
+       |  SELECT $groupCol, h,
+       |    row_number() OVER (PARTITION BY $groupCol ORDER BY h) AS rn
+       |  FROM h),
+       |sk AS (
+       |  SELECT $groupCol AS g,
+       |    list_sort(list(h) FILTER (WHERE rn <= $k)) AS sketch
+       |  FROM r GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.g AS ga, b.g AS gb,
+       |    list_sort(list_distinct(list_concat(a.sketch, b.sketch))) AS mg,
+       |    a.sketch AS sa, b.sketch AS sb
+       |  FROM sk a JOIN sk b ON a.g < b.g),
+       |est AS (
+       |  SELECT ga, gb, len(mg) >= $k AS m_full,
+       |    mg[1:$k] AS m, sa, sb
+       |  FROM pairs)
+       |SELECT ga, gb,
+       |  CASE WHEN NOT m_full THEN CAST(len(m) AS BIGINT)
+       |       ELSE ${(k - 1) * HashSpace} // m[$k] END AS union_est,
+       |  CAST(len(list_intersect(m, list_intersect(sa, sb))) AS BIGINT)
+       |    AS matches,
+       |  CASE WHEN NOT m_full
+       |       THEN CAST(len(list_intersect(m, list_intersect(sa, sb))) AS BIGINT)
+       |       ELSE (len(list_intersect(m, list_intersect(sa, sb)))
+       |             * (${(k - 1) * HashSpace} // m[$k])) // $k
+       |  END AS intersect_est
+       |FROM est""".stripMargin
+
   /** The DuckDB replay of [[kmvDistinct]] — same hash, same k, same
     * integer arithmetic, so the driver's oracle hash-matches exactly. */
   def kmvOracleSql(table: String, groupCol: String, valueCol: String,

@@ -328,6 +328,73 @@ object SilverOps {
       .toDF("ticker", "date", "close", "high", "low", "min_low", "max_high")
   }
 
+  /** Trailing-n rolling median per ticker (n odd ⇒ the exact middle order
+    * statistic — selection, not arithmetic, so any engine agrees
+    * bit-for-bit). Like the extrema: the median is not an invertible
+    * aggregate, so no running frame recovers it and a sliding frame
+    * re-sorts n rows per row; the dual-heap-with-lazy-deletion fold
+    * (lower max-heap / upper min-heap, stale entries pruned at the top)
+    * is O(rows·log n) — the textbook sliding-window-median structure,
+    * distributed here as the same one-ticker-shuffle compiled fold as
+    * [[ema]] and [[rollingExtrema]]. Strict min-periods: NULL until the
+    * window holds n rows. */
+  def rollingMedian(daily: DataFrame, n: Int,
+                    valueCol: String = "close"): DataFrame = {
+    require(n >= 1 && n % 2 == 1, s"window must be odd and >= 1, got $n")
+    val ss = daily.sparkSession
+    import ss.implicits._
+    daily
+      .select(col("ticker").cast("string"), col("date").cast("date"),
+        col(valueCol).cast("double"))
+      .as[(String, java.sql.Date, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
+        val s = it.toArray.sortBy(_._2.getTime)
+        import java.{util => ju}
+        val lo = new ju.PriorityQueue[java.lang.Double](ju.Collections.reverseOrder[java.lang.Double]())
+        val hi = new ju.PriorityQueue[java.lang.Double]()
+        val stale = new ju.HashMap[java.lang.Double, Integer]()
+        var loN = 0; var hiN = 0 // live (non-stale) element counts
+        // invariant: whenever loN/hiN > 0 the corresponding heap top is a
+        // LIVE element — every mutation that could leave a stale top
+        // prunes immediately, so membership tests against peek are sound
+        def prune(q: ju.PriorityQueue[java.lang.Double]): Unit = {
+          while (!q.isEmpty && stale.getOrDefault(q.peek, 0) > 0) {
+            stale.merge(q.peek, -1, (a, b) => a + b); q.poll()
+          }
+        }
+        def rebalance(): Unit = {
+          if (loN > hiN + 1) { // tops are live: poll moves a live element
+            hi.add(lo.poll()); loN -= 1; hiN += 1; prune(lo)
+          } else if (loN < hiN) {
+            lo.add(hi.poll()); hiN -= 1; loN += 1; prune(hi)
+          }
+        }
+        def insert(x: Double): Unit = {
+          if (loN == 0 || x <= lo.peek) { lo.add(x); loN += 1 }
+          else { hi.add(x); hiN += 1 }
+          rebalance()
+        }
+        def erase(x: Double): Unit = {
+          // x belongs to lo's live set iff x <= its live max; an equal
+          // value straddling both heaps cancels an interchangeable lo
+          // instance — order statistics don't distinguish equal elements
+          stale.merge(x, 1, (a, b) => a + b)
+          if (loN > 0 && x <= lo.peek) { loN -= 1; prune(lo) }
+          else { hiN -= 1; prune(hi) }
+          rebalance()
+        }
+        s.indices.iterator.map { j =>
+          insert(s(j)._3)
+          if (j >= n) erase(s(j - n)._3)
+          // n odd ⇒ lo holds the strict majority; its live top IS the median
+          val med = if (j >= n - 1) Some(lo.peek.doubleValue) else None
+          (t, s(j)._2, s(j)._3, med)
+        }
+      }
+      .toDF("ticker", "date", valueCol, s"median_$n")
+  }
+
   /** Stochastic oscillator %K/%D over the deque extrema:
     * `%K = 100·(close − minLow_n)/(maxHigh_n − minLow_n)`,
     * `%D = (K_t + K_{t−1} + K_{t−2})/3` (left-associated, so the oracle's

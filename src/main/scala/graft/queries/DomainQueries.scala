@@ -139,6 +139,11 @@ object DomainQueries {
     // On-balance volume — signed cumulative BIGINT, pure running frame.
     "q_obv" -> ((s, dir) => SilverOps.obv(Tables.bars(s, dir))),
 
+    // Rolling median(15) via the dual-heap fold; odd n makes the median an
+    // order statistic — selection, not arithmetic, exact cross-engine.
+    "q_rolling_median" -> ((s, dir) =>
+      SilverOps.rollingMedian(Tables.bars(s, dir), n = 15)),
+
     // Trailing-20 Pearson correlation (close vs volume) from integer
     // running co-moments — exact cents-scaled sums make cum − lag(cum, 20)
     // bit-identical cross-engine (see SilverOps.rollingCorr).
@@ -621,6 +626,14 @@ object DomainQueries {
         |    OVER (PARTITION BY ticker ORDER BY date ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS obv
         |FROM prevs""".stripMargin),
+
+    "q_rolling_median" -> withBars("",
+      """SELECT ticker, date, close,
+        |  CASE WHEN COUNT(*) OVER w15 = 15
+        |       THEN MEDIAN(close) OVER w15 END AS median_15
+        |FROM bars
+        |WINDOW w15 AS (PARTITION BY ticker ORDER BY date
+        |  ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""".stripMargin),
 
     // integer co-moment sums (HUGEINT-exact in DuckDB, DECIMAL(38,0) in
     // Spark) → identical doubles into the identical-association formula

@@ -497,6 +497,18 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("rn"))
     }),
 
+    // Mergeable KMV sketch algebra: per-lang bottom-k sketches over doc
+    // ids, then union/Jaccard/intersection estimates for every lang pair
+    // computed from the k-sized arrays ALONE (Beyer et al. SIGMOD'07) —
+    // the partial-aggregation property that lets sketches combine across
+    // partitions/days without rescanning data.
+    "q_kmv_setops" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id").cast("string").as("did"))
+      graft.functions.Sketches.kmvSetOps(
+        graft.functions.Sketches.kmvSketch(docs, "lang", "did"), "lang")
+    }),
+
     // Duffield-Lund-Thorup priority sampling: weighted top-k by w/u with
     // md5-derived u and the unbiased max(w, τ) estimator — the weighted
     // counterpart of q_sample_n's deterministic uniform sample.
@@ -1096,6 +1108,10 @@ object TextQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM r WHERE rn <= 25""".stripMargin,
+
+    "q_kmv_setops" -> graft.functions.Sketches.kmvSetOpsOracleSql(
+      "(SELECT lang, CAST(doc_id AS VARCHAR) AS did FROM documents)",
+      "lang", "did"),
 
     // u = (first 13 md5 hex chars + 1) / 2^52 — hex parse, +1, and the
     // power-of-two divide are exact, so priority = w/u is one shared IEEE

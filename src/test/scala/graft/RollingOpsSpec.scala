@@ -86,6 +86,30 @@ class RollingOpsSpec extends SparkSpecBase {
       d(2).toString -> 200L, d(3).toString -> -200L))
   }
 
+  test("dual-heap rolling median matches brute-force selection, " +
+    "duplicates included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // small value domain forces duplicates (the equal-value-straddling-
+    // both-heaps case) and repeated insert/erase of identical doubles
+    val raw = for (t <- Seq("A", "B"); i <- 0 until 80) yield
+      (t, d(i), rnd.nextInt(12).toDouble)
+    val n = 7
+    val got = SilverOps.rollingMedian(raw.toDF("ticker", "date", "close"), n)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    for ((t, grp) <- raw.groupBy(_._1)) {
+      val s = grp.sortBy(_._2.getTime)
+      for (j <- s.indices) {
+        val expect =
+          if (j < n - 1) None
+          else Some(s.slice(j - n + 1, j + 1).map(_._3).sorted.apply(n / 2))
+        assert(got((t, s(j)._2.toString)) === expect, s"$t ${s(j)._2}")
+      }
+    }
+  }
+
   test("rolling corr hits ±1 exactly on linear series and NULLs until full") {
     import spark.implicits._
     // volume exactly proportional to cents (slope +200 / −200 around a
