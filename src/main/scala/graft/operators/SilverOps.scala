@@ -271,6 +271,61 @@ object SilverOps {
       .toDF("ticker", "date", valueCol, "rsi_wilder")
   }
 
+  /** Kaufman Adaptive Moving Average — the fourth member of the recursive
+    * fold family ([[ema]]/[[macd]]/[[wilderRsi]]): the smoothing constant
+    * itself adapts per step, `sc_t = (er_t·(fast−slow) + slow)²` with
+    * efficiency ratio `er_t = |c_t − c_{t−n}| / Σ|c_i − c_{i−1}|`, then
+    * `kama_t = kama_{t−1} + sc_t·(c_t − kama_{t−1})`.
+    *
+    * Cross-engine exactness: the ER numerator/denominator are CENTS-scaled
+    * integers (close is exact 2-decimal), so the trailing-n volatility sum
+    * is order-independent and the ER division is one shared IEEE op; the
+    * default smoothing constants are the binary-exact variant fast = 5/8,
+    * slow = 1/16 (fast − slow = 0.5625 exact — the classic 2/3 and 2/31
+    * are not exactly representable and would put a SQL oracle one ulp
+    * adrift per step, the Wilder-16 argument). Seeded `kama_n = c_n`
+    * (0-based index n−1), NULL before the ER window fills. */
+  def kama(daily: DataFrame, n: Int = 10, fastSC: Double = 0.625,
+           slowSC: Double = 0.0625, valueCol: String = "close"): DataFrame = {
+    require(n >= 1, s"ER window must be >= 1, got $n")
+    val ss = daily.sparkSession
+    import ss.implicits._
+    val diff = fastSC - slowSC
+    daily
+      .select(col("ticker").cast("string"), col("date").cast("date"),
+        col(valueCol).cast("double"))
+      .as[(String, java.sql.Date, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
+        val s = it.toArray.sortBy(_._2.getTime)
+        val cents = s.map(x => math.round(x._3 * 100))
+        val deltas = new Array[Long](s.length) // |Δcents|, deltas(0) unused
+        var i = 1
+        while (i < s.length) {
+          deltas(i) = math.abs(cents(i) - cents(i - 1)); i += 1
+        }
+        var vol = 0L
+        var prevK = 0.0
+        s.indices.iterator.map { j =>
+          if (j >= 1) vol += deltas(j)
+          if (j >= n + 1) vol -= deltas(j - n) // trailing n deltas
+          val k: Option[Double] =
+            if (j < n - 1) None
+            else if (j == n - 1) { prevK = s(j)._3; Some(prevK) }
+            else {
+              val change = math.abs(cents(j) - cents(j - n))
+              val er = if (vol == 0L) 0.0 else change.toDouble / vol.toDouble
+              val scRoot = er * diff + slowSC
+              val sc = scRoot * scRoot
+              prevK = prevK + sc * (s(j)._3 - prevK)
+              Some(prevK)
+            }
+          (t, s(j)._2, s(j)._3, k)
+        }
+      }
+      .toDF("ticker", "date", valueCol, "kama")
+  }
+
   /** Trailing-n rolling extrema (max of `high`, min of `low`) per ticker —
     * the third case of the window discipline. The W-family's running-sum
     * doctrine (trailing sum = cum − lag(cum, n)) requires an *invertible*

@@ -116,6 +116,12 @@ object DomainQueries {
       SilverOps.wilderRsi(Tables.bars(s, dir))
         .withColumn("rsi_wilder", round(col("rsi_wilder"), 6))),
 
+    // Kaufman adaptive MA — the adaptive-α member of the fold family;
+    // integer-cents efficiency ratio, binary-exact 5/8 / 1/16 constants.
+    "q_kama" -> ((s, dir) =>
+      SilverOps.kama(Tables.bars(s, dir))
+        .withColumn("kama", round(col("kama"), 6))),
+
     // W4 — volume MA(20) with floor cast + volume ratio.
     "q_volratio" -> ((s, dir) =>
       SilverOps.indicators(Tables.bars(s, dir))
@@ -534,6 +540,36 @@ object DomainQueries {
         |SELECT ticker, date, close, ROUND(macd, 6) AS macd,
         |  ROUND(sig, 6) AS signal, ROUND(macd - sig, 6) AS histogram
         |FROM r""".stripMargin),
+
+    // KAMA recursion: integer-cents deltas make the trailing volatility
+    // sum exact; the frontier carries kama; same constants and IEEE order
+    // as the fold (scr² written as scr*scr — POWER may not be a plain
+    // product in every engine)
+    "q_kama" -> (Tables.barsSql.replace("WITH bars", "WITH RECURSIVE bars") +
+      """,
+        |o0 AS (SELECT ticker, date, close,
+        |         CAST(ROUND(close * 100) AS BIGINT) AS cents,
+        |         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+        |       FROM bars),
+        |od AS (SELECT ticker, date, close, cents, rn,
+        |         ABS(cents - LAG(cents, 1) OVER wt) AS delta,
+        |         ABS(cents - LAG(cents, 10) OVER wt) AS chg
+        |       FROM o0 WINDOW wt AS (PARTITION BY ticker ORDER BY date)),
+        |ov AS (SELECT *, SUM(delta) OVER (PARTITION BY ticker ORDER BY date
+        |         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vol
+        |       FROM od),
+        |r AS (
+        |  SELECT ticker, date, close, rn, CAST(close AS DOUBLE) AS kama
+        |  FROM ov WHERE rn = 10
+        |  UNION ALL
+        |  SELECT o.ticker, o.date, o.close, o.rn,
+        |    r.kama + scr * scr * (o.close - r.kama)
+        |  FROM ov o JOIN r ON o.ticker = r.ticker AND o.rn = r.rn + 1,
+        |  LATERAL (SELECT (CASE WHEN o.vol = 0 THEN 0.0
+        |                        ELSE CAST(o.chg AS DOUBLE) / CAST(o.vol AS DOUBLE)
+        |                   END) * 0.5625 + 0.0625 AS scr) c)
+        |SELECT o0.ticker, o0.date, o0.close, ROUND(r.kama, 6) AS kama
+        |FROM o0 LEFT JOIN r ON o0.ticker = r.ticker AND o0.rn = r.rn""".stripMargin),
 
     // Wilder RSI recursion: the frontier carries prev close + both
     // smoothed averages; same α literals and IEEE order as the fold

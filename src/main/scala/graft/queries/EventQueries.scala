@@ -172,6 +172,22 @@ object EventQueries {
     // one BIGINT/BIGINT double division, so no rounding is needed. Scale:
     // one user shuffle for the lag, one (prev, next) aggregation; the
     // per-source totals re-aggregate the tiny transition matrix itself.
+    // Path mining: the 20 most common 3-step event-type sequences —
+    // the trigram big sibling of q_markov's pair transitions. One user
+    // shuffle for the lags, one path aggregation, TakeOrdered top-k.
+    "q_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("p1", lag(col("event_type"), 2).over(w))
+        .withColumn("p2", lag(col("event_type"), 1).over(w))
+        .filter(col("p1").isNotNull)
+        .select(concat_ws(">", col("p1"), col("p2"), col("event_type"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
     "q_markov" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val pairs = Tables.events(s, dir)
@@ -187,6 +203,16 @@ object EventQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_event_paths" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    LAG(event_type, 2) OVER w AS p1,
+        |    LAG(event_type, 1) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p1 || '>' || p2 || '>' || event_type AS path, COUNT(*) AS n
+        |FROM seq WHERE p1 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "q_markov" ->
       """WITH seq AS (
         |  SELECT event_type,

@@ -681,6 +681,28 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(D2)).cast(D4).cast("double").as("mass"))),
 
+    // Benford first-significant-digit audit: leading digit taken from the
+    // CENTS integer's string form (double→string formatting differs
+    // across engines; integer→string doesn't, and shifting the decimal
+    // point never changes the leading digit). Expected mass
+    // ln(1+1/d)/ln(10); observed freq is an exact integer division.
+    // One map-combined 9-group aggregation — the classic forensic
+    // anomaly screen over any monetary column.
+    "q_benford" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val digit = substring(
+        round(col("l_extendedprice") * 100).cast("long").cast("string"), 1, 1)
+      li.select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("total"))))
+        .withColumn("freq", col("n").cast("double") / col("total").cast("double"))
+        .withColumn("benford_p",
+          log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+        .select(col("digit"), col("n"), col("freq"),
+          round(col("benford_p"), 6).as("benford_p"),
+          round(col("freq") - col("benford_p"), 6).as("dev"))
+    }),
+
     // column profiling: null-rate / distinct-count / lexical min-max per
     // column in ONE pass over the table (every aggregate pair lives in the
     // same projection — not a scan per column), stacked to a row per
@@ -1230,6 +1252,19 @@ object ExtendedQueries {
       """SELECT CAST(FLOOR(o_totalprice / 25000) AS INT) AS bin, COUNT(*) AS n,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS mass
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS digit
+        |  FROM lineitem),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS total FROM d)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS freq,
+        |  ROUND(LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0), 6) AS benford_p,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+        |    - LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(10.0), 6) AS dev
+        |FROM g, t""".stripMargin,
     "q_outliers" -> (Tables.barsSql +
       """,
         |c AS (SELECT ticker, date, close,

@@ -100,4 +100,40 @@ class RelationalQueriesSpec extends SparkSpecBase {
     val v = m3("2024-01-04").get
     assert(v > 0 && v < 100)
   }
+
+  test("KAMA fold matches an independent scalar replica (adaptive alpha)") {
+    import java.sql.Date
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    var px = 100.0
+    val closes = (0 until 40).map { _ =>
+      px = math.max(1.0, px + (rnd.nextInt(400) - 195) / 100.0); px
+    }
+    val bars = closes.zipWithIndex.map { case (c, i) =>
+      ("A", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)), c)
+    }.toDF("ticker", "date", "close")
+    val n = 10
+    // replica: cents ER, sc = (er*0.5625 + 0.0625)^2, kama recursion
+    val cents = closes.map(c => math.round(c * 100))
+    val expect = Array.fill[Option[Double]](closes.size)(None)
+    var k = 0.0
+    for (j <- closes.indices) {
+      if (j == n - 1) { k = closes(j); expect(j) = Some(k) }
+      else if (j >= n) {
+        val vol = (j - n + 1 to j).map(i => math.abs(cents(i) - cents(i - 1))).sum
+        val chg = math.abs(cents(j) - cents(j - n))
+        val er = if (vol == 0L) 0.0 else chg.toDouble / vol.toDouble
+        val scr = er * 0.5625 + 0.0625
+        k = k + (scr * scr) * (closes(j) - k)
+        expect(j) = Some(k)
+      }
+    }
+    val got = graft.operators.SilverOps.kama(bars, n).collect()
+      .map(r => r.getDate(1).toString ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    for (j <- closes.indices) {
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(j.toLong).toString
+      assert(got(d) === expect(j), s"day $d")
+    }
+  }
 }
