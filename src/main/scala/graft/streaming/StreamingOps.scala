@@ -514,6 +514,51 @@ object StreamingOps {
       }
   }
 
+  case class Ohlc(ticker: String, date: java.sql.Date, close: Double,
+                  high: Double, low: Double)
+  case class ExtremaState(lastDate: java.sql.Date,
+                          highs: List[Double], lows: List[Double])
+  case class ExtremaPoint(ticker: String, date: java.sql.Date, close: Double,
+                          min_low: Option[Double], max_high: Option[Double])
+
+  /** Streaming twin of [[graft.operators.SilverOps.rollingExtrema]]:
+    * trailing-n min/max as per-ticker streaming state. Unlike the EMA's
+    * two-scalar state, rolling extrema need the last n raw values — the
+    * state is the n-bounded tail of (high, low) ring buffers, appended per
+    * bar and truncated to n, so the state store holds ≤ 2n doubles per
+    * ticker no matter how long the stream runs (the boundedness that makes
+    * this viable on an unbounded feed). Emission matches the batch fold's
+    * strict min-periods exactly; late bars (≤ stored lastDate) are dropped,
+    * the same discipline as [[emaStream]]. StreamingSpec asserts the
+    * replayed feed equals the batch fold bit-for-bit. */
+  def extremaStream(bars: Dataset[Ohlc], n: Int): Dataset[ExtremaPoint] = {
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.ticker)
+      .flatMapGroupsWithState[ExtremaState, ExtremaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ticker: String, it: Iterator[Ohlc], state: GroupState[ExtremaState]) =>
+          val sorted = it.toSeq.sortBy(_.date.getTime)
+          var cur = state.getOption.getOrElse(ExtremaState(null, Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ExtremaPoint]
+          sorted.foreach { b =>
+            val fresh = cur.lastDate == null ||
+              b.date.getTime > cur.lastDate.getTime
+            if (fresh) {
+              val highs = (cur.highs :+ b.high).takeRight(n)
+              val lows = (cur.lows :+ b.low).takeRight(n)
+              val full = highs.size == n
+              out += ExtremaPoint(ticker, b.date, b.close,
+                if (full) Some(lows.min) else None,
+                if (full) Some(highs.max) else None)
+              cur = ExtremaState(b.date, highs, lows)
+            }
+          }
+          if (cur.lastDate != null) state.update(cur)
+          out.iterator
+      }
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)

@@ -91,6 +91,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch) // exact double equality, not approximate
   }
 
+  test("streaming rolling extrema replay the batch deque fold bit-for-bit") {
+    import spark.implicits._
+    val n = 14
+    val bars = Tables.bars(spark, sf)
+      .filter(col("ticker").isin("T4", "T5"))
+      .select(col("ticker"), col("date"), col("close").cast("double"),
+        col("high").cast("double"), col("low").cast("double"))
+    // three date-ordered chunks → the n-bounded state must carry the
+    // trailing window across micro-batch boundaries
+    val rows = bars.orderBy(col("date"), col("ticker")).collect()
+    val dir = Files.createTempDirectory("graft_ohlc_feed").toString
+    rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { chunk =>
+      spark.createDataFrame(
+        java.util.Arrays.asList(chunk.toIndexedSeq: _*), bars.schema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream.schema(bars.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[StreamingOps.Ohlc]
+    val q = StreamingOps.extremaStream(stream, n)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("extrema_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("extrema_out")
+      .select("ticker", "date", "min_low", "max_high")
+      .collect().map(_.toString).toSet
+    val batch = graft.operators.SilverOps.rollingExtrema(bars, n)
+      .select("ticker", "date", "min_low", "max_high")
+      .collect().map(_.toString).toSet
+    assert(streamed === batch)
+  }
+
   test("stream declares before the feed is seeded (empty-dir schema fallback)") {
     // sink-before-producer startup order: declaring the stream over an
     // empty feed directory must not throw at declaration time; rows fed
