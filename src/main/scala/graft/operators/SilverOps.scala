@@ -450,6 +450,84 @@ object SilverOps {
       .toDF("ticker", "date", valueCol, s"median_$n")
   }
 
+  /** Trailing extrema for the Ichimoku windows in ONE per-ticker pass:
+    * three (max, min) deque pairs advance together over the sorted bars —
+    * not three [[rollingExtrema]] calls stitched with (ticker, date)
+    * joins, which would shuffle the bars three times for the same answer
+    * (the [[macd]] single-fold argument). */
+  private[operators] def ichimokuExtrema(daily: DataFrame, t: Int, k: Int,
+                                         s2: Int): DataFrame = {
+    val ss = daily.sparkSession
+    import ss.implicits._
+    val ns = Array(t, k, s2)
+    daily
+      .select(col("ticker").cast("string"), col("date").cast("date"),
+        col("close").cast("double"), col("high").cast("double"),
+        col("low").cast("double"))
+      .as[(String, java.sql.Date, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (tk: String,
+                        it: Iterator[(String, java.sql.Date, Double, Double, Double)]) =>
+        val s = it.toArray.sortBy(_._2.getTime)
+        val m = s.length
+        import java.{util => ju}
+        val dqMax = Array.fill(3)(new ju.ArrayDeque[Int]())
+        val dqMin = Array.fill(3)(new ju.ArrayDeque[Int]())
+        val mins = Array.ofDim[Double](3, m)
+        val maxs = Array.ofDim[Double](3, m)
+        var i = 0
+        while (i < m) {
+          var w = 0
+          while (w < 3) {
+            val n = ns(w)
+            if (!dqMax(w).isEmpty && dqMax(w).peekFirst <= i - n) dqMax(w).pollFirst()
+            if (!dqMin(w).isEmpty && dqMin(w).peekFirst <= i - n) dqMin(w).pollFirst()
+            while (!dqMax(w).isEmpty && s(dqMax(w).peekLast)._4 <= s(i)._4)
+              dqMax(w).pollLast()
+            while (!dqMin(w).isEmpty && s(dqMin(w).peekLast)._5 >= s(i)._5)
+              dqMin(w).pollLast()
+            dqMax(w).addLast(i); dqMin(w).addLast(i)
+            maxs(w)(i) = s(dqMax(w).peekFirst)._4
+            mins(w)(i) = s(dqMin(w).peekFirst)._5
+            w += 1
+          }
+          i += 1
+        }
+        def at(w: Int, j: Int): (Option[Double], Option[Double]) =
+          if (j >= ns(w) - 1) (Some(mins(w)(j)), Some(maxs(w)(j))) else (None, None)
+        (0 until m).iterator.map { j =>
+          val ((n0, x0), (n1, x1), (n2, x2)) = (at(0, j), at(1, j), at(2, j))
+          (tk, s(j)._2, s(j)._3, n0, x0, n1, x1, n2, x2)
+        }
+      }
+      .toDF("ticker", "date", "close", "mn_t", "mx_t", "mn_k", "mx_k",
+        "mn_s", "mx_s")
+  }
+
+  /** Ichimoku cloud: conversion/base lines are window midpoints
+    * `(max_high_n + min_low_n)/2`, the two senkou spans are midpoints
+    * displaced `disp` bars back onto the current row (lag — the chart's
+    * forward plot, expressed as data), chikou is close displaced forward
+    * (lead). One fold + one lag/lead window over the same ticker
+    * partitioning — offset functions are O(1)/row, so the whole indicator
+    * is two passes regardless of the three window lengths. Midpoints are
+    * single IEEE adds/halvings of exact values — no rounding needed for
+    * cross-engine equality. */
+  def ichimoku(daily: DataFrame, t: Int = 9, k: Int = 26, s2: Int = 52,
+               disp: Int = 26): DataFrame = {
+    val w = F.tickerWindow()
+    ichimokuExtrema(daily, t, k, s2)
+      .withColumn("tenkan", (col("mx_t") + col("mn_t")) / 2.0)
+      .withColumn("kijun", (col("mx_k") + col("mn_k")) / 2.0)
+      .withColumn("senkou_a",
+        lag((col("tenkan") + col("kijun")) / 2.0, disp).over(w))
+      .withColumn("senkou_b",
+        lag((col("mx_s") + col("mn_s")) / 2.0, disp).over(w))
+      .withColumn("chikou", lead(col("close"), disp).over(w))
+      .select("ticker", "date", "close", "tenkan", "kijun", "senkou_a",
+        "senkou_b", "chikou")
+  }
+
   /** Stochastic oscillator %K/%D over the deque extrema:
     * `%K = 100·(close − minLow_n)/(maxHigh_n − minLow_n)`,
     * `%D = (K_t + K_{t−1} + K_{t−2})/3` (left-associated, so the oracle's

@@ -145,6 +145,10 @@ object DomainQueries {
     // On-balance volume — signed cumulative BIGINT, pure running frame.
     "q_obv" -> ((s, dir) => SilverOps.obv(Tables.bars(s, dir))),
 
+    // Ichimoku cloud — three deque windows in one fold + O(1) lag/lead
+    // displacement; midpoints exact, no rounding.
+    "q_ichimoku" -> ((s, dir) => SilverOps.ichimoku(Tables.bars(s, dir))),
+
     // Rolling median(15) via the dual-heap fold; odd n makes the median an
     // order statistic — selection, not arithmetic, exact cross-engine.
     "q_rolling_median" -> ((s, dir) =>
@@ -662,6 +666,26 @@ object DomainQueries {
         |    OVER (PARTITION BY ticker ORDER BY date ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS obv
         |FROM prevs""".stripMargin),
+
+    "q_ichimoku" -> withBars(
+      """ext AS (
+        |  SELECT ticker, date, close,
+        |    CASE WHEN COUNT(*) OVER w9 = 9
+        |         THEN (MAX(high) OVER w9 + MIN(low) OVER w9) / 2.0 END AS tenkan,
+        |    CASE WHEN COUNT(*) OVER w26 = 26
+        |         THEN (MAX(high) OVER w26 + MIN(low) OVER w26) / 2.0 END AS kijun,
+        |    CASE WHEN COUNT(*) OVER w52 = 52
+        |         THEN (MAX(high) OVER w52 + MIN(low) OVER w52) / 2.0 END AS sb0
+        |  FROM bars
+        |  WINDOW
+        |    w9  AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |    w26 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+        |    w52 AS (PARTITION BY ticker ORDER BY date ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))""".stripMargin,
+      """SELECT ticker, date, close, tenkan, kijun,
+        |  LAG((tenkan + kijun) / 2.0, 26) OVER wt AS senkou_a,
+        |  LAG(sb0, 26) OVER wt AS senkou_b,
+        |  LEAD(close, 26) OVER wt AS chikou
+        |FROM ext WINDOW wt AS (PARTITION BY ticker ORDER BY date)""".stripMargin),
 
     "q_rolling_median" -> withBars("",
       """SELECT ticker, date, close,

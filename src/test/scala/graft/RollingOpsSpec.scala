@@ -86,6 +86,37 @@ class RollingOpsSpec extends SparkSpecBase {
       d(2).toString -> 200L, d(3).toString -> -200L))
   }
 
+  test("ichimoku single fold equals the three-fold composition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val raw = for (t <- Seq("A", "B"); i <- 0 until 70) yield {
+      val base = rnd.nextInt(10000) / 100.0
+      val sp = rnd.nextInt(300) / 100.0
+      (t, d(i), base, base + sp, base - sp)
+    }
+    val bars = raw.toDF("ticker", "date", "close", "high", "low")
+    val (t9, k26, s52, disp) = (9, 26, 52, 13) // disp < rows so lags land
+    val got = SilverOps.ichimoku(bars, t9, k26, s52, disp)
+    // composition: three independent single-window folds joined back
+    def mid(n: Int, name: String) =
+      SilverOps.rollingExtrema(bars, n).select(col("ticker"), col("date"),
+        ((col("max_high") + col("min_low")) / 2.0).as(name))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ticker").orderBy("date")
+    val expect = mid(t9, "tenkan")
+      .join(mid(k26, "kijun"), Seq("ticker", "date"))
+      .join(mid(s52, "sb0"), Seq("ticker", "date"))
+      .join(bars.select("ticker", "date", "close"), Seq("ticker", "date"))
+      .withColumn("senkou_a",
+        lag((col("tenkan") + col("kijun")) / 2.0, disp).over(w))
+      .withColumn("senkou_b", lag(col("sb0"), disp).over(w))
+      .withColumn("chikou", lead(col("close"), disp).over(w))
+      .select("ticker", "date", "close", "tenkan", "kijun", "senkou_a",
+        "senkou_b", "chikou")
+    assert(got.collect().map(_.toString).toSet ===
+      expect.collect().map(_.toString).toSet)
+  }
+
   test("dual-heap rolling median matches brute-force selection, " +
     "duplicates included") {
     import spark.implicits._
