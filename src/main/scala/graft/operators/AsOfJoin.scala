@@ -118,6 +118,53 @@ object AsOfJoin {
       rightValues :+ rTime, outAttrs, forward))
   }
 
+  /** Nearest as-of join: for each left row, the right row minimizing
+    * |left-time − right-time| (Polars `join_asof(strategy="nearest")`),
+    * ties broken backward. BOTH directional carries run over ONE union and
+    * one key exchange — the ascending and descending windows share the
+    * hash partitioning, so Spark plans a single Exchange with two Sorts,
+    * not two joins stitched together. The winner is chosen per row by
+    * comparing epoch distances (dates carry no sub-day component, so any
+    * engine's unit agrees on the comparison). Adds `matched_dir`
+    * ('backward'/'forward'/NULL alongside `matched_time`). */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: Seq[String],
+                  leftTime: String, rightTime: String,
+                  valueCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+    val rightTagged = right
+      .select((key.map(col) :+ col(rightTime).as("_t")) ++ valueCols.map(col): _*)
+      .withColumn("_side", lit(0))
+      .withColumn("_rt", col("_t"))
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val wB = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("_t").asc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("_t").desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (valueCols :+ "_rt").foldLeft(unioned)((acc, c) =>
+      acc.withColumn(s"_b_$c", last(col(c), ignoreNulls = true).over(wB))
+        .withColumn(s"_f_$c", last(col(c), ignoreNulls = true).over(wF)))
+    val eb = col("_b__rt").cast("timestamp").cast("long")
+    val ef = col("_f__rt").cast("timestamp").cast("long")
+    val et = col("_t").cast("timestamp").cast("long")
+    val takeB = col("_b__rt").isNotNull &&
+      (col("_f__rt").isNull || (et - eb) <= (ef - et))
+    val chosen = valueCols.foldLeft(carried)((acc, c) =>
+      acc.withColumn(c, when(takeB, col(s"_b_$c")).otherwise(col(s"_f_$c"))))
+      .withColumn("matched_time",
+        when(takeB, col("_b__rt")).otherwise(col("_f__rt")))
+      .withColumn("matched_dir",
+        when(takeB, lit("backward"))
+          .when(col("_f__rt").isNotNull, lit("forward")))
+    chosen
+      .filter(col("_side") === 1)
+      .drop((valueCols.map("_b_" + _) ++ valueCols.map("_f_" + _) ++
+        Seq("_b__rt", "_f__rt", "_rt", "_t", "_side")): _*)
+  }
+
   /** As-of with a tolerance: matches older than `tolerance` (in days, for
     * date keys) are nulled out — Polars `join_asof(tolerance=...)`. */
   def asOfWithTolerance(left: DataFrame, right: DataFrame, key: Seq[String],

@@ -154,6 +154,23 @@ object DomainQueries {
     "q_rolling_median" -> ((s, dir) =>
       SilverOps.rollingMedian(Tables.bars(s, dir), n = 15)),
 
+    // Return series: simple/log daily returns + cumulative growth from
+    // the series start — lag + one running-frame first_value, exact
+    // divisions (log return rounded, the one transcendental).
+    "q_returns" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("ticker").orderBy("date")
+      val run = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.bars(s, dir).select(col("ticker"), col("date"), col("close"))
+        .withColumn("prev", lag(col("close"), 1).over(w))
+        .withColumn("pct_return", col("close") / col("prev") - 1.0)
+        .withColumn("log_return", round(log(col("close") / col("prev")), 6))
+        .withColumn("cum_growth", col("close") / first(col("close")).over(run))
+        .drop("prev")
+    }),
+
     // Trailing-20 Pearson correlation (close vs volume) from integer
     // running co-moments — exact cents-scaled sums make cum − lag(cum, 20)
     // bit-identical cross-engine (see SilverOps.rollingCorr).
@@ -241,6 +258,17 @@ object DomainQueries {
         .select(col("ticker"), col("date"), col("close"),
           col("split_from"), col("split_to"),
           col("matched_time").as("next_exec_date"))),
+
+    // Nearest as-of: both directional carries over ONE exchange, winner
+    // by time distance, ties backward.
+    "q_asof_nearest" -> ((s, dir) =>
+      graft.operators.AsOfJoin.asOfNearest(
+        Tables.bars(s, dir).select("ticker", "date", "close"),
+        syntheticSplits(s), Seq("ticker"),
+        "date", "execution_date", Seq("split_from", "split_to"))
+        .select(col("ticker"), col("date"), col("close"),
+          col("split_from"), col("split_to"),
+          col("matched_time").as("nearest_exec_date"), col("matched_dir"))),
 
     // Falling-down-stairs + best-per-ticker ranking.
     "q_falling_best" -> ((s, dir) =>
@@ -495,6 +523,31 @@ object DomainQueries {
         |FROM bars b ASOF LEFT JOIN splits s
         |  ON b.ticker = s.ticker AND b.date >= s.execution_date""".stripMargin),
 
+    "q_asof_nearest" -> withBars(
+      s"""$splitsSql,
+         |bk AS (
+         |  SELECT b.ticker, b.date, b.close, s.split_from AS bf,
+         |         s.split_to AS bt, s.execution_date AS bd
+         |  FROM bars b ASOF LEFT JOIN splits s
+         |    ON b.ticker = s.ticker AND b.date >= s.execution_date),
+         |fw AS (
+         |  SELECT b.ticker, b.date, s.split_from AS ff, s.split_to AS ft,
+         |         s.execution_date AS fd
+         |  FROM (SELECT *, -(date - DATE '1970-01-01') AS nd FROM bars) b
+         |  ASOF LEFT JOIN
+         |       (SELECT *, -(execution_date - DATE '1970-01-01') AS nd
+         |        FROM splits) s
+         |    ON b.ticker = s.ticker AND b.nd >= s.nd)""".stripMargin,
+      """SELECT k.ticker, k.date, k.close,
+        |  CASE WHEN takeb THEN k.bf ELSE f.ff END AS split_from,
+        |  CASE WHEN takeb THEN k.bt ELSE f.ft END AS split_to,
+        |  CASE WHEN takeb THEN k.bd ELSE f.fd END AS nearest_exec_date,
+        |  CASE WHEN takeb THEN 'backward'
+        |       WHEN f.fd IS NOT NULL THEN 'forward' END AS matched_dir
+        |FROM bk k JOIN fw f ON k.ticker = f.ticker AND k.date = f.date,
+        |LATERAL (SELECT k.bd IS NOT NULL AND (f.fd IS NULL
+        |           OR (k.date - k.bd) <= (f.fd - k.date)) AS takeb) c""".stripMargin),
+
     "q_asof_forward" -> withBars(splitsSql,
       """SELECT b.ticker, b.date, b.close, s.split_from, s.split_to,
         |  s.execution_date AS next_exec_date
@@ -686,6 +739,14 @@ object DomainQueries {
         |  LAG(sb0, 26) OVER wt AS senkou_b,
         |  LEAD(close, 26) OVER wt AS chikou
         |FROM ext WINDOW wt AS (PARTITION BY ticker ORDER BY date)""".stripMargin),
+
+    "q_returns" -> withBars("",
+      """SELECT ticker, date, close,
+        |  close / LAG(close, 1) OVER wt - 1.0 AS pct_return,
+        |  ROUND(LN(close / LAG(close, 1) OVER wt), 6) AS log_return,
+        |  close / FIRST_VALUE(close) OVER (PARTITION BY ticker ORDER BY date
+        |    ROWS UNBOUNDED PRECEDING) AS cum_growth
+        |FROM bars WINDOW wt AS (PARTITION BY ticker ORDER BY date)""".stripMargin),
 
     "q_rolling_median" -> withBars("",
       """SELECT ticker, date, close,

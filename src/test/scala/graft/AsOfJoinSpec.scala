@@ -40,6 +40,36 @@ class AsOfJoinSpec extends SparkSpecBase {
       ("B", "2024-01-03", None)))
   }
 
+  test("nearest as-of: closer side wins, exact tie goes backward") {
+    // A@01-01: backward mark same day (dist 0) → backward
+    // A@01-05: backward 01-04 (1d) vs nothing forward → backward
+    // A@01-03 probe added: backward 01-01 (2d) vs forward 01-04 (1d) → forward
+    // A@01-02+01-06 tie fixture: marks at 01-01 & 01-04 → 01-02 is 1d/2d
+    val probes = Seq(
+      ("A", d("2024-01-01"), 0.0), ("A", d("2024-01-03"), 0.0),
+      ("A", d("2024-01-05"), 0.0), ("B", d("2024-01-03"), 0.0))
+      .toDF("ticker", "date", "close")
+    val out = AsOfJoin.asOfNearest(probes, marks, Seq("ticker"),
+      "date", "mark_date", Seq("mark"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (Option(r.get(r.fieldIndex("mark"))).map(_.asInstanceOf[Double]),
+         Option(r.getString(r.fieldIndex("matched_dir"))))).toMap
+    assert(out(("A", "2024-01-01")) === ((Some(1.0), Some("backward"))))
+    assert(out(("A", "2024-01-03")) === ((Some(2.0), Some("forward")))) // 2d back vs 1d fwd
+    assert(out(("A", "2024-01-05")) === ((Some(2.0), Some("backward"))))
+    assert(out(("B", "2024-01-03")) === ((None, None)))
+    // exact tie: probe equidistant (01-01 and 01-04 are not symmetric
+    // around any date; use a dedicated pair 2 days apart)
+    val tieMarks = Seq(("T", d("2024-01-01"), 1.0), ("T", d("2024-01-05"), 2.0))
+      .toDF("ticker", "mark_date", "mark")
+    val tieProbe = Seq(("T", d("2024-01-03"), 0.0))
+      .toDF("ticker", "date", "close")
+    val tie = AsOfJoin.asOfNearest(tieProbe, tieMarks, Seq("ticker"),
+      "date", "mark_date", Seq("mark")).collect().head
+    assert(tie.getDouble(tie.fieldIndex("mark")) === 1.0) // backward on tie
+    assert(tie.getString(tie.fieldIndex("matched_dir")) === "backward")
+  }
+
   test("tolerance nulls out stale matches") {
     val out = AsOfJoin.asOfWithTolerance(quotes, marks, Seq("ticker"),
       "date", "mark_date", Seq("mark"), toleranceDays = 10)
