@@ -158,6 +158,67 @@ object Sketches {
        |  END AS intersect_est
        |FROM est""".stripMargin
 
+  /** Count-min sketch [Cormode & Muthukrishnan 2005]: `d` md5-derived hash
+    * rows × `w` buckets of exact long counters. Like [[kmvDistinct]], the
+    * whole structure is deterministic (seeded string hashes, integer
+    * counters), so a SQL oracle replays the ESTIMATES bit-for-bit — the
+    * property Spark's own CountMinSketch agg can't offer cross-engine.
+    *
+    * Scale shape: the counter build explodes d rows per input row but the
+    * map-side partial agg collapses them to ≤ d·w rows per partition
+    * before the (single) exchange; the finished sketch is d·w longs —
+    * broadcastable, mergeable by simple counter addition, the standard
+    * one-pass heavy-hitter structure for streams. Estimation joins the
+    * broadcast sketch — no second shuffle of the corpus.
+    */
+  def cmsHash(c: Column, j: Int, w: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cms$j:"), c.cast("string"))), 1, 12),
+      16, 10).cast("long"), lit(w.toLong))
+
+  /** The (j, bucket, cnt) counter table — the sketch itself. */
+  def cmsCounters(df: DataFrame, valueCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    val buckets = (0 until d).map(j =>
+      struct(lit(j).as("j"), cmsHash(col(valueCol), j, w).as("bucket")))
+    df.select(explode(array(buckets: _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-distinct-item CMS frequency estimate: min over the d counters the
+    * item hashes into. est_cnt >= true count always (one-sided error). */
+  def cmsEstimates(df: DataFrame, valueCol: String, d: Int, w: Int): DataFrame = {
+    val counters = cmsCounters(df, valueCol, d, w)
+    val probes = df.select(col(valueCol).cast("string").as("item")).distinct()
+      .select(col("item"), explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"), cmsHash(col("item"), j, w).as("bucket"))): _*))
+        .as("jb"))
+      .select(col("item"), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    probes.join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy("item").agg(min(col("cnt")).as("est_cnt"))
+  }
+
+  /** DuckDB replay of [[cmsEstimates]] joined with exact counts. */
+  def cmsOracleSql(table: String, valueCol: String, d: Int, w: Int): String = {
+    val js = (0 until d).mkString(", ")
+    s"""WITH it AS (SELECT CAST($valueCol AS VARCHAR) AS item FROM $table),
+       |js AS (SELECT UNNEST([$js]) AS j),
+       |h AS (
+       |  SELECT item, j,
+       |    ('0x' || substr(md5('cms' || j || ':' || item), 1, 12))::BIGINT
+       |      % $w AS bucket
+       |  FROM it, js),
+       |counters AS (SELECT j, bucket, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT DISTINCT item, j, bucket FROM h),
+       |est AS (
+       |  SELECT item, MIN(cnt) AS est_cnt
+       |  FROM probes JOIN counters USING (j, bucket) GROUP BY 1),
+       |exact AS (SELECT item, COUNT(*) AS exact_cnt FROM it GROUP BY 1)
+       |SELECT item, exact_cnt, est_cnt
+       |FROM exact JOIN est USING (item)""".stripMargin
+  }
+
   /** The DuckDB replay of [[kmvDistinct]] — same hash, same k, same
     * integer arithmetic, so the driver's oracle hash-matches exactly. */
   def kmvOracleSql(table: String, groupCol: String, valueCol: String,

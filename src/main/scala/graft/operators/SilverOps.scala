@@ -326,6 +326,54 @@ object SilverOps {
       .toDF("ticker", "date", valueCol, "kama")
   }
 
+  /** Two-sided CUSUM change-point detector over day-over-day moves, in
+    * integer cents — the drift-detection member of the recursive-fold
+    * family (cf. Page 1954; the reference's anomaly thresholds are static
+    * per-row screens, this is the sequential-test upgrade). State:
+    * s⁺ = max(0, s⁺ + Δ − k), s⁻ = max(0, s⁻ − Δ − k); an alarm fires when
+    * either side crosses `thresholdCents`, and both sides reset to 0 for
+    * the next row (standard restart-after-signal CUSUM).
+    *
+    * Determinism: the whole recursion is BIGINT arithmetic on
+    * `round(close·100)` cents — no float drift anywhere, so the oracle's
+    * recursive CTE reproduces it bit-exactly with no rounding doctrine
+    * needed. Shape is [[ema]]'s: one shuffle on ticker, compiled per-key
+    * ordered fold, calendar-bounded state. */
+  def cusum(daily: DataFrame, driftCents: Long, thresholdCents: Long,
+            valueCol: String = "close"): DataFrame = {
+    require(driftCents >= 0 && thresholdCents > 0,
+      s"need driftCents >= 0 < thresholdCents, got $driftCents/$thresholdCents")
+    val ss = daily.sparkSession
+    import ss.implicits._
+    daily
+      .select(col("ticker").cast("string"), col("date").cast("date"),
+        col(valueCol).cast("double"))
+      .as[(String, java.sql.Date, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
+        val s = it.toArray.sortBy(_._2.getTime)
+        var sp = 0L
+        var sn = 0L
+        var prevCents = 0L
+        s.indices.iterator.map { j =>
+          val cents = math.round(s(j)._3 * 100)
+          val (outSp, outSn, alarm) =
+            if (j == 0) (0L, 0L, 0)
+            else {
+              val d = cents - prevCents
+              val nsp = math.max(0L, sp + d - driftCents)
+              val nsn = math.max(0L, sn - d - driftCents)
+              val a = if (nsp > thresholdCents || nsn > thresholdCents) 1 else 0
+              if (a == 1) { sp = 0L; sn = 0L } else { sp = nsp; sn = nsn }
+              (nsp, nsn, a)
+            }
+          prevCents = cents
+          (t, s(j)._2, s(j)._3, outSp, outSn, alarm)
+        }
+      }
+      .toDF("ticker", "date", valueCol, "s_pos", "s_neg", "alarm")
+  }
+
   /** Trailing-n rolling extrema (max of `high`, min of `low`) per ticker —
     * the third case of the window discipline. The W-family's running-sum
     * doctrine (trailing sum = cum − lag(cum, n)) requires an *invertible*

@@ -103,6 +103,26 @@ object TextOps {
         col("max_word_freq"))
   }
 
+  /** Per-document character-level Shannon entropy (bits/char) — the
+    * low-entropy screen (repeated filler, base64/hex blobs, padded
+    * boilerplate) that complements the word/phrase repetition families.
+    * Computed order-independently from per-char counts via
+    * H = log2(n) − (Σ c·log2 c)/n. The exchange after the map-side partial
+    * agg carries ≤|alphabet| (~100) rows per doc — NOT n_chars rows — so
+    * the shuffle is corpus-rows-bounded at 100 TB, same shape as
+    * [[wordStats]]. */
+  def charEntropy(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy(col(idCol), col("c")).agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol)).agg(
+        sum(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(log2(sum(col("n")).cast("double")) -
+          sum(col("n").cast("double") * log2(col("n").cast("double"))) /
+            sum(col("n")), 6).as("char_entropy"))
+
   /** n-gram repetition statistics — the second Gopher-style repetition
     * family: [[wordStats]] catches single-word spam, this catches looped
     * PHRASES (a doc that repeats "click here to subscribe" scores low on

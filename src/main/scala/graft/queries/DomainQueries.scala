@@ -122,6 +122,13 @@ object DomainQueries {
       SilverOps.kama(Tables.bars(s, dir))
         .withColumn("kama", round(col("kama"), 6))),
 
+    // Two-sided CUSUM change-point alarms — the recursion is pure BIGINT
+    // cents, so no rounding doctrine is needed; thresholds sized to the
+    // fixture's ~3e6-cent median daily move (k≈0.7σ, h≈3σ).
+    "q_cusum" -> ((s, dir) =>
+      SilverOps.cusum(Tables.bars(s, dir),
+        driftCents = 2000000L, thresholdCents = 10000000L)),
+
     // W4 — volume MA(20) with floor cast + volume ratio.
     "q_volratio" -> ((s, dir) =>
       SilverOps.indicators(Tables.bars(s, dir))
@@ -627,6 +634,33 @@ object DomainQueries {
         |                   END) * 0.5625 + 0.0625 AS scr) c)
         |SELECT o0.ticker, o0.date, o0.close, ROUND(r.kama, 6) AS kama
         |FROM o0 LEFT JOIN r ON o0.ticker = r.ticker AND o0.rn = r.rn""".stripMargin),
+
+    // CUSUM recursion: the frontier carries the post-reset (sp, sn) state;
+    // emitted s_pos/s_neg are the pre-reset values. All-BIGINT arithmetic —
+    // bit-exact with no rounding doctrine.
+    "q_cusum" -> (Tables.barsSql.replace("WITH bars", "WITH RECURSIVE bars") +
+      """,
+        |o AS (SELECT ticker, date, close,
+        |        CAST(ROUND(close * 100) AS BIGINT) AS cents,
+        |        ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+        |      FROM bars),
+        |r AS (
+        |  SELECT ticker, date, close, cents, rn,
+        |    CAST(0 AS BIGINT) AS out_sp, CAST(0 AS BIGINT) AS out_sn,
+        |    0 AS alarm, CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.ticker, o.date, o.close, o.cents, o.rn,
+        |    c.nsp, c.nsn,
+        |    CASE WHEN c.nsp > 10000000 OR c.nsn > 10000000 THEN 1 ELSE 0 END,
+        |    CASE WHEN c.nsp > 10000000 OR c.nsn > 10000000 THEN 0 ELSE c.nsp END,
+        |    CASE WHEN c.nsp > 10000000 OR c.nsn > 10000000 THEN 0 ELSE c.nsn END
+        |  FROM o JOIN r ON o.ticker = r.ticker AND o.rn = r.rn + 1,
+        |  LATERAL (SELECT
+        |    GREATEST(CAST(0 AS BIGINT), r.sp + (o.cents - r.cents) - 2000000) AS nsp,
+        |    GREATEST(CAST(0 AS BIGINT), r.sn - (o.cents - r.cents) - 2000000) AS nsn) c)
+        |SELECT ticker, date, close, out_sp AS s_pos, out_sn AS s_neg, alarm
+        |FROM r""".stripMargin),
 
     // Wilder RSI recursion: the frontier carries prev close + both
     // smoothed averages; same α literals and IEEE order as the fold

@@ -118,6 +118,11 @@ object TextQueries {
     "q_word_stats" -> ((s, dir) =>
       TextOps.wordStats(Tables.documents(s, dir))),
 
+    // Character-level Shannon entropy — the low-entropy screen for blob /
+    // filler docs; order-independent count formula, rounded 6 dp.
+    "q_char_entropy" -> ((s, dir) =>
+      TextOps.charEntropy(Tables.documents(s, dir))),
+
     // Unigram language-model scoring (the CCNet-style fluency proxy): word
     // frequencies trained on the corpus itself, each doc scored by its
     // mean -log2 p(word) — high bits/word flags gibberish and boilerplate
@@ -507,6 +512,19 @@ object TextQueries {
         .select(col("lang"), col("doc_id").cast("string").as("did"))
       graft.functions.Sketches.kmvSetOps(
         graft.functions.Sketches.kmvSketch(docs, "lang", "did"), "lang")
+    }),
+
+    // Count-min sketch heavy-hitter counts: d=3 seeded md5 hash rows ×
+    // w=256 counters over lineitem part keys, per-item min-counter
+    // estimate vs the exact count — deterministic hashes make the
+    // one-sided overestimates oracle-replayable (cf. q_approx_distinct's
+    // KMV doctrine: the mergeable-sketch family, frequency flavor).
+    "q_cms_counts" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      graft.functions.Sketches.cmsEstimates(li, "l_partkey", d = 3, w = 256)
+        .join(li.groupBy(col("l_partkey").cast("string").as("item"))
+          .agg(count(lit(1)).as("exact_cnt")), Seq("item"))
+        .select(col("item"), col("exact_cnt"), col("est_cnt"))
     }),
 
     // Duffield-Lund-Thorup priority sampling: weighted top-k by w/u with
@@ -960,6 +978,20 @@ object TextQueries {
         |  CAST(MAX(f) AS BIGINT) AS max_word_freq
         |FROM f GROUP BY doc_id""".stripMargin,
 
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, c
+        |  FROM documents, UNNEST(string_split(text, '')) AS t(c)
+        |  WHERE c <> ''),
+        |cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(n) AS BIGINT) AS n_chars,
+        |  COUNT(*) AS n_distinct_chars,
+        |  ROUND(LOG2(CAST(SUM(n) AS DOUBLE)) -
+        |        SUM(CAST(n AS DOUBLE) * LOG2(CAST(n AS DOUBLE))) /
+        |          CAST(SUM(n) AS BIGINT), 6) AS char_entropy
+        |FROM cnt GROUP BY doc_id""".stripMargin,
+
     "q_unigram_lm" ->
       """WITH w AS (
         |  SELECT doc_id, w
@@ -1112,6 +1144,9 @@ object TextQueries {
     "q_kmv_setops" -> graft.functions.Sketches.kmvSetOpsOracleSql(
       "(SELECT lang, CAST(doc_id AS VARCHAR) AS did FROM documents)",
       "lang", "did"),
+
+    "q_cms_counts" -> graft.functions.Sketches.cmsOracleSql(
+      "lineitem", "l_partkey", d = 3, w = 256),
 
     // u = (first 13 md5 hex chars + 1) / 2^52 — hex parse, +1, and the
     // power-of-two divide are exact, so priority = w/u is one shared IEEE

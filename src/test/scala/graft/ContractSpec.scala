@@ -50,7 +50,8 @@ class ContractSpec extends AnyFunSuite with SparkSpecBase {
       "Event" -> graft.queries.EventQueries.queries.keySet,
       "Declared" -> graft.queries.DeclaredQueries.queries.keySet,
       "Extended" -> graft.queries.ExtendedQueries.queries.keySet,
-      "Graph" -> graft.queries.GraphQueries.queries.keySet)
+      "Graph" -> graft.queries.GraphQueries.queries.keySet,
+      "Assoc" -> graft.queries.AssocQueries.queries.keySet)
     for {
       (na, a) <- modules; (nb, b) <- modules if na < nb
       dup = a.intersect(b) if dup.nonEmpty

@@ -101,6 +101,30 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(v > 0 && v < 100)
   }
 
+  test("CUSUM fold: hand-computed alarms, reset-after-signal, per-key restart") {
+    import java.sql.Date
+    import spark.implicits._
+    val bars = Seq(
+      ("A", Date.valueOf("2024-01-02"), 10.00),
+      ("A", Date.valueOf("2024-01-03"), 10.50),
+      ("A", Date.valueOf("2024-01-04"), 9.00),
+      ("A", Date.valueOf("2024-01-05"), 12.00),
+      ("B", Date.valueOf("2024-01-02"), 99.0))
+      .toDF("ticker", "date", "close")
+    val out = graft.operators.SilverOps
+      .cusum(bars, driftCents = 20L, thresholdCents = 100L)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(out(("A", "2024-01-02")) === ((0L, 0L, 0)))
+    // Δ=+50: sp=max(0,50-20)=30, no alarm
+    assert(out(("A", "2024-01-03")) === ((30L, 0L, 0)))
+    // Δ=-150: sn=max(0,150-20)=130 > 100 → alarm, both sides reset
+    assert(out(("A", "2024-01-04")) === ((0L, 130L, 1)))
+    // post-reset Δ=+300: sp=280 > 100 → alarm again (state restarted)
+    assert(out(("A", "2024-01-05")) === ((280L, 0L, 1)))
+    assert(out(("B", "2024-01-02")) === ((0L, 0L, 0))) // per-key restart
+  }
+
   test("KAMA fold matches an independent scalar replica (adaptive alpha)") {
     import java.sql.Date
     import spark.implicits._

@@ -22,6 +22,34 @@ class SketchesSpec extends SparkSpecBase {
     assert(r.getAs[Long]("intersect_est") === 10L)
   }
 
+  test("CMS estimates are one-sided: est >= exact always, == when w is wide") {
+    import spark.implicits._
+    // 50 items, zipfish counts (item i appears i times)
+    val rows = (1 to 50).flatMap(i => Seq.fill(i)(s"item$i")).toDF("v")
+    val exact = (1 to 50).map(i => s"item$i" -> i.toLong).toMap
+    // wide sketch: 3×1024 counters over 50 items — collisions vanishingly
+    // unlikely with md5-derived rows; if one occurs only >= must hold
+    val wide = Sketches.cmsEstimates(rows, "v", d = 3, w = 1024).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wide.keySet === exact.keySet)
+    wide.foreach { case (k, est) => assert(est >= exact(k)) }
+    assert(wide.count { case (k, est) => est === exact(k) } >= 45)
+    // narrow sketch: 2×8 counters — collisions guaranteed, still one-sided
+    val narrow = Sketches.cmsEstimates(rows, "v", d = 2, w = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    narrow.foreach { case (k, est) => assert(est >= exact(k)) }
+    assert(narrow.exists { case (k, est) => est > exact(k) })
+  }
+
+  test("CMS counters: total mass per hash row equals the input row count") {
+    import spark.implicits._
+    val rows = (1 to 40).map(i => s"k${i % 7}").toDF("v")
+    val perRow = Sketches.cmsCounters(rows, "v", d = 3, w = 16)
+      .groupBy("j").agg(sum("cnt").as("mass")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perRow === Map(0 -> 40L, 1 -> 40L, 2 -> 40L))
+  }
+
   test("sketches are mergeable: sketch(A ∪ B) == bottom-k of merged sketches") {
     import spark.implicits._
     val k = 32

@@ -17,6 +17,17 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(3L) === 1L)
   }
 
+  test("charEntropy: constant text scores 0, uniform alphabet scores log2(k)") {
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"))
+      .toDF("doc_id", "text")
+    val out = TextOps.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) === ((4L, 1L, 0.0)))
+    assert(out(2L) === ((4L, 2L, 1.0)))
+    assert(out(3L) === ((4L, 4L, 2.0)))
+  }
+
   test("identical docs get identical minhash signatures and collide in LSH") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
