@@ -559,6 +559,54 @@ object StreamingOps {
       }
   }
 
+  case class CusumState(lastDate: java.sql.Date, prevCents: Long,
+                        sp: Long, sn: Long)
+  case class CusumPoint(ticker: String, date: java.sql.Date, close: Double,
+                        s_pos: Long, s_neg: Long, alarm: Int)
+
+  /** Streaming twin of [[graft.operators.SilverOps.cusum]]: the two-sided
+    * CUSUM change-point recursion as per-ticker streaming state. State is
+    * four scalars (last date, last cents, s⁺, s⁻) — the EMA-class minimal
+    * footprint — and the arithmetic is all-BIGINT cents, so a replayed
+    * feed equals the batch fold EXACTLY (integers, not ulp-close).
+    * Late bars (≤ stored lastDate) are dropped, the fold family's sorted-
+    * history discipline. */
+  def cusumStream(bars: Dataset[Bar], driftCents: Long,
+                  thresholdCents: Long): Dataset[CusumPoint] = {
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.ticker)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ticker: String, it: Iterator[Bar], state: GroupState[CusumState]) =>
+          val sorted = it.toSeq.sortBy(_.date.getTime)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumPoint]
+          sorted.foreach { b =>
+            val fresh = cur.forall(s => b.date.getTime > s.lastDate.getTime)
+            if (fresh) {
+              val cents = math.round(b.close * 100)
+              cur match {
+                case None =>
+                  out += CusumPoint(ticker, b.date, b.close, 0L, 0L, 0)
+                  cur = Some(CusumState(b.date, cents, 0L, 0L))
+                case Some(s) =>
+                  val d = cents - s.prevCents
+                  val nsp = math.max(0L, s.sp + d - driftCents)
+                  val nsn = math.max(0L, s.sn - d - driftCents)
+                  val a = if (nsp > thresholdCents || nsn > thresholdCents) 1 else 0
+                  out += CusumPoint(ticker, b.date, b.close, nsp, nsn, a)
+                  cur = Some(
+                    if (a == 1) CusumState(b.date, cents, 0L, 0L)
+                    else CusumState(b.date, cents, nsp, nsn))
+              }
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)

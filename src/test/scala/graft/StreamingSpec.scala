@@ -91,6 +91,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch) // exact double equality, not approximate
   }
 
+  test("streaming CUSUM replays the batch recursion exactly (integer state)") {
+    import spark.implicits._
+    val bars = Tables.bars(spark, sf)
+      .filter(col("ticker").isin("T6", "T7"))
+      .select(col("ticker"), col("date"), col("close").cast("double"))
+    val rows = bars.orderBy(col("date"), col("ticker")).collect()
+    val dir = Files.createTempDirectory("graft_cusum_feed").toString
+    rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { chunk =>
+      spark.createDataFrame(
+        java.util.Arrays.asList(chunk.toIndexedSeq: _*), bars.schema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream.schema(bars.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[StreamingOps.Bar]
+    val q = StreamingOps.cusumStream(stream, driftCents = 2000000L,
+        thresholdCents = 10000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cusum_out")
+      .select("ticker", "date", "s_pos", "s_neg", "alarm")
+      .collect().map(_.toString).toSet
+    val batch = graft.operators.SilverOps
+      .cusum(bars, driftCents = 2000000L, thresholdCents = 10000000L)
+      .select("ticker", "date", "s_pos", "s_neg", "alarm")
+      .collect().map(_.toString).toSet
+    assert(streamed === batch) // exact long equality across batch boundaries
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming rolling extrema replay the batch deque fold bit-for-bit") {
     import spark.implicits._
     val n = 14
