@@ -522,6 +522,20 @@ object ExtendedQueries {
           levenshtein(col("name_a"), col("name_b")).as("dist"))
     }),
 
+    // Jaro-Winkler similarity via the native codegen expression — the
+    // graded cousin of q_edit_distance's Levenshtein; textbook constants
+    // (p=0.1, boost 0.7, prefix cap 4) match DuckDB's implementation, so
+    // the oracle replays the scores directly.
+    "q_jaro_winkler" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_partkey") <= 300)
+      val a = p.select(col("p_partkey").as("k_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_partkey").as("k_b"), col("p_name").as("name_b"))
+      a.join(b, col("k_b") === col("k_a") + 1)
+        .select(col("k_a"),
+          round(graft.functions.StringSimilarity.jaroWinklerCol(
+            col("name_a"), col("name_b")), 6).as("jw"))
+    }),
+
     // CSV sink + source round-trip: write a slice as headered CSV, read it
     // back with an explicit schema, return the parsed rows. The oracle
     // states the same rows straight from parquet — equality proves the
@@ -1147,6 +1161,12 @@ object ExtendedQueries {
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
         |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
         |WHERE a.p_partkey <= 300 AND b.p_partkey <= 300""".stripMargin,
+    "q_jaro_winkler" ->
+      """SELECT a.p_partkey AS k_a,
+        |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |WHERE a.p_partkey <= 300 AND b.p_partkey <= 300""".stripMargin,
+
     "q_csv_roundtrip" -> (Tables.barsSql +
       """
         |SELECT ticker, date, volume FROM bars WHERE ticker = 'T7'""".stripMargin),

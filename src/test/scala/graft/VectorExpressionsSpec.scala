@@ -167,6 +167,48 @@ class VectorExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("jaro_winkler matches the reference-implementation cases (DuckDB-pinned)") {
+    import graft.functions.StringSimilarity
+    // values cross-checked against DuckDB jaro_winkler_similarity
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("", "", 0.0),                    // empty → 0, NOT 1
+      ("a", "", 0.0),
+      ("abc", "abc", 1.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("apple", "applesauce", 0.9),
+      ("aaapppp", "p", 0.0),
+      ("ab", "ba", 0.0),                // window 0: no matches
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6), // jaro ≤ 0.7 → NO prefix bonus
+      ("aaaaaaaaaab", "aaaaaaaaaac", 0.9636363636363636), // prefix cap 4
+      ("TRATE", "TRACE", 0.9066666666666667))
+    cases.foreach { case (a, b, want) =>
+      val got = StringSimilarity.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(got === want, s"jw($a, $b)")
+    }
+  }
+
+  test("jaro_winkler column: codegen and interpreted paths agree bit-for-bit") {
+    import graft.functions.StringSimilarity.jaroWinklerCol
+    val p = Tables.part(spark, sf).limit(80)
+      .select(col("p_name").as("a"), reverse(col("p_name")).as("b"))
+    def run() = p.select(jaroWinklerCol(col("a"), col("b")).as("jw"))
+      .collect().map(_.getDouble(0)).toSeq
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() === withCodegen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("bloom might_contain on long keys matches stat.bloomFilter hashing") {
     // the q_bloom_semi_join path: bloom built by DataFrameStatFunctions
     // over a bigint key, probed by the expression's mightContainLong —
