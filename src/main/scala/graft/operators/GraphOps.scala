@@ -75,6 +75,68 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007) over
+    * `iters` rounds: every node adopts the most frequent label among its
+    * undirected neighbors, ties broken by the SMALLEST label — the total
+    * order that makes synchronous LPA deterministic (async/random-order
+    * LPA is not reproducible, which is why this variant is the one an
+    * oracle can replay). Labels start as node ids.
+    *
+    * Shape per round: one neighbor⋈label join (edge-sized), one
+    * (node, label) count agg (≤ degree rows per node), one per-node top-1
+    * window. All tables are node- or edge-cardinality; nothing grows with
+    * iterations. Complements connected components: CC merges everything
+    * reachable, LPA finds denser-than-surroundings groups inside a
+    * component.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val und = cleanEdges(edges)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val nodes = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n"))).distinct()
+    var labels = nodes.select(col("n"), col("n").as("lab"))
+    for (_ <- 1 to iters) {
+      val nb = und.join(labels.withColumnRenamed("n", "a"), "a")
+        .select(col("b").as("n"), col("lab"))
+        .unionAll(und.join(labels.withColumnRenamed("n", "b"), "b")
+          .select(col("a").as("n"), col("lab")))
+      val cnt = nb.groupBy("n", "lab").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("n"))
+        .orderBy(col("c").desc, col("lab").asc)
+      labels = cnt.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("n"), col("lab"))
+    }
+    labels.select(col("n").as("node"), col("lab").as("community"))
+  }
+
+  /** Hop distances from a source node over `maxHops` synchronous frontier
+    * expansions (bounded BFS — the Pregel shortest-path kernel with unit
+    * weights). Returns (node, dist) for every node reachable within
+    * `maxHops`; unreachable nodes are absent, the caller's signal.
+    *
+    * Each round is one dist⋈edges join + a min agg — the candidate set is
+    * edge-bounded and shrinks to the frontier in practice; `maxHops`
+    * bounds the plan depth explicitly (an unbounded fixed-point loop has
+    * no lazy plan). Integer distances — deterministic on any partitioning.
+    */
+  def bfsDistances(edges: DataFrame, source: Long, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = cleanEdges(edges)
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("n"), lit(0).cast("int").as("dist"))
+    for (_ <- 1 to maxHops) {
+      dist = dist
+        .unionAll(e.join(dist.withColumnRenamed("n", "src"), "src")
+          .select(col("dst").as("n"), (col("dist") + 1).cast("int").as("dist")))
+        .groupBy("n").agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("n").as("node"), col("dist"))
+  }
+
   /** Per-node triangle counts via degree orientation (Suri-Vassilvitskii):
     * canonicalize to undirected distinct edges, orient each from the
     * (degree, id)-smaller endpoint to the larger, then count two-paths

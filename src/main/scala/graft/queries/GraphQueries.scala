@@ -44,12 +44,44 @@ object GraphQueries {
        |  FROM nodes nd LEFT JOIN $c c ON nd.n = c.n, cnt, $d)""".stripMargin
   }
 
+  /** One synchronous LPA round as oracle CTE text (same tie rule as
+    * [[GraphOps.labelPropagation]]: count DESC, label ASC). */
+  private def lpaIterSql(i: Int): String = {
+    val (prev, nb, c, r, cur) = (s"l${i - 1}", s"nb$i", s"c$i", s"r$i", s"l$i")
+    s"""$nb AS (
+       |  SELECT u.b AS n, p.lab FROM und u JOIN $prev p ON u.a = p.n
+       |  UNION ALL
+       |  SELECT u.a AS n, p.lab FROM und u JOIN $prev p ON u.b = p.n),
+       |$c AS (SELECT n, lab, COUNT(*) AS c FROM $nb GROUP BY 1, 2),
+       |$r AS (
+       |  SELECT n, lab,
+       |    ROW_NUMBER() OVER (PARTITION BY n ORDER BY c DESC, lab ASC) AS rn
+       |  FROM $c),
+       |$cur AS (SELECT n, lab FROM $r WHERE rn = 1)""".stripMargin
+  }
+
+  /** One BFS frontier expansion as oracle CTE text. */
+  private def bfsIterSql(i: Int): String =
+    s"""d$i AS (
+       |  SELECT n, MIN(dist) AS dist FROM (
+       |    SELECT n, dist FROM d${i - 1}
+       |    UNION ALL
+       |    SELECT e.dst AS n, p.dist + 1 AS dist
+       |    FROM edges e JOIN d${i - 1} p ON e.src = p.n) t
+       |  GROUP BY n)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, dir) =>
       GraphOps.pageRank(edges(s, dir), iters = 3)),
 
     "q_triangles" -> ((s, dir) =>
-      GraphOps.triangleCounts(edges(s, dir))))
+      GraphOps.triangleCounts(edges(s, dir))),
+
+    "q_communities" -> ((s, dir) =>
+      GraphOps.labelPropagation(edges(s, dir), iters = 3)),
+
+    "q_bfs_dist" -> ((s, dir) =>
+      GraphOps.bfsDistances(edges(s, dir), source = 1L, maxHops = 3)))
 
   def oracles: Map[String, String] = Map(
     "q_pagerank" ->
@@ -87,5 +119,27 @@ object GraphQueries {
          |SELECT n AS node, COUNT(*) AS tri_count FROM
          |  (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
          |   UNION ALL SELECT z FROM tri)
-         |GROUP BY n""".stripMargin)
+         |GROUP BY n""".stripMargin,
+
+    "q_communities" ->
+      s"""WITH $edgesSql,
+         |und AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM edges),
+         |nodes AS (
+         |  SELECT DISTINCT n FROM
+         |    (SELECT a AS n FROM und UNION ALL SELECT b FROM und)),
+         |l0 AS (SELECT n, n AS lab FROM nodes),
+         |${lpaIterSql(1)},
+         |${lpaIterSql(2)},
+         |${lpaIterSql(3)}
+         |SELECT n AS node, lab AS community FROM l3""".stripMargin,
+
+    "q_bfs_dist" ->
+      s"""WITH $edgesSql,
+         |d0 AS (SELECT CAST(1 AS BIGINT) AS n, 0 AS dist),
+         |${bfsIterSql(1)},
+         |${bfsIterSql(2)},
+         |${bfsIterSql(3)}
+         |SELECT n AS node, CAST(dist AS INT) AS dist FROM d3""".stripMargin)
 }

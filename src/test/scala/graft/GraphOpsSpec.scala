@@ -71,4 +71,23 @@ class GraphOpsSpec extends SparkSpecBase {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(got === expect.toMap)
   }
+
+  test("labelPropagation: two triangles + bridge settle into two communities") {
+    // hand-traced 3 synchronous rounds (most-frequent, tie → min label):
+    // triangle {1,2,3} converges to label 1, triangle {4,5,6} to label 3
+    val g = edf((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L))
+    val got = GraphOps.labelPropagation(g, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("bfsDistances: hop counts on a directed path, bounded by maxHops") {
+    val g = edf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L))
+    val got = GraphOps.bfsDistances(g, source = 1L, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // node 5 is 4 hops out → absent at maxHops = 3
+    assert(got === Map(1L -> 0, 2L -> 1, 6L -> 1, 3L -> 2, 4L -> 3))
+  }
 }
