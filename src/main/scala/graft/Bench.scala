@@ -35,7 +35,11 @@ object Bench {
     // the deque-fold extrema + integer-co-moment corr, and the graph tier
     "q_hopping_window", "q_ema", "q_macd", "q_unigram_lm",
     "q_bloom_semi_join", "q_stoch", "q_rolling_corr", "q_pagerank",
-    "q_triangles", "q_bm25")
+    "q_triangles", "q_bm25",
+    // late round-7: basket self-join mining, LPA rounds, the CMS build+probe,
+    // the char-explode entropy agg, and the codegen Jaro-Winkler pair scan
+    "q_assoc_rules", "q_communities", "q_cms_counts", "q_char_entropy",
+    "q_jaro_winkler", "q_cusum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
