@@ -592,6 +592,61 @@ object ExtendedQueries {
         }, 6).as("skew"))
     }),
 
+    // Welch's two-sample t-test per event type: users deterministically
+    // bucketed A/B by id parity, value compared through exact micro-unit
+    // power sums (the q_moments doctrine), then one shared IEEE formula
+    // tree for mean/variance/t — the experimentation-analytics kernel.
+    // At scale: one (type, bucket)-keyed agg, then a 5-row self-join.
+    "q_ab_test" -> ((s, dir) => {
+      val micro = round(col("value") * 1000000).cast("long")
+      val md = micro.cast(DecimalType(38, 0))
+      val g = Tables.events(s, dir)
+        .groupBy(col("event_type"), (col("user_id") % 2).as("grp"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(micro).cast("double").as("s1"),
+          sum(md * md).cast("double").as("s2"))
+      def side(v: Int, suf: String) = g.where(col("grp") === v)
+        .select(col("event_type"), col("n").as(s"n$suf"),
+          col("s1").as(s"s1$suf"), col("s2").as(s"s2$suf"))
+      def mean(suf: String) = col(s"s1$suf") / col(s"n$suf")
+      def variance(suf: String) =
+        (col(s"s2$suf") - col(s"s1$suf") * col(s"s1$suf") / col(s"n$suf")) /
+          (col(s"n$suf") - lit(1.0))
+      side(0, "a").join(side(1, "b"), "event_type")
+        .select(col("event_type"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round(mean("a") / 1e6, 6).as("mean_a"),
+          round(mean("b") / 1e6, 6).as("mean_b"),
+          round((mean("a") - mean("b")) /
+            sqrt(variance("a") / col("na") + variance("b") / col("nb")), 6)
+            .as("t_stat"))
+    }),
+
+    // Chi-square independence test (lang × source over documents),
+    // INCLUDING empty cells — (0−E)²/E contributes E, so the cell grid is
+    // the dim cross join, not the observed pairs. Per-cell contributions
+    // round to DECIMAL(28,6) before the sum (the q_unigram_lm doctrine:
+    // decimal addition is order-independent where double addition is not).
+    "q_chi_square" -> ((s, dir) => {
+      val c = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val rt = c.groupBy("lang").agg(sum("o").as("rt"))
+      val ct = c.groupBy("source").agg(sum("o").as("ct"))
+      val n = c.agg(sum("o").as("nn"))
+      val e = (col("rt") * col("ct")).cast("double") / col("nn")
+      val o = coalesce(col("o"), lit(0L)).cast("double")
+      rt.crossJoin(ct)
+        .join(c, Seq("lang", "source"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"),
+          round((o - e) * (o - e) / e, 6)
+            .cast(DecimalType(28, 6)).as("contrib"))
+        .agg(sum(col("contrib")).cast("double").as("chi2"),
+          ((countDistinct(col("lang")) - 1) *
+            (countDistinct(col("source")) - 1)).as("dof"),
+          count(lit(1)).as("n_cells"))
+    }),
+
     // ORC sink + source round-trip: binary columnar, so doubles/longs/dates
     // survive bit-exactly with no text parse step. Oracle states the same
     // rows straight from parquet — equality proves losslessness.
@@ -1190,6 +1245,50 @@ object ExtendedQueries {
         |    SQRT((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)) *
         |         (s2 / n - (s1 / n) * (s1 / n))), 6) AS skew
         |FROM m""".stripMargin,
+    "q_ab_test" ->
+      """WITH m AS (
+        |  SELECT event_type, user_id % 2 AS grp,
+        |    CAST(ROUND(value * 1000000) AS BIGINT) AS micro
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, grp, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(micro) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(micro AS HUGEINT) * micro) AS DOUBLE) AS s2
+        |  FROM m GROUP BY 1, 2),
+        |a AS (SELECT * FROM g WHERE grp = 0),
+        |b AS (SELECT * FROM g WHERE grp = 1)
+        |SELECT a.event_type,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  ROUND((a.s1 / a.n) / 1e6, 6) AS mean_a,
+        |  ROUND((b.s1 / b.n) / 1e6, 6) AS mean_b,
+        |  ROUND(((a.s1 / a.n) - (b.s1 / b.n)) /
+        |    SQRT(((a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1.0)) / a.n +
+        |         ((b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1.0)) / b.n), 6)
+        |    AS t_stat
+        |FROM a JOIN b ON a.event_type = b.event_type""".stripMargin,
+
+    "q_chi_square" ->
+      """WITH c AS (
+        |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+        |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM c),
+        |cells AS (
+        |  SELECT rt.lang, ct.source,
+        |    CAST(ROUND(
+        |      (CAST(COALESCE(c.o, 0) AS DOUBLE)
+        |         - CAST(rt.rt * ct.ct AS DOUBLE) / n.nn)
+        |      * (CAST(COALESCE(c.o, 0) AS DOUBLE)
+        |         - CAST(rt.rt * ct.ct AS DOUBLE) / n.nn)
+        |      / (CAST(rt.rt * ct.ct AS DOUBLE) / n.nn), 6)
+        |      AS DECIMAL(28,6)) AS contrib
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN c ON c.lang = rt.lang AND c.source = ct.source, n)
+        |SELECT CAST(SUM(contrib) AS DOUBLE) AS chi2,
+        |  (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS dof,
+        |  COUNT(*) AS n_cells
+        |FROM cells""".stripMargin,
+
     "q_orc_roundtrip" -> (Tables.barsSql +
       """
         |SELECT ticker, date, open, close, volume FROM bars WHERE ticker = 'T21'""".stripMargin),
