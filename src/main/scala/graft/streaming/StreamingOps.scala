@@ -321,6 +321,36 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming count-min sketch sink: each micro-batch builds its OWN
+    * d×w counter table ([[graft.functions.Sketches.cmsCounters]]) and
+    * appends it batch_id-partitioned; the live sketch is the per-(j,
+    * bucket) SUM over batches — the mergeability that makes CMS the
+    * streaming heavy-hitter structure (counter addition commutes, so
+    * replayed batches stay exactly-once through the batch_id partition
+    * overwrite and the merged sketch equals the batch sketch over the
+    * full feed, which StreamingSpec asserts EXACTLY, not approximately).
+    * Per-batch state appended is d·w rows regardless of batch size. */
+  def cmsSink(rows: DataFrame, valueCol: String, d: Int, w: Int,
+              countersRef: graft.sources.TableRef, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.Sketches
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        idempotentBatchAppend(
+          Sketches.cmsCounters(batch.toDF(), valueCol, d, w).coalesce(1),
+          countersRef, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** The merged live sketch from a [[cmsSink]] counter table. */
+  def cmsMerged(spark: org.apache.spark.sql.SparkSession,
+                countersRef: graft.sources.TableRef): DataFrame =
+    graft.sources.Storage.readTable(spark, countersRef)
+      .groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+
   /** Streaming SEMANTIC dedup sink — the embedding-space twin of
     * [[incrementalDedupSink]]: each micro-batch of (vec_id, embedding)
     * rows finds its cosine-≥-threshold pairs against the stored

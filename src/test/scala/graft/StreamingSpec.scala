@@ -418,6 +418,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(keptIds.contains(1L) ^ keptIds.contains(3L)) // exactly one survivor
   }
 
+  test("streaming CMS sink: merged counters equal the batch sketch exactly") {
+    import graft.sources.{Storage, TableRef}
+    import org.apache.spark.sql.types._
+    val feed = Files.createTempDirectory("graft_cms_feed").toString
+    val all = Tables.events(spark, sf).select(col("event_type"), col("user_id"))
+    val rows = all.collect()
+    rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { chunk =>
+      spark.createDataFrame(
+        java.util.Arrays.asList(chunk.toIndexedSeq: _*), all.schema)
+        .coalesce(1).write.mode("append").parquet(feed)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feed)
+    val ref = TableRef(Files.createTempDirectory("graft_cms_tbl").toString,
+      "index", "cms")
+    val ckpt = Files.createTempDirectory("graft_cms_ckpt").toString
+    val q = StreamingOps.cmsSink(stream, "event_type", d = 3, w = 64,
+      ref, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    def counters(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = counters(StreamingOps.cmsMerged(spark, ref))
+    val batch = counters(
+      graft.functions.Sketches.cmsCounters(all, "event_type", 3, 64))
+    assert(merged === batch) // counter addition commutes: merge ≡ batch
+    // replay from a fresh checkpoint: batch_id overwrite keeps it exactly-once
+    val q2 = StreamingOps.cmsSink(
+      spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed),
+      "event_type", d = 3, w = 64, ref,
+      Files.createTempDirectory("graft_cms_ckpt2").toString)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(counters(StreamingOps.cmsMerged(spark, ref)) === batch)
+  }
+
   test("streaming incremental dedup accumulates exactly the batch pair set") {
     import graft.sources.{Storage, TableRef}
     import org.apache.spark.sql.types._
