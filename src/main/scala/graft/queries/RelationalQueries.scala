@@ -142,6 +142,25 @@ object RelationalQueries {
           (lit(1).cast(D2) - col("l_discount").cast(D2))).cast(D4).cast("double").as("revenue"))
     }),
 
+    // TPC-H Q10 shape — returned-item revenue per customer: the 4-way
+    // star (fact ⋈ orders, dim customer/nation broadcast), top 20 by
+    // revenue under a total order. Completes the q1/q3/q5 relational trio
+    // with the returnflag-filtered variant.
+    "q10_returned_items" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(D2) *
+          (lit(1).cast(D2) - col("l_discount").cast(D2)))
+          .cast(D4).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // J3 — anti-join: order dates with no lineitem shipped that day.
     "q_anti_join" -> ((s, dir) => {
       val odates = Tables.orders(s, dir).select(to_date(col("o_orderdate")).as("d")).distinct()
@@ -354,6 +373,18 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'EUROPE'
         |GROUP BY n_name""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
     "q_anti_join" ->
       """SELECT d FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
         |WHERE d NOT IN (SELECT DISTINCT CAST(l_shipdate AS DATE) FROM lineitem)""".stripMargin,
