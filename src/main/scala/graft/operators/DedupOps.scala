@@ -920,6 +920,46 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("hamming"), col("edit_dist"))
   }
 
+  /** Blocked sorted-neighborhood entity-resolution pairs [Hernández &
+    * Stolfo 1995]: sort records by the match key inside each block (first
+    * key character), slide a window of `window` positions, and confirm
+    * candidates with Jaro-Winkler ≥ `minSim` — the classic record-linkage
+    * pipeline, with the graded-similarity confirm the Levenshtein-based
+    * [[fuzzyNearDups]] can't express.
+    *
+    * Scale shape: the sort is per-BLOCK (window partitioned by the
+    * blocking key — never the global unpartitioned sort plain SNM
+    * implies), the self-join fans out ≤ `window` rows per record, and the
+    * JW confirm is a codegen expression inside the join's project. The
+    * standard blocking trade-off applies: matches whose keys land in
+    * different blocks are missed; widen recall with a coarser blocking
+    * key or a second pass on a rotated key, not a bigger window.
+    */
+  def sortedNeighborPairs(df: DataFrame, keyCol: String, idCol: String,
+                          window: Int = 3, minSim: Double = 0.85): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("blk")).orderBy(col("key"), col("id"))
+    val ranked = df.select(col(keyCol).as("key"), col(idCol).as("id"))
+      .withColumn("blk", substring(col("key"), 1, 1))
+      .withColumn("rn", row_number().over(w))
+    // pair generation is an EQUI-join on (blk, rn + k), k ∈ 1..window —
+    // exactly `window` candidates per record. The tempting blk-only join
+    // with an rn band filter evaluates |block|² pairs per block; this
+    // shape stays linear no matter how hot a block gets.
+    val a = ranked.select(col("blk"), col("key").as("key_a"),
+        col("id").as("id_a"), col("rn").as("rn_a"))
+      .withColumn("k", explode(array((1 to window).map(lit): _*)))
+      .withColumn("rn_b", col("rn_a") + col("k"))
+    val b = ranked.select(col("blk"), col("key").as("key_b"),
+      col("id").as("id_b"), col("rn").as("rn_b"))
+    a.join(b, Seq("blk", "rn_b"))
+      .withColumn("sim", graft.functions.StringSimilarity.jaroWinklerCol(
+        col("key_a"), col("key_b")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Near-dup dedup end-to-end: LSH candidates above `minJaccard` → cluster
     * → keep the canonical (smallest-id) doc per cluster. Returns docs with
     * `cluster` and `is_canonical` columns. */

@@ -588,6 +588,14 @@ object TextQueries {
     "q_simhash_neardup" -> ((s, dir) =>
       DedupOps.simhashNearDups(Tables.documents(s, dir))),
 
+    // blocked sorted-neighborhood entity resolution: per-block sort +
+    // sliding window candidates, codegen Jaro-Winkler confirm — the
+    // record-linkage pipeline over part names; fan-out is window-bounded
+    // by construction (equi-join on (blk, rn+k)).
+    "q_er_pairs" -> ((s, dir) =>
+      DedupOps.sortedNeighborPairs(Tables.part(s, dir),
+        keyCol = "p_name", idCol = "p_partkey", window = 3, minSim = 0.9)),
+
     // two-stage fuzzy dedup: relaxed SimHash candidates, exact Levenshtein
     // confirm — the sketch bounds the candidate set so the O(len²) edit
     // distance never touches the O(n²) pair space.
@@ -1713,6 +1721,20 @@ object TextQueries {
         |FROM sh a JOIN sh b
         |  ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+
+    "q_er_pairs" ->
+      """WITH r AS (
+        |  SELECT p_name AS key, p_partkey AS id, substr(p_name, 1, 1) AS blk,
+        |    ROW_NUMBER() OVER (PARTITION BY substr(p_name, 1, 1)
+        |                       ORDER BY p_name, p_partkey) AS rn
+        |  FROM part),
+        |a AS (
+        |  SELECT blk, key AS key_a, id AS id_a, rn + k.k AS rn_b
+        |  FROM r, (SELECT UNNEST([1, 2, 3]) AS k) k)
+        |SELECT a.id_a, b.id AS id_b,
+        |  ROUND(jaro_winkler_similarity(a.key_a, b.key), 6) AS sim
+        |FROM a JOIN r b ON a.blk = b.blk AND a.rn_b = b.rn
+        |WHERE jaro_winkler_similarity(a.key_a, b.key) >= 0.9""".stripMargin,
 
     "q_fuzzy_dedup" -> (simhashCteFor("doc_id < 1000") + """
         |, cand AS (

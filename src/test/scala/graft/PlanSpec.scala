@@ -301,4 +301,30 @@ class PlanSpec extends SparkSpecBase {
     assert(exchanges === 1,
       s"one (window,type) exchange expected, found $exchanges:\n$p")
   }
+
+  test("association rules broadcast the post-prune dims; no cartesian") {
+    val p = plan("q_assoc_rules")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("CMS estimation joins the broadcast counter table") {
+    val p = plan("q_cms_counts")
+    // the d·w counter sketch must be the broadcast side — a shuffle join
+    // here would move the corpus to meet a few-KB table
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("entity-resolution window join is an equi-join (bounded fan-out)") {
+    val p = plan("q_er_pairs")
+    // the (blk, rn+k) equi-join: any nested-loop/cartesian here means the
+    // |block|² band-filter shape crept back in
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("char entropy pre-aggregates map-side (alphabet-bounded exchange)") {
+    val p = plan("q_char_entropy")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
 }

@@ -28,6 +28,26 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(3L) === ((4L, 4L, 2.0)))
   }
 
+  test("sortedNeighborPairs: near names pair within window, far ranks never") {
+    val recs = Seq(
+      (1L, "apple pie"), (2L, "apple pies"),        // adjacent in a-block
+      (3L, "banana split"), (4L, "bananna split"),  // typo twins, b-block
+      (5L, "cherry"),                               // singleton block
+      (10L, "xx abcdef1"), (11L, "xx abcdef2"), (12L, "xx abcdef3"),
+      (13L, "xx abcdef4"), (14L, "xx abcdef5"))     // 5 ranks in x-block
+      .toDF("id", "name")
+    val got = DedupOps.sortedNeighborPairs(recs, "name", "id",
+        window = 3, minSim = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(got.contains((3L, 4L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+    // rank distance 4 > window 3: (10,14) is outside the window even
+    // though the keys are similar — the window bound, not the sim filter
+    assert(!got.contains((10L, 14L)))
+    assert(got.contains((10L, 11L))) // one-suffix-char twins, jw ≈ 0.96
+  }
+
   test("identical docs get identical minhash signatures and collide in LSH") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
