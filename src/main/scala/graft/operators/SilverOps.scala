@@ -326,6 +326,47 @@ object SilverOps {
       .toDF("ticker", "date", valueCol, "kama")
   }
 
+  /** Holt double-exponential smoothing (level + trend) — the forecasting
+    * member of the recursive-fold family. Per bar: the one-step-ahead
+    * forecast is level+trend BEFORE folding the new observation in, then
+    * l' = α·x + (1−α)(l+t), t' = β·(l'−l) + (1−β)·t. Seed: l=x₀, t=0 —
+    * the first forecast is pinned to the first close.
+    *
+    * Default α=0.5, β=0.25 are binary-exact (k/2^m), so the fold and the
+    * oracle's recursive CTE execute the identical IEEE sequence — the
+    * [[ema]] float-parity doctrine. Shape: one ticker shuffle, compiled
+    * per-key ordered fold, two doubles of state. */
+  def holt(daily: DataFrame, alpha: Double = 0.5, beta: Double = 0.25,
+           valueCol: String = "close"): DataFrame = {
+    val ss = daily.sparkSession
+    import ss.implicits._
+    val (ba, bb) = (1.0 - alpha, 1.0 - beta)
+    daily
+      .select(col("ticker").cast("string"), col("date").cast("date"),
+        col(valueCol).cast("double"))
+      .as[(String, java.sql.Date, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
+        val s = it.toArray.sortBy(_._2.getTime)
+        var lev = 0.0
+        var tr = 0.0
+        s.indices.iterator.map { j =>
+          val x = s(j)._3
+          val (fc, nl, nt) =
+            if (j == 0) (x, x, 0.0)
+            else {
+              val f = lev + tr
+              val l2 = alpha * x + ba * (lev + tr)
+              val t2 = beta * (l2 - lev) + bb * tr
+              (f, l2, t2)
+            }
+          lev = nl; tr = nt
+          (t, s(j)._2, x, nl, nt, fc)
+        }
+      }
+      .toDF("ticker", "date", valueCol, "level", "trend", "forecast")
+  }
+
   /** Two-sided CUSUM change-point detector over day-over-day moves, in
     * integer cents — the drift-detection member of the recursive-fold
     * family (cf. Page 1954; the reference's anomaly thresholds are static

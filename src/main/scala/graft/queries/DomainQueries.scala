@@ -122,6 +122,18 @@ object DomainQueries {
       SilverOps.kama(Tables.bars(s, dir))
         .withColumn("kama", round(col("kama"), 6))),
 
+    // Holt level+trend smoothing — the forecasting fold; α=1/2, β=1/4
+    // binary-exact, one-step-ahead forecast emitted per bar. Emitted RAW
+    // (no rounding): the α/β halves-and-quarters recursion lands values
+    // exactly on 6-dp half boundaries, where Spark's round (HALF_UP on the
+    // shortest decimal repr) and DuckDB's (scaled-double rint) disagree —
+    // but the recursion itself is bit-identical across engines, so the
+    // unrounded doubles hash-match where the rounded ones can't.
+    "q_holt" -> ((s, dir) =>
+      SilverOps.holt(Tables.bars(s, dir))
+        .select(col("ticker"), col("date"), col("close"),
+          col("level"), col("trend"), col("forecast"))),
+
     // Two-sided CUSUM change-point alarms — the recursion is pure BIGINT
     // cents, so no rounding doctrine is needed; thresholds sized to the
     // fixture's ~3e6-cent median daily move (k≈0.7σ, h≈3σ).
@@ -634,6 +646,25 @@ object DomainQueries {
         |                   END) * 0.5625 + 0.0625 AS scr) c)
         |SELECT o0.ticker, o0.date, o0.close, ROUND(r.kama, 6) AS kama
         |FROM o0 LEFT JOIN r ON o0.ticker = r.ticker AND o0.rn = r.rn""".stripMargin),
+
+    // Holt recursion: frontier carries (level, trend); the emitted
+    // forecast is the PRE-update level+trend — same IEEE order as the fold
+    "q_holt" -> (Tables.barsSql.replace("WITH bars", "WITH RECURSIVE bars") +
+      """,
+        |o AS (SELECT ticker, date, close,
+        |        ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+        |      FROM bars),
+        |r AS (
+        |  SELECT ticker, date, close, rn,
+        |    close AS lev, close - close AS tr, close AS fc
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.ticker, o.date, o.close, o.rn,
+        |    c.nl, 0.25 * (c.nl - r.lev) + 0.75 * r.tr, r.lev + r.tr
+        |  FROM o JOIN r ON o.ticker = r.ticker AND o.rn = r.rn + 1,
+        |  LATERAL (SELECT 0.5 * o.close + 0.5 * (r.lev + r.tr) AS nl) c)
+        |SELECT ticker, date, close, lev AS level, tr AS trend, fc AS forecast
+        |FROM r""".stripMargin),
 
     // CUSUM recursion: the frontier carries the post-reset (sp, sn) state;
     // emitted s_pos/s_neg are the pre-reset values. All-BIGINT arithmetic —

@@ -592,6 +592,52 @@ object ExtendedQueries {
         }, 6).as("skew"))
     }),
 
+    // Smoothed target (mean) encoding per category — the leakage-safe ML
+    // feature op: enc = (Σ_cat + k·global_mean)/(n_cat + k), k=10, all
+    // through exact cent sums and one shared IEEE tree.
+    "q_target_encode" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val byCat = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(cents).cast("double").as("sc"))
+      val glob = byCat.agg(sum(col("sc")).as("gs"), sum(col("n")).as("gn"))
+      byCat.crossJoin(broadcast(glob))
+        .select(col("o_orderpriority"), col("n").cast("long").as("n_rows"),
+          round(col("sc") / col("n") / 100.0, 6).as("raw_mean"),
+          round((col("sc") + lit(10.0) * (col("gs") / col("gn"))) /
+            (col("n") + lit(10.0)) / 100.0, 6).as("encoded"))
+    }),
+
+    // Population stability index between the parity split's value
+    // distributions (train/serve drift monitor): fixed-width bins with a
+    // Laplace prior so empty bins stay defined, per-bin contributions
+    // rounded to DECIMAL before the sum (order-independent), log2 both
+    // engines (the q_unigram_lm parity doctrine).
+    "q_psi" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        least(floor(col("value") / 50), lit(11)).cast("int").as("b"),
+        (col("user_id") % 2).as("g"))
+      val cnt = e.groupBy("g", "b").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("g").agg(sum(col("c")).as("t"))
+      val spine = e.sparkSession.range(12).select(col("id").cast("int").as("b"))
+      val p = (coalesce(col("ca"), lit(0L)) + lit(1)).cast("double") /
+        (col("ta") + lit(12)).cast("double")
+      val q = (coalesce(col("cb"), lit(0L)) + lit(1)).cast("double") /
+        (col("tb") + lit(12)).cast("double")
+      spine
+        .crossJoin(broadcast(tot.where(col("g") === 0).select(col("t").as("ta"))))
+        .crossJoin(broadcast(tot.where(col("g") === 1).select(col("t").as("tb"))))
+        .join(cnt.where(col("g") === 0).select(col("b"), col("c").as("ca")),
+          Seq("b"), "left")
+        .join(cnt.where(col("g") === 1).select(col("b"), col("c").as("cb")),
+          Seq("b"), "left")
+        .select(round((p - q) * log2(p / q), 6)
+          .cast(DecimalType(28, 6)).as("contrib"))
+        .agg(sum(col("contrib")).cast("double").as("psi"),
+          count(lit(1)).as("n_bins"))
+    }),
+
     // Welch's two-sample t-test per event type: users deterministically
     // bucketed A/B by id parity, value compared through exact micro-unit
     // power sums (the q_moments doctrine), then one shared IEEE formula
@@ -1245,6 +1291,40 @@ object ExtendedQueries {
         |    SQRT((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)) *
         |         (s2 / n - (s1 / n) * (s1 / n))), 6) AS skew
         |FROM m""".stripMargin,
+    "q_target_encode" ->
+      """WITH byCat AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS sc
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT SUM(sc) AS gs, SUM(n) AS gn FROM byCat)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_rows,
+        |  ROUND(sc / n / 100.0, 6) AS raw_mean,
+        |  ROUND((sc + 10.0 * (gs / gn)) / (n + 10.0) / 100.0, 6) AS encoded
+        |FROM byCat, g""".stripMargin,
+
+    "q_psi" ->
+      """WITH e AS (
+        |  SELECT CAST(LEAST(FLOOR(value / 50), 11) AS INT) AS b,
+        |    user_id % 2 AS g
+        |  FROM events),
+        |cnt AS (SELECT g, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+        |spine AS (SELECT CAST(UNNEST(range(0, 12)) AS INT) AS b),
+        |grid AS (
+        |  SELECT spine.b,
+        |    CAST(COALESCE(ca.c, 0) + 1 AS DOUBLE) / (ta.t + 12) AS p,
+        |    CAST(COALESCE(cb.c, 0) + 1 AS DOUBLE) / (tb.t + 12) AS q
+        |  FROM spine
+        |  CROSS JOIN (SELECT t FROM tot WHERE g = 0) ta
+        |  CROSS JOIN (SELECT t FROM tot WHERE g = 1) tb
+        |  LEFT JOIN (SELECT b, c FROM cnt WHERE g = 0) ca ON ca.b = spine.b
+        |  LEFT JOIN (SELECT b, c FROM cnt WHERE g = 1) cb ON cb.b = spine.b)
+        |SELECT
+        |  CAST(SUM(CAST(ROUND((p - q) * LOG2(p / q), 6) AS DECIMAL(28,6)))
+        |    AS DOUBLE) AS psi,
+        |  COUNT(*) AS n_bins
+        |FROM grid""".stripMargin,
+
     "q_ab_test" ->
       """WITH m AS (
         |  SELECT event_type, user_id % 2 AS grp,

@@ -101,6 +101,24 @@ class RelationalQueriesSpec extends SparkSpecBase {
     assert(v > 0 && v < 100)
   }
 
+  test("Holt fold: hand-computed level/trend/forecast recursion") {
+    import java.sql.Date
+    import spark.implicits._
+    val bars = Seq(
+      ("A", Date.valueOf("2024-01-02"), 10.0),
+      ("A", Date.valueOf("2024-01-03"), 20.0),
+      ("A", Date.valueOf("2024-01-04"), 30.0))
+      .toDF("ticker", "date", "close")
+    val out = graft.operators.SilverOps.holt(bars)
+      .collect().map(r => r.getDate(1).toString ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("2024-01-02") === ((10.0, 0.0, 10.0)))
+    // l=.5*20+.5*10=15, t=.25*5=1.25; forecast was pre-update l+t=10
+    assert(out("2024-01-03") === ((15.0, 1.25, 10.0)))
+    // fc=16.25; l=.5*30+.5*16.25=23.125; t=.25*8.125+.75*1.25=2.96875
+    assert(out("2024-01-04") === ((23.125, 2.96875, 16.25)))
+  }
+
   test("CUSUM fold: hand-computed alarms, reset-after-signal, per-key restart") {
     import java.sql.Date
     import spark.implicits._
