@@ -514,6 +514,18 @@ object TextQueries {
         graft.functions.Sketches.kmvSketch(docs, "lang", "did"), "lang")
     }),
 
+    // Distributed PCA: dominant eigenvector of the 16-dim embedding Gram
+    // matrix via fixed-point power iteration — exact integer accumulation
+    // throughout (the GraphOps doctrine), so the iterate sequence is
+    // bit-identical to the oracle's unrolled CTEs on any partitioning.
+    "q_pca" -> ((s, dir) => {
+      import graft.operators.LinAlgOps
+      val vecs = Tables.embeddings(s, dir).where(col("vec_id") < 2000)
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb"))
+      LinAlgOps.powerIterationFp(
+        LinAlgOps.gramFp(vecs, "emb", "vec_id"), iters = 3)
+    }),
+
     // Count-min sketch heavy-hitter counts: d=3 seeded md5 hash rows ×
     // w=256 counters over lineitem part keys, per-item min-counter
     // estimate vs the exact count — deterministic hashes make the
@@ -1155,6 +1167,29 @@ object TextQueries {
 
     "q_cms_counts" -> graft.functions.Sketches.cmsOracleSql(
       "lineitem", "l_partkey", d = 3, w = 256),
+
+    "q_pca" -> {
+      def iter(i: Int): String = {
+        val (prev, w, m, cur) = (s"v${i - 1}", s"w$i", s"m$i", s"v$i")
+        s"""$w AS (SELECT m.i, SUM(m.c * v.v) AS w
+           |       FROM mat m JOIN $prev v ON m.j = v.j GROUP BY 1),
+           |$m AS (SELECT MAX(ABS(w)) AS m FROM $w),
+           |$cur AS (SELECT i AS j, (w * 1000000) // m AS v FROM $w, $m)""".stripMargin
+      }
+      s"""WITH q AS (
+         |  SELECT vec_id AS id, CAST(i AS INTEGER) AS i,
+         |    CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+         |  FROM embeddings, range(16) t(i)
+         |  WHERE vec_id < 2000),
+         |mat AS (
+         |  SELECT a.i AS i, b.i AS j, SUM(CAST(a.q AS HUGEINT) * b.q) AS c
+         |  FROM q a JOIN q b ON a.id = b.id GROUP BY 1, 2),
+         |v0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS HUGEINT) AS v FROM mat),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT j AS i, CAST(v AS BIGINT) AS v_fp FROM v3""".stripMargin
+    },
 
     // u = (first 13 md5 hex chars + 1) / 2^52 — hex parse, +1, and the
     // power-of-two divide are exact, so priority = w/u is one shared IEEE

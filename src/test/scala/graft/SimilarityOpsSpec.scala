@@ -284,4 +284,36 @@ class SimilarityOpsSpec extends SparkSpecBase {
     assert(errs.forall(_ === 0.0),
       "range endpoints and constant dims must reconstruct exactly")
   }
+
+  test("powerIterationFp: hand-traced diagonal matrix; symmetric fixed point") {
+    import graft.operators.LinAlgOps
+    import spark.implicits._
+    // diag(2, 1): iterates halve the weaker axis each round (after the
+    // max-rescale): v = (1e6, 1e6) -> (1e6, 5e5) -> (1e6, 2.5e5) -> (1e6, 1.25e5)
+    val diag = Seq((0, 0, BigDecimal(2)), (1, 1, BigDecimal(1)))
+      .toDF("i", "j", "c")
+    val got = LinAlgOps.powerIterationFp(diag, iters = 3).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === Map(0 -> 1000000L, 1 -> 125000L))
+    // [[2,1],[1,2]]: (1,1) is the dominant eigenvector - exact fixed point
+    val sym = Seq((0, 0, BigDecimal(2)), (0, 1, BigDecimal(1)),
+      (1, 0, BigDecimal(1)), (1, 1, BigDecimal(2))).toDF("i", "j", "c")
+    val fp = LinAlgOps.powerIterationFp(sym, iters = 3).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fp === Map(0 -> 1000000L, 1 -> 1000000L))
+  }
+
+  test("gramFp is symmetric with exact diagonal") {
+    import graft.operators.LinAlgOps
+    import spark.implicits._
+    val vecs = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(0.5f, -1.0f)))
+      .toDF("id", "emb")
+    val g = LinAlgOps.gramFp(vecs, "emb", "id").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).longValueExact).toMap
+    // c00 = (1e6)^2 + (5e5)^2; c01 = 1e6*2e6 + 5e5*(-1e6); c11 = 4e12 + 1e12
+    assert(g((0, 0)) === 1250000000000L)
+    assert(g((0, 1)) === 1500000000000L)
+    assert(g((0, 1)) === g((1, 0)))
+    assert(g((1, 1)) === 5000000000000L)
+  }
 }
