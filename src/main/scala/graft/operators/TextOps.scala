@@ -123,6 +123,27 @@ object TextOps {
           sum(col("n").cast("double") * log2(col("n").cast("double"))) /
             sum(col("n")), 6).as("char_entropy"))
 
+  /** Flesch reading-ease score per document — the readability member of
+    * the quality family. Heuristic syllables = vowel-group runs (the
+    * standard regex approximation); sentences = terminal-punctuation
+    * runs, floored at 1. All three inputs are integer regexp counts, so
+    * the score is one shared IEEE tree over exact ints — per-row, no
+    * shuffle, RE2-safe patterns (the PII doctrine). */
+  def readability(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val w = size(split(trim(col(textCol)), "\\s+")).cast("double")
+    val s = greatest(lit(1),
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))))
+      .cast("double")
+    val syl = greatest(lit(1),
+      size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0))))
+      .cast("double")
+    df.select(col(idCol), w.cast("long").as("n_words"),
+      s.cast("long").as("n_sentences"), syl.cast("long").as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (syl / w), 6)
+        .as("flesch"))
+  }
+
   /** n-gram repetition statistics — the second Gopher-style repetition
     * family: [[wordStats]] catches single-word spam, this catches looped
     * PHRASES (a doc that repeats "click here to subscribe" scores low on

@@ -638,6 +638,27 @@ object ExtendedQueries {
           count(lit(1)).as("n_bins"))
     }),
 
+    // Mutual information between lang and source (bits) — the dependence
+    // measure next to q_chi_square's significance test. Observed cells
+    // only (0·log0 = 0 drops empties), exact count ratios through one
+    // shared tree, contributions decimal-summed.
+    "q_mutual_info" -> ((s, dir) => {
+      val c = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val rt = c.groupBy("lang").agg(sum(col("o")).as("rt"))
+      val ct = c.groupBy("source").agg(sum(col("o")).as("ct"))
+      val n = c.agg(sum(col("o")).as("nn"))
+      val pij = col("o").cast("double") / col("nn")
+      val ratio = (col("o").cast("double") * col("nn")) /
+        (col("rt").cast("double") * col("ct"))
+      c.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+        .crossJoin(broadcast(n))
+        .select(round(pij * log2(ratio), 6)
+          .cast(DecimalType(28, 6)).as("contrib"))
+        .agg(sum(col("contrib")).cast("double").as("mi_bits"),
+          count(lit(1)).as("n_cells"))
+    }),
+
     // Welch's two-sample t-test per event type: users deterministically
     // bucketed A/B by id parity, value compared through exact micro-unit
     // power sums (the q_moments doctrine), then one shared IEEE formula
@@ -1291,6 +1312,20 @@ object ExtendedQueries {
         |    SQRT((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)) *
         |         (s2 / n - (s1 / n) * (s1 / n))), 6) AS skew
         |FROM m""".stripMargin,
+    "q_mutual_info" ->
+      """WITH c AS (
+        |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+        |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS nn FROM c)
+        |SELECT
+        |  CAST(SUM(CAST(ROUND(
+        |    (CAST(o AS DOUBLE) / nn) *
+        |    LOG2((CAST(o AS DOUBLE) * nn) / (CAST(rt AS DOUBLE) * ct)), 6)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS mi_bits,
+        |  COUNT(*) AS n_cells
+        |FROM c JOIN rt USING (lang) JOIN ct USING (source), n""".stripMargin,
+
     "q_target_encode" ->
       """WITH byCat AS (
         |  SELECT o_orderpriority, CAST(COUNT(*) AS DOUBLE) AS n,

@@ -123,6 +123,11 @@ object TextQueries {
     "q_char_entropy" -> ((s, dir) =>
       TextOps.charEntropy(Tables.documents(s, dir))),
 
+    // Flesch reading ease — integer regexp counts through one shared
+    // IEEE tree; per-row projection, no shuffle.
+    "q_readability" -> ((s, dir) =>
+      TextOps.readability(Tables.documents(s, dir))),
+
     // Unigram language-model scoring (the CCNet-style fluency proxy): word
     // frequencies trained on the corpus itself, each doc scored by its
     // mean -log2 p(word) — high bits/word flags gibberish and boilerplate
@@ -997,6 +1002,21 @@ object TextQueries {
         |    AS rep_ratio,
         |  CAST(MAX(f) AS BIGINT) AS max_word_freq
         |FROM f GROUP BY doc_id""".stripMargin,
+
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS w,
+        |    CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+        |      AS DOUBLE) AS s,
+        |    CAST(GREATEST(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+        |      AS DOUBLE) AS syl
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+        |  CAST(s AS BIGINT) AS n_sentences,
+        |  CAST(syl AS BIGINT) AS n_syllables,
+        |  ROUND(206.835 - 1.015 * (w / s) - 84.6 * (syl / w), 6) AS flesch
+        |FROM c""".stripMargin,
 
     "q_char_entropy" ->
       """WITH ch AS (

@@ -637,6 +637,47 @@ object StreamingOps {
       }
   }
 
+  case class HoltState(lastDate: java.sql.Date, lev: Double, tr: Double)
+  case class HoltPoint(ticker: String, date: java.sql.Date, close: Double,
+                       level: Double, trend: Double, forecast: Double)
+
+  /** Streaming twin of [[graft.operators.SilverOps.holt]]: level+trend
+    * smoothing as per-ticker streaming state (three scalars). Same IEEE
+    * sequence as the batch fold, so the replayed feed equals it
+    * bit-for-bit; late bars dropped per the fold family's discipline. */
+  def holtStream(bars: Dataset[Bar], alpha: Double = 0.5,
+                 beta: Double = 0.25): Dataset[HoltPoint] = {
+    import bars.sparkSession.implicits._
+    val (ba, bb) = (1.0 - alpha, 1.0 - beta)
+    bars
+      .groupByKey(_.ticker)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ticker: String, it: Iterator[Bar], state: GroupState[HoltState]) =>
+          val sorted = it.toSeq.sortBy(_.date.getTime)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[HoltPoint]
+          sorted.foreach { b =>
+            val fresh = cur.forall(s => b.date.getTime > s.lastDate.getTime)
+            if (fresh) {
+              cur match {
+                case None =>
+                  out += HoltPoint(ticker, b.date, b.close, b.close, 0.0, b.close)
+                  cur = Some(HoltState(b.date, b.close, 0.0))
+                case Some(s) =>
+                  val fc = s.lev + s.tr
+                  val nl = alpha * b.close + ba * (s.lev + s.tr)
+                  val nt = beta * (nl - s.lev) + bb * s.tr
+                  out += HoltPoint(ticker, b.date, b.close, nl, nt, fc)
+                  cur = Some(HoltState(b.date, nl, nt))
+              }
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
