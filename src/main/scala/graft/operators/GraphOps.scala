@@ -75,6 +75,35 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_fp"))
   }
 
+  /** Fixed-point stationary mass of a WEIGHTED random walk: given
+    * (src, dst, c) transition counts, iterate v'_dst = Σ_src (v·c) div rs
+    * where rs is src's total outgoing count — the Markov stationary
+    * distribution by power iteration, in [[pageRank]]'s integer doctrine
+    * (per-edge truncating div, deterministic on any partitioning and
+    * replayable by unrolled CTEs). No teleport term: the caller's chain
+    * should be irreducible (event-type graphs are); mass leaks < 1 fp-ulp
+    * per edge per round to truncation. Start: uniform `RankScale`/N. */
+  def stationaryFp(trans: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val t = trans.select(col("src"), col("dst"), col("c").cast("long"))
+    val rs = t.groupBy("src").agg(sum(col("c")).as("rs"))
+    val nodes = t.select(col("src").as("node"))
+      .union(t.select(col("dst").as("node"))).distinct()
+    val nDf = nodes.agg(count(lit(1)).as("nn"))
+    var v = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), expr(s"$RankScale div nn").as("v"))
+    for (_ <- 1 to iters) {
+      v = nodes.join(
+        t.join(v.withColumnRenamed("node", "src"), "src")
+          .join(broadcast(rs), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("(v * c) div rs")).as("w")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("w"), lit(0L)).as("v"))
+    }
+    v.select(col("node"), col("v").as("mass_fp"))
+  }
+
   /** Synchronous label-propagation communities (Raghavan et al. 2007) over
     * `iters` rounds: every node adopts the most frequent label among its
     * undirected neighbors, ties broken by the SMALLEST label — the total

@@ -123,6 +123,52 @@ object TextOps {
           sum(col("n").cast("double") * log2(col("n").cast("double"))) /
             sum(col("n")), 6).as("char_entropy"))
 
+  /** Sparse TF-IDF cosine similarity pairs via the inverted-index join —
+    * the term-space sibling of the embedding near-dup family. Weights are
+    * tf · round(log2(N/df)·1e6) exact longs (the micro-unit doctrine), so
+    * dot products and norms accumulate exactly and the cosine is one
+    * shared IEEE tree.
+    *
+    * Scale shape: the pair space is generated PER TERM (df² pairs for a
+    * term shared by df docs), so `maxDf` caps the fan-out exactly like
+    * [[graft.operators.DedupOps.ngramJaccardPairs]]' df cap — a stopword
+    * shared by a million docs never joins. Terms with df < 2 are pruned
+    * (they can't pair). One term-keyed exchange for the join, one
+    * pair-keyed aggregation.
+    */
+  def tfidfCosinePairs(df: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", maxDf: Int = 100,
+                       minCos: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = df.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val tf = w.groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+    val n = df.agg(countDistinct(col(idCol)).as("nn"))
+    val weights = tf.join(dfreq, "t").crossJoin(broadcast(n))
+      .select(col("id"), col("t"),
+        (col("tf") * round(log2(col("nn").cast("double") / col("df")) *
+          1000000).cast("long")).as("wt"))
+    val norms = weights.groupBy("id")
+      .agg(sum(col("wt").cast(DecimalType(38, 0)) * col("wt")).as("nrm"))
+    val dots = weights.select(col("t"), col("id").as("id_a"), col("wt").as("wa"))
+      .join(weights.select(col("t"), col("id").as("id_b"), col("wt").as("wb")),
+        "t")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("wa").cast(DecimalType(38, 0)) * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6).as("cosine"))
+      .where(col("cosine") >= minCos)
+  }
+
   /** Flesch reading-ease score per document — the readability member of
     * the quality family. Heuristic syllables = vowel-group runs (the
     * standard regex approximation); sentences = terminal-punctuation

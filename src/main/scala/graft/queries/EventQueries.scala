@@ -199,6 +199,20 @@ object EventQueries {
       pairs.join(broadcast(totals), "prev_type")
         .withColumn("prob", col("cnt").cast("double") / col("tot").cast("double"))
         .select("prev_type", "next_type", "cnt", "prob")
+    }),
+
+    // Stationary distribution of the event-type Markov chain — the
+    // weighted-walk power iteration (GraphOps.stationaryFp) on q_markov's
+    // transition counts; fixed-point integers, oracle unrolls 4 rounds.
+    "q_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.GraphOps.stationaryFp(trans, iters = 4)
+        .select(col("node").as("event_type"), col("mass_fp"))
     })
   )
 
@@ -228,6 +242,36 @@ object EventQueries {
         |SELECT p.prev_type, p.next_type, p.cnt,
         |  CAST(p.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
         |FROM pairs p JOIN totals t USING (prev_type)""".stripMargin,
+    "q_stationary" -> {
+      def iter(i: Int): String =
+        s"""w$i AS (
+           |  SELECT t.dst AS node, CAST(SUM((v.v * t.c) // r.rs) AS BIGINT) AS w
+           |  FROM t JOIN v${i - 1} v ON t.src = v.node
+           |  JOIN rs r ON t.src = r.src GROUP BY 1),
+           |v$i AS (
+           |  SELECT n.node, COALESCE(w.w, 0) AS v
+           |  FROM nodes n LEFT JOIN w$i w ON n.node = w.node)""".stripMargin
+      s"""WITH seq AS (
+         |  SELECT event_type,
+         |    LAG(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type
+         |  FROM events),
+         |t AS (
+         |  SELECT prev_type AS src, event_type AS dst, COUNT(*) AS c
+         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |rs AS (SELECT src, CAST(SUM(c) AS BIGINT) AS rs FROM t GROUP BY 1),
+         |nodes AS (
+         |  SELECT DISTINCT node FROM
+         |    (SELECT src AS node FROM t UNION ALL SELECT dst FROM t)),
+         |cnt AS (SELECT COUNT(*) AS nn FROM nodes),
+         |v0 AS (SELECT node, 1000000000000 // nn AS v FROM nodes, cnt),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |${iter(4)}
+         |SELECT node AS event_type, v AS mass_fp FROM v4""".stripMargin
+    },
+
     "q_epoch_roundtrip" ->
       """SELECT event_id, epoch_ms(ts) AS epoch_val, CAST(ts AS DATE) AS d
         |FROM events""".stripMargin,

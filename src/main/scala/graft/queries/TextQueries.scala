@@ -128,6 +128,12 @@ object TextQueries {
     "q_readability" -> ((s, dir) =>
       TextOps.readability(Tables.documents(s, dir))),
 
+    // Sparse TF-IDF cosine pairs — inverted-index join with a df cap
+    // bounding the per-term fan-out; micro-unit integer weights.
+    "q_tfidf_cosine" -> ((s, dir) =>
+      TextOps.tfidfCosinePairs(
+        Tables.documents(s, dir).where(col("doc_id") < 1000))),
+
     // Unigram language-model scoring (the CCNet-style fluency proxy): word
     // frequencies trained on the corpus itself, each doc scored by its
     // mean -log2 p(word) — high bits/word flags gibberish and boilerplate
@@ -1002,6 +1008,39 @@ object TextQueries {
         |    AS rep_ratio,
         |  CAST(MAX(f) AS BIGINT) AS max_word_freq
         |FROM f GROUP BY doc_id""".stripMargin,
+
+    "q_tfidf_cosine" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |w AS (
+        |  SELECT doc_id AS id, t
+        |  FROM d, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS u(t)
+        |  WHERE t <> ''),
+        |tf AS (SELECT id, t, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+        |        HAVING COUNT(*) >= 2 AND COUNT(*) <= 100),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM d),
+        |wt AS (
+        |  SELECT id, tf.t,
+        |    tf * CAST(ROUND(LOG2(CAST(nn AS DOUBLE) / df) * 1000000)
+        |         AS BIGINT) AS wt
+        |  FROM tf JOIN dfq ON tf.t = dfq.t, n),
+        |norms AS (
+        |  SELECT id, SUM(CAST(wt AS HUGEINT) * wt) AS nrm FROM wt GROUP BY 1),
+        |dots AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    SUM(CAST(a.wt AS HUGEINT) * b.wt) AS dot
+        |  FROM wt a JOIN wt b ON a.t = b.t AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(dot AS DOUBLE) /
+        |    (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))), 6)
+        |    AS cosine
+        |FROM dots
+        |JOIN norms na ON na.id = dots.id_a
+        |JOIN norms nb ON nb.id = dots.id_b
+        |WHERE ROUND(CAST(dot AS DOUBLE) /
+        |    (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))), 6)
+        |  >= 0.5""".stripMargin,
 
     "q_readability" ->
       """WITH c AS (
