@@ -39,7 +39,10 @@ object Bench {
     // late round-7: basket self-join mining, LPA rounds, the CMS build+probe,
     // the char-explode entropy agg, and the codegen Jaro-Winkler pair scan
     "q_assoc_rules", "q_communities", "q_cms_counts", "q_char_entropy",
-    "q_jaro_winkler", "q_cusum")
+    "q_jaro_winkler", "q_cusum",
+    // final round-7 batch: fixed-point PCA, SNM entity resolution, the
+    // Holt fold, stationary mass, and the inverted-index TF-IDF cosine
+    "q_pca", "q_er_pairs", "q_holt", "q_stationary", "q_tfidf_cosine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
