@@ -187,14 +187,29 @@ object Sketches {
 
   /** Per-distinct-item CMS frequency estimate: min over the d counters the
     * item hashes into. est_cnt >= true count always (one-sided error). */
-  def cmsEstimates(df: DataFrame, valueCol: String, d: Int, w: Int): DataFrame = {
-    val counters = cmsCounters(df, valueCol, d, w)
-    val probes = df.select(col(valueCol).cast("string").as("item")).distinct()
-      .select(col("item"), explode(array((0 until d).map(j =>
+  def cmsEstimates(df: DataFrame, valueCol: String, d: Int, w: Int): DataFrame =
+    cmsEstimatesFromCounts(
+      df.groupBy(col(valueCol).cast("string").as("item"))
+        .agg(count(lit(1)).as("item_cnt")), d, w)
+
+  /** [[cmsEstimates]] over a pre-aggregated (item, item_cnt) table — ONE
+    * corpus scan total: the counters are the per-bucket SUM of item
+    * counts (identical integers to counting raw rows, since every
+    * occurrence of an item lands in the same buckets), and the same
+    * reduced table probes the broadcast sketch. Callers that already
+    * have frequencies (or maintain them incrementally) skip the corpus
+    * entirely. */
+  def cmsEstimatesFromCounts(itemCounts: DataFrame, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    val hashed = itemCounts.select(col("item"), col("item_cnt"),
+      explode(array((0 until d).map(j =>
         struct(lit(j).as("j"), cmsHash(col("item"), j, w).as("bucket"))): _*))
         .as("jb"))
-      .select(col("item"), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
-    probes.join(broadcast(counters), Seq("j", "bucket"))
+      .select(col("item"), col("item_cnt"),
+        col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+    val counters = hashed.groupBy("j", "bucket")
+      .agg(sum(col("item_cnt")).as("cnt"))
+    hashed.join(broadcast(counters), Seq("j", "bucket"))
       .groupBy("item").agg(min(col("cnt")).as("est_cnt"))
   }
 

@@ -543,10 +543,14 @@ object TextQueries {
     // one-sided overestimates oracle-replayable (cf. q_approx_distinct's
     // KMV doctrine: the mergeable-sketch family, frequency flavor).
     "q_cms_counts" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-      graft.functions.Sketches.cmsEstimates(li, "l_partkey", d = 3, w = 256)
-        .join(li.groupBy(col("l_partkey").cast("string").as("item"))
-          .agg(count(lit(1)).as("exact_cnt")), Seq("item"))
+      // one corpus scan: the item-count agg feeds the sketch build, the
+      // probe side, AND the exact column (shared exchange, reused)
+      val counts = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").cast("string").as("item"))
+        .agg(count(lit(1)).as("item_cnt"))
+      graft.functions.Sketches.cmsEstimatesFromCounts(counts, d = 3, w = 256)
+        .join(counts.select(col("item"), col("item_cnt").as("exact_cnt")),
+          Seq("item"))
         .select(col("item"), col("exact_cnt"), col("est_cnt"))
     }),
 

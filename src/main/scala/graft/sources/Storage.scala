@@ -106,6 +106,15 @@ object Storage {
   def readTable(spark: SparkSession, ref: TableRef): DataFrame =
     spark.read.parquet(ref.path)
 
+  /** Schema-evolution read: merge the footer schemas of every file, so a
+    * table whose appends gained columns over time reads as the SUPERSET
+    * schema with nulls where old files lack a column — additive evolution
+    * without a rewrite. Costs one footer read per file (why it isn't the
+    * default read path); columns may only be ADDED — a type change for an
+    * existing name fails the merge, which is the correct contract. */
+  def readTableMerged(spark: SparkSession, ref: TableRef): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(ref.path)
+
   /** S3 — existence probe: any parquet footer under the path. */
   def tableExists(spark: SparkSession, ref: TableRef): Boolean = {
     val p = new Path(ref.path)

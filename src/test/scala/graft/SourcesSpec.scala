@@ -280,4 +280,21 @@ class SourcesSpec extends SparkSpecBase {
     assert(m._1 === base._1 && (m._2 != base._2 || m._3 != base._3),
       "a single mutated value must move the checksum")
   }
+
+  test("schema-evolution read: appended columns merge, old rows null-fill") {
+    import spark.implicits._
+    val ref = TableRef(
+      java.nio.file.Files.createTempDirectory("graft_evolve").toString,
+      "silver", "evolving")
+    Storage.writeTable(Seq((1L, "a"), (2L, "b")).toDF("id", "x"), ref)
+    // a later producer gained a column; append, don't rewrite
+    Seq((3L, "c", 9.5)).toDF("id", "x", "y").write
+      .mode("append").parquet(ref.path)
+    val merged = Storage.readTableMerged(spark, ref)
+    assert(merged.columns.sorted.toSeq === Seq("id", "x", "y"))
+    val rows = merged.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(rows === Map(1L -> None, 2L -> None, 3L -> Some(9.5)))
+  }
 }
