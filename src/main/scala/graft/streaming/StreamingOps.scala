@@ -114,6 +114,32 @@ object StreamingOps {
       .drop("c_user")
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[purchaseAttribution]],
+    * but purchases with NO click in the preceding hour still emit — with
+    * null click columns — once the watermark passes their join window.
+    * This is the semantically hard half of stream-stream joins: an inner
+    * join can emit on match, but "no match" is only knowable when the
+    * watermark proves no qualifying click can still arrive, so unmatched
+    * rows surface with watermark delay, not immediately (StreamingSpec
+    * drives the watermark forward with a sentinel event to observe them
+    * deterministically). State bounds are the inner join's. */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_outer")
+      .drop("c_user")
+  }
+
   /** Gap-based sessions via the BUILT-IN session_window aggregation —
     * Catalyst manages merge/expiry state, no custom state function. The
     * declarative twin of [[sessionize]] (flatMapGroupsWithState), same

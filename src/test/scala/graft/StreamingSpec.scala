@@ -418,6 +418,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("outer stream-stream join emits unmatched purchases after the watermark") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_outer_feed").toString
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      (id, ts(t), u, typ, 1.0)
+    // user 1: click then purchase (matched); user 2: purchase, no click
+    Seq(ev(1, "2024-01-01 10:00:00", 1, "click"),
+      ev(2, "2024-01-01 10:30:00", 1, "purchase"),
+      ev(3, "2024-01-01 10:40:00", 2, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(20)
+    // watermark sentinels: the global watermark is the MIN over both
+    // sides' watermark nodes, so BOTH a future click and a future
+    // purchase are needed (different users — they must not match each
+    // other, or they'd emit and pollute the assertion)
+    Seq(ev(99, "2024-01-01 20:00:00", 9, "click"),
+      ev(101, "2024-01-01 20:00:00", 8, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = StreamingOps.purchaseAttributionOuter(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("outer_attr_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_oackpt").toString)
+      .start()
+    q.processAllAvailable()
+    // outer-side EVICTION runs in the batch AFTER the one that advanced
+    // the watermark (state cleanup uses the previous batch's committed
+    // watermark) — a second sentinel triggers that batch deterministically
+    Seq(ev(100, "2024-01-01 21:00:00", 9, "click"),
+      ev(102, "2024-01-01 21:00:00", 8, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("outer_attr_out")
+      .select(col("purchase_id"),
+        col("click_id").isNull.as("unmatched")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // the matched purchase joined its click; the clickless one emitted
+    // with nulls once the sentinel's watermark proved no click can arrive
+    assert(rows === Map(2L -> false, 3L -> true))
+  }
+
   test("streaming dedup drops re-delivered fingerprints across micro-batches") {
     val dir = Files.createTempDirectory("graft_sdocs").toString
     // two appends → multiple files → multiple micro-batches; doc 3 is a
