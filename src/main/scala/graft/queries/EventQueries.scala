@@ -113,6 +113,14 @@ object EventQueries {
     // stream-stream interval join (StreamingOps.purchaseAttribution):
     // each purchase counts the same user's clicks in the preceding hour.
     // Shuffles on user_id only; the interval predicate filters in-join.
+    // Batch twin of the streaming LEFT OUTER attribution join: unmatched
+    // purchases keep a null click_id — the row the inner join drops.
+    "q_attribution_outer" -> ((s, dir) =>
+      graft.streaming.StreamingOps.purchaseAttributionOuter(
+        Tables.events(s, dir))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          col("click_id"), col("click_ts"))),
+
     "q_attribution" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
@@ -334,6 +342,19 @@ object EventQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY 1, 2""".stripMargin,
+    "q_attribution_outer" ->
+      """WITH c AS (SELECT user_id AS c_user, ts AS click_ts,
+        |             event_id AS click_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |  c.click_id, c.click_ts
+        |FROM p LEFT JOIN c
+        |  ON c.c_user = p.user_id
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+        |  AND c.click_ts <= p.purchase_ts""".stripMargin,
+
     "q_attribution" ->
       """WITH c AS (SELECT user_id AS c_user, ts AS click_ts FROM events
         |           WHERE event_type = 'click'),
