@@ -73,4 +73,33 @@ class QueryBoundsSpec extends SparkSpecBase {
     val run2 = SparkEntry.queries("q_mm_decode")(spark, sf).collect()
     assert(run1.map(_.toString).sorted.toSeq === run2.map(_.toString).sorted.toSeq)
   }
+
+  test("information-theoretic scores respect their analytic bounds") {
+    // PSI = sum (p-q)log2(p/q) >= 0 (Gibbs); MI >= 0; both 0 only under
+    // identical/independent distributions the fixture doesn't produce
+    val psi = SparkEntry.queries("q_psi")(spark, sf).collect().head.getDouble(0)
+    assert(psi >= 0.0, s"PSI must be non-negative, got $psi")
+    val mi = SparkEntry.queries("q_mutual_info")(spark, sf)
+      .collect().head.getDouble(0)
+    assert(mi >= 0.0, s"MI must be non-negative, got $mi")
+    // chi-square >= 0 and consistent cell-grid size (langs x sources)
+    val chi = SparkEntry.queries("q_chi_square")(spark, sf).collect().head
+    assert(chi.getDouble(0) >= 0.0)
+    val nl = Tables.documents(spark, sf).select("lang").distinct().count()
+    val ns = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(chi.getLong(2) === nl * ns, "grid must cover every cell incl. empties")
+  }
+
+  test("CMS overestimate stays within the d,w analytic envelope") {
+    // E[overestimate] <= N/w per row; with d rows the min is far tighter —
+    // assert the loose 3N/w bound per item (N = corpus rows, w = 256)
+    val rows = SparkEntry.queries("q_cms_counts")(spark, sf).collect()
+    val n = Tables.lineitem(spark, sf).count()
+    val bound = math.max(3L, 3L * n / 256)
+    rows.foreach { r =>
+      val over = r.getLong(2) - r.getLong(1)
+      assert(over >= 0L, "CMS must never underestimate")
+      assert(over <= bound, s"item=${r.getString(0)} over=$over bound=$bound")
+    }
+  }
 }
