@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the column-pruning rule Catalyst can't apply to an unknown node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoin)
+    // jw >= t implies a length-ratio bound — inject the cheap guard
+    ext.injectOptimizerRule(_ => graft.plans.PruneJaroWinkler)
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[graft.functions.ArrayDotProduct].getName,

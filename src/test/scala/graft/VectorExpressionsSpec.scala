@@ -209,6 +209,29 @@ class VectorExpressionsSpec extends SparkSpecBase {
     }
   }
 
+  test("PruneJaroWinkler injects the implied length guard, exact semantics") {
+    import graft.functions.StringSimilarity.jaroWinklerCol
+    val p = Tables.part(spark, sf).limit(200)
+      .select(col("p_partkey").as("k"), col("p_name").as("a"),
+        concat(col("p_name"), lit(" x")).as("b"))
+    val filtered = p.filter(jaroWinklerCol(col("a"), col("b")) >= 0.9)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(opt.contains("least(") && opt.contains("greatest("),
+      s"length guard not injected:\n$opt")
+    // exactness: the guard is implied, so the rule must not change results
+    val wanted = p.collect().filter { r =>
+      graft.functions.StringSimilarity.jaroWinkler(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(2))) >= 0.9
+    }.map(_.getLong(0)).toSet
+    assert(filtered.collect().map(_.getLong(0)).toSet === wanted)
+    assert(wanted.nonEmpty, "fixture must keep some near-identical pairs")
+    // below the 0.8 usefulness floor the bound is vacuous — no injection
+    val low = p.filter(jaroWinklerCol(col("a"), col("b")) >= 0.5)
+      .queryExecution.optimizedPlan.toString
+    assert(!low.contains("least("), s"vacuous guard injected:\n$low")
+  }
+
   test("bloom might_contain on long keys matches stat.bloomFilter hashing") {
     // the q_bloom_semi_join path: bloom built by DataFrameStatFunctions
     // over a bigint key, probed by the expression's mightContainLong —
