@@ -638,6 +638,27 @@ object ExtendedQueries {
           count(lit(1)).as("n_bins"))
     }),
 
+    // Weekday (business-day) span between order and ship dates via the
+    // closed form g(n) = 5·(n div 7) + min(n mod 7, 5) counted from an
+    // anchor Monday — all integer arithmetic, no calendar table, O(1) per
+    // row where a calendar join would shuffle a dim. (Exchange-holiday
+    // precision lives in functions.TradingCalendar — spec'd, driver-side;
+    // this is the pure-SQL-replayable weekday arithmetic.)
+    "q_weekday_span" -> ((s, dir) => {
+      val j = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("d_ship"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d_ord")),
+          col("l_orderkey") === col("o_orderkey"))
+      j.select(col("l_orderkey"), col("l_linenumber"),
+          expr("5 * (datediff(d_ship, DATE'1991-12-30') div 7) + " +
+            "least(pmod(datediff(d_ship, DATE'1991-12-30'), 7), 5) - " +
+            "(5 * (datediff(d_ord, DATE'1991-12-30') div 7) + " +
+            "least(pmod(datediff(d_ord, DATE'1991-12-30'), 7), 5))")
+            .cast("int").as("weekdays"))
+    }),
+
     // Mutual information between lang and source (bits) — the dependence
     // measure next to q_chi_square's significance test. Observed cells
     // only (0·log0 = 0 drops empties), exact count ratios through one
@@ -1312,6 +1333,21 @@ object ExtendedQueries {
         |    SQRT((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)) *
         |         (s2 / n - (s1 / n) * (s1 / n))), 6) AS skew
         |FROM m""".stripMargin,
+    "q_weekday_span" ->
+      """WITH j AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_shipdate AS DATE) AS d_ship,
+        |    CAST(o_orderdate AS DATE) AS d_ord
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(
+        |    5 * (datediff('day', DATE '1991-12-30', d_ship) // 7)
+        |    + LEAST(datediff('day', DATE '1991-12-30', d_ship) % 7, 5)
+        |    - (5 * (datediff('day', DATE '1991-12-30', d_ord) // 7)
+        |       + LEAST(datediff('day', DATE '1991-12-30', d_ord) % 7, 5))
+        |  AS INT) AS weekdays
+        |FROM j""".stripMargin,
+
     "q_mutual_info" ->
       """WITH c AS (
         |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
