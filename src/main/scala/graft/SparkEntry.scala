@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ DomainQueries.queries ++
       TextQueries.queries ++ EventQueries.queries ++ DeclaredQueries.queries ++
-      ExtendedQueries.queries ++ GraphQueries.queries ++ AssocQueries.queries
+      ExtendedQueries.queries ++ GraphQueries.queries ++
+      AssocQueries.queries ++ WarehouseQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ DomainQueries.oracles ++
       TextQueries.oracles ++ EventQueries.oracles ++ DeclaredQueries.oracles ++
-      ExtendedQueries.oracles ++ GraphQueries.oracles ++ AssocQueries.oracles
+      ExtendedQueries.oracles ++ GraphQueries.oracles ++
+      AssocQueries.oracles ++ WarehouseQueries.oracles
 }

@@ -24,6 +24,61 @@ object MergeOps {
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
 
+  /** SCD Type 2: turn an ordered per-key observation log into versioned
+    * dimension rows with validity intervals — the slowly-changing-dimension
+    * build every warehouse needs around a MERGE primitive.
+    *
+    * `log` holds one observation per (keys, orderCol); consecutive
+    * observations whose `attrCols` are unchanged are compressed away, then
+    * each surviving change opens a version: `valid_from` = its orderCol,
+    * `valid_to` = the next change's orderCol (null while current),
+    * `is_current` = no later change exists.
+    *
+    * Scale shape: ONE shuffle on `keys` — the change-compression lag and
+    * the valid_to lead share the same partitioning and ordering, so
+    * Catalyst plans a single exchange with two window passes (the filter
+    * between them preserves the clustering). State per key is O(1).
+    * Null-safe attr comparison (`<=>`) so a null→value transition is a
+    * real change, not a dropped row. */
+  def scd2(log: DataFrame, keys: Seq[String], attrCols: Seq[String],
+           orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val attrs = struct(attrCols.map(col): _*)
+    log
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .filter(!(col("__prev") <=> attrs))
+      .drop("__prev")
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keys ++ attrCols).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
+  /** Apply an ordered CDC log (insert/update/delete ops) to reconstruct
+    * final table state — the replication-stream materialization step.
+    *
+    * Per key, the log entry with the greatest `ordCol` wins; keys whose
+    * last op is `deleteOp` are absent from the result. Everything else
+    * projects that last entry's payload columns.
+    *
+    * Scale shape: one keyed aggregate (`max_by` over the ord — map-side
+    * combinable partial agg, so pre-shuffle state per key per partition is
+    * one row) + a post-agg filter. No window, no self-join; at 100 TB the
+    * cost is the one shuffle any keyed reduction pays. `ordCol` must be a
+    * total order per key (ties would make the winner ambiguous). */
+  def applyCdcLog(log: DataFrame, keys: Seq[String], ordCol: String,
+                  opCol: String, deleteOp: String = "D"): DataFrame = {
+    val payload = log.columns.filterNot(c =>
+      keys.contains(c) || c == ordCol).toSeq
+    log.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(ordCol)).as("__last"))
+      .filter(col(s"__last.$opCol") =!= deleteOp)
+      .select(keys.map(col) ++
+        payload.filterNot(_ == opCol).map(c => col(s"__last.$c").as(c)): _*)
+  }
+
   /** MERGE into a stored table, rewriting only the hive partitions that
     * `updates` touches (dynamic partition overwrite). The merge itself is
     * scoped: base rows from untouched partitions never enter the join —

@@ -710,4 +710,50 @@ object SilverOps {
           round((lit(n.toDouble) * sxy - sx * sy) / sqrt(varx * vary), 6)))
       .select("ticker", "date", "corr_n")
   }
+
+  /** Trailing-n CAPM beta per ticker vs the equal-weight market return —
+    * the time-varying version of the whole-history beta (DomainQueries
+    * `q_beta`), under the rollingCorr doctrine: integer 1e-8-unit returns,
+    * DECIMAL(38,0) running sums, trailing sums as cum − lag(cum, n), and
+    * one shared double expression tree so both engines emit identical
+    * bits.
+    *
+    * Scale shape: the market return is a per-DATE aggregate (tiny —
+    * calendar-bounded) broadcast back to the bars; the rolling pass is the
+    * usual single shuffle on ticker with O(1) running-frame state. No
+    * sliding frames, no per-row rescans. */
+  def rollingBeta(daily: DataFrame, n: Int = 20): DataFrame = {
+    val w = F.tickerWindow()
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d38 = DecimalType(38, 0)
+    val r = daily
+      .withColumn("x",
+        round((col("close") / lag(col("close"), 1).over(w) - 1.0) * 1e8)
+          .cast("long"))
+      .filter(col("x").isNotNull)
+    val market = r.groupBy(col("date")).agg(
+      round(sum(col("x")).cast("double") / count(lit(1))).cast("long")
+        .as("m8"))
+    val cums = r.join(broadcast(market), "date")
+      .withColumn("cx", sum(col("x").cast(d38)).over(run))
+      .withColumn("cm", sum(col("m8").cast(d38)).over(run))
+      // cast BEFORE multiplying (q_beta doctrine): day-over-day bar ratios
+      // can push x to ~1e10, so a long×long product would overflow int64
+      .withColumn("cxm", sum(col("x").cast(d38) * col("m8")).over(run))
+      .withColumn("cmm", sum(col("m8").cast(d38) * col("m8")).over(run))
+      .withColumn("cn", count(lit(1)).over(run))
+    def lastN(c: String): Column =
+      (col(c) - coalesce(lag(col(c), n).over(w), lit(0).cast(d38)))
+        .cast("double")
+    val cntN = col("cn") - coalesce(lag(col("cn"), n).over(w), lit(0L))
+    val (sx, sm, sxm, smm) = (lastN("cx"), lastN("cm"), lastN("cxm"), lastN("cmm"))
+    val varm = lit(n.toDouble) * smm - sm * sm
+    cums
+      // + 0.0 canonicalizes IEEE negative zero (round can yield -0.0,
+      // whose repr differs cross-engine; -0.0 + 0.0 = +0.0 exactly)
+      .withColumn("beta_n",
+        when(cntN === n && varm > 0.0,
+          round((lit(n.toDouble) * sxm - sx * sm) / varm, 4) + lit(0.0)))
+      .select("ticker", "date", "beta_n")
+  }
 }
