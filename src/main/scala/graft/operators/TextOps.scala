@@ -222,6 +222,46 @@ object TextOps {
         round(col("mx").cast("double") / col("n_ngrams"), 6).as("top_fraction"))
   }
 
+  /** Bigram language-model quality score — the KenLM-style perplexity
+    * filter of web-scale curation pipelines (CCNet/RedPajama), self-trained:
+    * the corpus's own bigram statistics are the model, and each document
+    * scores as mean -log2 P(w_i | w_{i-1}) with Laplace smoothing
+    * P = (c(w1,w2) + 1) / (c(w1·) + V). Low bits/token = predictable,
+    * natural text; high = gibberish or shredded boilerplate.
+    *
+    * Exactness doctrine: probabilities are exact integer-count ratios
+    * evaluated in one shared double tree, each bigram's -log2 rounded to 6
+    * decimals and accumulated as DECIMAL(28,6) — so the per-doc mean is
+    * order/partitioning-independent and replays bit-for-bit in SQL.
+    *
+    * Scale shape: the bigram stream (posexplode + lead — the measured-fast
+    * shingle path) is the corpus-linear cost; counts are two map-combined
+    * aggs; the per-doc score is one join of the stream against its own
+    * (much smaller) count tables plus a broadcast vocab scalar. The model
+    * tables are reusable: score NEW deltas against stored counts without
+    * rescanning the corpus. */
+  def lmScore(df: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ws = df.select(col(idCol).as("doc_id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "w1")))
+    val bi = ws.withColumn("w2", lead(col("w1"), 1).over(win))
+      .filter(col("w2").isNotNull)
+    val cb = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cp = bi.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
+    val v = ws.agg(count_distinct(col("w1")).as("v"))
+    bi.join(cb, Seq("w1", "w2")).join(cp, Seq("w1")).crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(-log2((col("cb") + lit(1)).cast("double") /
+          (col("cp") + col("v")).cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("contrib")).cast("double") / count(lit(1)), 6)
+          .as("bits_per_token"))
+  }
+
   /** Marker-word occurrence count: occurrences of ` pat ` in ` text `
     * (space-padded so word boundaries are exact, replace-based so it is
     * expressible identically in any SQL dialect). */

@@ -134,6 +134,11 @@ object TextQueries {
       TextOps.tfidfCosinePairs(
         Tables.documents(s, dir).where(col("doc_id") < 1000))),
 
+    // Bigram LM quality score — the self-trained perplexity filter
+    // (mean -log2 P(w2|w1), Laplace-smoothed, micro-unit-decimal summed).
+    "q_lm_score" -> ((s, dir) =>
+      TextOps.lmScore(Tables.documents(s, dir))),
+
     // Unigram language-model scoring (the CCNet-style fluency proxy): word
     // frequencies trained on the corpus itself, each doc scored by its
     // mean -log2 p(word) — high bits/word flags gibberish and boilerplate
@@ -1045,6 +1050,26 @@ object TextQueries {
         |WHERE ROUND(CAST(dot AS DOUBLE) /
         |    (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE))), 6)
         |  >= 0.5""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH wrds AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM wrds)),
+        |cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2),
+        |cp AS (SELECT w1, COUNT(*) AS cp FROM bi GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT x) AS v
+        |      FROM (SELECT unnest(w) AS x FROM wrds)),
+        |sc AS (
+        |  SELECT bi.doc_id,
+        |    CAST(ROUND(-log2((cb.cb + 1) / CAST(cp.cp + v.v AS DOUBLE)), 6)
+        |      AS DECIMAL(28,6)) AS contrib
+        |  FROM bi JOIN cb USING (w1, w2) JOIN cp USING (w1) CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(contrib) AS DOUBLE) / COUNT(*), 6) AS bits_per_token
+        |FROM sc GROUP BY doc_id""".stripMargin,
 
     "q_readability" ->
       """WITH c AS (

@@ -433,4 +433,21 @@ class TextOpsSpec extends SparkSpecBase {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("lmScore: predictable text costs fewer bits than unique-word text") {
+    import spark.implicits._
+    // doc 1 repeats one bigram pattern the corpus has seen many times;
+    // doc 2 is all corpus-unique words, so every bigram is unseen and
+    // pays the full smoothed cost. Docs below two words emit no row.
+    val docs = Seq(
+      (1L, "the cat sat the cat sat the cat sat the cat sat"),
+      (2L, "zephyr quixotic umbra vortex glyph nadir oblique"),
+      (3L, "the cat sat on the mat"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) < out(2L), s"repetition should be cheap: $out")
+    assert(out(3L) < out(2L), s"seen bigrams should beat unseen: $out")
+  }
 }
