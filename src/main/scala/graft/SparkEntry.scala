@@ -20,11 +20,13 @@ object SparkEntry {
     RelationalQueries.queries ++ DomainQueries.queries ++
       TextQueries.queries ++ EventQueries.queries ++ DeclaredQueries.queries ++
       ExtendedQueries.queries ++ GraphQueries.queries ++
-      AssocQueries.queries ++ WarehouseQueries.queries
+      AssocQueries.queries ++ WarehouseQueries.queries ++
+      TpchQueries.queries ++ EvalQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ DomainQueries.oracles ++
       TextQueries.oracles ++ EventQueries.oracles ++ DeclaredQueries.oracles ++
       ExtendedQueries.oracles ++ GraphQueries.oracles ++
-      AssocQueries.oracles ++ WarehouseQueries.oracles
+      AssocQueries.oracles ++ WarehouseQueries.oracles ++
+      TpchQueries.oracles ++ EvalQueries.oracles
 }

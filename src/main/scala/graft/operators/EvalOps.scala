@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-evaluation operators (round 7): the metrics layer a training-data
+  * pipeline needs to judge classifiers, rankers and score distributions —
+  * exact ROC AUC (Mann-Whitney with tie handling), Kolmogorov-Smirnov
+  * separation, confusion-matrix summaries, calibration tables, NDCG, and
+  * the Gini coefficient of a value distribution.
+  *
+  * Exactness doctrine: scores are quantized to integers by the caller, so
+  * every rank/cumulative/pair count is integer arithmetic (order- and
+  * partitioning-independent); doubles appear only in final single-row (or
+  * per-group) projections through expression trees both engines share.
+  *
+  * Scale doctrine: nothing here sorts the corpus globally. The cumulative
+  * passes run as TWO-LEVEL running sums — a window inside each coarse
+  * score bucket plus per-bucket carry-in offsets from a broadcast theta
+  * self-join over the (tiny) bucket dimension (the q_cume_users
+  * month-stitch pattern) — so NO window in any plan here is
+  * unpartitioned.
+  */
+object EvalOps {
+
+  private val D38 = DecimalType(38, 0)
+
+  /** Per-distinct-score label counts with EXCLUSIVE cumulative counts of
+    * rows strictly below each score, via the two-level pattern.
+    *
+    * Input: one row per observation with integer `scoreCol` and 0/1
+    * `labelCol`. Output: one row per distinct score with `pos_at`,
+    * `neg_at`, `pos_below`, `neg_below` (all BIGINT).
+    *
+    * `bucketWidth` sets the coarse stitching grain: level 1 windows are
+    * partitioned by `score div bucketWidth`, level 2 runs over the bucket
+    * aggregate only.
+    */
+  def scoreCdf(df: DataFrame, scoreCol: String, labelCol: String,
+               bucketWidth: Int = 8): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val counts = df
+      .groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(sum(col(labelCol).cast("long")).as("pos_at"),
+        count(lit(1)).as("tot_at"))
+      .withColumn("neg_at", col("tot_at") - col("pos_at"))
+      .withColumn("bkt", floor(col("score") / bucketWidth))
+    // level 1: exclusive running sums inside each bucket
+    val inBkt = Window.partitionBy(col("bkt")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = counts
+      .withColumn("pos_loc", coalesce(sum(col("pos_at")).over(inBkt), lit(0L)))
+      .withColumn("neg_loc", coalesce(sum(col("neg_at")).over(inBkt), lit(0L)))
+    // level 2: per-bucket totals; each bucket's carry-in is the sum of all
+    // strictly-lower buckets via a broadcast theta self-join over the
+    // (tiny) bucket dimension — the q_cume_users carry pattern, so NO
+    // window in the whole plan is unpartitioned
+    val bktTotals = counts.groupBy(col("bkt").as("b"))
+      .agg(sum(col("pos_at")).as("bp"), sum(col("neg_at")).as("bn"))
+    val offsets = bktTotals.as("a")
+      .join(broadcast(bktTotals.select(col("b").as("b2"),
+        col("bp").as("bp2"), col("bn").as("bn2"))),
+        col("b2") < col("a.b"), "left")
+      .groupBy(col("a.b").as("ob"))
+      .agg(coalesce(sum(col("bp2")), lit(0L)).as("pos_off"),
+        coalesce(sum(col("bn2")), lit(0L)).as("neg_off"))
+    local.join(broadcast(offsets), col("bkt") === col("ob"))
+      .select(col("score"), col("pos_at"), col("neg_at"),
+        (col("pos_loc") + col("pos_off")).as("pos_below"),
+        (col("neg_loc") + col("neg_off")).as("neg_below"))
+  }
+
+  /** Exact ROC AUC by the tie-corrected Mann-Whitney statistic:
+    * U·2 = Σ_s pos_at(s)·2·neg_below(s) + Σ_s pos_at(s)·neg_at(s),
+    * AUC = U·2 / (2·nPos·nNeg). Every term is integer; the one division
+    * happens at the end in double. Returns a single row
+    * (auc, n_pos, n_neg).
+    */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String,
+          bucketWidth: Int = 8): DataFrame =
+    scoreCdf(df, scoreCol, labelCol, bucketWidth)
+      .agg(
+        sum((col("pos_at") * (col("neg_below") * 2 + col("neg_at")))
+          .cast(D38)).as("u2"),
+        sum(col("pos_at")).as("n_pos"),
+        sum(col("neg_at")).as("n_neg"))
+      .select(
+        (col("u2").cast("double") /
+          (col("n_pos").cast("double") * col("n_neg").cast("double") * 2.0))
+          .as("auc"),
+        col("n_pos"), col("n_neg"))
+
+  /** Kolmogorov-Smirnov separation between the positive and negative score
+    * distributions: D = max_s |F_pos(s) − F_neg(s)| over the inclusive
+    * CDFs. The max runs over the INTEGER cross-multiplied numerator
+    * |cum_pos·nNeg − cum_neg·nPos| so the argmax is exact; ks_score is the
+    * smallest score achieving it. Returns (ks, ks_score, n_pos, n_neg).
+    */
+  def ksStat(df: DataFrame, scoreCol: String, labelCol: String,
+             bucketWidth: Int = 8): DataFrame = {
+    val cdf = scoreCdf(df, scoreCol, labelCol, bucketWidth)
+      .select(col("score"),
+        (col("pos_below") + col("pos_at")).as("cum_pos"),
+        (col("neg_below") + col("neg_at")).as("cum_neg"))
+    val tot = cdf.agg(max(col("cum_pos")).as("n_pos"),
+      max(col("cum_neg")).as("n_neg"))
+    val diffs = cdf.crossJoin(broadcast(tot))
+      .withColumn("dnum",
+        abs((col("cum_pos") * col("n_neg") - col("cum_neg") * col("n_pos"))
+          .cast(D38)))
+    val best = diffs.agg(max(col("dnum")).as("dmax"))
+    diffs.crossJoin(broadcast(best))
+      .filter(col("dnum") === col("dmax"))
+      .groupBy(col("dmax"), col("n_pos"), col("n_neg"))
+      .agg(min(col("score")).as("ks_score"))
+      .select(
+        (col("dmax").cast("double") /
+          (col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("ks"),
+        col("ks_score"), col("n_pos"), col("n_neg"))
+  }
+
+  /** Confusion-matrix summary at a fixed integer threshold
+    * (pred = score ≥ threshold): one map-combined aggregate, then
+    * precision/recall/F1 as divisions of the exact counts. */
+  def confusion(df: DataFrame, scoreCol: String, labelCol: String,
+                threshold: Long): DataFrame = {
+    val pred = col(scoreCol) >= threshold
+    val y = col(labelCol) === 1
+    df.agg(
+        sum(when(pred && y, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !y, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && !y, 1L).otherwise(0L)).as("tn"),
+        sum(when(!pred && y, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"),
+        (col("tp").cast("double") * 2.0 /
+          (col("tp") * 2 + col("fp") + col("fn")).cast("double")).as("f1"))
+  }
+
+  /** Calibration table: scores bucketed at `binWidth`, each bin reporting
+    * its size, mean integer score and empirical positive rate — exact
+    * count ratios, one shuffle on the bin key. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  binWidth: Int): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    df.groupBy(floor(col(scoreCol) / binWidth).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("n_pos"),
+        sum(col(scoreCol).cast("long")).as("score_sum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("score_sum").cast("double") / col("n").cast("double"))
+          .as("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+  }
+
+  /** Gini coefficient of a non-negative integer value distribution
+    * (inequality of `valueCol` across `keyCol` holders):
+    * G = 2·Σ_i i·x_(i) / (n·Σx) − (n+1)/n with x ascending and ties
+    * broken by `keyCol` — a total order, so the rank assignment is
+    * engine-exact. Ranks come from the same two-level stitch as
+    * [[scoreCdf]] (bucket window + broadcast offsets), not a global sort.
+    */
+  def gini(df: DataFrame, keyCol: String, valueCol: String,
+           bucketWidth: Long = 1000000L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val vals = df.select(col(keyCol).as("k"),
+        col(valueCol).cast("long").as("x"))
+      .withColumn("bkt", floor(col("x") / bucketWidth))
+    val inBkt = Window.partitionBy(col("bkt"))
+      .orderBy(col("x"), col("k"))
+    // rank offsets by the same broadcast theta carry as scoreCdf — no
+    // unpartitioned window
+    val bktCounts = vals.groupBy(col("bkt").as("b"))
+      .agg(count(lit(1)).as("bc"))
+    val offsets = bktCounts.as("a")
+      .join(broadcast(bktCounts.select(col("b").as("b2"),
+        col("bc").as("bc2"))), col("b2") < col("a.b"), "left")
+      .groupBy(col("a.b").as("ob"))
+      .agg(coalesce(sum(col("bc2")), lit(0L)).as("off"))
+    vals.withColumn("rn", row_number().over(inBkt).cast("long"))
+      .join(broadcast(offsets), col("bkt") === col("ob"))
+      .select(((col("rn") + col("off")) * col("x")).cast(D38).as("rx"),
+        col("x"))
+      .agg(sum(col("rx")).as("s_rx"), sum(col("x").cast(D38)).as("s_x"),
+        count(lit(1)).as("n"))
+      .select(
+        (col("s_rx").cast("double") * 2.0 /
+          (col("n").cast("double") * col("s_x").cast("double")) -
+          (col("n") + 1).cast("double") / col("n").cast("double")).as("gini"),
+        col("n"))
+  }
+
+  /** Per-group NDCG@k: rank by (score desc, id asc) — a total order —
+    * gain 2^rel − 1, discount log2(rank+1); the ideal ordering ranks by
+    * (rel desc, id asc), which yields the same IDCG as any tie order.
+    * Windows are partitioned by the group key (bounded frames at scale).
+    * Doubles appear only in the final per-group projection, rounded to 6
+    * like the repo's other log-valued queries. */
+  def ndcg(df: DataFrame, groupCol: String, idCol: String, scoreCol: String,
+           relCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val byScore = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val byRel = Window.partitionBy(col(groupCol))
+      .orderBy(col(relCol).desc, col(idCol))
+    // 2^rel − 1: exact in double for small integer relevance grades (and
+    // equal to the oracle's (1 << rel) − 1 bit-shift form)
+    val gain = pow(lit(2.0), col(relCol).cast("double")) - 1.0
+    // per-row contributions are double (identical trees both engines) but
+    // are summed as DECIMAL(38,12) so the aggregation order cannot perturb
+    // the result across partitionings/engines
+    val dec = DecimalType(38, 12)
+    val contrib = (rn: Column) =>
+      when(rn <= k, (gain / log2(rn.cast("double") + 1.0)).cast(dec))
+        .otherwise(lit(0).cast(dec))
+    df.select(col(groupCol).as("grp"),
+        contrib(row_number().over(byScore).cast("long")).as("dg"),
+        contrib(row_number().over(byRel).cast("long")).as("ig"))
+      .groupBy(col("grp"))
+      .agg(round(sum(col("dg")).cast("double"), 6).as("dcg"),
+        round(sum(col("ig")).cast("double"), 6).as("idcg"),
+        round(sum(col("dg")).cast("double") /
+          sum(col("ig")).cast("double"), 6).as("ndcg"))
+  }
+}

@@ -51,7 +51,10 @@ class ContractSpec extends AnyFunSuite with SparkSpecBase {
       "Declared" -> graft.queries.DeclaredQueries.queries.keySet,
       "Extended" -> graft.queries.ExtendedQueries.queries.keySet,
       "Graph" -> graft.queries.GraphQueries.queries.keySet,
-      "Assoc" -> graft.queries.AssocQueries.queries.keySet)
+      "Assoc" -> graft.queries.AssocQueries.queries.keySet,
+      "Warehouse" -> graft.queries.WarehouseQueries.queries.keySet,
+      "Tpch" -> graft.queries.TpchQueries.queries.keySet,
+      "Eval" -> graft.queries.EvalQueries.queries.keySet)
     for {
       (na, a) <- modules; (nb, b) <- modules if na < nb
       dup = a.intersect(b) if dup.nonEmpty

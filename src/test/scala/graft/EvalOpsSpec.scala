@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.EvalOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Laws for the model-evaluation operators: known closed-form values on
+  * hand fixtures, brute-force cross-checks, and invariance to the
+  * two-level stitch grain (bucketWidth must never change a result). */
+class EvalOpsSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def scoresDf(rows: Seq[(Long, Long)]): DataFrame =
+    rows.toDF("score", "y")
+
+  test("AUC: perfect separation 1.0, reversed 0.0, single tie-group 0.5") {
+    val perfect = scoresDf(Seq((10L, 1L), (11L, 1L), (1L, 0L), (2L, 0L)))
+    assert(EvalOps.auc(perfect, "score", "y").head().getDouble(0) === 1.0)
+    val reversed = scoresDf(Seq((1L, 1L), (2L, 1L), (10L, 0L), (11L, 0L)))
+    assert(EvalOps.auc(reversed, "score", "y").head().getDouble(0) === 0.0)
+    val allTied = scoresDf(Seq((5L, 1L), (5L, 1L), (5L, 0L), (5L, 0L)))
+    assert(EvalOps.auc(allTied, "score", "y").head().getDouble(0) === 0.5)
+  }
+
+  test("AUC equals the brute-force pair statistic (ties at 1/2)") {
+    // deterministic pseudo-random fixture: score from a hash-ish formula
+    val rows = (0 until 200).map { i =>
+      val score = (i * 37 % 101 - 50).toLong
+      val y = (i * 17 % 3 match { case 0 => 1; case _ => 0 }).toLong
+      (score, y)
+    }
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = wins / (pos.size.toDouble * neg.size.toDouble)
+    val got = EvalOps.auc(scoresDf(rows), "score", "y").head()
+    assert(got.getDouble(0) === expected)
+    assert(got.getLong(1) === pos.size.toLong)
+    assert(got.getLong(2) === neg.size.toLong)
+  }
+
+  test("scoreCdf: bucketWidth never changes the result") {
+    val rows = (0 until 300).map { i =>
+      ((i * 53 % 97 - 48).toLong, (i % 4 match { case 0 => 1; case _ => 0 }).toLong)
+    }
+    val df = scoresDf(rows)
+    val base = EvalOps.scoreCdf(df, "score", "y", 8)
+      .orderBy("score").collect().toSeq
+    for (bw <- Seq(1, 3, 1000)) {
+      val alt = EvalOps.scoreCdf(df, "score", "y", bw)
+        .orderBy("score").collect().toSeq
+      assert(alt === base, s"bucketWidth=$bw diverged")
+    }
+  }
+
+  test("KS: perfect separation 1.0 at the top negative score") {
+    val df = scoresDf(Seq((10L, 1L), (11L, 1L), (1L, 0L), (2L, 0L)))
+    val r = EvalOps.ksStat(df, "score", "y").head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getLong(1) === 2L) // smallest score where the gap is maximal
+  }
+
+  test("confusion: counts and F1 on a hand fixture") {
+    // threshold 5: preds = score>=5
+    val df = scoresDf(Seq(
+      (9L, 1L), (8L, 1L), (7L, 0L), // tp tp fp
+      (1L, 1L), (0L, 0L), (2L, 0L))) // fn tn tn
+    val r = EvalOps.confusion(df, "score", "y", 5L).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 2L, 1L)))
+    assert(r.getDouble(4) === 2.0 / 3.0) // precision
+    assert(r.getDouble(5) === 2.0 / 3.0) // recall
+    assert(r.getDouble(6) === 2.0 * 2.0 / 6.0) // f1 = 2tp/(2tp+fp+fn)
+  }
+
+  test("calibration: bin membership and rates") {
+    val df = scoresDf(Seq((0L, 0L), (9L, 1L), (10L, 1L), (19L, 1L)))
+    val rows = EvalOps.calibration(df, "score", "y", 10)
+      .orderBy("bin").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(0) === 0L && rows(0).getLong(1) === 2L)
+    assert(rows(0).getDouble(4) === 0.5)
+    assert(rows(1).getLong(0) === 1L && rows(1).getLong(1) === 2L)
+    assert(rows(1).getDouble(4) === 1.0)
+  }
+
+  test("gini: equality -> 0, total concentration -> (n-1)/n") {
+    val equal = (1 to 10).map(i => (i.toLong, 100L)).toDF("k", "v")
+    val g0 = EvalOps.gini(equal, "k", "v").head().getDouble(0)
+    assert(math.abs(g0) < 1e-12)
+    val conc = ((1 to 9).map(i => (i.toLong, 0L)) :+ (10L, 1000L))
+      .toDF("k", "v")
+    val g1 = EvalOps.gini(conc, "k", "v").head().getDouble(0)
+    assert(math.abs(g1 - 0.9) < 1e-12)
+  }
+
+  test("gini: bucketWidth never changes the result") {
+    val df = (0 until 100).map(i => (i.toLong, (i * 31 % 57).toLong * 100))
+      .toDF("k", "v")
+    val base = EvalOps.gini(df, "k", "v", 1000000L).head().getDouble(0)
+    for (bw <- Seq(1L, 100L, 999L))
+      assert(EvalOps.gini(df, "k", "v", bw).head().getDouble(0) === base)
+  }
+
+  test("ndcg: scoring by relevance itself gives ndcg 1 in every group") {
+    val df = (0 until 60).map { i =>
+      val grp = i % 3
+      val rel = i % 4 match { case 0 => 2; case 1 => 1; case _ => 0 }
+      // score strictly increasing in rel, ties broken like the id order
+      (grp, i.toLong, (rel * 1000 - i).toLong, rel)
+    }.toDF("grp", "id", "score", "rel")
+    val rows = EvalOps.ndcg(df, "grp", "id", "score", "rel", 10).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getDouble(3) === 1.0, s"group ${r.get(0)} ndcg != 1")
+    }
+  }
+}

@@ -327,4 +327,34 @@ class PlanSpec extends SparkSpecBase {
     val p = plan("q_char_entropy")
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
+
+  test("TPC-H tier: dims broadcast, facts never nested-loop") {
+    for (q <- Seq("q2_min_price_supplier", "q7_volume_shipping",
+        "q9_product_profit", "q14_promo_revenue", "q19_discounted_revenue")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast dims:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+  }
+
+  test("TPC-H Q18 top-100 plans as TakeOrderedAndProject") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("AUC / KS / Gini: every window is partitioned (two-level stitch)") {
+    // the cumulative passes must run as the bucket-partitioned window +
+    // broadcast theta carry, so no Window node may be unpartitioned (the
+    // final one-row scalar aggregates still legitimately exchange to a
+    // single partition — that's a global agg over tiny partials, not a
+    // row-sort)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("q_auc", "q_ks_stat", "q_gini")) {
+      val bare = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+      assert(bare.isEmpty, s"$q has ${bare.size} unpartitioned window(s)")
+    }
+  }
 }
