@@ -367,6 +367,60 @@ object SilverOps {
       .toDF("ticker", "date", valueCol, "level", "trend", "forecast")
   }
 
+  /** Holt-Winters ADDITIVE triple smoothing (level + trend + a periodic
+    * seasonal vector of `period` slots) — [[holt]] extended with the
+    * seasonal recursion: with i = (row index) mod period and s = the
+    * slot's current seasonal,
+    *   forecast = l + t + s          (before folding the observation in)
+    *   l' = α·(x − s) + (1−α)(l + t)
+    *   t' = β·(l' − l) + (1−β)·t
+    *   s' = γ·(x − l') + (1−γ)·s     (only slot i updates)
+    * Seed: l=x₀, t=0, every seasonal 0 — seasonals develop over the first
+    * cycles, which keeps the seed oracle-trivial.
+    *
+    * Defaults α=0.5, β=γ=0.25 are binary-exact (k/2^m), so fold and
+    * recursive-CTE oracle execute the identical IEEE sequence (the [[ema]]
+    * doctrine); the oracle carries the seasonal vector as `period`
+    * pivoted columns with a CASE per slot. Shape: one ticker shuffle,
+    * compiled per-key ordered fold, 2+period doubles of state. */
+  def holtWinters(daily: DataFrame, alpha: Double = 0.5, beta: Double = 0.25,
+                  gamma: Double = 0.25, period: Int = 5,
+                  valueCol: String = "close"): DataFrame = {
+    require(period > 0, s"period must be positive: $period")
+    val ss = daily.sparkSession
+    import ss.implicits._
+    val (ba, bb, bg) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
+    daily
+      .select(col("ticker").cast("string"), col("date").cast("date"),
+        col(valueCol).cast("double"))
+      .as[(String, java.sql.Date, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
+        val s = it.toArray.sortBy(_._2.getTime)
+        var lev = 0.0
+        var tr = 0.0
+        val seas = new Array[Double](period)
+        s.indices.iterator.map { j =>
+          val x = s(j)._3
+          val slot = j % period
+          val sOld = seas(slot)
+          val (fc, nl, nt, nsv) =
+            if (j == 0) (x, x, 0.0, 0.0)
+            else {
+              val f = lev + tr + sOld
+              val l2 = alpha * (x - sOld) + ba * (lev + tr)
+              val t2 = beta * (l2 - lev) + bb * tr
+              val s2 = gamma * (x - l2) + bg * sOld
+              (f, l2, t2, s2)
+            }
+          lev = nl; tr = nt; seas(slot) = nsv
+          (t, s(j)._2, x, nl, nt, nsv, fc)
+        }
+      }
+      .toDF("ticker", "date", valueCol, "level", "trend", "seasonal",
+        "forecast")
+  }
+
   /** Two-sided CUSUM change-point detector over day-over-day moves, in
     * integer cents — the drift-detection member of the recursive-fold
     * family (cf. Page 1954; the reference's anomaly thresholds are static

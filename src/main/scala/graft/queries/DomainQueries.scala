@@ -3,7 +3,9 @@ package graft.queries
 import graft.Tables
 import graft.operators.{GoldOps, PatternOps, SilverOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** The reference's stock-market pipeline semantics (SURVEY §2.3-§2.5, §2.11)
   * exercised over the shared fixtures via the canonical [[Tables.bars]]
@@ -133,6 +135,49 @@ object DomainQueries {
       SilverOps.holt(Tables.bars(s, dir))
         .select(col("ticker"), col("date"), col("close"),
           col("level"), col("trend"), col("forecast"))),
+
+    // Holt-Winters ADDITIVE triple smoothing (level + trend + 5-slot
+    // pseudo-weekly seasonal vector) — q_holt's doctrine extended: α=1/2,
+    // β=γ=1/4 binary-exact, emitted RAW, the oracle pivots the seasonal
+    // vector into 5 recursive-CTE columns with one CASE per slot.
+    "q_holt_winters" -> ((s, dir) =>
+      SilverOps.holtWinters(Tables.bars(s, dir))
+        .select(col("ticker"), col("date"), col("close"), col("level"),
+          col("trend"), col("seasonal"), col("forecast"))),
+
+    // Forecast-accuracy metrics per ticker over the Holt one-step
+    // forecasts: MAE, RMSE, sMAPE and MASE (scaled by the naive
+    // lag-1 error), all from rows 2..n. Per-row error terms are doubles
+    // from the shared recursion, summed as DECIMAL(38,12) so aggregation
+    // order can't perturb the means (the q_logloss doctrine).
+    "q_forecast_accuracy" -> ((s, dir) => {
+      val dec = DecimalType(38, 12)
+      val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
+      val base = SilverOps.holt(Tables.bars(s, dir))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_close", lag(col("close"), 1).over(w))
+        .filter(col("rn") >= 2)
+        .select(col("ticker"),
+          abs(col("close") - col("forecast")).cast(dec).as("ae"),
+          ((col("close") - col("forecast")) * (col("close") - col("forecast")))
+            .cast(dec).as("se"),
+          (abs(col("close") - col("forecast")) * 2.0 /
+            (abs(col("close")) + abs(col("forecast")))).cast(dec).as("sm"),
+          abs(col("close") - col("prev_close")).cast(dec).as("nae"))
+      base.groupBy(col("ticker"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ae")).as("s_ae"), sum(col("se")).as("s_se"),
+          sum(col("sm")).as("s_sm"), sum(col("nae")).as("s_nae"))
+        .select(col("ticker"), col("n"),
+          round(col("s_ae").cast("double") / col("n").cast("double"), 6)
+            .as("mae"),
+          round(sqrt(col("s_se").cast("double") / col("n").cast("double")), 6)
+            .as("rmse"),
+          round(col("s_sm").cast("double") / col("n").cast("double"), 6)
+            .as("smape"),
+          round(col("s_ae").cast("double") / col("s_nae").cast("double"), 6)
+            .as("mase"))
+    }),
 
     // Two-sided CUSUM change-point alarms — the recursion is pure BIGINT
     // cents, so no rounding doctrine is needed; thresholds sized to the
@@ -665,6 +710,83 @@ object DomainQueries {
         |  LATERAL (SELECT 0.5 * o.close + 0.5 * (r.lev + r.tr) AS nl) c)
         |SELECT ticker, date, close, lev AS level, tr AS trend, fc AS forecast
         |FROM r""".stripMargin),
+
+    // Holt-Winters recursion: the 5-slot seasonal vector rides along as
+    // five pivoted columns; chained LATERALs sequence the dependent
+    // sub-expressions exactly like the Scala fold (sold → nl → nt/ns).
+    "q_holt_winters" -> (Tables.barsSql
+      .replace("WITH bars", "WITH RECURSIVE bars") +
+      """,
+        |o AS (SELECT ticker, date, close,
+        |        ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+        |      FROM bars),
+        |r AS (
+        |  SELECT ticker, date, close, rn,
+        |    close AS lev, close - close AS tr, close - close AS sv,
+        |    close AS fc,
+        |    close - close AS s0, close - close AS s1, close - close AS s2,
+        |    close - close AS s3, close - close AS s4
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.ticker, o.date, o.close, o.rn,
+        |    c2.nl, c2.nt, c2.ns,
+        |    r.lev + r.tr + c1.sold,
+        |    CASE WHEN c1.slot = 0 THEN c2.ns ELSE r.s0 END,
+        |    CASE WHEN c1.slot = 1 THEN c2.ns ELSE r.s1 END,
+        |    CASE WHEN c1.slot = 2 THEN c2.ns ELSE r.s2 END,
+        |    CASE WHEN c1.slot = 3 THEN c2.ns ELSE r.s3 END,
+        |    CASE WHEN c1.slot = 4 THEN c2.ns ELSE r.s4 END
+        |  FROM o JOIN r ON o.ticker = r.ticker AND o.rn = r.rn + 1,
+        |  LATERAL (SELECT (o.rn - 1) % 5 AS slot,
+        |    CASE (o.rn - 1) % 5 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1
+        |      WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 ELSE r.s4 END AS sold) c1,
+        |  LATERAL (SELECT
+        |    0.5 * (o.close - c1.sold) + 0.5 * (r.lev + r.tr) AS nl,
+        |    0.25 * ((0.5 * (o.close - c1.sold) + 0.5 * (r.lev + r.tr))
+        |      - r.lev) + 0.75 * r.tr AS nt,
+        |    0.25 * (o.close
+        |      - (0.5 * (o.close - c1.sold) + 0.5 * (r.lev + r.tr)))
+        |      + 0.75 * c1.sold AS ns) c2)
+        |SELECT ticker, date, close, lev AS level, tr AS trend,
+        |  sv AS seasonal, fc AS forecast
+        |FROM r""".stripMargin),
+
+    // Forecast accuracy re-runs the q_holt recursion, lags the close for
+    // the naive MASE scale, and aggregates DECIMAL(38,12) error terms.
+    "q_forecast_accuracy" -> (Tables.barsSql
+      .replace("WITH bars", "WITH RECURSIVE bars") +
+      """,
+        |o AS (SELECT ticker, date, close,
+        |        ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+        |      FROM bars),
+        |r AS (
+        |  SELECT ticker, date, close, rn,
+        |    close AS lev, close - close AS tr, close AS fc
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.ticker, o.date, o.close, o.rn,
+        |    c.nl, 0.25 * (c.nl - r.lev) + 0.75 * r.tr, r.lev + r.tr
+        |  FROM o JOIN r ON o.ticker = r.ticker AND o.rn = r.rn + 1,
+        |  LATERAL (SELECT 0.5 * o.close + 0.5 * (r.lev + r.tr) AS nl) c),
+        |e AS (
+        |  SELECT ticker, rn,
+        |    CAST(ABS(close - fc) AS DECIMAL(38,12)) AS ae,
+        |    CAST((close - fc) * (close - fc) AS DECIMAL(38,12)) AS se,
+        |    CAST(ABS(close - fc) * 2.0 / (ABS(close) + ABS(fc))
+        |      AS DECIMAL(38,12)) AS sm,
+        |    CAST(ABS(close - LAG(close) OVER (PARTITION BY ticker
+        |      ORDER BY date)) AS DECIMAL(38,12)) AS nae
+        |  FROM r)
+        |SELECT ticker, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(ae) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mae,
+        |  ROUND(SQRT(CAST(SUM(se) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+        |    AS rmse,
+        |  ROUND(CAST(SUM(sm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS smape,
+        |  ROUND(CAST(SUM(ae) AS DOUBLE) / CAST(SUM(nae) AS DOUBLE), 6)
+        |    AS mase
+        |FROM e WHERE rn >= 2 GROUP BY ticker""".stripMargin),
 
     // CUSUM recursion: the frontier carries the post-reset (sp, sn) state;
     // emitted s_pos/s_neg are the pre-reset values. All-BIGINT arithmetic —

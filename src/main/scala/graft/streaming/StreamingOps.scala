@@ -704,6 +704,60 @@ object StreamingOps {
       }
   }
 
+  case class HwState(lastDate: java.sql.Date, n: Long, lev: Double,
+                     tr: Double, s0: Double, s1: Double, s2: Double,
+                     s3: Double, s4: Double)
+  case class HwPoint(ticker: String, date: java.sql.Date, close: Double,
+                     level: Double, trend: Double, seasonal: Double,
+                     forecast: Double)
+
+  /** Streaming twin of [[graft.operators.SilverOps.holtWinters]] (additive
+    * triple smoothing, period fixed at 5): per-ticker state carries the
+    * level, trend, the 5-slot seasonal vector AND the running row index
+    * (the slot selector), so the recursion resumes across micro-batch
+    * boundaries on the identical IEEE sequence as the batch fold. */
+  def holtWintersStream(bars: Dataset[Bar], alpha: Double = 0.5,
+                        beta: Double = 0.25,
+                        gamma: Double = 0.25): Dataset[HwPoint] = {
+    import bars.sparkSession.implicits._
+    val (ba, bb, bg) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
+    bars
+      .groupByKey(_.ticker)
+      .flatMapGroupsWithState[HwState, HwPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ticker: String, it: Iterator[Bar], state: GroupState[HwState]) =>
+          val sorted = it.toSeq.sortBy(_.date.getTime)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[HwPoint]
+          sorted.foreach { b =>
+            val fresh = cur.forall(s => b.date.getTime > s.lastDate.getTime)
+            if (fresh) {
+              cur match {
+                case None =>
+                  out += HwPoint(ticker, b.date, b.close, b.close, 0.0, 0.0,
+                    b.close)
+                  cur = Some(HwState(b.date, 1L, b.close, 0.0,
+                    0.0, 0.0, 0.0, 0.0, 0.0))
+                case Some(s) =>
+                  val seas = Array(s.s0, s.s1, s.s2, s.s3, s.s4)
+                  val slot = (s.n % 5).toInt
+                  val sOld = seas(slot)
+                  val fc = s.lev + s.tr + sOld
+                  val nl = alpha * (b.close - sOld) + ba * (s.lev + s.tr)
+                  val nt = beta * (nl - s.lev) + bb * s.tr
+                  val ns = gamma * (b.close - nl) + bg * sOld
+                  seas(slot) = ns
+                  out += HwPoint(ticker, b.date, b.close, nl, nt, ns, fc)
+                  cur = Some(HwState(b.date, s.n + 1, nl, nt,
+                    seas(0), seas(1), seas(2), seas(3), seas(4)))
+              }
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)

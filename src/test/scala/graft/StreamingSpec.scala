@@ -161,6 +161,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming Holt-Winters replays the batch seasonal fold bit-for-bit") {
+    import spark.implicits._
+    val bars = Tables.bars(spark, sf)
+      .filter(col("ticker").isin("T6", "T7"))
+      .select(col("ticker"), col("date"), col("close").cast("double"))
+    // three date-ordered chunks: the state must carry level, trend, the
+    // 5-slot seasonal vector AND the row-index slot selector across
+    // micro-batch boundaries
+    val rows = bars.orderBy(col("date"), col("ticker")).collect()
+    val dir = Files.createTempDirectory("graft_hw_feed").toString
+    rows.grouped(math.max(1, (rows.length + 2) / 3)).foreach { chunk =>
+      spark.createDataFrame(
+        java.util.Arrays.asList(chunk.toIndexedSeq: _*), bars.schema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream.schema(bars.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[StreamingOps.Bar]
+    val q = StreamingOps.holtWintersStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hw_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hw_out")
+      .select("ticker", "date", "level", "trend", "seasonal", "forecast")
+      .collect().map(_.toString).toSet
+    val batch = graft.operators.SilverOps.holtWinters(bars)
+      .select("ticker", "date", "level", "trend", "seasonal", "forecast")
+      .collect().map(_.toString).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming rolling extrema replay the batch deque fold bit-for-bit") {
     import spark.implicits._
     val n = 14
