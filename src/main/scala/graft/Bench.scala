@@ -29,20 +29,26 @@ object Bench {
     "q_simhash_neardup", "q_ngram_jaccard", "q_embed_neardup_lsh",
     "q_semantic_dedup",
     "q_cosine_knn", "q_ivf_knn", "q_quality_filter", "q_corpus_card",
-    "q_topk_per_group", "q_range_frame", "q_full_outer",
+    "q_range_frame",
     // round-7 additions: the slide-expanded window agg, the per-key
     // recursive fold, the corpus-wide LM join, the bloom-prefiltered join,
     // the deque-fold extrema + integer-co-moment corr, and the graph tier
     "q_hopping_window", "q_ema", "q_macd", "q_unigram_lm",
     "q_bloom_semi_join", "q_stoch", "q_rolling_corr", "q_pagerank",
-    "q_triangles", "q_bm25",
-    // late round-7: basket self-join mining, LPA rounds, the CMS build+probe,
-    // the char-explode entropy agg, and the codegen Jaro-Winkler pair scan
-    "q_assoc_rules", "q_communities", "q_cms_counts", "q_char_entropy",
-    "q_jaro_winkler", "q_cusum",
-    // final round-7 batch: fixed-point PCA, SNM entity resolution, the
-    // Holt fold, stationary mass, and the inverted-index TF-IDF cosine
-    "q_pca", "q_er_pairs", "q_holt", "q_stationary", "q_tfidf_cosine")
+    "q_triangles",
+    // late round-7: basket self-join mining, LPA rounds, the CMS build+probe
+    "q_assoc_rules", "q_communities", "q_cms_counts", "q_cusum",
+    // final round-7 batch: fixed-point PCA, the Holt fold, stationary mass
+    "q_pca", "q_holt", "q_stationary",
+    // closing round-7 batch: the widest TPC-H star, the two-level-stitch
+    // AUC, and the seasonal recursion (one per new tier; the full tiers —
+    // and the small stable entries trimmed above (q_full_outer,
+    // q_topk_per_group, q_bm25, q_char_entropy, q_jaro_winkler,
+    // q_er_pairs, q_tfidf_cosine, all ≤0.5 s) — are measured via
+    // SPARK_GRAFT_FULL locally: the emitted JSON line must stay inside
+    // the driver's ~2000-char stdout capture, and the r7 line hit 2055
+    // chars before this trim)
+    "q9_product_profit", "q_auc", "q_holt_winters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -470,9 +476,10 @@ object Bench {
     // ratio near the 10x data factor or below (fixed costs amortize);
     // anything super-linear is a scale regression caught here.
     val scaleRep = 10
+    // trimmed to six entries (q_dedup_exact, q_cosine_knn dropped) for the
+    // same reason as the headline trim: the emitted line's length budget
     val scaleQueries = Seq("q1_agg", "q3_shipping_priority", "q_sma",
-      "q_events_sessions", "q_text_quality", "q_dedup_exact",
-      "q_minhash_pairs", "q_cosine_knn")
+      "q_events_sessions", "q_text_quality", "q_minhash_pairs")
     // 1x medians for ratio denominators: headline queries already have
     // one; the rest are timed here (not emitted — only the ratio rides)
     val scaleBase = scala.collection.mutable.Map.empty[String, Double]

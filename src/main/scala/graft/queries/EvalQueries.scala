@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.EvalOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -89,6 +90,133 @@ object EvalQueries {
       EvalOps.ndcg(
         scored(s, dir).withColumn("rel", (col("vec_id") % 3).cast("int")),
         "label", "vec_id", "score", "rel", k = 10)),
+
+    // Reciprocal-rank fusion of two per-group rankings (probe score vs
+    // id recency), RRF k=60 — the rank-combination step of multi-retriever
+    // search. Ranks are per-LABEL windows (bounded partitions at scale);
+    // the fused score is a sum of two exact divisions, so ordering and
+    // the top-5 cut are engine-identical.
+    "q_rrf" -> ((s, dir) => {
+      val byScore = Window.partitionBy(col("label"))
+        .orderBy(col("score").desc, col("vec_id"))
+      val byId = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      val fused = scored(s, dir)
+        .withColumn("r1", row_number().over(byScore))
+        .withColumn("r2", row_number().over(byId))
+        .withColumn("rrf",
+          lit(1.0) / (lit(60.0) + col("r1")) +
+          lit(1.0) / (lit(60.0) + col("r2")))
+      val topW = Window.partitionBy(col("label"))
+        .orderBy(col("rrf").desc, col("vec_id"))
+      fused.withColumn("rk", row_number().over(topW))
+        .filter(col("rk") <= 5)
+        .select(col("label"), col("vec_id"), col("r1"), col("r2"),
+          col("rrf"))
+    }),
+
+    // Feature scaling in one pass per nation: z-score from integer-cent
+    // power sums (the q_outliers tree), min-max normalization from exact
+    // integer extrema, and a one-hot encoding of the (closed) segment
+    // vocabulary — the tabular-ML feature-prep trio.
+    "q_feature_scale" -> ((s, dir) => {
+      val c = round(col("c_acctbal") * 100).cast("long")
+      val cd = c.cast(DecimalType(38, 0))
+      val cust = Tables.customer(s, dir)
+      val stats = cust.groupBy(col("c_nationkey").as("nk")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(c).cast("double").as("s1"),
+        sum(cd * cd).cast("double").as("s2"),
+        min(c).as("mn"), max(c).as("mx"))
+      cust.join(broadcast(stats), col("c_nationkey") === col("nk"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          round({
+            val mu = col("s1") / col("n")
+            val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+              (col("n") - lit(1.0)))
+            (c.cast("double") - mu) / sd
+          }, 6).as("z"),
+          round((c - col("mn")).cast("double") /
+            (col("mx") - col("mn")).cast("double"), 6).as("minmax"),
+          when(col("c_mktsegment") === "AUTOMOBILE", 1).otherwise(0)
+            .as("seg_auto"),
+          when(col("c_mktsegment") === "BUILDING", 1).otherwise(0)
+            .as("seg_bldg"),
+          when(col("c_mktsegment") === "FURNITURE", 1).otherwise(0)
+            .as("seg_furn"),
+          when(col("c_mktsegment") === "HOUSEHOLD", 1).otherwise(0)
+            .as("seg_house"),
+          when(col("c_mktsegment") === "MACHINERY", 1).otherwise(0)
+            .as("seg_mach"))
+    }),
+
+    // Spearman rank correlation (close vs volume per ticker) with
+    // tie-averaged ranks: avg rank = min-rank + (ties−1)/2 lands on exact
+    // dyadic halves, rank products on quarters — every sum term is an
+    // exact multiple of 1/4 cast to DECIMAL, so the Pearson-on-ranks
+    // formula is engine-identical with one final double tree per ticker.
+    "q_spearman" -> ((s, dir) => {
+      val dec = DecimalType(38, 2)
+      val b = graft.Tables.bars(s, dir)
+      def avgRank(c: Column): Column = {
+        val w = Window.partitionBy(col("ticker")).orderBy(c)
+        val ties = Window.partitionBy(col("ticker"), c)
+        rank().over(w).cast("double") +
+          (count(lit(1)).over(ties).cast("double") - 1.0) / 2.0
+      }
+      b.select(col("ticker"),
+          avgRank(col("close")).as("rx"),
+          avgRank(col("volume")).as("ry"))
+        .select(col("ticker"),
+          col("rx").cast(dec).as("x"), col("ry").cast(dec).as("y"),
+          (col("rx") * col("ry")).cast(dec).as("xy"),
+          (col("rx") * col("rx")).cast(dec).as("xx"),
+          (col("ry") * col("ry")).cast(dec).as("yy"))
+        .groupBy(col("ticker"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("xy")).cast("double").as("sxy"),
+          sum(col("xx")).cast("double").as("sxx"),
+          sum(col("yy")).cast("double").as("syy"))
+        .select(col("ticker"), col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("spearman_rho"))
+    }),
+
+    // Cohen's kappa between two deterministic binary "raters" over the
+    // documents (an md5 parity bit vs a length threshold) — the
+    // inter-annotator-agreement kernel of a labeling pipeline. All four
+    // cell counts come from ONE map-combined aggregate; po/pe/kappa are
+    // exact count rationals through a shared double tree.
+    "q_cohens_kappa" -> ((s, dir) => {
+      val r1 = when(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        1L).otherwise(0L)
+      val r2 = when(col("n_chars") > 500, 1L).otherwise(0L)
+      Tables.documents(s, dir)
+        .select(r1.as("a"), r2.as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+            .as("n11"),
+          sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+            .as("n10"),
+          sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+            .as("n01"),
+          sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L))
+            .as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          round({
+            val nd = col("n").cast("double")
+            val po = (col("n11") + col("n00")).cast("double") / nd
+            val pe = ((col("n11") + col("n10")).cast("double") / nd) *
+              ((col("n11") + col("n01")).cast("double") / nd) +
+              ((col("n01") + col("n00")).cast("double") / nd) *
+              ((col("n10") + col("n00")).cast("double") / nd)
+            (po - pe) / (lit(1.0) - pe)
+          }, 6).as("kappa"))
+    }),
 
     // Gini coefficient of per-customer order spend (integer cents; ranks
     // from the two-level stitch, not a global sort).
@@ -210,6 +338,111 @@ object EvalQueries {
          |  ROUND(CAST(SUM(dg) AS DOUBLE) / CAST(SUM(ig) AS DOUBLE), 6)
          |    AS ndcg
          |FROM c GROUP BY grp""".stripMargin,
+
+    "q_rrf" ->
+      s"""WITH scored AS ($scoredSql),
+         |r AS (
+         |  SELECT label, vec_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+         |      ORDER BY score DESC, vec_id) AS INTEGER) AS r1,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+         |      ORDER BY vec_id) AS INTEGER) AS r2
+         |  FROM scored),
+         |f AS (
+         |  SELECT label, vec_id, r1, r2,
+         |    1.0 / (60.0 + r1) + 1.0 / (60.0 + r2) AS rrf
+         |  FROM r),
+         |t AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+         |    ORDER BY rrf DESC, vec_id) AS rk
+         |  FROM f)
+         |SELECT label, vec_id, r1, r2, rrf FROM t WHERE rk <= 5""".stripMargin,
+
+    "q_feature_scale" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |st AS (
+        |  SELECT c_nationkey AS nk,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(cents) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS s2,
+        |    MIN(cents) AS mn, MAX(cents) AS mx
+        |  FROM c GROUP BY 1)
+        |SELECT c_custkey, c_nationkey,
+        |  ROUND((CAST(cents AS DOUBLE) - s1 / n) /
+        |    SQRT((s2 - s1 * s1 / n) / (n - 1.0)), 6) AS z,
+        |  ROUND(CAST(cents - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE), 6)
+        |    AS minmax,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS seg_auto,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS seg_bldg,
+        |  CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS seg_furn,
+        |  CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS seg_house,
+        |  CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS seg_mach
+        |FROM c JOIN st ON c_nationkey = nk""".stripMargin,
+
+    "q_spearman" -> (graft.Tables.barsSql +
+      """,
+        |r AS (
+        |  SELECT ticker,
+        |    CAST(RANK() OVER (PARTITION BY ticker ORDER BY close)
+        |      AS DOUBLE) + (CAST(COUNT(*) OVER (PARTITION BY ticker, close)
+        |      AS DOUBLE) - 1.0) / 2.0 AS rx,
+        |    CAST(RANK() OVER (PARTITION BY ticker ORDER BY volume)
+        |      AS DOUBLE) + (CAST(COUNT(*) OVER (PARTITION BY ticker, volume)
+        |      AS DOUBLE) - 1.0) / 2.0 AS ry
+        |  FROM bars),
+        |d AS (
+        |  SELECT ticker,
+        |    CAST(rx AS DECIMAL(38,2)) AS x, CAST(ry AS DECIMAL(38,2)) AS y,
+        |    CAST(rx * ry AS DECIMAL(38,2)) AS xy,
+        |    CAST(rx * rx AS DECIMAL(38,2)) AS xx,
+        |    CAST(ry * ry AS DECIMAL(38,2)) AS yy
+        |  FROM r),
+        |st AS (
+        |  SELECT ticker, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(yy) AS DOUBLE) AS syy
+        |  FROM d GROUP BY ticker)
+        |SELECT ticker, CAST(n AS BIGINT) AS n,
+        |  ROUND((n * sxy - sx * sy) /
+        |    SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        |    AS spearman_rho
+        |FROM st""".stripMargin),
+
+    "q_cohens_kappa" ->
+      """WITH m AS (
+        |  SELECT
+        |    CASE WHEN SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN n_chars > 500 THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM m)
+        |SELECT n, n11, n10, n01, n00,
+        |  ROUND((
+        |    (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) -
+        |    ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |     (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+        |     (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |     (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)))) /
+        |  (1.0 -
+        |    ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |     (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+        |     (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |     (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS kappa
+        |FROM c""".stripMargin,
 
     "q_gini" ->
       """WITH spend AS (
