@@ -202,4 +202,107 @@ object MultimodalOps {
         }
       }(enc)
   }
+
+  val aHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("w", IntegerType),
+    StructField("h", IntegerType),
+    StructField("n_px", IntegerType),
+    StructField("ahash", LongType)))
+
+  /** Perceptual average-hash over a decoded BMP payload: per-pixel integer
+    * luma (B+G+R), bit k set iff pixel k's luma exceeds the image mean —
+    * compared EXACTLY as `luma·n > Σluma` so no division is involved —
+    * packed LSB-first in IMAGE row-major order (top row first, so the
+    * bottom-up storage order must be undone; a row-order bug flips the
+    * whole bit layout and the oracle hash). Image sizes here are ≤ 48
+    * pixels, so the hash fits one BIGINT.
+    *
+    * Same `mapPartitions` batch shape as [[decodeBmp]]; at 100 TB this is
+    * a partition-local pass with a 5-column integer output — the
+    * image-dedup fingerprint table. */
+  def aHash(payloads: DataFrame, idCol: String = "doc_id",
+            payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(aHashSchema)
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          require(bytes.length >= BmpHeaderBytes &&
+            bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+            s"not a BMP payload: doc $id")
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val offset = bb.getInt(10)
+          val w = bb.getInt(18)
+          val rawH = bb.getInt(22)
+          val h = math.abs(rawH)
+          val bottomUp = rawH > 0
+          val stride = ((3 * w + 3) / 4) * 4
+          require(bytes.length >= offset + stride * h,
+            s"truncated BMP (${bytes.length} bytes): doc $id")
+          val n = w * h
+          require(n <= 63, s"aHash needs <= 63 pixels, got $n: doc $id")
+          val luma = new Array[Long](n)
+          var total = 0L
+          var r2 = 0
+          while (r2 < h) {
+            val s = if (bottomUp) h - 1 - r2 else r2 // undo storage order
+            val base = offset + s * stride
+            var c = 0
+            while (c < w) {
+              val l = (bytes(base + 3 * c) & 0xff) +
+                (bytes(base + 3 * c + 1) & 0xff) +
+                (bytes(base + 3 * c + 2) & 0xff)
+              luma(r2 * w + c) = l
+              total += l
+              c += 1
+            }
+            r2 += 1
+          }
+          var hash = 0L
+          var k = 0
+          while (k < n) {
+            if (luma(k) * n > total) hash |= (1L << k)
+            k += 1
+          }
+          Row(id, w, h, n, hash)
+        }
+      }(enc)
+  }
+
+  /** Hamming near-duplicate pairs over [[aHash]] fingerprints: the hash is
+    * cut into `nBands` bit-bands, candidates come from a (band, bucket,
+    * w, h) equi-join (images of different dimensions never compare), and
+    * the exact `bit_count(xor)` confirms. Banding is EXACT for
+    * `maxDist < nBands` (pigeonhole: fewer flipped bits than bands leaves
+    * one band untouched), so recall is 1 — the simhashNearDups doctrine
+    * on the image fingerprint. One hash-join shuffle; no pair leaves a
+    * bucket. */
+  def aHashNearDups(hashes: DataFrame, maxDist: Int = 2, bandBits: Int = 12,
+                    nBands: Int = 4): DataFrame = {
+    require(maxDist < nBands,
+      s"banding is only exact for maxDist < nBands: $maxDist >= $nBands")
+    val bands = hashes.select(col("doc_id"), col("w"), col("h"),
+        col("ahash"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ahash"), bandBits * b)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))): _*))
+          .as("bb"))
+      .select(col("doc_id"), col("w"), col("h"), col("ahash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val left = bands.select(col("band"), col("bucket"), col("w"), col("h"),
+      col("doc_id").as("doc_a"), col("ahash").as("ha"))
+    val right = bands.select(col("band"), col("bucket"), col("w"), col("h"),
+      col("doc_id").as("doc_b"), col("ahash").as("hb"))
+    left.join(right, Seq("band", "bucket", "w", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ha"), col("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -774,7 +774,24 @@ object TextQueries {
     // row) breaks the hash. mapPartitions batch shape end to end.
     "q_mm_decode" -> ((s, dir) =>
       MultimodalOps.decodeBmp(
-        MultimodalOps.encodeBmp(Tables.documents(s, dir))))
+        MultimodalOps.encodeBmp(Tables.documents(s, dir)))),
+
+    // Perceptual average-hash over the REAL decoded BMP bytes: per-pixel
+    // luma vs the exact image mean (luma·n > Σluma — no division), packed
+    // LSB-first in image row-major order. The oracle replays the pixel
+    // closed form, so any decode-layout bug (row order, stride,
+    // endianness) scrambles the bit positions and the hash.
+    "q_phash" -> ((s, dir) =>
+      MultimodalOps.aHash(
+        MultimodalOps.encodeBmp(Tables.documents(s, dir)))),
+
+    // Image near-dup pairs via banded Hamming join over the perceptual
+    // hashes — banding exact at maxDist=2 < 4 bands, dimension-matched
+    // buckets only.
+    "q_phash_neardup" -> ((s, dir) =>
+      MultimodalOps.aHashNearDups(
+        MultimodalOps.aHash(
+          MultimodalOps.encodeBmp(Tables.documents(s, dir)))))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -2150,6 +2167,59 @@ object TextQueries {
         |  ROUND(AVG((doc_id * 7 + k * 13) % 256), 6) AS mean_b,
         |  ROUND(AVG((doc_id * 11 + k * 17) % 256), 6) AS mean_g,
         |  ROUND(AVG((doc_id * 3 + k * 19) % 256), 6) AS mean_r
-        |FROM px GROUP BY doc_id, width, height""".stripMargin
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
+
+    // perceptual hash: replay the pixel closed form, luma = B+G+R, bit k
+    // set iff luma·n > Σluma, packed LSB-first over image row-major k
+    "q_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, CAST(k AS INTEGER) AS k,
+        |    ((doc_id*7 + k*13) % 256) + ((doc_id*11 + k*17) % 256)
+        |      + ((doc_id*3 + k*19) % 256) AS luma
+        |  FROM d, UNNEST(generate_series(0, w*h - 1)) AS t(k)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n, SUM(luma) AS total
+        |  FROM px GROUP BY 1)
+        |SELECT p.doc_id, p.w, p.h, CAST(a.n AS INTEGER) AS n_px,
+        |  CAST(SUM(CASE WHEN p.luma * a.n > a.total
+        |    THEN (CAST(1 AS BIGINT) << p.k) ELSE 0 END) AS BIGINT) AS ahash
+        |FROM px p JOIN agg a ON p.doc_id = a.doc_id
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    "q_phash_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, CAST(k AS INTEGER) AS k,
+        |    ((doc_id*7 + k*13) % 256) + ((doc_id*11 + k*17) % 256)
+        |      + ((doc_id*3 + k*19) % 256) AS luma
+        |  FROM d, UNNEST(generate_series(0, w*h - 1)) AS t(k)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n, SUM(luma) AS total
+        |  FROM px GROUP BY 1),
+        |hash AS (
+        |  SELECT p.doc_id, p.w, p.h,
+        |    CAST(SUM(CASE WHEN p.luma * a.n > a.total
+        |      THEN (CAST(1 AS BIGINT) << p.k) ELSE 0 END) AS BIGINT) AS ahash
+        |  FROM px p JOIN agg a ON p.doc_id = a.doc_id
+        |  GROUP BY 1, 2, 3),
+        |bands AS (
+        |  SELECT doc_id, w, h, ahash, b,
+        |    (ahash >> (12 * b)) & 4095 AS bucket
+        |  FROM hash, UNNEST([0, 1, 2, 3]) AS tb(b)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    x.ahash AS ha, y.ahash AS hb
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.bucket = y.bucket
+        |    AND x.w = y.w AND x.h = y.h AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS dist
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin
   )
 }

@@ -293,6 +293,62 @@ class TextOpsSpec extends SparkSpecBase {
     assert(ref.forall(_.toString === bu.toString))
   }
 
+  test("aHash: image-order bit packing, top-down twin equal, banding recall 1") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(100)
+    val hashes = MultimodalOps.aHash(MultimodalOps.encodeBmp(docs)).collect()
+    assert(hashes.length === 100)
+    // closed-form replay per doc (luma·n > Σluma, LSB-first image order)
+    hashes.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((4 + id % 5).toInt, (4 + id % 3).toInt)
+      val n = w * h
+      val luma = (0 until n).map(k =>
+        (id * 7 + k * 13) % 256 + (id * 11 + k * 17) % 256 +
+          (id * 3 + k * 19) % 256)
+      val total = luma.sum
+      val exp = luma.zipWithIndex.foldLeft(0L) { case (acc, (l, k)) =>
+        if (l * n > total) acc | (1L << k) else acc
+      }
+      assert(r.getLong(4) === exp, s"ahash mismatch for doc $id")
+      assert(r.getInt(1) === w && r.getInt(2) === h && r.getInt(3) === n)
+    }
+    // a top-down (negative height) twin hashes identically — the decoder
+    // must undo the storage order, not assume it
+    val td = {
+      val b = MultimodalOps.bmpBytes(3L).clone()
+      val bb = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val h = bb.getInt(22)
+      bb.putInt(22, -h)
+      val stride = 24
+      val rowsBytes = (0 until h).map(s =>
+        b.slice(54 + s * stride, 54 + (s + 1) * stride))
+      rowsBytes.reverse.zipWithIndex.foreach { case (row, s) =>
+        System.arraycopy(row, 0, b, 54 + s * stride, stride)
+      }
+      b
+    }
+    val tdHash = MultimodalOps.aHash(
+      Seq((3L, td)).toDF("doc_id", "payload")).collect().head
+    val buHash = MultimodalOps.aHash(
+      Seq((3L, MultimodalOps.bmpBytes(3L))).toDF("doc_id", "payload"))
+      .collect().head
+    assert(tdHash.toString === buHash.toString)
+    // banded near-dup pairs == brute-force pairs at maxDist < nBands
+    val hdf = MultimodalOps.aHash(MultimodalOps.encodeBmp(docs))
+    val banded = MultimodalOps.aHashNearDups(hdf, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = hashes.map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(4)))
+    val brute = (for {
+      (a, wa, ha, xa) <- hs; (b, wb, hb, xb) <- hs
+      if a < b && wa == wb && ha == hb &&
+        java.lang.Long.bitCount(xa ^ xb) <= 2
+    } yield (a, b)).toSet
+    assert(banded === brute)
+  }
+
   test("connected components: chains collapse to min label, singletons canonical") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 9L, 0.8))
       .toDF("id_a", "id_b", "jaccard")
