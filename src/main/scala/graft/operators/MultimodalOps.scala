@@ -203,6 +203,142 @@ object MultimodalOps {
       }(enc)
   }
 
+  private val WavHeaderBytes = 44 // RIFF(12) + fmt(24) + data header(8)
+
+  /** One deterministic mono 16-bit PCM WAV: n = 32 + id%17 samples at
+    * 8 kHz, sample k = ((id·31 + k·57) mod 4096) − 2048 — closed-form
+    * waveform in a REAL RIFF container (little-endian int16 frames), the
+    * audio twin of [[bmpBytes]]. */
+  private[graft] def wavBytes(id: Long): Array[Byte] = {
+    val n = (32 + id % 17).toInt
+    val dataSize = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(WavHeaderBytes + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // sample rate, byte rate
+      .putShort(2).putShort(16) // block align, bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var k = 0
+    while (k < n) {
+      buf.putShort((((id * 31 + k * 57) % 4096) - 2048).toShort)
+      k += 1
+    }
+    buf.array()
+  }
+
+  /** Synthesize the WAV corpus — same `mapPartitions` batch shape as
+    * [[encodeBmp]]. */
+  def encodeWav(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    docs.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), wavBytes(r.getLong(0))))
+    }(enc)
+  }
+
+  val wavStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("first_sample", IntegerType),
+    StructField("peak", IntegerType),
+    StructField("sum_sample", LongType),
+    StructField("energy", LongType),
+    StructField("zero_crossings", IntegerType)))
+
+  /** REAL WAV decode: RIFF/WAVE magic, fmt chunk (PCM, mono, 16-bit),
+    * little-endian int16 frames — then integer waveform features (peak,
+    * exact sum, Σs² energy, sign-change zero crossings). Everything is
+    * integer arithmetic, so the oracle replays the closed-form waveform
+    * with no rounding doctrine at all. */
+  def decodeWav(payloads: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(wavStatsSchema)
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          require(bytes.length >= WavHeaderBytes &&
+            bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+            bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+            bytes(10) == 'V' && bytes(11) == 'E',
+            s"not a RIFF/WAVE payload: doc $id")
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val fmt = bb.getShort(20).toInt
+          val channels = bb.getShort(22).toInt
+          val rate = bb.getInt(24)
+          val bits = bb.getShort(34).toInt
+          require(fmt == 1 && channels == 1 && bits == 16,
+            s"unsupported WAV profile (fmt=$fmt ch=$channels bits=$bits): doc $id")
+          val dataSize = bb.getInt(40)
+          require(bytes.length >= WavHeaderBytes + dataSize,
+            s"truncated WAV (${bytes.length} bytes): doc $id")
+          val n = dataSize / 2
+          var k = 0
+          var peak = 0
+          var sum = 0L
+          var energy = 0L
+          var zc = 0
+          var first = 0
+          var prevNonNeg = false
+          while (k < n) {
+            val s = bb.getShort(WavHeaderBytes + 2 * k).toInt
+            if (k == 0) { first = s; prevNonNeg = s >= 0 }
+            val nonNeg = s >= 0
+            if (k > 0 && nonNeg != prevNonNeg) zc += 1
+            prevNonNeg = nonNeg
+            if (math.abs(s) > peak) peak = math.abs(s)
+            sum += s
+            energy += s.toLong * s
+            k += 1
+          }
+          Row(id, bytes.length, rate, n, first, peak, sum, energy, zc)
+        }
+      }(enc)
+  }
+
+  val wavFrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_n", IntegerType),
+    StructField("frame_energy", LongType)))
+
+  /** Framed Σs² energy over the decoded waveform (the spectrogram-prep
+    * access pattern): one row per `frameSamples`-sample frame, integer
+    * energy — flatMap inside the same partition-local batch decode. */
+  def wavFrameEnergy(payloads: DataFrame, frameSamples: Int = 16,
+                     idCol: String = "doc_id",
+                     payloadCol: String = "payload"): DataFrame = {
+    require(frameSamples > 0, s"frameSamples must be positive: $frameSamples")
+    val enc = RowEncoder.encoderFor(wavFrameSchema)
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = bb.getInt(40) / 2
+          (0 until (n + frameSamples - 1) / frameSamples).map { f =>
+            var k = f * frameSamples
+            val end = math.min(k + frameSamples, n)
+            var e = 0L
+            while (k < end) {
+              val s = bb.getShort(WavHeaderBytes + 2 * k).toInt
+              e += s.toLong * s
+              k += 1
+            }
+            Row(id, f, end - f * frameSamples, e)
+          }
+        }
+      }(enc)
+  }
+
   val aHashSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("w", IntegerType),

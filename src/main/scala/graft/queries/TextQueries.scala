@@ -791,7 +791,23 @@ object TextQueries {
     "q_phash_neardup" -> ((s, dir) =>
       MultimodalOps.aHashNearDups(
         MultimodalOps.aHash(
-          MultimodalOps.encodeBmp(Tables.documents(s, dir)))))
+          MultimodalOps.encodeBmp(Tables.documents(s, dir))))),
+
+    // REAL audio decode: each doc becomes a mono 16-bit PCM WAV (RIFF
+    // container, closed-form waveform), parsed back byte-for-byte —
+    // header fields, little-endian int16 frames, integer waveform
+    // features (peak / exact sum / Σs² energy / sign-change zero
+    // crossings). All-integer outputs: the oracle replays the waveform
+    // formula with no rounding doctrine at all.
+    "q_wav_decode" -> ((s, dir) =>
+      MultimodalOps.decodeWav(
+        MultimodalOps.encodeWav(Tables.documents(s, dir)))),
+
+    // Framed Σs² energy (16-sample frames) — the spectrogram-prep slicing
+    // over the same decoded bytes.
+    "q_wav_frames" -> ((s, dir) =>
+      MultimodalOps.wavFrameEnergy(
+        MultimodalOps.encodeWav(Tables.documents(s, dir))))
   )
 
   // ---- oracle SQL ----------------------------------------------------------
@@ -2220,6 +2236,46 @@ object TextQueries {
         |    AND x.w = y.w AND x.h = y.h AND x.doc_id < y.doc_id)
         |SELECT doc_a, doc_b,
         |  CAST(bit_count(xor(ha, hb)) AS INTEGER) AS dist
-        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 2""".stripMargin,
+
+    // replay of the WAV waveform closed form — the Spark side must
+    // reproduce these by PARSING the RIFF bytes it encoded (fmt chunk,
+    // little-endian int16 frames); all-integer features, so no rounding
+    "q_wav_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(32 + doc_id % 17 AS INTEGER) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, CAST(k AS INTEGER) AS k,
+        |    ((doc_id * 31 + k * 57) % 4096) - 2048 AS s
+        |  FROM d, UNNEST(generate_series(0, n - 1)) AS t(k)),
+        |w AS (
+        |  SELECT doc_id, n, k, s,
+        |    LAG(s) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(44 + 2 * n AS INTEGER) AS n_bytes,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  n AS n_samples,
+        |  CAST(MAX(CASE WHEN k = 0 THEN s END) AS INTEGER) AS first_sample,
+        |  CAST(MAX(ABS(s)) AS INTEGER) AS peak,
+        |  CAST(SUM(s) AS BIGINT) AS sum_sample,
+        |  CAST(SUM(s * s) AS BIGINT) AS energy,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND ((s >= 0) <> (prev >= 0))
+        |    THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+        |FROM w GROUP BY doc_id, n""".stripMargin,
+
+    "q_wav_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(32 + doc_id % 17 AS INTEGER) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(k // 16 AS INTEGER) AS frame_idx,
+        |    ((doc_id * 31 + k * 57) % 4096) - 2048 AS s
+        |  FROM d, UNNEST(generate_series(0, n - 1)) AS t(k))
+        |SELECT doc_id, frame_idx,
+        |  CAST(COUNT(*) AS INTEGER) AS frame_n,
+        |  CAST(SUM(s * s) AS BIGINT) AS frame_energy
+        |FROM s GROUP BY 1, 2""".stripMargin
   )
 }

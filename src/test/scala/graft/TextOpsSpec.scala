@@ -349,6 +349,50 @@ class TextOpsSpec extends SparkSpecBase {
     assert(banded === brute)
   }
 
+  test("WAV decode: RIFF header fields, int16 frames, integer features") {
+    // byte-level fixture check, independent of the Spark plumbing
+    val bytes = MultimodalOps.wavBytes(5L) // n = 32 + 5%17 = 37 samples
+    assert(new String(bytes.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+    assert(bytes.length === 44 + 2 * 37)
+    val docs = Tables.documents(spark, sf).limit(50)
+    val decoded = MultimodalOps.decodeWav(MultimodalOps.encodeWav(docs))
+    assert(decoded.schema === MultimodalOps.wavStatsSchema)
+    val rows = decoded.collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = (32 + id % 17).toInt
+      val s = (0 until n).map(k => (((id * 31 + k * 57) % 4096) - 2048).toInt)
+      assert(r.getInt(1) === 44 + 2 * n)
+      assert(r.getInt(2) === 8000 && r.getInt(3) === n)
+      assert(r.getInt(4) === s.head, s"first_sample mismatch for doc $id")
+      assert(r.getInt(5) === s.map(math.abs).max)
+      assert(r.getLong(6) === s.map(_.toLong).sum)
+      assert(r.getLong(7) === s.map(x => x.toLong * x).sum)
+      val zc = s.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      assert(r.getInt(8) === zc, s"zero_crossings mismatch for doc $id")
+    }
+    // framed energy tiles the waveform exactly: Σ frame_energy == energy,
+    // Σ frame_n == n_samples, last frame partial
+    val frames = MultimodalOps.wavFrameEnergy(MultimodalOps.encodeWav(docs))
+      .collect().groupBy(_.getLong(0))
+    rows.foreach { r =>
+      val fs = frames(r.getLong(0))
+      assert(fs.map(_.getLong(3)).sum === r.getLong(7))
+      assert(fs.map(_.getInt(2)).sum === r.getInt(3))
+      assert(fs.map(_.getInt(1)).sorted.toSeq === (0 until fs.length))
+    }
+    // a corrupted magic or truncated payload fails loudly, by doc id
+    import spark.implicits._
+    val bad = bytes.clone(); bad(0) = 'X'.toByte
+    val ex = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeWav(Seq((5L, bad)).toDF("doc_id", "payload"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("RIFF") || ex.getCause != null)
+  }
+
   test("connected components: chains collapse to min label, singletons canonical") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 9L, 0.8))
       .toDF("id_a", "id_b", "jaccard")
