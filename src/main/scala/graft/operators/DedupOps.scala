@@ -526,6 +526,60 @@ object DedupOps {
     out
   }
 
+  /** Cross-document duplicated SPANS at word granularity (the
+    * maximal-repeated-substring view of train-data dedup, cf. Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): every position whose `n`-word gram occurs in
+    * ≥ `minDocs` DISTINCT documents is duplicated, and runs of
+    * consecutive duplicated positions merge (gaps-and-islands) into
+    * maximal spans of `run + n - 1` words. Unlike [[chunkDupStats]]'s
+    * fixed non-overlapping chunks, the overlapping gram lattice finds
+    * shared passages at ANY alignment — the spans are what a removal pass
+    * would actually cut.
+    *
+    * Scale shape: the gram lattice is corpus-words rows (persisted once,
+    * materialized, read by both consumers). The document frequency is ONE
+    * map-combined aggregate on the md5 gram key — not a window over the
+    * near-unique hash space (chunkDupStats doctrine: measured 4× there) —
+    * and survivors come back via a semi-join on the same key, so the two
+    * shuffles share a partitioning. The island merge windows per doc over
+    * ONLY the surviving positions, a small fraction of the lattice in a
+    * clean corpus. */
+  def duplicatedSpans(docs: DataFrame, n: Int = 3, minDocs: Int = 2,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    val w = TextOps.words(col(textCol))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(col("w"), i + k)): _*))))
+      .select(col("doc_id"), col("pos"),
+        md5(col("col").cast("binary")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count() // materialize before the consumers fork
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val out = grams.join(dup, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start"), count(lit(1)).as("run"))
+      .select(col("doc_id"), col("start").cast("int").as("span_start"),
+        (col("run") + (n - 1)).cast("int").as("span_words"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    grams.unpersist(false)
+    out
+  }
+
   /** Content-defined chunking (CDC) passage dedup: chunk boundaries are
     * derived from the CONTENT (a word is a cut point when its md5 starts
     * with a hex digit < 2 — P = 1/8, so chunks average 8 words), not from

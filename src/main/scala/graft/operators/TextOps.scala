@@ -123,6 +123,33 @@ object TextOps {
           sum(col("n").cast("double") * log2(col("n").cast("double"))) /
             sum(col("n")), 6).as("char_entropy"))
 
+  /** Top-`vocabSize` corpus vocabulary (by frequency, ties broken by
+    * word) and each doc's out-of-vocabulary rate against it — the
+    * tokenizer-prep signal: how much of the corpus a fixed-size vocab
+    * covers, and which docs fall outside it (transliteration noise,
+    * code, other-language contamination all surface as high OOV).
+    *
+    * Scale shape: the vocabulary is one map-combined word count +
+    * TakeOrdered top-V (V rows to the driver-side plan, never the corpus),
+    * broadcast back onto the token stream; the per-doc rollup aggregates
+    * on doc_id. No corpus-sized shuffle anywhere — the token explode
+    * stays inside one stage with its aggregation. */
+  def vocabOov(docs: DataFrame, vocabSize: Int = 20,
+               textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("word"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(vocabSize)
+      .select(col("word").as("v_word"))
+    toks.join(broadcast(vocab), col("word") === col("v_word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("v_word").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** Sparse TF-IDF cosine similarity pairs via the inverted-index join —
     * the term-space sibling of the embedding near-dup family. Weights are
     * tf · round(log2(N/df)·1e6) exact longs (the micro-unit doctrine), so

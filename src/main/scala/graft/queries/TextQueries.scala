@@ -329,6 +329,20 @@ object TextQueries {
     "q_chunk_dedup" -> ((s, dir) =>
       DedupOps.chunkDupStats(Tables.documents(s, dir))),
 
+    // fixed-size vocabulary coverage: top-20 words by corpus frequency
+    // (ties by word), per-doc OOV rate against that vocab — the
+    // tokenizer-prep coverage signal.
+    "q_vocab_oov" -> ((s, dir) =>
+      TextOps.vocabOov(Tables.documents(s, dir))),
+
+    // cross-doc duplicated SPANS (Lee et al. 2107.06499 at word grain):
+    // 3-gram lattice with positions, md5 df >= 2 distinct docs, islands of
+    // consecutive duplicated positions merged into maximal spans — finds
+    // shared passages at ANY alignment, where fixed chunks miss shifted
+    // overlap.
+    "q_dup_spans" -> ((s, dir) =>
+      DedupOps.duplicatedSpans(Tables.documents(s, dir))),
+
     // content-defined chunking twin of q_chunk_dedup: boundaries from the
     // words themselves (md5 hex < '2', expected 8-word chunks), so shared
     // passages at shifted offsets still hash identically.
@@ -1554,6 +1568,46 @@ object TextQueries {
         |    / COUNT(*), 6) AS dup_fraction
         |FROM chunks c JOIN df ON df.h = c.h
         |GROUP BY c.doc_id""".stripMargin,
+
+    // top-20-by-frequency vocab (ties by word) + per-doc OOV rollup
+    "q_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT word FROM toks GROUP BY word
+        |  ORDER BY COUNT(*) DESC, word LIMIT 20)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN word IN (SELECT word FROM vocab)
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN word IN (SELECT word FROM vocab)
+        |    THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS oov_rate
+        |FROM toks GROUP BY doc_id""".stripMargin,
+
+    // duplicated-span replay: same 3-gram lattice (0-based positions),
+    // md5 over the gram text, df >= 2 DISTINCT docs, pos − row_number
+    // islands, span_words = run + 2
+    "q_dup_spans" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)],
+        |      ' ')) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM words WHERE len(w) >= 3)),
+        |dup AS (
+        |  SELECT h FROM grams GROUP BY h
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dp AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM grams WHERE h IN (SELECT h FROM dup))
+        |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+        |  CAST(COUNT(*) + 2 AS INTEGER) AS span_words
+        |FROM dp GROUP BY doc_id, grp""".stripMargin,
 
     // CDC replay: same boundary rule (md5 hex digit < '2' closes the
     // chunk), running-sum window for the chunk index, order-preserving

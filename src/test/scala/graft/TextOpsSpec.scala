@@ -393,6 +393,43 @@ class TextOpsSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("RIFF") || ex.getCause != null)
   }
 
+  test("duplicated spans: maximal cross-doc runs, any alignment, no self-dup") {
+    import spark.implicits._
+    // A and B share the 4-word passage "a b c d" at DIFFERENT offsets
+    // (0 vs 2) — fixed chunking misses this; the gram lattice must merge
+    // the two overlapping 3-grams into one maximal span per doc.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d z"),
+      (3L, "q r s"),
+      (4L, "m n o m n o m n o")). // within-doc repeat only — NOT a dup
+      toDF("doc_id", "text")
+    val spans = DedupOps.duplicatedSpans(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans === Set((1L, 0, 4), (2L, 2, 4)))
+    // minDocs honored: at 3 distinct docs required, nothing survives
+    assert(DedupOps.duplicatedSpans(docs, minDocs = 3).count() === 0)
+    // a doc shorter than n emits nothing and doesn't crash
+    assert(DedupOps.duplicatedSpans(Seq((9L, "one two")).toDF("doc_id", "text"))
+      .count() === 0)
+  }
+
+  test("vocab OOV: top-k by frequency with word tie-break, per-doc rate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat cat dog"),
+      (2L, "cat dog bird"),
+      (3L, "emu emu fox")).toDF("doc_id", "text")
+    // freqs: cat=3 dog=2 emu=2 bird=1 fox=1 → top-2 = cat, then the
+    // dog/emu tie breaks alphabetically → dog
+    val out = TextOps.vocabOov(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((3L, 0L, 0.0)))
+    assert(out(2L) === ((3L, 1L, 1.0 / 3)))
+    assert(out(3L) === ((3L, 3L, 1.0)))
+  }
+
   test("connected components: chains collapse to min label, singletons canonical") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 9L, 0.8))
       .toDF("id_a", "id_b", "jaccard")
