@@ -48,7 +48,10 @@ object Bench {
     // SPARK_GRAFT_FULL locally: the emitted JSON line must stay inside
     // the driver's ~2000-char stdout capture, and the r7 line hit 2055
     // chars before this trim)
-    "q9_product_profit", "q_auc", "q_holt_winters")
+    "q9_product_profit", "q_auc", "q_holt_winters",
+    // round-8 batch: the overlapping-gram span lattice (the heaviest new
+    // dedup family member — two shuffles over corpus-words rows)
+    "q_dup_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
