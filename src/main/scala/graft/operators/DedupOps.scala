@@ -545,13 +545,14 @@ object DedupOps {
     * shuffles share a partitioning. The island merge windows per doc over
     * ONLY the surviving positions, a small fraction of the lattice in a
     * clean corpus. */
-  def duplicatedSpans(docs: DataFrame, n: Int = 3, minDocs: Int = 2,
-                      textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
-    require(n >= 1 && minDocs >= 2,
-      s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
+  /** The overlapping word-gram lattice: one row per (doc, 0-based word
+    * position), `h` = md5 of the n-gram starting there. Shared by
+    * [[duplicatedSpans]] / [[removeDuplicatedSpans]]; persisted because
+    * both consumers (df aggregate, join-back) read it twice. */
+  private def gramLattice(docs: DataFrame, n: Int, textCol: String,
+                          idCol: String): DataFrame = {
     val w = TextOps.words(col(textCol))
-    val grams = docs
+    docs
       .select(col(idCol).as("doc_id"), w.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
@@ -561,6 +562,14 @@ object DedupOps {
       .select(col("doc_id"), col("pos"),
         md5(col("col").cast("binary")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def duplicatedSpans(docs: DataFrame, n: Int = 3, minDocs: Int = 2,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    val grams = gramLattice(docs, n, textCol, idCol)
     grams.count() // materialize before the consumers fork
     val dup = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -574,6 +583,57 @@ object DedupOps {
       .agg(min(col("pos")).as("start"), count(lit(1)).as("run"))
       .select(col("doc_id"), col("start").cast("int").as("span_start"),
         (col("run") + (n - 1)).cast("int").as("span_words"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    grams.unpersist(false)
+    out
+  }
+
+  /** The REMOVAL pass over [[duplicatedSpans]]' signal: emit each doc's
+    * cleaned text with every duplicated passage cut EXCEPT in its
+    * canonical owner (min doc_id carrying the gram), so exactly one copy
+    * of every shared passage survives corpus-wide — the Lee et al.
+    * "train on each substring once" policy. A word is cut when ANY
+    * duplicated, non-owned gram covers it. Output text is
+    * whitespace-normalized lowercase (the gram lattice's token space).
+    *
+    * Scale shape: the lattice + df aggregate as in [[duplicatedSpans]];
+    * covered word positions come from exploding ONLY the removable gram
+    * starts (n rows each — a small fraction of the corpus in a clean
+    * corpus, and never a sliding window frame over all words), distinct
+    * on (doc, pos), then one left join against the token stream and a
+    * per-doc order-preserving rebuild (array_sort over (pos, word)
+    * structs — no global sort). */
+  def removeDuplicatedSpans(docs: DataFrame, n: Int = 3, minDocs: Int = 2,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    val grams = gramLattice(docs, n, textCol, idCol)
+    grams.count() // materialize before the consumers fork
+    val stats = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(col("doc_id")).as("owner"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), col("owner"))
+    val covered = grams.join(stats, Seq("h"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id").as("cd"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "word")))
+    val out = toks
+      .join(covered,
+        col("doc_id") === col("cd") && col("pos") === col("wpos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("wpos").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_sort(collect_list(when(col("wpos").isNull,
+          struct(col("pos"), col("word"))))).as("kept"))
+      .select(col("doc_id"), col("n_words"), col("n_removed"),
+        concat_ws(" ", expr("transform(kept, x -> x.word)"))
+          .as("cleaned_text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     grams.unpersist(false)

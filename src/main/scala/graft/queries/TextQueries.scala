@@ -343,6 +343,13 @@ object TextQueries {
     "q_dup_spans" -> ((s, dir) =>
       DedupOps.duplicatedSpans(Tables.documents(s, dir))),
 
+    // the REMOVAL pass over q_dup_spans: cut every duplicated passage
+    // except in its canonical owner doc (min doc_id per gram) — one copy
+    // of every shared passage survives corpus-wide; emits the cleaned
+    // normalized text + removal counts.
+    "q_span_removal" -> ((s, dir) =>
+      DedupOps.removeDuplicatedSpans(Tables.documents(s, dir))),
+
     // content-defined chunking twin of q_chunk_dedup: boundaries from the
     // words themselves (md5 hex < '2', expected 8-word chunks), so shared
     // passages at shifted offsets still hash identically.
@@ -1608,6 +1615,39 @@ object TextQueries {
         |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
         |  CAST(COUNT(*) + 2 AS INTEGER) AS span_words
         |FROM dp GROUP BY doc_id, grp""".stripMargin,
+
+    // span-removal replay: gram lattice + min-doc owner, covered word
+    // positions from exploding removable gram starts, order-preserving
+    // string_agg rebuild of the kept words
+    "q_span_removal" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    w[CAST(i AS INTEGER) + 1] AS word
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w))) AS i FROM words)),
+        |grams AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)],
+        |      ' ')) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM words WHERE len(w) >= 3)),
+        |stats AS (
+        |  SELECT h, MIN(doc_id) AS owner FROM grams GROUP BY h
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + t.k AS wpos
+        |  FROM grams g JOIN stats s ON g.h = s.h AND g.doc_id <> s.owner,
+        |       UNNEST([0, 1, 2]) AS t(k))
+        |SELECT t.doc_id, COUNT(*) AS n_words,
+        |  CAST(SUM(CASE WHEN c.wpos IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN c.wpos IS NULL THEN t.word END,
+        |    ' ' ORDER BY t.pos), '') AS cleaned_text
+        |FROM toks t LEFT JOIN cov c
+        |  ON t.doc_id = c.doc_id AND t.pos = c.wpos
+        |GROUP BY t.doc_id""".stripMargin,
 
     // CDC replay: same boundary rule (md5 hex digit < '2' closes the
     // chunk), running-sum window for the chunk index, order-preserving

@@ -414,6 +414,28 @@ class TextOpsSpec extends SparkSpecBase {
       .count() === 0)
   }
 
+  test("span removal: owner keeps the passage, every other doc loses it") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),       // owner of "a b c d" (min doc_id)
+      (2L, "x y a b c d z"),     // loses the shared passage
+      (3L, "q r s")).toDF("doc_id", "text")
+    val out = DedupOps.removeDuplicatedSpans(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((6L, 0L, "a b c d e f")))
+    assert(out(2L) === ((7L, 4L, "x y z")))
+    assert(out(3L) === ((3L, 0L, "q r s")))
+    // exactly one copy of the passage survives corpus-wide
+    val survivors = out.values.count(_._3.contains("a b c d"))
+    assert(survivors === 1)
+    // a fully-duplicated non-owner doc cleans to the empty string
+    val twins = Seq((5L, "p q r s t"), (6L, "p q r s t")).toDF("doc_id", "text")
+    val t = DedupOps.removeDuplicatedSpans(twins)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(t(5L) === "p q r s t" && t(6L) === "")
+  }
+
   test("vocab OOV: top-k by frequency with word tie-break, per-doc rate") {
     import spark.implicits._
     val docs = Seq(
