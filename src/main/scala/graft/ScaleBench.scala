@@ -122,6 +122,16 @@ object ScaleBench {
         stats.unpersist(false) // doc-grain cache must not tax later sections
         n
       }
+      // span dedup at scale: the overlapping gram lattice is the widest
+      // intermediate of the family (corpus-words rows) and this fixture is
+      // its worst case — every replica shares almost every gram, so nearly
+      // all positions survive the df filter into the island merge
+      val (nSpans, tSpans) = timed {
+        val sp = graft.operators.DedupOps.duplicatedSpans(docs)
+        val n = sp.count()
+        sp.unpersist(false)
+        n
+      }
       docs.unpersist(false)
       // semantic dedup at scale: replicate the embedding corpus ×mult
       // (exact replicas — the duplicate families every real corpus has),
@@ -154,6 +164,7 @@ object ScaleBench {
       s""","dedup_docs":$nDocs,"dedup_pairs":$nPairs,"dedup":$tDedup""" +
         s""","curate_kept":$nKeep,"curate":$tQual""" +
         s""","chunk_docs":$nChunked,"chunk_dedup":$tChunk""" +
+        s""","span_count":$nSpans,"span_dedup":$tSpans""" +
         s""","semantic_vecs":${semStats.getLong(0)},"semantic_dups":${semStats.getLong(1)},"semantic_k":$kClusters,"semantic_dedup":$tSem"""
     }.getOrElse("")
 
