@@ -688,6 +688,33 @@ object TextQueries {
         SimilarityOps.kmeansCentroids(e, 16, iters = 2, trainSample = 512))
     }),
 
+    // cluster cards: k-means assignment (same trained centroids as
+    // q_ivf_assign) labeled with each cluster's top-3 terms by
+    // within-cluster token count (ties → term asc) — the corpus-triage
+    // view of an embedding clustering. Term counts aggregate on (cid,
+    // term); the per-cluster rank window runs over the tiny k×vocab
+    // count table, never the token stream.
+    "q_cluster_card" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val assign = SimilarityOps.ivfAssign(e,
+        SimilarityOps.kmeansCentroids(e, 16, iters = 2, trainSample = 512))
+        .select(col("vec_id"), col("cid"))
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("term"))
+      val counts = toks.join(assign, col("doc_id") === col("vec_id"))
+        .groupBy(col("cid"), col("term"))
+        .agg(count(lit(1)).as("term_count"))
+      val sizes = assign.groupBy(col("cid")).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid"))
+        .orderBy(col("term_count").desc, col("term"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .join(broadcast(sizes), Seq("cid"))
+        .select(col("cid"), col("n_docs"), col("rank"), col("term"),
+          col("term_count"))
+    }),
+
     // SemDeDup: k-means clusters bound the pair space (within-cluster
     // cosine only — never all-pairs), CC labels the dup components, the
     // smallest id per component survives. Same trained centroids as
@@ -2121,6 +2148,30 @@ object TextQueries {
         |  SELECT vec_id, cid,
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
         |  FROM scores) WHERE rn = 1""".stripMargin),
+
+    "q_cluster_card" -> (ivfScoresCte + ",\n" +
+      """assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        |    FROM scores) WHERE rn = 1),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |counts AS (
+        |  SELECT a.cid, t.term, COUNT(*) AS term_count
+        |  FROM toks t JOIN assign a ON t.doc_id = a.vec_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT cid, COUNT(*) AS n_docs FROM assign GROUP BY 1),
+        |ranked AS (
+        |  SELECT cid, term, term_count,
+        |    ROW_NUMBER() OVER (PARTITION BY cid
+        |      ORDER BY term_count DESC, term) AS rank
+        |  FROM counts)
+        |SELECT r.cid, s.n_docs, CAST(r.rank AS INTEGER) AS rank, r.term,
+        |  r.term_count
+        |FROM ranked r JOIN sizes s USING (cid) WHERE r.rank <= 3""".stripMargin),
 
     "q_ivf_knn" -> (ivfScoresCte + ",\n" +
       """assign AS (
