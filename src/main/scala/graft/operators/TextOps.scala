@@ -123,6 +123,24 @@ object TextOps {
           sum(col("n").cast("double") * log2(col("n").cast("double"))) /
             sum(col("n")), 6).as("char_entropy"))
 
+  /** C4-style blocklist screen: per doc, total banned-token occurrences,
+    * distinct banned tokens hit, and the keep flag. Pure per-row
+    * projection over the word array (the ban list rides inline in the
+    * plan — at a realistic list size it would broadcast) — no shuffle,
+    * no join, scan-adjacent at any corpus size. */
+  def blocklistScreen(docs: DataFrame, banned: Seq[String],
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(banned.nonEmpty, "banned list must not be empty")
+    val bl = array(banned.map(lit): _*)
+    val w = words(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(w, x => array_contains(bl, x))).as("n_banned_hits"),
+        size(array_intersect(array_distinct(w), bl))
+          .as("n_banned_distinct"))
+      .withColumn("is_clean", col("n_banned_hits") === 0)
+  }
+
   /** Top-`vocabSize` corpus vocabulary (by frequency, ties broken by
     * word) and each doc's out-of-vocabulary rate against it — the
     * tokenizer-prep signal: how much of the corpus a fixed-size vocab

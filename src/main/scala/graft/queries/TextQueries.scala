@@ -329,6 +329,12 @@ object TextQueries {
     "q_chunk_dedup" -> ((s, dir) =>
       DedupOps.chunkDupStats(Tables.documents(s, dir))),
 
+    // C4-style blocklist screen: occurrences + distinct hits of a banned
+    // token list, pure per-row projection (no shuffle, no join).
+    "q_blocklist" -> ((s, dir) =>
+      TextOps.blocklistScreen(Tables.documents(s, dir),
+        Seq("slow", "dup", "stale"))),
+
     // fixed-size vocabulary coverage: top-20 words by corpus frequency
     // (ties by word), per-doc OOV rate against that vocab — the
     // tokenizer-prep coverage signal.
@@ -1602,6 +1608,20 @@ object TextQueries {
         |    / COUNT(*), 6) AS dup_fraction
         |FROM chunks c JOIN df ON df.h = c.h
         |GROUP BY c.doc_id""".stripMargin,
+
+    "q_blocklist" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(w,
+        |    x -> list_contains(['slow', 'dup', 'stale'], x)))
+        |    AS INTEGER) AS n_banned_hits,
+        |  CAST(len(list_intersect(list_distinct(w),
+        |    ['slow', 'dup', 'stale'])) AS INTEGER) AS n_banned_distinct,
+        |  len(list_filter(w,
+        |    x -> list_contains(['slow', 'dup', 'stale'], x))) = 0 AS is_clean
+        |FROM w""".stripMargin,
 
     // top-20-by-frequency vocab (ties by word) + per-doc OOV rollup
     "q_vocab_oov" ->

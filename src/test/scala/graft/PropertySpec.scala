@@ -235,6 +235,88 @@ class PropertySpec extends SparkSpecBase {
     assert(residual.count() === 0, "no pattern may survive redaction")
   }
 
+  // ---- span-dedup differential properties: the distributed operators
+  // must equal a direct single-threaded reference implementation on
+  // randomized word-soup corpora (10 seeded shapes — doc counts, lengths
+  // and vocab draw all vary), including empty docs and docs shorter
+  // than the gram width.
+
+  private def genCorpus(seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    (0 until (5 + rnd.nextInt(20))).map { i =>
+      val len = rnd.nextInt(25)
+      (i.toLong,
+        (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+
+  private def refWords(t: String): Vector[String] =
+    t.trim.toLowerCase.split("\\s+").toVector
+
+  private def refLattice(docs: Seq[(Long, String)], n: Int)
+      : Seq[(Long, Int, String)] =
+    for {
+      (id, t) <- docs
+      w = refWords(t)
+      p <- 0 to w.length - n
+    } yield (id, p, w.slice(p, p + n).mkString(" "))
+
+  private def islands(ps: Seq[Int]): Seq[Seq[Int]] =
+    ps.sorted.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+      if (acc.nonEmpty && acc.last.last == p - 1)
+        acc.init :+ (acc.last :+ p)
+      else acc :+ Vector(p)
+    }
+
+  test("duplicatedSpans equals the direct reference on random corpora") {
+    val n = 3
+    (1L to 10L).foreach { seed =>
+      val docs = genCorpus(seed * 104729)
+      val grams = refLattice(docs, n)
+      val df = grams.groupBy(_._3)
+        .map { case (g, xs) => g -> xs.map(_._1).distinct.size }
+      val dup = grams.filter(g => df(g._3) >= 2)
+      val expect = dup.groupBy(_._1).toSeq.flatMap { case (id, xs) =>
+        islands(xs.map(_._2)).map(is => (id, is.head, is.size + n - 1))
+      }.toSet
+      val got = graft.operators.DedupOps.duplicatedSpans(
+          docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got === expect, s"seed=$seed")
+    }
+  }
+
+  test("removeDuplicatedSpans equals the direct reference on random corpora") {
+    val n = 3
+    (1L to 10L).foreach { seed =>
+      val docs = genCorpus(seed * 15485863)
+      val grams = refLattice(docs, n)
+      val byGram = grams.groupBy(_._3)
+      val stats = byGram.collect {
+        case (g, xs) if xs.map(_._1).distinct.size >= 2 =>
+          g -> xs.map(_._1).min
+      }
+      val covered = (for {
+        (id, p, g) <- grams
+        owner <- stats.get(g).toSeq if id != owner
+        k <- 0 until n
+      } yield (id, p + k)).toSet
+      val expect = docs.map { case (id, t) =>
+        val w = refWords(t)
+        val kept = w.indices.filterNot(i => covered((id, i))).map(w)
+        (id, w.length.toLong,
+          w.indices.count(i => covered((id, i))).toLong, kept.mkString(" "))
+      }.toSet
+      val got = graft.operators.DedupOps.removeDuplicatedSpans(
+          docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(got === expect, s"seed=$seed")
+    }
+  }
+
   test("sq encode/decode error is bounded by half a step in EVERY dimension") {
     import graft.operators.SimilarityOps
     val e = Tables.embeddings(spark, sf)
