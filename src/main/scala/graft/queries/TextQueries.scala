@@ -329,6 +329,58 @@ object TextQueries {
     "q_chunk_dedup" -> ((s, dir) =>
       DedupOps.chunkDupStats(Tables.documents(s, dir))),
 
+    // Zipf's-law fit: OLS slope of log2(freq) on log2(rank) over the word
+    // frequency table — the power-law sanity check every corpus report
+    // carries. Micro-unit doctrine: both logs round to 1e-6 integer units,
+    // all moment sums accumulate in DECIMAL(38,0) (order-proof), one
+    // double division at the end. The rank window is global but runs over
+    // the VOCABULARY (bounded by the language, not the corpus).
+    "q_zipf" -> ((s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(38, 0)
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("word"))
+      val freqs = toks.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("word"))
+      val m = freqs.withColumn("rank", row_number().over(w))
+        .select(
+          round(log2(col("rank").cast("double")) * 1000000).cast("long")
+            .as("x"),
+          round(log2(col("freq").cast("double")) * 1000000).cast("long")
+            .as("y"))
+      m.agg(count(lit(1)).as("n_terms"),
+          sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+          sum(col("x").cast(D) * col("x")).as("sxx"),
+          sum(col("x").cast(D) * col("y")).as("sxy"))
+        .select(col("n_terms"),
+          ((col("n_terms").cast(D) * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+           (col("n_terms").cast(D) * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("zipf_slope"))
+    }),
+
+    // Heaps'-law vocabulary growth: cumulative distinct words vs
+    // cumulative tokens along the doc_id order, at 50-doc bucket grain —
+    // new words attribute to the bucket of their FIRST doc, so the curve
+    // needs only a bucket-grain running sum (the window carries
+    // |docs|/50 rows, never the token stream).
+    "q_heaps" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("word"))
+      val bTok = toks.groupBy(floor(col("doc_id") / 50).as("bucket"))
+        .agg(count(lit(1)).as("toks"))
+      val firstB = toks.groupBy(col("word")).agg(min(col("doc_id")).as("fd"))
+        .groupBy(floor(col("fd") / 50).as("bucket"))
+        .agg(count(lit(1)).as("new_words"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      bTok.join(firstB, Seq("bucket"), "left")
+        .select(col("bucket"),
+          sum(col("toks")).over(w).as("cum_tokens"),
+          sum(coalesce(col("new_words"), lit(0L))).over(w).as("cum_vocab"))
+    }),
+
     // C4-style blocklist screen: occurrences + distinct hits of a banned
     // token list, pure per-row projection (no shuffle, no join).
     "q_blocklist" -> ((s, dir) =>
@@ -1608,6 +1660,58 @@ object TextQueries {
         |    / COUNT(*), 6) AS dup_fraction
         |FROM chunks c JOIN df ON df.h = c.h
         |GROUP BY c.doc_id""".stripMargin,
+
+    // Zipf replay: same rank order (freq desc, word), micro-unit logs,
+    // HUGEINT moment sums, one double division
+    "q_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |f AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY 1),
+        |r AS (
+        |  SELECT freq,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank
+        |  FROM f),
+        |m AS (
+        |  SELECT
+        |    CAST(ROUND(LOG2(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |    CAST(ROUND(LOG2(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |  FROM r),
+        |a AS (
+        |  SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM m)
+        |SELECT n AS n_terms,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope
+        |FROM a""".stripMargin,
+
+    // Heaps replay: bucket token counts + first-doc new-word counts,
+    // bucket-grain running sums
+    "q_heaps" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |bt AS (
+        |  SELECT CAST(FLOOR(doc_id / 50) AS BIGINT) AS bucket,
+        |    COUNT(*) AS toks
+        |  FROM toks GROUP BY 1),
+        |fw AS (SELECT word, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+        |nb AS (
+        |  SELECT CAST(FLOOR(fd / 50) AS BIGINT) AS bucket,
+        |    COUNT(*) AS new_words
+        |  FROM fw GROUP BY 1)
+        |SELECT bt.bucket,
+        |  CAST(SUM(toks) OVER (ORDER BY bt.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(COALESCE(new_words, 0)) OVER (ORDER BY bt.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_vocab
+        |FROM bt LEFT JOIN nb ON bt.bucket = nb.bucket""".stripMargin,
 
     "q_blocklist" ->
       """WITH w AS (
