@@ -357,4 +357,28 @@ class PlanSpec extends SparkSpecBase {
       assert(bare.isEmpty, s"$q has ${bare.size} unpartitioned window(s)")
     }
   }
+
+  test("blocklist screen is a pure projection: zero exchanges") {
+    val p = plan("q_blocklist")
+    assert(!p.contains("Exchange"), s"blocklist must not shuffle:\n$p")
+  }
+
+  test("vocab OOV: top-V vocab is a partial top-k, joined back broadcast") {
+    val p = plan("q_vocab_oov")
+    // the vocabulary limit must not global-sort the word counts
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("cluster card: rank window is cid-partitioned with a group limit") {
+    val p = plan("q_cluster_card")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=3 should push a WindowGroupLimit:\n$p")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val bare = SparkEntry.queries("q_cluster_card")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+    assert(bare.isEmpty, s"${bare.size} unpartitioned window(s)")
+  }
 }
