@@ -38,6 +38,24 @@ object TextOps {
       .otherwise("test")
   }
 
+  /** Deterministic shuffle-and-shard — the training-output step: every
+    * doc gets a reproducible shard ([[hashBucket]]) and a pseudo-random
+    * position WITHIN its shard (md5 order, doc_id tiebreak). The position
+    * windows per shard, so the ordering parallelizes across shards and no
+    * global sort ever materializes — re-runs, re-partitions and other
+    * engines all reproduce the identical training order. */
+  def shardAssign(docs: DataFrame, shards: Int = 8,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(shards >= 1, s"shards must be positive: $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"),
+        hashBucket(col(idCol), shards).as("shard"),
+        md5(col(idCol).cast("string").cast("binary")).as("k"))
+      .withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+  }
+
   /** Whitespace-collapsed lowercase normal form — the dedup key basis. */
   def normalize(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))

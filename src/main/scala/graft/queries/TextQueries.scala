@@ -329,6 +329,12 @@ object TextQueries {
     "q_chunk_dedup" -> ((s, dir) =>
       DedupOps.chunkDupStats(Tables.documents(s, dir))),
 
+    // deterministic shuffle-and-shard: md5 shard + md5-order position
+    // within the shard — the reproducible training order, windowed per
+    // shard (no global sort).
+    "q_shard_assign" -> ((s, dir) =>
+      TextOps.shardAssign(Tables.documents(s, dir))),
+
     // Zipf's-law fit: OLS slope of log2(freq) on log2(rank) over the word
     // frequency table — the power-law sanity check every corpus report
     // carries. Micro-unit doctrine: both logs round to 1e-6 integer units,
@@ -1660,6 +1666,17 @@ object TextQueries {
         |    / COUNT(*), 6) AS dup_fraction
         |FROM chunks c JOIN df ON df.h = c.h
         |GROUP BY c.doc_id""".stripMargin,
+
+    // shard replay: hashBucket mod 8, md5-order rank within shard
+    "q_shard_assign" -> (hashBucketCte +
+      """,
+        |sh AS (
+        |  SELECT h.doc_id, hv.v % 8 AS shard, h.hx
+        |  FROM h JOIN hv ON h.doc_id = hv.doc_id)
+        |SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos_in_shard
+        |FROM sh""".stripMargin),
 
     // Zipf replay: same rank order (freq desc, word), micro-unit logs,
     // HUGEINT moment sums, one double division
