@@ -492,12 +492,12 @@ object DedupOps {
     * at the 200k-doc corpus (20.4 s vs ~5 s) than the map-combined
     * hash aggregate. The removal op is this plus a filter — the stats
     * form is what a corpus report needs. */
-  def chunkDupStats(docs: DataFrame, chunkWords: Int = 8,
-                    textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+  /** One row per non-overlapping `chunkWords`-word chunk: (doc_id, h). */
+  private def chunkRows(docs: DataFrame, chunkWords: Int,
+                        textCol: String, idCol: String): DataFrame = {
     val w = TextOps.words(col(textCol))
     val nChunks = floor(size(w) / chunkWords).cast("int")
-    val chunks = docs
+    docs
       .select(col(idCol).as("doc_id"), w.as("w"), nChunks.as("nc"))
       .filter(col("nc") >= 1)
       .select(col("doc_id"),
@@ -506,6 +506,12 @@ object DedupOps {
         md5(concat_ws(" ",
           slice(col("w"), col("i") * chunkWords + 1, lit(chunkWords))).cast("binary"))
           .as("h"))
+  }
+
+  def chunkDupStats(docs: DataFrame, chunkWords: Int = 8,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val chunks = chunkRows(docs, chunkWords, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize before the two consumers fork (in-flight computation is
     // not deduped by an unmaterialized cache)
@@ -521,6 +527,60 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the (doc-grain, much smaller) stats, then release the
     // chunk-grain cache
+    out.count()
+    chunks.unpersist(false)
+    out
+  }
+
+  /** Stored side of incremental passage dedup: the chunk-hash occurrence
+    * counts ([[chunkDupStats]]' df table) for the corpus. Persist
+    * clustered by `h` at scale (`Storage.writeClustered`) so a delta's
+    * point lookups read only touched row groups — the chunk-granularity
+    * sibling of [[buildNearDupIndex]] / `buildSemanticIndex`. */
+  def buildChunkIndex(docs: DataFrame, chunkWords: Int = 8,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    chunkRows(docs, chunkWords, textCol, idCol)
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+
+  /** Delta pass of incremental passage dedup: [[chunkDupStats]] for ONLY
+    * the delta docs, occurrence = stored occ + delta occ — exactly the
+    * batch pass over (stored ∪ delta) restricted to the delta
+    * (equivalence asserted in TextOpsSpec, both sides of the cap). The
+    * stored index is touched by point lookups on the delta's distinct
+    * chunk hashes: ≤500-literal pushdown scans under `maxPushdownKeys`
+    * ([[prunedByKeys]] — row-group skipping on the h-clustered index
+    * keeps stored bytes O(delta chunks)), a plain scan past it (a
+    * corpus-sized delta re-reads the index once — the right degradation).
+    * Per-batch cost is delta hashing + touched-key lookups; no
+    * corpus-sized re-aggregation anywhere. */
+  def incrementalChunkDupStats(delta: DataFrame, storedIndex: DataFrame,
+                               chunkWords: Int = 8,
+                               textCol: String = "text",
+                               idCol: String = "doc_id",
+                               maxPushdownKeys: Int = DefaultMaxPushdownKeys)
+      : DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val chunks = chunkRows(delta, chunkWords, textCol, idCol).persist(disk)
+    // ONE job materializes the cache (three consumers: key collect, delta
+    // counts, join-back) and collects the pushdown key list
+    val keys = chunks.select(col("h")).distinct()
+      .limit(maxPushdownKeys + 1).collect().map(_.getString(0)).toIndexedSeq
+    val stored =
+      if (keys.size > maxPushdownKeys) storedIndex
+      else prunedByKeys(storedIndex, "h", keys)
+    val dCounts = chunks.groupBy(col("h")).agg(count(lit(1)).as("d_occ"))
+    val tot = dCounts.join(stored, Seq("h"), "left")
+      .select(col("h"),
+        (col("d_occ") + coalesce(col("occ"), lit(0L))).as("occ_total"))
+    val out = chunks.join(tot, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ_total") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+          .as("dup_fraction"))
+      .persist(disk)
     out.count()
     chunks.unpersist(false)
     out

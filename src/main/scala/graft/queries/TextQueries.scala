@@ -407,6 +407,18 @@ object TextQueries {
     "q_dup_spans" -> ((s, dir) =>
       DedupOps.duplicatedSpans(Tables.documents(s, dir))),
 
+    // incremental passage dedup: delta docs (>= 400) probe the stored
+    // chunk-hash index of docs < 400 — occurrence = stored + delta, the
+    // batch pass restricted to the delta, with stored reads as point
+    // lookups on the delta's hashes (the chunk-granularity sibling of
+    // q_dedup_incremental / q_semantic_dedup_incr).
+    "q_chunk_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.incrementalChunkDupStats(
+        docs.filter(col("doc_id") >= 400),
+        DedupOps.buildChunkIndex(docs.filter(col("doc_id") < 400)))
+    }),
+
     // the REMOVAL pass over q_dup_spans: cut every duplicated passage
     // except in its canonical owner doc (min doc_id per gram) — one copy
     // of every shared passage survives corpus-wide; emits the cleaned
@@ -1783,6 +1795,29 @@ object TextQueries {
         |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
         |  CAST(COUNT(*) + 2 AS INTEGER) AS span_words
         |FROM dp GROUP BY doc_id, grp""".stripMargin,
+
+    // incremental chunk replay: the BATCH pipeline over the full corpus,
+    // restricted to the delta docs (the equivalence the operator promises)
+    "q_chunk_incremental" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, CAST(FLOOR(len(w) / 8) AS INTEGER) AS nc
+        |      FROM words),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(w[CAST(i*8+1 AS INTEGER):CAST(i*8+8 AS INTEGER)], ' ')) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(0, nc)) AS i FROM d)),
+        |df AS (SELECT h, COUNT(*) AS occ FROM chunks GROUP BY 1)
+        |SELECT c.doc_id,
+        |  COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN df.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  ROUND(CAST(SUM(CASE WHEN df.occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_fraction
+        |FROM chunks c JOIN df ON df.h = c.h
+        |WHERE c.doc_id >= 400
+        |GROUP BY c.doc_id""".stripMargin,
 
     // span-removal replay: gram lattice + min-doc owner, covered word
     // positions from exploding removable gram starts, order-preserving

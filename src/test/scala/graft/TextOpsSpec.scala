@@ -414,6 +414,23 @@ class TextOpsSpec extends SparkSpecBase {
       .count() === 0)
   }
 
+  test("incremental chunk dedup equals the batch pass restricted to the delta") {
+    val docs = Tables.documents(spark, sf)
+    val batch = DedupOps.chunkDupStats(docs)
+      .filter(col("doc_id") >= 400)
+      .collect().map(_.toString).sorted.toSeq
+    val idx = DedupOps.buildChunkIndex(docs.filter(col("doc_id") < 400))
+    val incr = DedupOps.incrementalChunkDupStats(
+        docs.filter(col("doc_id") >= 400), idx)
+      .collect().map(_.toString).sorted.toSeq
+    assert(incr === batch)
+    // over the pushdown cap the stored side is scanned, result unchanged
+    val over = DedupOps.incrementalChunkDupStats(
+        docs.filter(col("doc_id") >= 400), idx, maxPushdownKeys = 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(over === batch)
+  }
+
   test("span removal: owner keeps the passage, every other doc loses it") {
     import spark.implicits._
     val docs = Seq(
