@@ -347,6 +347,51 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming PASSAGE dedup sink — the chunk-granularity member of the
+    * incremental trio ([[incrementalDedupSink]] = doc-level bands,
+    * [[semanticDedupSink]] = embedding clusters): each micro-batch of
+    * documents emits its per-doc chunk-dup stats against the stored
+    * chunk-hash occurrence index
+    * ([[graft.operators.DedupOps.incrementalChunkDupStats]] over the
+    * SUM-merged batch partitions — the h filter pushes through the merge
+    * aggregate to the scan, so row-group skipping survives), appends the
+    * stats, THEN appends its own chunk counts (h-sorted within
+    * partitions, so later batches' pushed IN probes skip the appended
+    * files' row groups). Stats are AS-OF-ARRIVAL: a passage first seen in
+    * batch k is flagged duplicated on the batch where its repeat arrives.
+    * The stored index converges to exactly the batch
+    * [[graft.operators.DedupOps.buildChunkIndex]] over the full feed
+    * (StreamingSpec asserts both properties, plus exactly-once under
+    * replay). */
+  def chunkDedupSink(docs: DataFrame, indexRef: graft.sources.TableRef,
+                     statsRef: graft.sources.TableRef,
+                     checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.DedupOps
+    import graft.sources.Storage
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF()
+        val stored =
+          if (Storage.tableExists(s, indexRef))
+            // a replayed batch must not see its own previous (partial)
+            // writes as stored, or within-batch repeats double-count
+            Storage.readTable(s, indexRef).filter(col("batch_id") < batchId)
+              .groupBy(col("h")).agg(sum(col("occ")).as("occ"))
+          else DedupOps.buildChunkIndex(b.limit(0))
+        val stats = DedupOps.incrementalChunkDupStats(b, stored)
+        idempotentBatchAppend(stats.coalesce(4), statsRef, batchId)
+        stats.unpersist(false)
+        idempotentBatchAppend(
+          DedupOps.buildChunkIndex(b).coalesce(4).sortWithinPartitions("h"),
+          indexRef, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming count-min sketch sink: each micro-batch builds its OWN
     * d×w counter table ([[graft.functions.Sketches.cmsCounters]]) and
     * appends it batch_id-partitioned; the live sketch is the per-(j,

@@ -575,6 +575,62 @@ class StreamingSpec extends SparkSpecBase {
     assert(counters(StreamingOps.cmsMerged(spark, ref)) === batch)
   }
 
+  test("streaming chunk dedup: as-of-arrival stats, index converges, replay exact") {
+    import graft.sources.{Storage, TableRef}
+    import org.apache.spark.sql.types._
+    val docsDir = Files.createTempDirectory("graft_cdocs").toString
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    all.filter(col("doc_id") < 150).coalesce(1).write.parquet(s"$docsDir/f1")
+    all.filter(col("doc_id") >= 150).coalesce(1).write.parquet(s"$docsDir/f2")
+    new java.io.File(docsDir).listFiles().filter(_.isDirectory).foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) => Files.move(f.toPath,
+          Paths.get(s"$docsDir/${d.getName}_$i.parquet"))
+      }
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+    val root = Files.createTempDirectory("graft_cdedup").toString
+    val indexRef = TableRef(s"$root/index", "index", "chunks")
+    val statsRef = TableRef(s"$root/stats", "index", "stats")
+    val q = StreamingOps.chunkDedupSink(stream(), indexRef, statsRef,
+      Files.createTempDirectory("graft_cdckpt").toString)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_chunks", "n_dup_chunks", "dup_fraction")
+        .collect().map(_.toString).sorted.toSeq
+    // the maintained index converges to the batch build over the full feed
+    val merged = Storage.readTable(spark, indexRef)
+      .groupBy("h").agg(sum(col("occ")).as("occ"))
+    val batchIdx = graft.operators.DedupOps.buildChunkIndex(all)
+    assert(merged.except(batchIdx).count() === 0)
+    assert(batchIdx.except(merged).count() === 0)
+    // as-of-arrival: the LAST batch's stats equal the batch pass over the
+    // full corpus restricted to it; the first batch sees only itself
+    val stats = Storage.readTable(spark, statsRef)
+    assert(rows(stats.filter(col("doc_id") >= 150)) ===
+      rows(graft.operators.DedupOps.chunkDupStats(all)
+        .filter(col("doc_id") >= 150)))
+    assert(rows(stats.filter(col("doc_id") < 150)) ===
+      rows(graft.operators.DedupOps.chunkDupStats(
+        all.filter(col("doc_id") < 150))))
+    val nStats = stats.count()
+    val nIdx = Storage.readTable(spark, indexRef).count()
+    // replay from a fresh checkpoint: exactly-once through the batch_id
+    // partition overwrites — same stats, same index, no duplicates
+    val q2 = StreamingOps.chunkDedupSink(stream(), indexRef, statsRef,
+      Files.createTempDirectory("graft_cdckpt2").toString)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(Storage.readTable(spark, statsRef).count() === nStats)
+    assert(Storage.readTable(spark, indexRef).count() === nIdx)
+  }
+
   test("streaming incremental dedup accumulates exactly the batch pair set") {
     import graft.sources.{Storage, TableRef}
     import org.apache.spark.sql.types._
