@@ -34,6 +34,32 @@ object WarehouseQueries {
       MergeOps.scd2(log, Seq("o_custkey"), Seq("priority"), "obs_date")
     }),
 
+    // POINT-IN-TIME join: facts pick the dimension version that was valid
+    // at fact time — SCD2 (MergeOps.scd2) composed with the as-of join
+    // (versions are contiguous, so "last valid_from <= ship date" IS the
+    // valid version; no interval predicate needed). The warehouse pattern
+    // every late-arriving-fact pipeline runs; one (custkey, time) sort
+    // shared by the merge, dims never exploded per fact.
+    "q_pit_join" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val log = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("obs_date"))
+        .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("priority"))
+      val versions = MergeOps.scd2(log, Seq("o_custkey"), Seq("priority"),
+          "obs_date")
+        .select(col("o_custkey").as("custkey"), col("valid_from"),
+          col("priority"))
+      val facts = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("o_custkey").as("custkey"),
+          to_date(col("l_shipdate")).as("ship_d"))
+      AsOfJoin.asOf(facts, versions, Seq("custkey"), "ship_d", "valid_from",
+          Seq("priority"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("custkey"),
+          col("ship_d"), col("priority").as("priority_at_ship"))
+    }),
+
     // CDC log application (MergeOps.applyCdcLog): orders become an ordered
     // change stream per customer (status → op code, day×10^10+orderkey →
     // total order); the final state is each key's last non-delete payload.
@@ -145,6 +171,32 @@ object WarehouseQueries {
         |  LEAD(obs_date) OVER w IS NULL AS is_current
         |FROM f
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY obs_date)""".stripMargin,
+
+    // PIT replay: same SCD2 version CTE, then DuckDB's native ASOF join
+    // picks the version valid at ship time
+    "q_pit_join" ->
+      """WITH log AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS obs_date,
+        |    arg_max(o_orderpriority, o_orderkey) AS priority
+        |  FROM orders GROUP BY 1, 2),
+        |ch AS (
+        |  SELECT o_custkey, obs_date, priority,
+        |    LAG(priority) OVER (PARTITION BY o_custkey ORDER BY obs_date)
+        |      AS prev,
+        |    LAG(obs_date) OVER (PARTITION BY o_custkey ORDER BY obs_date)
+        |      AS prev_d
+        |  FROM log),
+        |v AS (
+        |  SELECT o_custkey AS custkey, obs_date AS valid_from, priority
+        |  FROM ch WHERE prev_d IS NULL OR prev <> priority),
+        |facts AS (
+        |  SELECT l_orderkey, l_linenumber, o_custkey AS custkey,
+        |    CAST(l_shipdate AS DATE) AS ship_d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.ship_d,
+        |  v.priority AS priority_at_ship
+        |FROM facts f ASOF LEFT JOIN v
+        |  ON f.custkey = v.custkey AND f.ship_d >= v.valid_from""".stripMargin,
 
     "q_cdc_apply" ->
       """WITH log AS (
