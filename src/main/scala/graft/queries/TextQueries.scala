@@ -329,6 +329,44 @@ object TextQueries {
     "q_chunk_dedup" -> ((s, dir) =>
       DedupOps.chunkDupStats(Tables.documents(s, dir))),
 
+    // per-source top-quartile pruning: keep docs whose per-source quality
+    // rank clears the EXACT 25% threshold (4·rank <= count — pure integer
+    // predicate, no percentile interpolation). Dynamic per-group
+    // thresholds are what a real quality gate runs, vs one global cutoff
+    // that over-prunes weak domains. Windows are source-partitioned.
+    "q_quality_prune" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .filter(col("rnk") * 4 <= col("cnt"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rnk"))
+    }),
+
+    // domain-mixture rebalancing toward a uniform source distribution:
+    // per-source keep rate = min(1, target/n) in basis points, membership
+    // by the deterministic md5 bucket — the DoReMi-style static reweight,
+    // reproducible on any engine or cluster. Per-source rates broadcast;
+    // the corpus is touched by one projection + filter.
+    "q_mixture_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val per = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = per.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).as("nsrc"))
+      val wr = per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          least(lit(10000L), floor(col("total").cast("double") * 10000.0 /
+            (col("nsrc") * col("n_docs"))).cast("long")).as("rate_bp"))
+      d.join(broadcast(wr), Seq("source"))
+        .filter(TextOps.hashBucket(col("doc_id"), 10000) < col("rate_bp"))
+        .groupBy(col("source"), col("n_docs"), col("rate_bp"))
+        .agg(count(lit(1)).as("n_kept"))
+    }),
+
     // deterministic shuffle-and-shard: md5 shard + md5-order position
     // within the shard — the reproducible training order, windowed per
     // shard (no global sort).
@@ -1678,6 +1716,36 @@ object TextQueries {
         |    / COUNT(*), 6) AS dup_fraction
         |FROM chunks c JOIN df ON df.h = c.h
         |GROUP BY c.doc_id""".stripMargin,
+
+    // exact-quartile prune replay: 4·rank <= count integer predicate
+    "q_quality_prune" ->
+      """SELECT doc_id, source, n_chars, CAST(rnk AS INTEGER) AS rnk
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents)
+        |WHERE rnk * 4 <= cnt""".stripMargin,
+
+    // mixture replay: per-source rate in basis points, md5-bucket
+    // membership
+    "q_mixture_sample" -> (hashBucketCte +
+      """,
+        |per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+        |  COUNT(*) AS nsrc FROM per),
+        |wr AS (
+        |  SELECT source, n_docs,
+        |    LEAST(10000, CAST(FLOOR(CAST(total AS DOUBLE) * 10000.0
+        |      / (nsrc * n_docs)) AS BIGINT)) AS rate_bp
+        |  FROM per, tot)
+        |SELECT d.source, wr.n_docs, wr.rate_bp, COUNT(*) AS n_kept
+        |FROM documents d
+        |JOIN hv ON d.doc_id = hv.doc_id
+        |JOIN wr ON d.source = wr.source
+        |WHERE hv.v % 10000 < wr.rate_bp
+        |GROUP BY 1, 2, 3""".stripMargin),
 
     // shard replay: hashBucket mod 8, md5-order rank within shard
     "q_shard_assign" -> (hashBucketCte +
