@@ -54,6 +54,39 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cosine"), col("rn"))
   }
 
+  /** Contrastive-training triplet mining: for each anchor (a bounded
+    * query set), the HARD POSITIVE is its exact top-1 cosine neighbor and
+    * the NEGATIVE is an md5-deterministic random draw over the rest of
+    * the corpus (arg-min of md5(anchor‖'_'‖candidate), anchor and its
+    * positive excluded) — reproducible on any engine or cluster, no
+    * rand() anywhere. Emits (anchor, pos_id, pos_cos, neg_id, neg_cos).
+    *
+    * Scale shape: anchors broadcast; the positive pick and the negative
+    * draw are each one corpus scan with a map-side min_by/row_number —
+    * never a corpus shuffle. At 100 TB swap the positive pick for
+    * [[lshKnn]] (the same recall-traded path as knn itself); the negative
+    * draw is already scan-shaped. */
+  def tripletMine(corpus: DataFrame, anchors: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val pos = bruteForceKnn(corpus, anchors, k = 1, idCol, vecCol)
+      .select(col("qid"), col("nid").as("pos_id"),
+        col("cosine").as("pos_cos"))
+    val a = broadcast(withNorm(anchors, idCol, vecCol, "qid", "qe", "qn")
+      .join(pos, Seq("qid")))
+    val c = withNorm(corpus, idCol, vecCol, "nid", "ne", "nn")
+    c.crossJoin(a)
+      .filter(col("nid") =!= col("qid") && col("nid") =!= col("pos_id"))
+      .withColumn("neg_cos",
+        cosinePre(col("qe"), col("ne"), col("qn"), col("nn")))
+      .withColumn("nkey", md5(concat(col("qid").cast("string"), lit("_"),
+        col("nid").cast("string")).cast("binary")))
+      .groupBy(col("qid").as("anchor"), col("pos_id"), col("pos_cos"))
+      .agg(min_by(struct(col("nid"), col("neg_cos")), col("nkey")).as("neg"))
+      .select(col("anchor"), col("pos_id"), col("pos_cos"),
+        col("neg.nid").as("neg_id"), col("neg.neg_cos").as("neg_cos"))
+  }
+
   /** All pairs above a cosine threshold — embedding-space near-dup
     * detection. O(n²) pair enumeration; use [[lshBuckets]] first at scale. */
   def nearDupPairs(corpus: DataFrame, threshold: Double,

@@ -782,6 +782,14 @@ object TextQueries {
     "q_embed_neardup" -> ((s, dir) =>
       SimilarityOps.nearDupPairs(Tables.embeddings(s, dir), threshold = 0.4)),
 
+    // contrastive triplet mining: exact top-1 positive + md5-deterministic
+    // negative draw per anchor — the (anchor, positive, negative) batches
+    // an embedding trainer consumes, reproducible with no rand().
+    "q_triplet_mine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilarityOps.tripletMine(e, e.filter(col("vec_id") < 50))
+    }),
+
     // LSH-bucketed embedding near-dup — the benched/100 TB path (the
     // all-pairs q_embed_neardup above is the documented exact baseline).
     // 4 planes here: bucket granularity trades recall vs candidate-join
@@ -2326,6 +2334,38 @@ object TextQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |    ORDER BY cosine DESC, nid) AS rn
         |  FROM scored) WHERE rn <= 5""".stripMargin,
+
+    // triplet replay: same all-pairs cosine lattice for the bounded
+    // anchors, top-1 positive, arg_min-md5 negative excluding both
+    "q_triplet_mine" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |    SUM(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+        |    SUM(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qq,
+        |    SUM(CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS nn
+        |  FROM e q, e n, range(1, 65) t(i)
+        |  WHERE q.vec_id < 50 AND n.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, nid, ROUND(dot / (SQRT(qq) * SQRT(nn)), 6) AS cosine
+        |  FROM pairs),
+        |pos AS (
+        |  SELECT qid, nid AS pos_id, cosine AS pos_cos FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY cosine DESC, nid) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |neg AS (
+        |  SELECT s.qid,
+        |    arg_min(s.nid, md5(CAST(s.qid AS VARCHAR) || '_'
+        |      || CAST(s.nid AS VARCHAR))) AS neg_id
+        |  FROM scored s JOIN pos p ON s.qid = p.qid AND s.nid <> p.pos_id
+        |  GROUP BY 1)
+        |SELECT p.qid AS anchor, p.pos_id, p.pos_cos, n.neg_id,
+        |  sc.cosine AS neg_cos
+        |FROM pos p
+        |JOIN neg n ON p.qid = n.qid
+        |JOIN scored sc ON sc.qid = p.qid AND sc.nid = n.neg_id""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
