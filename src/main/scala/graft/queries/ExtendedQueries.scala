@@ -26,7 +26,28 @@ object ExtendedQueries {
   private val D2 = DecimalType(18, 2)
   private val D4 = DecimalType(38, 4)
 
+  /** Deterministic synthetic coordinates planted on doc ids (the
+    * PII-salting precedent: the fixture carries no geo columns, so both
+    * engines rebuild the identical points from the same closed form). */
+  private def geoPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id").as("id"),
+      (lit(-10.0) + (col("doc_id") * 7919 % 2000) / 100.0).as("lat"),
+      (lit(-20.0) + (col("doc_id") * 104729 % 4000) / 100.0).as("lon"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // spatial neighbor join: all point pairs within 1 squared degree via
+    // the 3×3 grid-bucket equi-join (each pair meets exactly once — no
+    // post-join dedup); planar d² is pure ±/× doubles, so the oracle
+    // replays the exact IEEE tree (haversine trig is not cross-engine
+    // bit-stable; it belongs in a caller-owned re-scoring pass).
+    "q_geo_neighbors" -> ((s, dir) =>
+      graft.operators.GeoOps.gridNeighborPairs(geoPoints(s, dir),
+        cellDeg = 1.0, maxD2 = 1.0)),
+
+    // grid-cell density rollup — the heatmap aggregation.
+    "q_geo_density" -> ((s, dir) =>
+      graft.operators.GeoOps.cellDensity(geoPoints(s, dir), cellDeg = 5.0)),
     // rank family. rank/dense_rank rank a coarse bucket (real ties —
     // deterministic because equal keys get equal ranks); ntile runs over a
     // fully tiebroken order so bucket boundaries are unique.
@@ -987,7 +1008,41 @@ object ExtendedQueries {
       s"CAST(CASE WHEN ascii(substr($expr,$i,1)) >= 97 THEN ascii(substr($expr,$i,1))-87 ELSE ascii(substr($expr,$i,1))-48 END AS BIGINT) * $p"
     }.mkString("(", " + ", ")")
 
+  private val geoPointsCte =
+    """WITH p AS (
+      |  SELECT doc_id AS id,
+      |    -10.0 + (doc_id * 7919 % 2000) / 100.0 AS lat,
+      |    -20.0 + (doc_id * 104729 % 4000) / 100.0 AS lon
+      |  FROM documents)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+
+    // geo replay: same planted points, 3x3 cell expansion, exact planar d2
+    "q_geo_neighbors" -> (geoPointsCte +
+      """,
+        |c AS (
+        |  SELECT id, lat, lon,
+        |    CAST(FLOOR(lon / 1.0) AS BIGINT) AS cx,
+        |    CAST(FLOOR(lat / 1.0) AS BIGINT) AS cy
+        |  FROM p),
+        |n AS (
+        |  SELECT c.id, c.lat, c.lon, c.cx + dx.x AS ncx, c.cy + dy.y AS ncy
+        |  FROM c, UNNEST([-1, 0, 1]) AS dx(x), UNNEST([-1, 0, 1]) AS dy(y)),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    (a.lon - b.lon) * (a.lon - b.lon)
+        |      + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+        |  FROM n a JOIN c b
+        |    ON a.ncx = b.cx AND a.ncy = b.cy AND a.id < b.id)
+        |SELECT id_a, id_b, ROUND(d2, 6) AS d2
+        |FROM pairs WHERE d2 <= 1.0""".stripMargin),
+
+    "q_geo_density" -> (geoPointsCte +
+      """
+        |SELECT CAST(FLOOR(lon / 5.0) AS BIGINT) AS cx,
+        |  CAST(FLOOR(lat / 5.0) AS BIGINT) AS cy,
+        |  COUNT(*) AS n_points
+        |FROM p GROUP BY 1, 2""".stripMargin),
     "q_table_checksum" ->
       s"""WITH h AS (
          |  SELECT md5(CAST(l_orderkey AS VARCHAR) || '|' ||
