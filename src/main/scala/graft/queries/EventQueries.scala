@@ -196,6 +196,30 @@ object EventQueries {
         .limit(20)
     }),
 
+    // per-user trajectory length: positions planted on event ids (the
+    // geo-salting closed form), consecutive steps via the per-user lag,
+    // step lengths as micro-degree longs (sqrt IS IEEE-correctly-rounded
+    // — unlike trig — so round(sqrt·1e6) is engine-identical) summed
+    // exactly. One user shuffle; the movement-analytics shape over any
+    // pinged entity.
+    "q_trajectory" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (lit(-10.0) + (col("event_id") * 7919 % 2000) / 100.0).as("lat"),
+          (lit(-20.0) + (col("event_id") * 104729 % 4000) / 100.0).as("lon"))
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .filter(col("plat").isNotNull)
+        .withColumn("step", round(sqrt(
+          (col("lon") - col("plon")) * (col("lon") - col("plon")) +
+          (col("lat") - col("plat")) * (col("lat") - col("plat"))) * 1e6)
+          .cast("long"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_steps"),
+          sum(col("step")).as("path_microdeg"))
+    }),
+
     "q_markov" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val pairs = Tables.events(s, dir)
@@ -235,6 +259,27 @@ object EventQueries {
         |SELECT p1 || '>' || p2 || '>' || event_type AS path, COUNT(*) AS n
         |FROM seq WHERE p1 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // trajectory replay: same planted positions, per-user lag, micro-long
+    // step sum
+    "q_trajectory" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |    -10.0 + (event_id * 7919 % 2000) / 100.0 AS lat,
+        |    -20.0 + (event_id * 104729 % 4000) / 100.0 AS lon
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, lat, lon,
+        |    LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (
+        |  SELECT user_id,
+        |    CAST(ROUND(SQRT((lon - plon) * (lon - plon)
+        |      + (lat - plat) * (lat - plat)) * 1000000) AS BIGINT) AS step
+        |  FROM s WHERE plat IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_steps,
+        |  CAST(SUM(step) AS BIGINT) AS path_microdeg
+        |FROM st GROUP BY 1""".stripMargin,
+
     "q_markov" ->
       """WITH seq AS (
         |  SELECT event_type,
