@@ -220,6 +220,68 @@ object EventQueries {
           sum(col("step")).as("path_microdeg"))
     }),
 
+    // staypoint detection: maximal runs of >= 2 consecutive SMALL steps
+    // (step <= 0.2 deg in micro-long units — exact integer compare) per
+    // user — the dwell-extraction pass of trajectory mining, as
+    // gaps-and-islands over the movement flags. Output keys are event
+    // ids, not timestamps, so the contract stays integer-exact.
+    "q_staypoints" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val epochDay = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+      val steps = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          // positions planted per (user, DAY): same-day pings dwell at one
+          // spot (zero-length steps -> still runs), day changes jump --
+          // the correlation a dwell detector needs
+          (lit(-10.0) + ((col("user_id") * 7919 + epochDay * 13) % 2000)
+            / 100.0).as("lat"),
+          (lit(-20.0) + ((col("user_id") * 104729 + epochDay * 29) % 4000)
+            / 100.0).as("lon"))
+        .withColumn("plat", lag(col("lat"), 1).over(w))
+        .withColumn("plon", lag(col("lon"), 1).over(w))
+        .filter(col("plat").isNotNull)
+        .withColumn("step", round(sqrt(
+          (col("lon") - col("plon")) * (col("lon") - col("plon")) +
+          (col("lat") - col("plat")) * (col("lat") - col("plat"))) * 1e6)
+          .cast("long"))
+        .withColumn("still", (col("step") <= 200000L).cast("int"))
+      val flips = steps
+        .withColumn("chg",
+          when(lag(col("still"), 1).over(w).isNull ||
+            lag(col("still"), 1).over(w) =!= col("still"), 1).otherwise(0))
+        .withColumn("grp", sum(col("chg")).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flips.filter(col("still") === 1)
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("n_steps"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .filter(col("n_steps") >= 2)
+        .select(col("user_id"), col("first_event"), col("last_event"),
+          col("n_steps"))
+    }),
+
+    // origin-destination matrix: per-step (from_cell -> to_cell)
+    // transition counts at 1-degree grain — the mobility-flow rollup;
+    // one user shuffle for the lag, one cell-pair aggregation.
+    "q_od_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (lit(-10.0) + (col("event_id") * 7919 % 2000) / 100.0).as("lat"),
+          (lit(-20.0) + (col("event_id") * 104729 % 4000) / 100.0).as("lon"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("lon")).cast("long").as("cx"),
+          floor(col("lat")).cast("long").as("cy"))
+        .withColumn("pcx", lag(col("cx"), 1).over(w))
+        .withColumn("pcy", lag(col("cy"), 1).over(w))
+        .filter(col("pcx").isNotNull &&
+          (col("pcx") =!= col("cx") || col("pcy") =!= col("cy")))
+        .groupBy(col("pcx"), col("pcy"), col("cx"), col("cy"))
+        .agg(count(lit(1)).as("n_trips"))
+    }),
+
     "q_markov" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val pairs = Tables.events(s, dir)
@@ -259,6 +321,61 @@ object EventQueries {
         |SELECT p1 || '>' || p2 || '>' || event_type AS path, COUNT(*) AS n
         |FROM seq WHERE p1 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // staypoint replay: same step lattice, flag flips -> running-sum
+    // groups -> still islands of >= 2 steps
+    "q_staypoints" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |    -10.0 + ((user_id * 7919
+        |      + (CAST(ts AS DATE) - DATE '1970-01-01') * 13) % 2000)
+        |      / 100.0 AS lat,
+        |    -20.0 + ((user_id * 104729
+        |      + (CAST(ts AS DATE) - DATE '1970-01-01') * 29) % 4000)
+        |      / 100.0 AS lon
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, lat, lon,
+        |    LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |st AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN CAST(ROUND(SQRT((lon - plon) * (lon - plon)
+        |      + (lat - plat) * (lat - plat)) * 1000000) AS BIGINT) <= 200000
+        |      THEN 1 ELSE 0 END AS still
+        |  FROM s WHERE plat IS NOT NULL),
+        |fl AS (
+        |  SELECT user_id, ts, event_id, still,
+        |    CASE WHEN LAG(still) OVER w IS NULL
+        |      OR LAG(still) OVER w <> still THEN 1 ELSE 0 END AS chg
+        |  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, event_id, still,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM fl)
+        |SELECT user_id, MIN(event_id) AS first_event,
+        |  MAX(event_id) AS last_event, COUNT(*) AS n_steps
+        |FROM g WHERE still = 1
+        |GROUP BY user_id, grp HAVING COUNT(*) >= 2""".stripMargin,
+
+    // OD replay: 1-degree cells, per-user lag, cross-cell step counts
+    "q_od_matrix" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(-20.0 + (event_id * 104729 % 4000) / 100.0)
+        |      AS BIGINT) AS cx,
+        |    CAST(FLOOR(-10.0 + (event_id * 7919 % 2000) / 100.0)
+        |      AS BIGINT) AS cy
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, cx, cy,
+        |    LAG(cx) OVER w AS pcx, LAG(cy) OVER w AS pcy
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT pcx, pcy, cx, cy, COUNT(*) AS n_trips
+        |FROM s
+        |WHERE pcx IS NOT NULL AND (pcx <> cx OR pcy <> cy)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+
     // trajectory replay: same planted positions, per-user lag, micro-long
     // step sum
     "q_trajectory" ->
