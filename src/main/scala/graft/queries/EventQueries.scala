@@ -220,6 +220,29 @@ object EventQueries {
           sum(col("step")).as("path_microdeg"))
     }),
 
+    // co-location pairs: users observed in the same 1-degree cell on the
+    // same day (positions planted per VENUE — user % 37 shared bases — so
+    // the fixture carries real co-presence structure), counted per pair.
+    // The contact-graph shape: one distinct projection, one (day, cell)
+    // equi-self-join (each co-presence meets once via user_a < user_b),
+    // one pair aggregation — never an all-pairs product.
+    "q_colocation" -> ((s, dir) => {
+      val epochDay = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+      val p = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          floor(lit(-20.0) + ((col("user_id") % 37) * 104729 + epochDay * 29)
+            % 4000 / 100.0).cast("long").as("cx"),
+          floor(lit(-10.0) + ((col("user_id") % 37) * 7919 + epochDay * 13)
+            % 2000 / 100.0).cast("long").as("cy"))
+        .distinct()
+      p.select(col("user_id").as("user_a"), col("d"), col("cx"), col("cy"))
+        .join(p.select(col("user_id").as("user_b"), col("d"), col("cx"),
+          col("cy")), Seq("d", "cx", "cy"))
+        .filter(col("user_a") < col("user_b"))
+        .groupBy(col("user_a"), col("user_b"))
+        .agg(count(lit(1)).as("n_codays"))
+    }),
+
     // staypoint detection: maximal runs of >= 2 consecutive SMALL steps
     // (step <= 0.2 deg in micro-long units — exact integer compare) per
     // user — the dwell-extraction pass of trajectory mining, as
@@ -321,6 +344,24 @@ object EventQueries {
         |SELECT p1 || '>' || p2 || '>' || event_type AS path, COUNT(*) AS n
         |FROM seq WHERE p1 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // colocation replay: same venue-planted cells, (day, cell) self-join
+    "q_colocation" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(FLOOR(-20.0 + (((user_id % 37) * 104729
+        |      + (CAST(ts AS DATE) - DATE '1970-01-01') * 29) % 4000)
+        |      / 100.0) AS BIGINT) AS cx,
+        |    CAST(FLOOR(-10.0 + (((user_id % 37) * 7919
+        |      + (CAST(ts AS DATE) - DATE '1970-01-01') * 13) % 2000)
+        |      / 100.0) AS BIGINT) AS cy
+        |  FROM events)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |  COUNT(*) AS n_codays
+        |FROM p a JOIN p b
+        |  ON a.d = b.d AND a.cx = b.cx AND a.cy = b.cy
+        |  AND a.user_id < b.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
     // staypoint replay: same step lattice, flag flips -> running-sum
     // groups -> still islands of >= 2 steps
     "q_staypoints" ->
