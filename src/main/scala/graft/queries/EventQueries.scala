@@ -221,7 +221,7 @@ object EventQueries {
     }),
 
     // co-location pairs: users observed in the same 1-degree cell on the
-    // same day (positions planted per VENUE — user % 37 shared bases — so
+    // same day (positions planted per VENUE — user % 7 shared bases — so
     // the fixture carries real co-presence structure), counted per pair.
     // The contact-graph shape: one distinct projection, one (day, cell)
     // equi-self-join (each co-presence meets once via user_a < user_b),
@@ -230,9 +230,9 @@ object EventQueries {
       val epochDay = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
       val p = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("d"),
-          floor(lit(-20.0) + ((col("user_id") % 37) * 104729 + epochDay * 29)
+          floor(lit(-20.0) + ((col("user_id") % 7) * 104729 + epochDay * 29)
             % 4000 / 100.0).cast("long").as("cx"),
-          floor(lit(-10.0) + ((col("user_id") % 37) * 7919 + epochDay * 13)
+          floor(lit(-10.0) + ((col("user_id") % 7) * 7919 + epochDay * 13)
             % 2000 / 100.0).cast("long").as("cy"))
         .distinct()
       p.select(col("user_id").as("user_a"), col("d"), col("cx"), col("cy"))
@@ -348,10 +348,10 @@ object EventQueries {
     "q_colocation" ->
       """WITH p AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
-        |    CAST(FLOOR(-20.0 + (((user_id % 37) * 104729
+        |    CAST(FLOOR(-20.0 + (((user_id % 7) * 104729
         |      + (CAST(ts AS DATE) - DATE '1970-01-01') * 29) % 4000)
         |      / 100.0) AS BIGINT) AS cx,
-        |    CAST(FLOOR(-10.0 + (((user_id % 37) * 7919
+        |    CAST(FLOOR(-10.0 + (((user_id % 7) * 7919
         |      + (CAST(ts AS DATE) - DATE '1970-01-01') * 13) % 2000)
         |      / 100.0) AS BIGINT) AS cy
         |  FROM events)
