@@ -50,8 +50,10 @@ object Bench {
     // chars before this trim)
     "q9_product_profit", "q_auc", "q_holt_winters",
     // round-8 batch: the overlapping-gram span lattice (the heaviest new
-    // dedup family member — two shuffles over corpus-words rows)
-    "q_dup_spans")
+    // dedup family member — two shuffles over corpus-words rows), its
+    // removal pass (adds the token-stream join + ordered rebuild), and
+    // the spatial grid join (the new family's join shape)
+    "q_dup_spans", "q_span_removal", "q_geo_neighbors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

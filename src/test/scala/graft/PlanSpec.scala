@@ -358,6 +358,25 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("geo neighbor join is an equi-join on cell keys, never cartesian") {
+    val p = plan("q_geo_neighbors")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("colocation self-join is equi on (day, cell); no cartesian") {
+    val p = plan("q_colocation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("triplet mining broadcasts the anchors on both passes") {
+    val p = plan("q_triplet_mine")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("blocklist screen is a pure projection: zero exchanges") {
     val p = plan("q_blocklist")
     assert(!p.contains("Exchange"), s"blocklist must not shuffle:\n$p")
