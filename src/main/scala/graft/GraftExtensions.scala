@@ -36,5 +36,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"array_dot requires exactly 2 arguments, got ${exprs.length}")
         graft.functions.ArrayDotProduct(exprs(0), exprs(1))
       }))
+    // the integer twin (int8/SQ codes) and the sorted-set merge counter —
+    // the other two codegen expressions the DataFrame tier uses; SQL-text
+    // users get the identical surface
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot_long"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDotLong].getName,
+        "array_dot_long"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"array_dot_long requires exactly 2 arguments, got ${exprs.length}")
+        graft.functions.ArrayDotLong(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.SortedArrayIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"sorted_intersect_count requires exactly 2 arguments, got ${exprs.length}")
+        graft.functions.SortedArrayIntersectCount(exprs(0), exprs(1))
+      }))
   }
 }

@@ -160,5 +160,13 @@ class AsOfJoinSpec extends SparkSpecBase {
     val p = spark.sql("SELECT product_agg(v) AS p FROM pa GROUP BY k")
       .collect().head.getDouble(0)
     assert(p === 6.0)
+    val dl = spark.sql(
+      "SELECT array_dot_long(array(1, 2, 3), array(4, 5, 6)) AS d")
+      .collect().head.getLong(0)
+    assert(dl === 32L)
+    val ic = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n")
+      .collect().head.getLong(0)
+    assert(ic === 2L)
   }
 }
