@@ -254,6 +254,37 @@ object MultimodalOps {
     * exact sum, Σs² energy, sign-change zero crossings). Everything is
     * integer arithmetic, so the oracle replays the closed-form waveform
     * with no rounding doctrine at all. */
+  /** Walk the RIFF chunk list (from offset 12): byte offsets of the fmt
+    * and data chunk BODIES plus the data size. Real WAVs carry
+    * LIST/INFO/fact chunks between fmt and data, so a fixed-offset parse
+    * breaks on perfectly valid files; chunks are word-aligned (odd sizes
+    * pad one byte). */
+  private[graft] def wavChunks(bytes: Array[Byte], id: Long): (Int, Int, Int) = {
+    require(bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+      bytes(10) == 'V' && bytes(11) == 'E',
+      s"not a RIFF/WAVE payload: doc $id")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmtOff = -1
+    var dataOff = -1
+    var dataSize = 0
+    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val cid = new String(bytes, off, 4, "US-ASCII")
+      val sz = bb.getInt(off + 4)
+      require(sz >= 0 && off + 8 + sz <= bytes.length,
+        s"truncated '$cid' chunk (size=$sz) in WAV: doc $id")
+      if (cid == "fmt ") fmtOff = off + 8
+      else if (cid == "data") { dataOff = off + 8; dataSize = sz }
+      off += 8 + sz + (sz & 1)
+    }
+    require(fmtOff >= 0 && dataOff >= 0,
+      s"missing fmt/data chunk in WAV: doc $id")
+    (fmtOff, dataOff, dataSize)
+  }
+
   def decodeWav(payloads: DataFrame, idCol: String = "doc_id",
                 payloadCol: String = "payload"): DataFrame = {
     val enc = RowEncoder.encoderFor(wavStatsSchema)
@@ -262,22 +293,15 @@ object MultimodalOps {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          require(bytes.length >= WavHeaderBytes &&
-            bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
-            bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
-            bytes(10) == 'V' && bytes(11) == 'E',
-            s"not a RIFF/WAVE payload: doc $id")
+          val (fmtOff, dataOff, dataSize) = wavChunks(bytes, id)
           val bb = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val fmt = bb.getShort(20).toInt
-          val channels = bb.getShort(22).toInt
-          val rate = bb.getInt(24)
-          val bits = bb.getShort(34).toInt
+          val fmt = bb.getShort(fmtOff).toInt
+          val channels = bb.getShort(fmtOff + 2).toInt
+          val rate = bb.getInt(fmtOff + 4)
+          val bits = bb.getShort(fmtOff + 14).toInt
           require(fmt == 1 && channels == 1 && bits == 16,
             s"unsupported WAV profile (fmt=$fmt ch=$channels bits=$bits): doc $id")
-          val dataSize = bb.getInt(40)
-          require(bytes.length >= WavHeaderBytes + dataSize,
-            s"truncated WAV (${bytes.length} bytes): doc $id")
           val n = dataSize / 2
           var k = 0
           var peak = 0
@@ -287,7 +311,7 @@ object MultimodalOps {
           var first = 0
           var prevNonNeg = false
           while (k < n) {
-            val s = bb.getShort(WavHeaderBytes + 2 * k).toInt
+            val s = bb.getShort(dataOff + 2 * k).toInt
             if (k == 0) { first = s; prevNonNeg = s >= 0 }
             val nonNeg = s >= 0
             if (k > 0 && nonNeg != prevNonNeg) zc += 1
@@ -321,15 +345,16 @@ object MultimodalOps {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
+          val (_, dataOff, dataSize) = wavChunks(bytes, id)
           val bb = java.nio.ByteBuffer.wrap(bytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val n = bb.getInt(40) / 2
+          val n = dataSize / 2
           (0 until (n + frameSamples - 1) / frameSamples).map { f =>
             var k = f * frameSamples
             val end = math.min(k + frameSamples, n)
             var e = 0L
             while (k < end) {
-              val s = bb.getShort(WavHeaderBytes + 2 * k).toInt
+              val s = bb.getShort(dataOff + 2 * k).toInt
               e += s.toLong * s
               k += 1
             }

@@ -391,6 +391,37 @@ class TextOpsSpec extends SparkSpecBase {
         .collect()
     }
     assert(ex.getMessage.contains("RIFF") || ex.getCause != null)
+    // a LIST/INFO chunk between fmt and data (what real encoders emit)
+    // decodes identically — the parser must WALK chunks, not assume
+    // offsets; odd-sized chunks are word-aligned with a pad byte
+    val withList = {
+      val info = "INFOISFT".getBytes("US-ASCII") :+ 0.toByte // odd size 9
+      val buf = java.nio.ByteBuffer
+        .allocate(bytes.length + 8 + info.length + 1)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(bytes, 0, 36) // RIFF header + fmt chunk
+      buf.put("LIST".getBytes("US-ASCII")).putInt(info.length).put(info)
+      buf.put(0.toByte) // word-align pad for the odd chunk size
+      buf.put(bytes, 36, bytes.length - 36) // data chunk
+      val out = buf.array()
+      // fix the RIFF size field
+      java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(4, out.length - 8)
+      out
+    }
+    val plain = MultimodalOps.decodeWav(
+      Seq((5L, bytes)).toDF("doc_id", "payload")).collect().head
+    val listed = MultimodalOps.decodeWav(
+      Seq((5L, withList)).toDF("doc_id", "payload")).collect().head
+    // all fields except n_bytes (the container grew) must match
+    assert((1 until plain.length).filter(_ != 1)
+      .forall(i => plain.get(i) == listed.get(i)),
+      s"plain=$plain listed=$listed")
+    val fplain = MultimodalOps.wavFrameEnergy(
+      Seq((5L, bytes)).toDF("doc_id", "payload")).collect().map(_.toString)
+    val flist = MultimodalOps.wavFrameEnergy(
+      Seq((5L, withList)).toDF("doc_id", "payload")).collect().map(_.toString)
+    assert(fplain.toSeq === flist.toSeq)
   }
 
   test("duplicated spans: maximal cross-doc runs, any alignment, no self-dup") {
