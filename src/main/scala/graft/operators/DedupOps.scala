@@ -649,6 +649,58 @@ object DedupOps {
     out
   }
 
+  /** Stored side of incremental span dedup: per-gram DISTINCT-doc counts
+    * for the corpus — the word-grain sibling of [[buildChunkIndex]].
+    * Persist clustered by `h` at scale so a delta's probes read only
+    * touched row groups. */
+  def buildSpanIndex(docs: DataFrame, n: Int = 3,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    gramLattice(docs, n, textCol, idCol)
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
+
+  /** Delta pass of incremental span dedup: [[duplicatedSpans]] for ONLY
+    * the delta docs, with gram document frequency = stored df + delta
+    * distinct-doc df (doc sets are disjoint, so the sum IS the union df —
+    * the batch pass over stored ∪ delta restricted to the delta;
+    * TextOpsSpec asserts the equality on both sides of the pushdown cap).
+    * Stored reads are point lookups on the delta's distinct gram hashes
+    * (≤500-literal pushdown scans under the cap, plain scan past it);
+    * per-batch cost is delta hashing + touched-key lookups + an island
+    * window over the delta's surviving positions only. */
+  def incrementalDuplicatedSpans(delta: DataFrame, storedIndex: DataFrame,
+                                 n: Int = 3, minDocs: Int = 2,
+                                 textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 maxPushdownKeys: Int = DefaultMaxPushdownKeys)
+      : DataFrame = {
+    require(n >= 1 && minDocs >= 2,
+      s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
+    val grams = gramLattice(delta, n, textCol, idCol)
+    val keys = grams.select(col("h")).distinct()
+      .limit(maxPushdownKeys + 1).collect().map(_.getString(0)).toIndexedSeq
+    val stored =
+      if (keys.size > maxPushdownKeys) storedIndex
+      else prunedByKeys(storedIndex, "h", keys)
+    val dDf = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("d_df"))
+    val dup = dDf.join(stored, Seq("h"), "left")
+      .filter(col("d_df") + coalesce(col("df"), lit(0L)) >= minDocs)
+      .select(col("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val out = grams.join(dup, Seq("h"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start"), count(lit(1)).as("run"))
+      .select(col("doc_id"), col("start").cast("int").as("span_start"),
+        (col("run") + (n - 1)).cast("int").as("span_words"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    grams.unpersist(false)
+    out
+  }
+
   /** The REMOVAL pass over [[duplicatedSpans]]' signal: emit each doc's
     * cleaned text with every duplicated passage cut EXCEPT in its
     * canonical owner (min doc_id carrying the gram), so exactly one copy

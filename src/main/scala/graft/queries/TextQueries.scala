@@ -457,6 +457,18 @@ object TextQueries {
         DedupOps.buildChunkIndex(docs.filter(col("doc_id") < 400)))
     }),
 
+    // incremental span dedup: delta docs (>= 400) probe the stored
+    // per-gram df index of docs < 400 — union df = stored + delta
+    // (disjoint doc sets), the batch span pass restricted to the delta.
+    // Completes the incremental quartet: bands / clusters / chunks /
+    // spans.
+    "q_span_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.incrementalDuplicatedSpans(
+        docs.filter(col("doc_id") >= 400),
+        DedupOps.buildSpanIndex(docs.filter(col("doc_id") < 400)))
+    }),
+
     // the REMOVAL pass over q_dup_spans: cut every duplicated passage
     // except in its canonical owner doc (min doc_id per gram) — one copy
     // of every shared passage survives corpus-wide; emits the cleaned
@@ -1894,6 +1906,29 @@ object TextQueries {
         |FROM chunks c JOIN df ON df.h = c.h
         |WHERE c.doc_id >= 400
         |GROUP BY c.doc_id""".stripMargin,
+
+    // incremental span replay: the BATCH lattice over the full corpus,
+    // islands restricted to the delta docs
+    "q_span_incremental" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    md5(array_to_string(w[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)],
+        |      ' ')) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM words WHERE len(w) >= 3)),
+        |dup AS (
+        |  SELECT h FROM grams GROUP BY h
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dp AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM grams WHERE h IN (SELECT h FROM dup) AND doc_id >= 400)
+        |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+        |  CAST(COUNT(*) + 2 AS INTEGER) AS span_words
+        |FROM dp GROUP BY doc_id, grp""".stripMargin,
 
     // span-removal replay: gram lattice + min-doc owner, covered word
     // positions from exploding removable gram starts, order-preserving

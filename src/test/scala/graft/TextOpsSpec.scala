@@ -462,6 +462,23 @@ class TextOpsSpec extends SparkSpecBase {
     assert(over === batch)
   }
 
+  test("incremental span dedup equals the batch pass restricted to the delta") {
+    val docs = Tables.documents(spark, sf)
+    val batch = DedupOps.duplicatedSpans(docs)
+      .filter(col("doc_id") >= 400)
+      .collect().map(_.toString).sorted.toSeq
+    val idx = DedupOps.buildSpanIndex(docs.filter(col("doc_id") < 400))
+    val incr = DedupOps.incrementalDuplicatedSpans(
+        docs.filter(col("doc_id") >= 400), idx)
+      .collect().map(_.toString).sorted.toSeq
+    assert(incr === batch)
+    assert(incr.nonEmpty, "fixture must contain delta spans")
+    val over = DedupOps.incrementalDuplicatedSpans(
+        docs.filter(col("doc_id") >= 400), idx, maxPushdownKeys = 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(over === batch)
+  }
+
   test("span removal: owner keeps the passage, every other doc loses it") {
     import spark.implicits._
     val docs = Seq(
