@@ -392,6 +392,45 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming SPAN dedup sink — the word-grain member of the incremental
+    * quartet in streaming form: each micro-batch emits its duplicated
+    * spans against the stored per-gram df index
+    * ([[graft.operators.DedupOps.incrementalDuplicatedSpans]] over the
+    * SUM-merged batch partitions — summing per-batch DISTINCT-doc counts
+    * is exact because a doc lives in one batch), appends the spans, THEN
+    * appends its own gram counts (h-sorted within partitions). Spans are
+    * AS-OF-ARRIVAL like the chunk sink; the merged index converges to the
+    * batch [[graft.operators.DedupOps.buildSpanIndex]] over the full feed
+    * (StreamingSpec asserts both, plus exactly-once under replay). */
+  def spanDedupSink(docs: DataFrame, indexRef: graft.sources.TableRef,
+                    spansRef: graft.sources.TableRef,
+                    checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.DedupOps
+    import graft.sources.Storage
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF()
+        val stored =
+          if (Storage.tableExists(s, indexRef))
+            // a replayed batch must not see its own previous (partial)
+            // writes as stored, or within-batch df double-counts
+            Storage.readTable(s, indexRef).filter(col("batch_id") < batchId)
+              .groupBy(col("h")).agg(sum(col("df")).as("df"))
+          else DedupOps.buildSpanIndex(b.limit(0))
+        val spans = DedupOps.incrementalDuplicatedSpans(b, stored)
+        idempotentBatchAppend(spans.coalesce(4), spansRef, batchId)
+        spans.unpersist(false)
+        idempotentBatchAppend(
+          DedupOps.buildSpanIndex(b).coalesce(4).sortWithinPartitions("h"),
+          indexRef, batchId)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming count-min sketch sink: each micro-batch builds its OWN
     * d×w counter table ([[graft.functions.Sketches.cmsCounters]]) and
     * appends it batch_id-partitioned; the live sketch is the per-(j,

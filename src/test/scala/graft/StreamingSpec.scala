@@ -631,6 +631,60 @@ class StreamingSpec extends SparkSpecBase {
     assert(Storage.readTable(spark, indexRef).count() === nIdx)
   }
 
+  test("streaming span dedup: as-of-arrival spans, index converges, replay exact") {
+    import graft.sources.{Storage, TableRef}
+    import org.apache.spark.sql.types._
+    val docsDir = Files.createTempDirectory("graft_spdocs").toString
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    all.filter(col("doc_id") < 150).coalesce(1).write.parquet(s"$docsDir/f1")
+    all.filter(col("doc_id") >= 150).coalesce(1).write.parquet(s"$docsDir/f2")
+    new java.io.File(docsDir).listFiles().filter(_.isDirectory).foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) => Files.move(f.toPath,
+          Paths.get(s"$docsDir/${d.getName}_$i.parquet"))
+      }
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(docsDir)
+    val root = Files.createTempDirectory("graft_spdedup").toString
+    val indexRef = TableRef(s"$root/index", "index", "grams")
+    val spansRef = TableRef(s"$root/spans", "index", "spans")
+    val q = StreamingOps.spanDedupSink(stream(), indexRef, spansRef,
+      Files.createTempDirectory("graft_spckpt").toString)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "span_start", "span_words")
+        .collect().map(_.toString).sorted.toSeq
+    // merged index == batch build over the full feed
+    val merged = Storage.readTable(spark, indexRef)
+      .groupBy("h").agg(sum(col("df")).as("df"))
+    val batchIdx = graft.operators.DedupOps.buildSpanIndex(all)
+    assert(merged.except(batchIdx).count() === 0)
+    assert(batchIdx.except(merged).count() === 0)
+    // as-of-arrival: last batch == batch pass over the full corpus
+    // restricted to it; first batch sees only itself
+    val spans = Storage.readTable(spark, spansRef)
+    assert(rows(spans.filter(col("doc_id") >= 150)) ===
+      rows(graft.operators.DedupOps.duplicatedSpans(all)
+        .filter(col("doc_id") >= 150)))
+    assert(rows(spans.filter(col("doc_id") < 150)) ===
+      rows(graft.operators.DedupOps.duplicatedSpans(
+        all.filter(col("doc_id") < 150))))
+    val nSpans = spans.count()
+    val nIdx = Storage.readTable(spark, indexRef).count()
+    val q2 = StreamingOps.spanDedupSink(stream(), indexRef, spansRef,
+      Files.createTempDirectory("graft_spckpt2").toString)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(Storage.readTable(spark, spansRef).count() === nSpans)
+    assert(Storage.readTable(spark, indexRef).count() === nIdx)
+  }
+
   test("streaming incremental dedup accumulates exactly the batch pair set") {
     import graft.sources.{Storage, TableRef}
     import org.apache.spark.sql.types._
