@@ -224,6 +224,31 @@ object ExtendedQueries {
           .select(trunc(col("l_shipdate"), "month").as("m")))
         .distinct()),
 
+    // schema-evolution union: two generations of the same feed where the
+    // newer one carries an extra column. unionByName(allowMissingColumns)
+    // aligns by NAME and null-fills the older generation — the exact
+    // semantics of appending evolving parquet batches (cf. the
+    // mergeSchema read in sources.Storage). Zero-shuffle: both sides are
+    // scans and the union is a plan-level concat.
+    "q_union_evolve" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val gen2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority").as("priority_tag"))
+      gen1.unionByName(gen2, allowMissingColumns = true)
+    }),
+
+    // positional explode: token with its 0-based ordinal — the ordinal is
+    // what sequence labeling / packing pipelines need and a plain explode
+    // drops. Per-row generator, no shuffle; the oracle rebuilds the
+    // ordinal with generate_series over the same split.
+    "q_posexplode" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))),
+
     // centered moving average (±2 rows) — symmetric frames are the one
     // rolling shape cum−lag can't express directly; the 5-row frame is
     // constant-size so WindowExec's per-row re-aggregation stays O(5·rows).
@@ -1159,6 +1184,19 @@ object ExtendedQueries {
       """SELECT DATE_TRUNC('month', o_orderdate)::DATE AS m FROM orders
         |UNION
         |SELECT DATE_TRUNC('month', l_shipdate)::DATE AS m FROM lineitem""".stripMargin,
+    "q_union_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(NULL AS VARCHAR) AS priority_tag
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |  o_orderpriority AS priority_tag
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+    "q_posexplode" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, arr[i] AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS arr
+        |      FROM documents WHERE doc_id < 200) t,
+        |     LATERAL (SELECT unnest(generate_series(1, len(t.arr))) AS i) g""".stripMargin,
     "q_centered_ma" -> (Tables.barsSql +
       """
         |SELECT ticker, date, close,
