@@ -879,6 +879,65 @@ object DedupOps {
       (if (capped) Seq(shr, candSource) else Seq(shr)): _*)
   }
 
+  /** Containment near-dup pairs: the overlap coefficient
+    * |A∩B| / min(|A|,|B|) plus the directed containment |A∩B| / |A| — the
+    * asymmetric-length cousin of [[ngramJaccardPairs]]. A short doc fully
+    * embedded in a long one scores overlap 1.0 while its Jaccard can be
+    * arbitrarily small, so containment is the screen that catches
+    * quote-embedding and boilerplate-wrapping near-dups (the case Lee et
+    * al. 2107.06499 motivate span-level matching for; this is the
+    * doc-level form). Candidate generation and the sorted-set codegen
+    * verification are identical to the Jaccard path (df-capped
+    * inverted-index self-join — one shuffle on the shingle key, pair space
+    * bucket-local, never all-pairs); only the score differs.
+    */
+  def ngramContainmentPairs(docs: DataFrame, shingleN: Int = 2,
+                            minOverlap: Double = 0.0, maxDf: Int = 100,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.SetExpressions.sorted_intersect_count
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shr = shingleRows(docs, shingleN, textCol, idCol).persist(disk)
+    val candSource =
+      if (maxDf == Int.MaxValue) shr
+      else {
+        val bySh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+        shr.withColumn("df", count(lit(1)).over(bySh))
+          .filter(col("df") <= maxDf).drop("df")
+          .persist(disk)
+      }
+    candSource.count() // materialize: both self-join sides consume it
+    val cand = candSource.as("a")
+      .join(candSource.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val p = cand.localCheckpoint()
+    val docsInPairs = p.select(col("id_a").as("doc_id"))
+      .union(p.select(col("id_b").as("doc_id"))).distinct()
+    val sets = shingleSets(
+      shr.join(docsInPairs, Seq("doc_id"), "left_semi")).persist(disk)
+    sets.count()
+    val out = p
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+        col("n").as("na")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+        col("n").as("nb")), Seq("id_b"))
+      .withColumn("inter", sorted_intersect_count(col("ha"), col("hb")))
+      .withColumn("overlap",
+        round(col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6))
+      .withColumn("contain_a",
+        round(col("inter").cast("double") / col("na").cast("double"), 6))
+      .select(col("id_a"), col("id_b"), col("overlap"), col("contain_a"))
+      .filter(col("overlap") >= minOverlap)
+      .persist(disk)
+    out.count()
+    Seq(shr, sets).foreach(_.unpersist(false))
+    if (!(candSource eq shr)) candSource.unpersist(false)
+    out
+  }
+
   /** Exact-Jaccard verification of candidate pairs — EAGER: computes,
     * persists and returns the (small) verified pair set, then releases
     * every large cache involved, including the `release` varargs the

@@ -760,6 +760,14 @@ object TextQueries {
         Tables.documents(s, dir).filter(col("doc_id") < 300),
         shingleN = 2, minJaccard = 0.05, maxDf = 20)),
 
+    // containment / overlap-coefficient pairs: |A∩B|/min(|A|,|B|) — the
+    // unequal-length near-dup screen Jaccard misses (a doc quoted whole
+    // inside a longer one scores overlap 1.0, Jaccard ~|A|/|B|).
+    "q_containment" -> ((s, dir) =>
+      DedupOps.ngramContainmentPairs(
+        Tables.documents(s, dir).filter(col("doc_id") < 300),
+        shingleN = 2, minOverlap = 0.2, maxDf = 100)),
+
     "q_simhash" -> ((s, dir) =>
       DedupOps.simhash(Tables.documents(s, dir))),
 
@@ -1612,6 +1620,35 @@ object TextQueries {
          |$jaccardTail
          |WHERE ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
          |      CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6) >= 0.05""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH ${shingleCte(2, "WHERE doc_id < 300")},
+         |shrd AS (SELECT doc_id, UNNEST(shs) AS s FROM sh),
+         |dfreq AS (SELECT s, COUNT(*) AS df FROM shrd GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shrd a
+         |  JOIN shrd b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN dfreq d ON d.s = a.s
+         |  WHERE d.df <= 100),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shrd GROUP BY 1),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN shrd a ON a.doc_id = c.id_a
+         |  JOIN shrd b ON b.doc_id = c.id_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b,
+         |  ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
+         |        CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) AS overlap,
+         |  ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
+         |        CAST(sa.n AS DOUBLE), 6) AS contain_a
+         |FROM cand c
+         |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |JOIN sizes sa ON sa.doc_id = c.id_a
+         |JOIN sizes sb ON sb.doc_id = c.id_b
+         |WHERE ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
+         |      CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6) >= 0.2""".stripMargin,
 
     "q_hash_split" -> (hashBucketCte +
       """
