@@ -17,6 +17,30 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(3L) === 1L)
   }
 
+  test("containment: embedded short doc scores overlap 1.0 where Jaccard is small") {
+    // doc 2's text appears whole inside doc 1 — the unequal-length
+    // near-dup Jaccard under-scores and the overlap coefficient catches.
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, long),
+      (2L, "alpha beta gamma delta"),          // embedded prefix
+      (3L, "unrelated words entirely here"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.ngramContainmentPairs(docs, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val (overlap, containA) = got((1L, 2L))
+    assert(overlap === 1.0)              // all of doc 2's shingles ⊂ doc 1
+    assert(containA < 0.2)               // directed: small fraction of doc 1
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+    // cross-check vs the Jaccard path on the same pair: 3/19 shingles
+    val jac = DedupOps.ngramJaccardPairs(docs, shingleN = 2)
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .collect().head.getDouble(2)
+    assert(jac < 0.2 && overlap === 1.0)
+  }
+
   test("charEntropy: constant text scores 0, uniform alphabet scores log2(k)") {
     val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd"))
       .toDF("doc_id", "text")
