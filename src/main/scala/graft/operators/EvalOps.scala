@@ -92,6 +92,37 @@ object EvalOps {
           .as("auc"),
         col("n_pos"), col("n_neg"))
 
+  /** Average precision — area under the precision-recall curve by the
+    * step-wise definition (thresholds at distinct scores, descending:
+    * AP = Σ_s ΔR(s)·P(s) with ΔR(s) = pos_at(s)/nPos and
+    * P(s) = TP(s)/(TP(s)+FP(s)), TP/FP counting score ≥ s). Ties collapse
+    * into their threshold group, so no per-row ordering ambiguity exists.
+    * Reuses [[scoreCdf]]'s two-level cumulative (no unpartitioned window);
+    * per-threshold terms are double divisions of exact integers cast to
+    * DECIMAL(38,12) so the sum is order-independent (the q_logloss
+    * doctrine). Returns (pr_auc, n_pos, n_neg).
+    */
+  def averagePrecision(df: DataFrame, scoreCol: String, labelCol: String,
+                       bucketWidth: Int = 8): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val tot = df.agg(sum(col(labelCol).cast("long")).as("n_pos"),
+        count(lit(1)).as("n_tot"))
+      .select(col("n_pos"), (col("n_tot") - col("n_pos")).as("n_neg"))
+    scoreCdf(df, scoreCol, labelCol, bucketWidth)
+      .crossJoin(broadcast(tot))
+      .withColumn("tp", col("n_pos") - col("pos_below"))
+      .withColumn("fp", col("n_neg") - col("neg_below"))
+      .withColumn("term",
+        (col("pos_at").cast("double") * col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double")).cast(dec))
+      .agg(sum(col("term")).as("ts"),
+        max(col("n_pos")).as("np"), max(col("n_neg")).as("nn"))
+      .select(
+        round(col("ts").cast("double") / col("np").cast("double"), 6)
+          .as("pr_auc"),
+        col("np").as("n_pos"), col("nn").as("n_neg"))
+  }
+
   /** Kolmogorov-Smirnov separation between the positive and negative score
     * distributions: D = max_s |F_pos(s) − F_neg(s)| over the inclusive
     * CDFs. The max runs over the INTEGER cross-multiplied numerator

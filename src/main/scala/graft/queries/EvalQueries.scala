@@ -84,6 +84,27 @@ object EvalQueries {
           .as("logloss"), col("n"))
     }),
 
+    // Exact PR-AUC (average precision, step-wise/threshold definition) —
+    // the class-imbalance-honest companion to q_auc, over the same
+    // integer-quantized probe scores and the same two-level CDF stitch.
+    "q_pr_auc" -> ((s, dir) =>
+      EvalOps.averagePrecision(scored(s, dir), "score", "y")),
+
+    // Brier score: mean squared error of the clamped linear probability —
+    // the calibration-sensitive proper scoring rule next to q_logloss;
+    // identical clamp, decimal-summed contributions.
+    "q_brier" -> ((s, dir) => {
+      val dec = DecimalType(38, 12)
+      val p0 = (col("score").cast("double") + 100.0) / 201.0
+      val p = least(greatest(p0, lit(1.0 / 201.0)), lit(200.0 / 201.0))
+      val d = p - col("y").cast("double")
+      scored(s, dir)
+        .select((d * d).cast(dec).as("c"))
+        .agg(sum(col("c")).as("cs"), count(lit(1)).as("n"))
+        .select(round(col("cs").cast("double") / col("n").cast("double"), 6)
+          .as("brier"), col("n"))
+    }),
+
     // Per-label-group NDCG@10: relevance vec_id mod 3, ranked by the probe
     // score under a total order; decimal-summed log contributions.
     "q_ndcg" -> ((s, dir) =>
@@ -311,6 +332,49 @@ object EvalQueries {
          |  FROM p)
          |SELECT ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
          |  AS logloss, COUNT(*) AS n
+         |FROM c""".stripMargin,
+
+    "q_pr_auc" ->
+      s"""WITH scored AS ($scoredSql),
+         |c AS (
+         |  SELECT score, SUM(y) AS pos_at, COUNT(*) - SUM(y) AS neg_at
+         |  FROM scored GROUP BY score),
+         |t AS (
+         |  SELECT CAST(SUM(pos_at) AS BIGINT) AS n_pos,
+         |    CAST(SUM(neg_at) AS BIGINT) AS n_neg FROM c),
+         |w AS (
+         |  SELECT score, pos_at,
+         |    COALESCE(SUM(pos_at) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS pos_below,
+         |    COALESCE(SUM(neg_at) OVER (ORDER BY score
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS neg_below
+         |  FROM c),
+         |terms AS (
+         |  SELECT CAST(CAST(pos_at AS DOUBLE)
+         |      * CAST(n_pos - pos_below AS DOUBLE)
+         |      / CAST((n_pos - pos_below) + (n_neg - neg_below) AS DOUBLE)
+         |    AS DECIMAL(38,12)) AS term, n_pos, n_neg
+         |  FROM w, t)
+         |SELECT ROUND(CAST(SUM(term) AS DOUBLE)
+         |    / CAST(MAX(n_pos) AS DOUBLE), 6) AS pr_auc,
+         |  CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+         |  CAST(MAX(n_neg) AS BIGINT) AS n_neg
+         |FROM terms""".stripMargin,
+
+    "q_brier" ->
+      s"""WITH scored AS ($scoredSql),
+         |p AS (
+         |  SELECT y, LEAST(GREATEST((CAST(score AS DOUBLE) + 100.0) / 201.0,
+         |    1.0 / 201.0), 200.0 / 201.0) AS p
+         |  FROM scored),
+         |c AS (
+         |  SELECT CAST((p - CAST(y AS DOUBLE)) * (p - CAST(y AS DOUBLE))
+         |    AS DECIMAL(38,12)) AS c
+         |  FROM p)
+         |SELECT ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         |  AS brier, COUNT(*) AS n
          |FROM c""".stripMargin,
 
     "q_ndcg" ->

@@ -23,6 +23,27 @@ class EvalOpsSpec extends SparkSpecBase {
     assert(EvalOps.auc(allTied, "score", "y").head().getDouble(0) === 0.5)
   }
 
+  test("averagePrecision: perfect 1.0, constant-score = prevalence, " +
+      "stitch-grain invariant") {
+    val perfect = scoresDf(Seq((10L, 1L), (9L, 1L), (8L, 1L),
+      (2L, 0L), (1L, 0L)))
+    assert(EvalOps.averagePrecision(perfect, "score", "y")
+      .head().getDouble(0) === 1.0)
+    // one tie group: single threshold, AP = precision = prevalence
+    val const = scoresDf(Seq.tabulate(10)(i => (7L, if (i < 3) 1L else 0L)))
+    assert(EvalOps.averagePrecision(const, "score", "y")
+      .head().getDouble(0) === 0.3)
+    // bucketWidth must never change the result (two-level stitch law)
+    val mixed = scoresDf((0 until 100).map { i =>
+      ((i * 37 % 41 - 20).toLong, (i * 17 % 3 match {
+        case 0 => 1L; case _ => 0L })) })
+    val at8 = EvalOps.averagePrecision(mixed, "score", "y", bucketWidth = 8)
+      .head().getDouble(0)
+    val at3 = EvalOps.averagePrecision(mixed, "score", "y", bucketWidth = 3)
+      .head().getDouble(0)
+    assert(at8 === at3 && at8 > 0.0 && at8 <= 1.0)
+  }
+
   test("AUC equals the brute-force pair statistic (ties at 1/2)") {
     // deterministic pseudo-random fixture: score from a hash-ish formula
     val rows = (0 until 200).map { i =>
