@@ -174,6 +174,61 @@ object EvalOps {
           (col("tp") * 2 + col("fp") + col("fn")).cast("double")).as("f1"))
   }
 
+  /** Matthews correlation coefficient at a fixed integer threshold:
+    * MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the
+    * balance-honest single-number summary of the confusion matrix. The
+    * numerator is exact integer; the denominator is a product of doubles
+    * in a fixed left-associated tree, so both engines round identically.
+    * Returns (mcc, tp, fp, tn, fn); mcc is null when any marginal is 0
+    * (the conventional undefined case).
+    */
+  def mcc(df: DataFrame, scoreCol: String, labelCol: String,
+          threshold: Long): DataFrame = {
+    val pred = col(scoreCol) >= threshold
+    val y = col(labelCol) === 1
+    df.agg(
+        sum(when(pred && y, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !y, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && !y, 1L).otherwise(0L)).as("tn"),
+        sum(when(!pred && y, 1L).otherwise(0L)).as("fn"))
+      .withColumn("den",
+        sqrt((col("tp") + col("fp")).cast("double") *
+          (col("tp") + col("fn")).cast("double") *
+          (col("tn") + col("fp")).cast("double") *
+          (col("tn") + col("fn")).cast("double")))
+      .select(
+        when(col("den") > 0.0,
+          round((col("tp") * col("tn") - col("fp") * col("fn"))
+            .cast("double") / col("den"), 6)).as("mcc"),
+        col("tp"), col("fp"), col("tn"), col("fn"))
+  }
+
+  /** Expected calibration error over fixed-width probability bins:
+    * ECE = Σ_b (n_b/N)·|pos_rate_b − mean_p_b| where p is the caller's
+    * probability column. Per-bin aggregates are exact (integer counts,
+    * decimal p sums); the per-bin |gap| terms are cast to DECIMAL(38,12)
+    * before the final sum so the reduction is order-independent. One
+    * shuffle on the bin key; the bin dimension is `bins`-bounded.
+    * Returns (ece, n_bins, n).
+    */
+  def expectedCalibrationError(df: DataFrame, probCol: String,
+                               labelCol: String, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive: $bins")
+    val dec = DecimalType(38, 12)
+    val bin = least(floor(col(probCol) * bins), lit(bins - 1)).cast("long")
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("np"),
+        sum(col(probCol).cast(dec)).as("psum"))
+      .select(col("n"),
+        (abs(col("np").cast("double") / col("n").cast("double") -
+          col("psum").cast("double") / col("n").cast("double")) *
+          col("n").cast("double")).cast(dec).as("gap"))
+      .agg(sum(col("gap")).as("gs"), sum(col("n")).as("nt"),
+        count(lit(1)).as("n_bins"))
+      .select(round(col("gs").cast("double") / col("nt").cast("double"), 6)
+        .as("ece"), col("n_bins"), col("nt").as("n"))
+  }
+
   /** Calibration table: scores bucketed at `binWidth`, each bin reporting
     * its size, mean integer score and empirical positive rate — exact
     * count ratios, one shuffle on the bin key. */

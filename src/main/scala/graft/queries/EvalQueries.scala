@@ -67,6 +67,20 @@ object EvalQueries {
     "q_calibration" -> ((s, dir) =>
       EvalOps.calibration(scored(s, dir), "score", "y", 10)),
 
+    // Matthews correlation at the same threshold as q_confusion.
+    "q_mcc" -> ((s, dir) =>
+      EvalOps.mcc(scored(s, dir), "score", "y", 0L)),
+
+    // Expected calibration error of the clamped linear probability over
+    // 10 equal-width probability bins — the scalar the calibration table
+    // summarizes to.
+    "q_ece" -> ((s, dir) => {
+      val p0 = (col("score").cast("double") + 100.0) / 201.0
+      val p = least(greatest(p0, lit(1.0 / 201.0)), lit(200.0 / 201.0))
+      EvalOps.expectedCalibrationError(
+        scored(s, dir).withColumn("p", p), "p", "y", bins = 10)
+    }),
+
     // Log-loss of the affine score→probability map p=(score+100)/201
     // (clamped): per-row −[y·ln p + (1−y)·ln(1−p)] contributions are
     // doubles from identical trees, summed as DECIMAL(38,12) so the
@@ -333,6 +347,49 @@ object EvalQueries {
          |SELECT ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
          |  AS logloss, COUNT(*) AS n
          |FROM c""".stripMargin,
+
+    "q_mcc" ->
+      s"""WITH scored AS ($scoredSql),
+         |c AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN score >= 0 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN score >= 0 AND y <> 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN score < 0 AND y <> 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn,
+         |    CAST(SUM(CASE WHEN score < 0 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn
+         |  FROM scored),
+         |d AS (
+         |  SELECT *, SQRT(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+         |    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS den
+         |  FROM c)
+         |SELECT CASE WHEN den > 0.0 THEN
+         |    ROUND(CAST(tp * tn - fp * fn AS DOUBLE) / den, 6) END AS mcc,
+         |  tp, fp, tn, fn
+         |FROM d""".stripMargin,
+
+    "q_ece" ->
+      s"""WITH scored AS ($scoredSql),
+         |p AS (
+         |  SELECT y, LEAST(GREATEST((CAST(score AS DOUBLE) + 100.0) / 201.0,
+         |    1.0 / 201.0), 200.0 / 201.0) AS p
+         |  FROM scored),
+         |b AS (
+         |  SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin,
+         |    COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS np,
+         |    SUM(CAST(p AS DECIMAL(38,12))) AS psum
+         |  FROM p GROUP BY 1),
+         |g AS (
+         |  SELECT n, CAST(ABS(CAST(np AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - CAST(psum AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * CAST(n AS DOUBLE) AS DECIMAL(38,12)) AS gap
+         |  FROM b)
+         |SELECT ROUND(CAST(SUM(gap) AS DOUBLE)
+         |    / CAST(SUM(n) AS DOUBLE), 6) AS ece,
+         |  COUNT(*) AS n_bins, CAST(SUM(n) AS BIGINT) AS n
+         |FROM g""".stripMargin,
 
     "q_pr_auc" ->
       s"""WITH scored AS ($scoredSql),

@@ -44,6 +44,28 @@ class EvalOpsSpec extends SparkSpecBase {
     assert(at8 === at3 && at8 > 0.0 && at8 <= 1.0)
   }
 
+  test("MCC: perfect 1.0, inverted -1.0, degenerate margin → null") {
+    val perfect = scoresDf(Seq((5L, 1L), (6L, 1L), (-5L, 0L), (-6L, 0L)))
+    assert(EvalOps.mcc(perfect, "score", "y", 0L)
+      .head().getDouble(0) === 1.0)
+    val inverted = scoresDf(Seq((5L, 0L), (6L, 0L), (-5L, 1L), (-6L, 1L)))
+    assert(EvalOps.mcc(inverted, "score", "y", 0L)
+      .head().getDouble(0) === -1.0)
+    val allPred = scoresDf(Seq((5L, 1L), (6L, 0L))) // tn + fn = 0
+    assert(EvalOps.mcc(allPred, "score", "y", 0L).head().isNullAt(0))
+  }
+
+  test("ECE: perfectly calibrated bin scores 0; constant-p miss scores |p|") {
+    import spark.implicits._
+    val calibrated = Seq.tabulate(8)(i => (0.5, if (i % 2 == 0) 1L else 0L))
+      .toDF("p", "y")
+    assert(EvalOps.expectedCalibrationError(calibrated, "p", "y", 10)
+      .head().getDouble(0) === 0.0)
+    val off = Seq.fill(4)((0.25, 0L)).toDF("p", "y") // says 25%, truth 0%
+    assert(EvalOps.expectedCalibrationError(off, "p", "y", 10)
+      .head().getDouble(0) === 0.25)
+  }
+
   test("AUC equals the brute-force pair statistic (ties at 1/2)") {
     // deterministic pseudo-random fixture: score from a hash-ish formula
     val rows = (0 until 200).map { i =>
