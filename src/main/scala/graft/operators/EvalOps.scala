@@ -174,6 +174,32 @@ object EvalOps {
           (col("tp") * 2 + col("fp") + col("fn")).cast("double")).as("f1"))
   }
 
+  /** Exact equal-frequency quantile binning (feature discretization):
+    * every row gets bin = ⌊rows_strictly_below · k / N⌋ ∈ [0, k), so all
+    * ties land in ONE bin — deterministic where `ntile` is
+    * ordering-ambiguous under ties (ntile splits a tie group across bins
+    * by physical row order, which no distributed engine should rely on).
+    * The cumulative pass is [[scoreCdf]]'s two-level stitch over DISTINCT
+    * values (never a global row sort); the per-row assignment is a join
+    * back on the value key — one shuffle each side at scale.
+    * Returns the input columns plus `bin` (BIGINT).
+    */
+  def quantileBins(df: DataFrame, valueCol: String, k: Int,
+                   bucketWidth: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val cdf = scoreCdf(df.withColumn("__zero", lit(0L)), valueCol, "__zero",
+        bucketWidth)
+      .select(col("score"),
+        col("neg_below").as("below"),
+        (col("neg_below") + col("neg_at")).as("cum"))
+    val n = cdf.agg(max(col("cum")).as("n_tot"))
+    val bins = cdf.crossJoin(broadcast(n))
+      .select(col("score").as("__v"),
+        floor(col("below") * k / col("n_tot")).as("bin"))
+    df.join(bins, col(valueCol).cast("long") === col("__v"))
+      .drop("__v")
+  }
+
   /** Matthews correlation coefficient at a fixed integer threshold:
     * MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the
     * balance-honest single-number summary of the confusion matrix. The

@@ -98,6 +98,17 @@ object EvalQueries {
           .as("logloss"), col("n"))
     }),
 
+    // Exact equal-frequency deciles of order value — tie-coherent
+    // discretization (bin = floor(below·k/N)); all ties share a bin, so
+    // the assignment is partitioning-independent where ntile is not.
+    "q_quantile_bins" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      EvalOps.quantileBins(o, "cents", k = 10)
+        .select(col("o_orderkey"), col("cents"), col("bin").as("decile"))
+    }),
+
     // Exact PR-AUC (average precision, step-wise/threshold definition) —
     // the class-imbalance-honest companion to q_auc, over the same
     // integer-quantized probe scores and the same two-level CDF stitch.
@@ -347,6 +358,21 @@ object EvalQueries {
          |SELECT ROUND(CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
          |  AS logloss, COUNT(*) AS n
          |FROM c""".stripMargin,
+
+    "q_quantile_bins" ->
+      """WITH v AS (
+        |  SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT cents, COUNT(*) AS n FROM v GROUP BY 1),
+        |w AS (
+        |  SELECT cents, COALESCE(SUM(n) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM c),
+        |t AS (SELECT COUNT(*) AS n_tot FROM v)
+        |SELECT v.o_orderkey, v.cents,
+        |  CAST(FLOOR(w.below * 10 / t.n_tot) AS BIGINT) AS decile
+        |FROM v JOIN w ON w.cents = v.cents, t""".stripMargin,
 
     "q_mcc" ->
       s"""WITH scored AS ($scoredSql),

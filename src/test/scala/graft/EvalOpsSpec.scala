@@ -44,6 +44,21 @@ class EvalOpsSpec extends SparkSpecBase {
     assert(at8 === at3 && at8 > 0.0 && at8 <= 1.0)
   }
 
+  test("quantileBins: ties share a bin, uniform fixture bins exactly") {
+    import spark.implicits._
+    // 10 distinct values × 10 rows each → decile = value, for every tie
+    val df = Seq.tabulate(100)(i => (i.toLong, (i / 10).toLong))
+      .toDF("id", "v")
+    val out = EvalOps.quantileBins(df, "v", k = 10).collect()
+    assert(out.length === 100)
+    assert(out.forall(r => r.getLong(2) === r.getLong(1)))
+    // stitch-grain invariance
+    val alt = EvalOps.quantileBins(df, "v", k = 10, bucketWidth = 3)
+      .collect()
+    assert(alt.map(r => (r.getLong(0), r.getLong(2))).sorted
+      === out.map(r => (r.getLong(0), r.getLong(2))).sorted)
+  }
+
   test("MCC: perfect 1.0, inverted -1.0, degenerate margin → null") {
     val perfect = scoresDf(Seq((5L, 1L), (6L, 1L), (-5L, 0L), (-6L, 0L)))
     assert(EvalOps.mcc(perfect, "score", "y", 0L)
