@@ -109,6 +109,32 @@ object EvalQueries {
         .select(col("o_orderkey"), col("cents"), col("bin").as("decile"))
     }),
 
+    // Cumulative-gains / lift table over score deciles: per-decile
+    // positive rate vs base rate, and the captured-positives share from
+    // the top decile down. Deciles come from the tie-coherent
+    // quantileBins (partitioning-independent); the cumulative runs as a
+    // broadcast theta self-join over the 10-row decile dimension — no
+    // window at all, let alone an unpartitioned one.
+    "q_gain_curve" -> ((s, dir) => {
+      val binned = EvalOps.quantileBins(scored(s, dir), "score", k = 10)
+      val agg = binned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+      val tot = agg.agg(sum(col("n")).as("nt"), sum(col("np")).as("npt"))
+      val cum = agg.as("a")
+        .join(broadcast(agg.select(col("bin").as("b2"), col("np").as("np2"))),
+          col("b2") >= col("a.bin"), "left")
+        .groupBy(col("a.bin").as("decile"), col("a.n").as("n"),
+          col("a.np").as("n_pos"))
+        .agg(sum(col("np2")).as("cum_pos"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"), col("n_pos"),
+          round(col("cum_pos").cast("double") / col("npt").cast("double"), 6)
+            .as("capture"),
+          round((col("n_pos").cast("double") / col("n").cast("double")) /
+            (col("npt").cast("double") / col("nt").cast("double")), 6)
+            .as("lift"))
+    }),
+
     // Exact PR-AUC (average precision, step-wise/threshold definition) —
     // the class-imbalance-honest companion to q_auc, over the same
     // integer-quantized probe scores and the same two-level CDF stitch.
@@ -416,6 +442,34 @@ object EvalQueries {
          |    / CAST(SUM(n) AS DOUBLE), 6) AS ece,
          |  COUNT(*) AS n_bins, CAST(SUM(n) AS BIGINT) AS n
          |FROM g""".stripMargin,
+
+    "q_gain_curve" ->
+      s"""WITH scored AS ($scoredSql),
+         |c AS (SELECT score, COUNT(*) AS cnt FROM scored GROUP BY 1),
+         |w AS (
+         |  SELECT score, COALESCE(SUM(cnt) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+         |  FROM c),
+         |t0 AS (SELECT COUNT(*) AS n_tot FROM scored),
+         |b AS (
+         |  SELECT s.y, CAST(FLOOR(w.below * 10 / t0.n_tot) AS BIGINT) AS bin
+         |  FROM scored s JOIN w ON w.score = s.score, t0),
+         |a AS (
+         |  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS np
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+         |  CAST(SUM(np) AS BIGINT) AS npt FROM a),
+         |cum AS (
+         |  SELECT a.bin AS decile, a.n, a.np AS n_pos,
+         |    (SELECT CAST(SUM(a2.np) AS BIGINT) FROM a a2
+         |     WHERE a2.bin >= a.bin) AS cum_pos
+         |  FROM a)
+         |SELECT decile, n, n_pos,
+         |  ROUND(CAST(cum_pos AS DOUBLE) / CAST(npt AS DOUBLE), 6)
+         |    AS capture,
+         |  ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+         |    / (CAST(npt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS lift
+         |FROM cum, t""".stripMargin,
 
     "q_pr_auc" ->
       s"""WITH scored AS ($scoredSql),
