@@ -349,7 +349,8 @@ class PlanSpec extends SparkSpecBase {
     // single partition — that's a global agg over tiny partials, not a
     // row-sort)
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    for (q <- Seq("q_auc", "q_ks_stat", "q_gini")) {
+    for (q <- Seq("q_auc", "q_ks_stat", "q_gini", "q_pr_auc",
+        "q_quantile_bins", "q_gain_curve")) {
       val bare = SparkEntry.queries(q)(spark, sf)
         .queryExecution.optimizedPlan.collect {
           case w: LWindow if w.partitionSpec.isEmpty => w
