@@ -323,6 +323,51 @@ object TextQueries {
     "q_rep_ngram" -> ((s, dir) =>
       TextOps.ngramRepetition(Tables.documents(s, dir), n = 2)),
 
+    // per-doc n-gram NOVELTY: fraction of the doc's distinct trigrams
+    // appearing in no other doc (corpus df = 1) — the memorization-risk /
+    // uniqueness signal dual to the duplication stats. df-agg + join-back
+    // on the gram key (the measured-faster chunk_dedup shape), then one
+    // doc_id rollup.
+    "q_novelty" -> ((s, dir) => {
+      val shr = DedupOps.shingleRows(Tables.documents(s, dir), 3)
+      val dfreq = shr.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      shr.join(dfreq, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") /
+            col("n_grams").cast("double"), 6).as("novelty"))
+    }),
+
+    // KL divergence between the word distributions of two corpus slices
+    // (even vs odd doc_id) with add-1 smoothing over the union vocab —
+    // the distribution-shift check between shards/sources/time slices.
+    // Per-word terms are doubles from identical expression trees,
+    // DECIMAL-summed so the reduction is order-independent.
+    "q_vocab_kl" -> ((s, dir) => {
+      val dec = DecimalType(38, 12)
+      val w = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      val counts = w.groupBy(col("word"))
+        .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ce"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("co"))
+      val tot = counts.agg(sum(col("ce")).as("ne"), sum(col("co")).as("no"),
+        count(lit(1)).as("v"))
+      val pe = (col("ce") + 1).cast("double") /
+        (col("ne") + col("v")).cast("double")
+      val po = (col("co") + 1).cast("double") /
+        (col("no") + col("v")).cast("double")
+      counts.crossJoin(broadcast(tot))
+        .select((pe * log(pe / po)).cast(dec).as("t"),
+          col("ne"), col("no"), col("v"))
+        .groupBy(col("ne"), col("no"), col("v"))
+        .agg(sum(col("t")).as("ts"))
+        .select(round(col("ts").cast("double"), 6).as("kl_pq"),
+          col("v").as("vocab"), col("ne").as("n_even"),
+          col("no").as("n_odd"))
+    }),
+
     // chunk-level cross-corpus dedup report: 8-word non-overlapping chunks,
     // md5 df across the corpus, per-doc duplicated-passage fraction — the
     // passage-granularity dedup signal doc-level near-dup can't see.
@@ -1753,6 +1798,50 @@ object TextQueries {
         |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
         |    AS top_fraction
         |FROM f GROUP BY doc_id""".stripMargin,
+
+    "q_novelty" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM words)),
+        |d AS (SELECT sh, COUNT(*) AS df FROM g GROUP BY 1)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        |FROM g JOIN d USING (sh) GROUP BY g.doc_id""".stripMargin,
+
+    "q_vocab_kl" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS word FROM words),
+        |c AS (
+        |  SELECT word,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ce,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS co
+        |  FROM t GROUP BY 1),
+        |tt AS (
+        |  SELECT CAST(SUM(ce) AS BIGINT) AS ne, CAST(SUM(co) AS BIGINT)
+        |    AS nodd, COUNT(*) AS v
+        |  FROM c),
+        |terms AS (
+        |  SELECT CAST(
+        |      (CAST(ce + 1 AS DOUBLE) / CAST(ne + v AS DOUBLE))
+        |      * LN((CAST(ce + 1 AS DOUBLE) / CAST(ne + v AS DOUBLE))
+        |          / (CAST(co + 1 AS DOUBLE) / CAST(nodd + v AS DOUBLE)))
+        |    AS DECIMAL(38,12)) AS trm, ne, nodd, v
+        |  FROM c, tt)
+        |SELECT ROUND(CAST(SUM(trm) AS DOUBLE), 6) AS kl_pq, v AS vocab,
+        |  ne AS n_even, nodd AS n_odd
+        |FROM terms GROUP BY ne, nodd, v""".stripMargin,
 
     "q_chunk_dedup" ->
       """WITH words AS (
