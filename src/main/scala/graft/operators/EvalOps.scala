@@ -53,20 +53,44 @@ object EvalOps {
     val local = counts
       .withColumn("pos_loc", coalesce(sum(col("pos_at")).over(inBkt), lit(0L)))
       .withColumn("neg_loc", coalesce(sum(col("neg_at")).over(inBkt), lit(0L)))
-    // level 2: per-bucket totals; each bucket's carry-in is the sum of all
-    // strictly-lower buckets via a broadcast theta self-join over the
-    // (tiny) bucket dimension — the q_cume_users carry pattern, so NO
-    // window in the whole plan is unpartitioned
+    // level 2: per-bucket carry-ins. A bucket's offset is the sum of all
+    // strictly-lower buckets' totals. The original two-level form computed
+    // this with a theta self-join over the bucket dimension — O(B²) pairs,
+    // which is fine for the ±hundreds-wide integer score domains of the
+    // eval metrics but detonates when the value domain is wide (cents of
+    // a price: B ~ 10⁵ buckets ⇒ ~10¹⁰ single-task pairs; q_quantile_bins
+    // at sf0.1 hung the bench exactly this way). So the carry is itself
+    // stitched: an exclusive running sum of bucket totals inside each
+    // SUPER-bucket (window partitions ≤ `superWidth` rows) plus a theta
+    // self-join over the super-bucket dimension only (B/superWidth rows —
+    // ≤ ~2.4k super-buckets even for a 10⁷-wide domain). Every window in
+    // the plan stays partitioned and every theta join stays tiny.
+    val superWidth = 4096
     val bktTotals = counts.groupBy(col("bkt").as("b"))
       .agg(sum(col("pos_at")).as("bp"), sum(col("neg_at")).as("bn"))
-    val offsets = bktTotals.as("a")
-      .join(broadcast(bktTotals.select(col("b").as("b2"),
-        col("bp").as("bp2"), col("bn").as("bn2"))),
-        col("b2") < col("a.b"), "left")
-      .groupBy(col("a.b").as("ob"))
-      .agg(coalesce(sum(col("bp2")), lit(0L)).as("pos_off"),
-        coalesce(sum(col("bn2")), lit(0L)).as("neg_off"))
-    local.join(broadcast(offsets), col("bkt") === col("ob"))
+      .withColumn("sb", floor(col("b") / superWidth))
+    val inSb = Window.partitionBy(col("sb")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local2 = bktTotals
+      .withColumn("bp_loc", coalesce(sum(col("bp")).over(inSb), lit(0L)))
+      .withColumn("bn_loc", coalesce(sum(col("bn")).over(inSb), lit(0L)))
+    val sbTotals = bktTotals.groupBy(col("sb").as("s1"))
+      .agg(sum(col("bp")).as("sp"), sum(col("bn")).as("sn"))
+    val sbOffsets = sbTotals.as("x")
+      .join(broadcast(sbTotals.select(col("s1").as("s2"),
+        col("sp").as("sp2"), col("sn").as("sn2"))),
+        col("s2") < col("x.s1"), "left")
+      .groupBy(col("x.s1").as("os"))
+      .agg(coalesce(sum(col("sp2")), lit(0L)).as("sp_off"),
+        coalesce(sum(col("sn2")), lit(0L)).as("sn_off"))
+    val offsets = local2.join(broadcast(sbOffsets), col("sb") === col("os"))
+      .select(col("b").as("ob"),
+        (col("bp_loc") + col("sp_off")).as("pos_off"),
+        (col("bn_loc") + col("sn_off")).as("neg_off"))
+    // equi-join back on the bucket key; no broadcast hint — the offsets
+    // side is B rows (wide-domain cases make it large), AQE picks the
+    // strategy
+    local.join(offsets, col("bkt") === col("ob"))
       .select(col("score"), col("pos_at"), col("neg_at"),
         (col("pos_loc") + col("pos_off")).as("pos_below"),
         (col("neg_loc") + col("neg_off")).as("neg_below"))
