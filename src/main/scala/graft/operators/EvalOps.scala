@@ -53,40 +53,14 @@ object EvalOps {
     val local = counts
       .withColumn("pos_loc", coalesce(sum(col("pos_at")).over(inBkt), lit(0L)))
       .withColumn("neg_loc", coalesce(sum(col("neg_at")).over(inBkt), lit(0L)))
-    // level 2: per-bucket carry-ins. A bucket's offset is the sum of all
-    // strictly-lower buckets' totals. The original two-level form computed
-    // this with a theta self-join over the bucket dimension — O(B²) pairs,
-    // which is fine for the ±hundreds-wide integer score domains of the
-    // eval metrics but detonates when the value domain is wide (cents of
-    // a price: B ~ 10⁵ buckets ⇒ ~10¹⁰ single-task pairs; q_quantile_bins
-    // at sf0.1 hung the bench exactly this way). So the carry is itself
-    // stitched: an exclusive running sum of bucket totals inside each
-    // SUPER-bucket (window partitions ≤ `superWidth` rows) plus a theta
-    // self-join over the super-bucket dimension only (B/superWidth rows —
-    // ≤ ~2.4k super-buckets even for a 10⁷-wide domain). Every window in
-    // the plan stays partitioned and every theta join stays tiny.
-    val superWidth = 4096
+    // level 2: per-bucket carry-ins via the shared exclusive-prefix
+    // helper — see [[exclusivePrefix]] for why this is NOT a theta
+    // self-join over the bucket dimension.
     val bktTotals = counts.groupBy(col("bkt").as("b"))
       .agg(sum(col("pos_at")).as("bp"), sum(col("neg_at")).as("bn"))
-      .withColumn("sb", floor(col("b") / superWidth))
-    val inSb = Window.partitionBy(col("sb")).orderBy(col("b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local2 = bktTotals
-      .withColumn("bp_loc", coalesce(sum(col("bp")).over(inSb), lit(0L)))
-      .withColumn("bn_loc", coalesce(sum(col("bn")).over(inSb), lit(0L)))
-    val sbTotals = bktTotals.groupBy(col("sb").as("s1"))
-      .agg(sum(col("bp")).as("sp"), sum(col("bn")).as("sn"))
-    val sbOffsets = sbTotals.as("x")
-      .join(broadcast(sbTotals.select(col("s1").as("s2"),
-        col("sp").as("sp2"), col("sn").as("sn2"))),
-        col("s2") < col("x.s1"), "left")
-      .groupBy(col("x.s1").as("os"))
-      .agg(coalesce(sum(col("sp2")), lit(0L)).as("sp_off"),
-        coalesce(sum(col("sn2")), lit(0L)).as("sn_off"))
-    val offsets = local2.join(broadcast(sbOffsets), col("sb") === col("os"))
-      .select(col("b").as("ob"),
-        (col("bp_loc") + col("sp_off")).as("pos_off"),
-        (col("bn_loc") + col("sn_off")).as("neg_off"))
+    val offsets = exclusivePrefix(bktTotals, "b", Seq("bp", "bn"))
+      .select(col("b").as("ob"), col("bp_off").as("pos_off"),
+        col("bn_off").as("neg_off"))
     // equi-join back on the bucket key; no broadcast hint — the offsets
     // side is B rows (wide-domain cases make it large), AQE picks the
     // strategy
@@ -94,6 +68,45 @@ object EvalOps {
       .select(col("score"), col("pos_at"), col("neg_at"),
         (col("pos_loc") + col("pos_off")).as("pos_below"),
         (col("neg_loc") + col("neg_off")).as("neg_below"))
+  }
+
+  /** Exclusive prefix sums over an integer key dimension — the carry
+    * layer under every cumulative pass here. Input: one row per key with
+    * BIGINT value columns; output: one row per key with `<v>_off` = Σ of
+    * each value over all strictly-lower keys.
+    *
+    * Shape: running sum inside super-blocks of `superWidth` keys (window
+    * partitions bounded by construction) + a broadcast theta self-join
+    * over the super-block dimension only. The earlier form ran the theta
+    * join over the KEY dimension itself — O(B²) pairs, fine for the
+    * ±hundreds-wide probe-score domains it was written for, quadratic
+    * death on a wide domain (cents: B ~ 10⁵ keys ⇒ ~10¹⁰ single-task
+    * pairs; q_quantile_bins hung the sf0.1 bench exactly this way). With
+    * the super layer, a 10⁷-wide domain costs ≤ ~2.4k super-blocks and
+    * every window stays partitioned.
+    */
+  private def exclusivePrefix(totals: DataFrame, keyCol: String,
+                              valueCols: Seq[String],
+                              superWidth: Int = 4096): DataFrame = {
+    val withSb = totals.withColumn("__sb", floor(col(keyCol) / superWidth))
+    val inSb = Window.partitionBy(col("__sb")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val locals = valueCols.foldLeft(withSb)((acc, v) =>
+      acc.withColumn(s"__loc_$v", coalesce(sum(col(v)).over(inSb), lit(0L))))
+    val sbAggs = valueCols.map(v => sum(col(v)).as(s"__t_$v"))
+    val sbTotals = withSb.groupBy(col("__sb").as("__s1"))
+      .agg(sbAggs.head, sbAggs.tail: _*)
+    val offAggs = valueCols.map(v =>
+      coalesce(sum(col(s"__t2_$v")), lit(0L)).as(s"__o_$v"))
+    val sbOffsets = sbTotals.as("x")
+      .join(broadcast(sbTotals.select(col("__s1").as("__s2") +:
+        valueCols.map(v => col(s"__t_$v").as(s"__t2_$v")): _*)),
+        col("__s2") < col("x.__s1"), "left")
+      .groupBy(col("x.__s1").as("__os"))
+      .agg(offAggs.head, offAggs.tail: _*)
+    locals.join(broadcast(sbOffsets), col("__sb") === col("__os"))
+      .select(col(keyCol) +: valueCols.map(v =>
+        (col(s"__loc_$v") + col(s"__o_$v")).as(s"${v}_off")): _*)
   }
 
   /** Exact ROC AUC by the tie-corrected Mann-Whitney statistic:
@@ -309,17 +322,14 @@ object EvalOps {
       .withColumn("bkt", floor(col("x") / bucketWidth))
     val inBkt = Window.partitionBy(col("bkt"))
       .orderBy(col("x"), col("k"))
-    // rank offsets by the same broadcast theta carry as scoreCdf — no
-    // unpartitioned window
+    // rank offsets via the shared carry helper — same no-unpartitioned-
+    // window, no-O(B²) guarantees as scoreCdf
     val bktCounts = vals.groupBy(col("bkt").as("b"))
       .agg(count(lit(1)).as("bc"))
-    val offsets = bktCounts.as("a")
-      .join(broadcast(bktCounts.select(col("b").as("b2"),
-        col("bc").as("bc2"))), col("b2") < col("a.b"), "left")
-      .groupBy(col("a.b").as("ob"))
-      .agg(coalesce(sum(col("bc2")), lit(0L)).as("off"))
+    val offsets = exclusivePrefix(bktCounts, "b", Seq("bc"))
+      .select(col("b").as("ob"), col("bc_off").as("off"))
     vals.withColumn("rn", row_number().over(inBkt).cast("long"))
-      .join(broadcast(offsets), col("bkt") === col("ob"))
+      .join(offsets, col("bkt") === col("ob"))
       .select(((col("rn") + col("off")) * col("x")).cast(D38).as("rx"),
         col("x"))
       .agg(sum(col("rx")).as("s_rx"), sum(col("x").cast(D38)).as("s_x"),
