@@ -59,6 +59,18 @@ class EvalOpsSpec extends SparkSpecBase {
       === out.map(r => (r.getLong(0), r.getLong(2))).sorted)
   }
 
+  test("quantileBins survives a wide value domain (O(B²) carry tripwire)") {
+    // 500k DISTINCT values → ~62.5k buckets at width 8. The retired
+    // key-level theta carry would stream ~2e9 single-task pairs here
+    // (the sf0.1 bench hang); the super-block stitch keeps it linear.
+    // Each decile must hold exactly 50k rows.
+    val df = spark.range(500000L).toDF("v")
+    val byBin = EvalOps.quantileBins(df, "v", k = 10)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBin === (0L until 10L).map(_ -> 50000L).toMap)
+  }
+
   test("MCC: perfect 1.0, inverted -1.0, degenerate margin → null") {
     val perfect = scoresDf(Seq((5L, 1L), (6L, 1L), (-5L, 0L), (-6L, 0L)))
     assert(EvalOps.mcc(perfect, "score", "y", 0L)
