@@ -323,6 +323,24 @@ object TextQueries {
     "q_rep_ngram" -> ((s, dir) =>
       TextOps.ngramRepetition(Tables.documents(s, dir), n = 2)),
 
+    // BPE-prep pair counting: the first merge step of byte-pair-encoding
+    // tokenizer training — corpus-frequency-weighted counts of adjacent
+    // CHAR pairs inside words, top 20. The word table is aggregated
+    // FIRST (distinct word + its corpus count), so the char-level explode
+    // runs over |vocab| rows, not the token stream — the trick that keeps
+    // BPE statistics linear in vocabulary, not corpus, per merge.
+    "q_bpe_pairs" -> ((s, dir) => {
+      val wc = Tables.documents(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+        .filter(length(col("word")) >= 2)
+      wc.select(col("wc"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+    }),
+
     // per-doc n-gram NOVELTY: fraction of the doc's distinct trigrams
     // appearing in no other doc (corpus df = 1) — the memorization-risk /
     // uniqueness signal dual to the duplication stats. df-agg + join-back
@@ -1798,6 +1816,22 @@ object TextQueries {
         |  ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 6)
         |    AS top_fraction
         |FROM f GROUP BY doc_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |t AS (SELECT unnest(w) AS word FROM words),
+        |wc AS (
+        |  SELECT word, COUNT(*) AS wcnt FROM t
+        |  GROUP BY 1 HAVING length(word) >= 2),
+        |p AS (
+        |  SELECT substr(word, i, 2) AS pair, wcnt
+        |  FROM (SELECT word, wcnt, unnest(range(1, length(word))) AS i
+        |        FROM wc))
+        |SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "q_novelty" ->
       """WITH words AS (
