@@ -237,6 +237,51 @@ object EvalOps {
       .drop("__v")
   }
 
+  /** Kaplan-Meier survival estimator with right-censoring:
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over distinct integer durations, where
+    * dᵢ = observed deaths at tᵢ, nᵢ = at-risk (not yet dead or censored).
+    * The retention/lifetime curve of survival analysis, exact by
+    * construction: at-risk counts come from [[exclusivePrefix]] over the
+    * duration dimension (integer arithmetic, no global sort); the product
+    * runs as exp(Σ ln(1 − d/n)) with per-day ln terms from identical
+    * expression trees DECIMAL-summed, so the reduction is
+    * order-independent. A day where everyone at risk dies (d = n) drives
+    * S to exactly 0 from that day on (the ln(0) singularity is handled by
+    * a saturation flag, not a NaN). Input: one row per subject with an
+    * integer `durationCol` and 0/1 `eventCol` (1 = death observed,
+    * 0 = right-censored). Returns (t, n_risk, d, c, s).
+    */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  eventCol: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val byT = df.groupBy(col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("c"))
+      .withColumn("dc", col("d") + col("c"))
+    val n = byT.agg(sum(col("dc")).as("n_total"))
+    val pre = exclusivePrefix(byT.select(col("t"), col("dc")), "t",
+      Seq("dc"))
+    val risked = byT.join(pre, Seq("t"))
+      .crossJoin(broadcast(n))
+      .withColumn("n_risk", col("n_total") - col("dc_off"))
+      .withColumn("term",
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) -
+            col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)).cast(dec))
+      .withColumn("sat", when(col("d") === col("n_risk"), 1L)
+        .otherwise(0L))
+    val cum = exclusivePrefix(
+      risked.select(col("t"), col("term"), col("sat")), "t",
+      Seq("term", "sat"))
+    risked.join(cum, Seq("t"))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        when(col("sat_off") + col("sat") > 0, lit(0.0))
+          .otherwise(
+            round(exp((col("term_off") + col("term")).cast("double")), 6))
+          .as("s"))
+  }
+
   /** Matthews correlation coefficient at a fixed integer threshold:
     * MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the
     * balance-honest single-number summary of the confusion matrix. The

@@ -89,6 +89,24 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Kaplan-Meier survival over user lifetimes (days between first and
+    // last event), right-censored for users still active in the final
+    // week of the feed — the survival-analysis form of retention. Exact:
+    // at-risk counts via the exclusive-prefix carry, the product as
+    // exp(Σ ln) with DECIMAL-summed terms.
+    "q_survival" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+      val cutoff = Tables.events(s, dir)
+        .agg(date_sub(max(to_date(col("ts"))), 7).as("cutoff"))
+      val lifetimes = perUser.crossJoin(broadcast(cutoff))
+        .select(datediff(col("ld"), col("fd")).cast("long").as("t"),
+          when(col("ld") < col("cutoff"), 1).otherwise(0).as("ev"))
+      graft.operators.EvalOps.kaplanMeier(lifetimes, "t", "ev")
+    }),
+
     // Gap-based sessionization (30-min inactivity) via gaps-and-islands —
     // the batch twin of StreamingOps.sessionize.
     "q_events_sessions" -> ((s, dir) => {
@@ -528,6 +546,44 @@ object EventQueries {
         |  COUNT(*) AS n_users
         |FROM weeks JOIN cohorts USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "q_survival" ->
+      """WITH u AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+        |    MAX(CAST(ts AS DATE)) AS ld
+        |  FROM events GROUP BY 1),
+        |cut AS (SELECT MAX(CAST(ts AS DATE)) - 7 AS cutoff FROM events),
+        |lif AS (
+        |  SELECT CAST(ld - fd AS BIGINT) AS t,
+        |    CASE WHEN ld < cutoff THEN 1 ELSE 0 END AS ev
+        |  FROM u, cut),
+        |byt AS (
+        |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+        |    CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+        |  FROM lif GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_total FROM byt),
+        |r AS (
+        |  SELECT t, d, c,
+        |    n_total - COALESCE(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_risk
+        |  FROM byt, tot),
+        |terms AS (
+        |  SELECT t, n_risk, d, c,
+        |    CAST(CASE WHEN d < n_risk
+        |      THEN LN(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END AS DECIMAL(38,12)) AS term,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS sat
+        |  FROM r),
+        |cum AS (
+        |  SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+        |    SUM(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ct,
+        |    SUM(sat) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cs
+        |  FROM terms)
+        |SELECT t, n_risk, d, c,
+        |  CASE WHEN cs > 0 THEN 0.0
+        |       ELSE ROUND(EXP(CAST(ct AS DOUBLE)), 6) END AS s
+        |FROM cum""".stripMargin,
+
     "q_events_sessions" ->
       """WITH lagged AS (
         |  SELECT *, LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

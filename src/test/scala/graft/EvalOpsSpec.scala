@@ -71,6 +71,26 @@ class EvalOpsSpec extends SparkSpecBase {
     assert(byBin === (0L until 10L).map(_ -> 50000L).toMap)
   }
 
+  test("kaplanMeier: textbook fixture, censoring holds S flat, d=n → 0") {
+    import spark.implicits._
+    // durations 1..5, deaths at 1,2,4, censored at 3,5:
+    // S = 4/5, then ·3/4 = 0.6, flat at t=3, ·1/2 = 0.3, flat at t=5
+    val km = EvalOps.kaplanMeier(
+      Seq((1L, 1), (2L, 1), (3L, 0), (4L, 1), (5L, 0)).toDF("t", "ev"),
+      "t", "ev")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(km(1L) === ((5L, 1L, 0L, 0.8)))
+    assert(km(2L) === ((4L, 1L, 0L, 0.6)))
+    assert(km(3L) === ((3L, 0L, 1L, 0.6)))
+    assert(km(4L) === ((2L, 1L, 0L, 0.3)))
+    assert(km(5L) === ((1L, 0L, 1L, 0.3)))
+    // everyone at risk dies → S exactly 0, no NaN from ln(0)
+    val dead = EvalOps.kaplanMeier(
+      Seq((2L, 1), (2L, 1)).toDF("t", "ev"), "t", "ev").collect()
+    assert(dead.length === 1 && dead.head.getDouble(4) === 0.0)
+  }
+
   test("MCC: perfect 1.0, inverted -1.0, degenerate margin → null") {
     val perfect = scoresDf(Seq((5L, 1L), (6L, 1L), (-5L, 0L), (-6L, 0L)))
     assert(EvalOps.mcc(perfect, "score", "y", 0L)
