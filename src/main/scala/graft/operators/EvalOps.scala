@@ -282,6 +282,57 @@ object EvalOps {
           .as("s"))
   }
 
+  /** Two-group log-rank test: does group 1's survival curve differ from
+    * group 0's? At each distinct duration t with d = d₀+d₁ > 0 deaths:
+    * E₀ = n₀·d/n and V = n₀·n₁·d·(n−d) / (n²·(n−1)); the statistic is
+    * χ² = (Σ(d₀−E₀))² / ΣV (1 dof). All products stay in exact BIGINT
+    * (≤ ~10¹⁶ for 10⁴-subject groups — no overflow), divisions are
+    * doubles from identical trees, and the two reductions are
+    * DECIMAL-summed. At-risk counts come from one [[exclusivePrefix]]
+    * pass carrying both groups. `groupCol` must be 0/1. Returns a single
+    * row (chi2, sum_obs_minus_exp, n_deaths, n0, n1).
+    */
+  def logRank(df: DataFrame, durationCol: String, eventCol: String,
+              groupCol: String): DataFrame = {
+    val dec = DecimalType(38, 12)
+    val byT = df.groupBy(col(durationCol).cast("long").as("t"))
+      .agg(
+        sum(when(col(groupCol) === 0 && col(eventCol) === 1, 1L)
+          .otherwise(0L)).as("d0"),
+        sum(when(col(groupCol) === 1 && col(eventCol) === 1, 1L)
+          .otherwise(0L)).as("d1"),
+        sum(when(col(groupCol) === 0, 1L).otherwise(0L)).as("a0"),
+        sum(when(col(groupCol) === 1, 1L).otherwise(0L)).as("a1"))
+    val tot = byT.agg(sum(col("a0")).as("nt0"), sum(col("a1")).as("nt1"))
+    val pre = exclusivePrefix(byT.select(col("t"), col("a0"), col("a1")),
+      "t", Seq("a0", "a1"))
+    val risked = byT.join(pre, Seq("t")).crossJoin(broadcast(tot))
+      .withColumn("n0", col("nt0") - col("a0_off"))
+      .withColumn("n1", col("nt1") - col("a1_off"))
+      .withColumn("n", col("n0") + col("n1"))
+      .withColumn("d", col("d0") + col("d1"))
+      .filter(col("d") > 0)
+    risked
+      .select(
+        (col("d0").cast("double") -
+          col("n0").cast("double") * col("d").cast("double") /
+            col("n").cast("double")).cast(dec).as("diff"),
+        when(col("n") > 1,
+          (col("n0") * col("n1") * col("d") * (col("n") - col("d")))
+            .cast("double") /
+            (col("n") * col("n") * (col("n") - 1)).cast("double"))
+          .otherwise(lit(0.0)).cast(dec).as("v"),
+        col("d"), col("nt0"), col("nt1"))
+      .groupBy(col("nt0"), col("nt1"))
+      .agg(sum(col("diff")).as("sd"), sum(col("v")).as("sv"),
+        sum(col("d")).as("n_deaths"))
+      .select(
+        round((col("sd").cast("double") * col("sd").cast("double")) /
+          col("sv").cast("double"), 6).as("chi2"),
+        round(col("sd").cast("double"), 6).as("sum_obs_minus_exp"),
+        col("n_deaths"), col("nt0").as("n0"), col("nt1").as("n1"))
+  }
+
   /** Matthews correlation coefficient at a fixed integer threshold:
     * MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the
     * balance-honest single-number summary of the confusion matrix. The

@@ -17,6 +17,41 @@ object EventQueries {
 
   private val D6 = DecimalType(18, 6)
 
+  /** Fixed-horizon survival construction shared by q_survival/q_logrank:
+    * per user, t = min(days from first event to first purchase, 5) and
+    * ev = 1 iff the purchase fell inside the 5-day horizon (else censored
+    * at 5); grp = user parity for the two-cohort comparison. */
+  private def survivalLifetimes(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("fd"),
+        min(when(col("event_type") === "purchase", col("day"))).as("pd"),
+        max(col("day")).as("ld"))
+    perUser.select(
+      least(datediff(coalesce(col("pd"), col("ld")), col("fd")), lit(5))
+        .cast("long").as("t"),
+      when(col("pd").isNotNull &&
+        datediff(col("pd"), col("fd")) <= 5, 1).otherwise(0).as("ev"),
+      (col("user_id") % 2).cast("int").as("grp"))
+  }
+
+  /** Oracle twin of [[survivalLifetimes]]. */
+  private val survivalCte =
+    """u AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(ts AS DATE) END) AS pd,
+      |    MAX(CAST(ts AS DATE)) AS ld
+      |  FROM events GROUP BY 1),
+      |lif AS (
+      |  SELECT CAST(LEAST(COALESCE(pd, ld) - fd, 5) AS BIGINT) AS t,
+      |    CASE WHEN pd IS NOT NULL AND pd - fd <= 5 THEN 1 ELSE 0 END
+      |      AS ev,
+      |    CAST(user_id % 2 AS INTEGER) AS grp
+      |  FROM u)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tumbling 1-hour event-time windows per type.
@@ -89,23 +124,22 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
-    // Kaplan-Meier survival over user lifetimes (days between first and
-    // last event), right-censored for users still active in the final
-    // week of the feed — the survival-analysis form of retention. Exact:
-    // at-risk counts via the exclusive-prefix carry, the product as
-    // exp(Σ ln) with DECIMAL-summed terms.
-    "q_survival" -> ((s, dir) => {
-      val perUser = Tables.events(s, dir)
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-        .groupBy(col("user_id"))
-        .agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
-      val cutoff = Tables.events(s, dir)
-        .agg(date_sub(max(to_date(col("ts"))), 7).as("cutoff"))
-      val lifetimes = perUser.crossJoin(broadcast(cutoff))
-        .select(datediff(col("ld"), col("fd")).cast("long").as("t"),
-          when(col("ld") < col("cutoff"), 1).otherwise(0).as("ev"))
-      graft.operators.EvalOps.kaplanMeier(lifetimes, "t", "ev")
-    }),
+    // Kaplan-Meier survival for TIME-TO-FIRST-PURCHASE under a fixed
+    // 5-day observation horizon: death = the user's first purchase within
+    // 5 days of their first event (at its day offset), right-censored at
+    // day 5 otherwise — the standard fixed-horizon conversion-time design.
+    // Exact: at-risk counts via the exclusive-prefix carry, the product
+    // as exp(Σ ln) with DECIMAL-summed terms.
+    "q_survival" -> ((s, dir) =>
+      graft.operators.EvalOps.kaplanMeier(
+        survivalLifetimes(s, dir), "t", "ev")),
+
+    // Log-rank test between the time-to-purchase curves of two user
+    // cohorts (user_id parity) — the A/B comparison of conversion speed.
+    // Same fixed-horizon construction as q_survival.
+    "q_logrank" -> ((s, dir) =>
+      graft.operators.EvalOps.logRank(
+        survivalLifetimes(s, dir), "t", "ev", "grp")),
 
     // Gap-based sessionization (30-min inactivity) via gaps-and-islands —
     // the batch twin of StreamingOps.sessionize.
@@ -546,16 +580,50 @@ object EventQueries {
         |  COUNT(*) AS n_users
         |FROM weeks JOIN cohorts USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    "q_logrank" ->
+      s"""WITH $survivalCte,
+        |byt AS (
+        |  SELECT t,
+        |    CAST(SUM(CASE WHEN grp = 0 AND ev = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d0,
+        |    CAST(SUM(CASE WHEN grp = 1 AND ev = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1
+        |  FROM lif GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(a0) AS BIGINT) AS nt0,
+        |  CAST(SUM(a1) AS BIGINT) AS nt1 FROM byt),
+        |r AS (
+        |  SELECT t, d0, d1,
+        |    nt0 - COALESCE(SUM(a0) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0,
+        |    nt1 - COALESCE(SUM(a1) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        |    nt0, nt1
+        |  FROM byt, tot),
+        |k AS (
+        |  SELECT t, d0, d1, n0, n1, n0 + n1 AS n, d0 + d1 AS d, nt0, nt1
+        |  FROM r WHERE d0 + d1 > 0),
+        |terms AS (
+        |  SELECT
+        |    CAST(CAST(d0 AS DOUBLE)
+        |      - CAST(n0 AS DOUBLE) * CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS DECIMAL(38,12)) AS diff,
+        |    CAST(CASE WHEN n > 1 THEN
+        |        CAST(n0 * n1 * d * (n - d) AS DOUBLE)
+        |        / CAST(n * n * (n - 1) AS DOUBLE)
+        |      ELSE 0.0 END AS DECIMAL(38,12)) AS v,
+        |    d, nt0, nt1
+        |  FROM k)
+        |SELECT
+        |  ROUND(CAST(SUM(diff) AS DOUBLE) * CAST(SUM(diff) AS DOUBLE)
+        |    / CAST(SUM(v) AS DOUBLE), 6) AS chi2,
+        |  ROUND(CAST(SUM(diff) AS DOUBLE), 6) AS sum_obs_minus_exp,
+        |  CAST(SUM(d) AS BIGINT) AS n_deaths, nt0 AS n0, nt1 AS n1
+        |FROM terms GROUP BY nt0, nt1""".stripMargin,
+
     "q_survival" ->
-      """WITH u AS (
-        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
-        |    MAX(CAST(ts AS DATE)) AS ld
-        |  FROM events GROUP BY 1),
-        |cut AS (SELECT MAX(CAST(ts AS DATE)) - 7 AS cutoff FROM events),
-        |lif AS (
-        |  SELECT CAST(ld - fd AS BIGINT) AS t,
-        |    CASE WHEN ld < cutoff THEN 1 ELSE 0 END AS ev
-        |  FROM u, cut),
+      s"""WITH $survivalCte,
         |byt AS (
         |  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
         |    CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
