@@ -91,6 +91,22 @@ class EvalOpsSpec extends SparkSpecBase {
     assert(dead.length === 1 && dead.head.getDouble(4) === 0.0)
   }
 
+  test("logRank: symmetric cohorts score exactly 0; full separation 19.0") {
+    import spark.implicits._
+    // identical survival in both groups → every diff term is exactly 0
+    val same = (0 until 10).flatMap(i =>
+      Seq((i.toLong % 3 + 1, 1, 0), (i.toLong % 3 + 1, 1, 1)))
+      .toDF("t", "ev", "grp")
+    assert(EvalOps.logRank(same, "t", "ev", "grp")
+      .head().getDouble(0) === 0.0)
+    // group 0 all dies at t=1, group 1 at t=10:
+    // diff = 5 at t=1 only, V = 10·10·10·10/(20²·19) → χ² = 25·7600/10⁴
+    val split = ((1 to 10).map(_ => (1L, 1, 0)) ++
+      (1 to 10).map(_ => (10L, 1, 1))).toDF("t", "ev", "grp")
+    assert(EvalOps.logRank(split, "t", "ev", "grp")
+      .head().getDouble(0) === 19.0)
+  }
+
   test("MCC: perfect 1.0, inverted -1.0, degenerate margin → null") {
     val perfect = scoresDf(Seq((5L, 1L), (6L, 1L), (-5L, 0L), (-6L, 0L)))
     assert(EvalOps.mcc(perfect, "score", "y", 0L)
