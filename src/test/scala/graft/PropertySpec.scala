@@ -195,6 +195,42 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("containment dominates jaccard and matches brute-force overlap") {
+    // overlap = |A∩B|/min(|A|,|B|) ≥ |A∩B|/|A∪B| = jaccard on every pair,
+    // and both must equal the direct set computation on a derived corpus
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota")
+    val docs = (0 until 30).map { i =>
+      val n = 4 + (i * 5) % 14
+      (i.toLong,
+        (0 until n).map(j => vocab((i * 2 + j * 7) % vocab.size)).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val over = graft.operators.DedupOps
+      .ngramContainmentPairs(df, shingleN = 2, maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val jac = graft.operators.DedupOps
+      .ngramJaccardPairs(df, shingleN = 2, maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(over.nonEmpty && over.keySet === jac.keySet)
+    def bigrams(t: String): Set[String] = {
+      val w = t.trim.toLowerCase.split("\\s+").toVector
+      (0 to w.size - 2).map(k => w.slice(k, k + 2).mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> bigrams(t) }.toMap
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    over.foreach { case ((a, b), (ov, ca)) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = sa.intersect(sb).size
+      assert(ov === r6(inter.toDouble / math.min(sa.size, sb.size)))
+      assert(ca === r6(inter.toDouble / sa.size))
+      assert(ov >= jac((a, b)))
+    }
+  }
+
   test("skyline keeps exactly the non-dominated points") {
     val rows = SparkEntry.queries("q_skyline")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
