@@ -261,6 +261,27 @@ object RelationalQueries {
       all.except(withOrders)
     }),
 
+    // U3+ — BAG-semantics set difference (exceptAll): per-value
+    // multiplicity max(|A|−|B|, 0) — the multiset op DISTINCT except
+    // can't express. Total order multiplicities minus urgent-order
+    // multiplicities = each customer appears once per NON-urgent order.
+    "q_except_all" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.select(col("o_custkey"))
+        .exceptAll(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")))
+    }),
+
+    // U3+ — BAG-semantics intersection (intersectAll): per-value
+    // multiplicity min(|A|,|B|) — here min(total orders, urgent orders)
+    // per customer = the urgent multiset again, proving the op exact.
+    "q_intersect_all" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.select(col("o_custkey"))
+        .intersectAll(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")))
+    }),
+
     // F1-F4 — date kitchen sink: epoch-ms→date, format, year/quarter.
     "q_date_functions" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -430,6 +451,16 @@ object RelationalQueries {
     "q_except" ->
       """SELECT c_custkey FROM customer
         |EXCEPT SELECT DISTINCT o_custkey AS c_custkey FROM orders""".stripMargin,
+    "q_except_all" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT o_custkey FROM orders
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "q_date_functions" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
         |  STRFTIME(o_orderdate, '%Y-%m-%d') AS odate_str,
