@@ -240,6 +240,16 @@ object ExtendedQueries {
       gen1.unionByName(gen2, allowMissingColumns = true)
     }),
 
+    // OUTER explode: rows whose array is empty survive with a NULL
+    // element (explode_outer) — the left-join-shaped generator a plain
+    // explode silently drops rows on. Long words (> 7 chars) leave some
+    // docs empty-handed, so the outer semantics are actually exercised.
+    "q_explode_outer" -> ((s, dir) =>
+      Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode_outer(expr(
+          "filter(split(lower(trim(text)), '\\\\s+'), w -> length(w) > 7)"))
+          .as("long_word"))),
+
     // positional explode: token with its 0-based ordinal — the ordinal is
     // what sequence labeling / packing pipelines need and a plain explode
     // drops. Per-row generator, no shuffle; the oracle rebuilds the
@@ -1192,6 +1202,16 @@ object ExtendedQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice,
         |  o_orderpriority AS priority_tag
         |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+    "q_explode_outer" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> length(w) > 7) AS arr
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT t.doc_id, u.long_word
+        |FROM t LEFT JOIN LATERAL
+        |  (SELECT UNNEST(t.arr) AS long_word) u ON TRUE""".stripMargin,
+
     "q_posexplode" ->
       """SELECT doc_id, CAST(i - 1 AS INT) AS pos, arr[i] AS word
         |FROM (SELECT doc_id, string_split(text, ' ') AS arr
