@@ -487,8 +487,12 @@ object Bench {
     val scaleRep = 10
     // trimmed to six entries (q_dedup_exact, q_cosine_knn dropped) for the
     // same reason as the headline trim: the emitted line's length budget
+    // q_quantile_bins at 10× = ~1M distinct cent values (~125k buckets,
+    // 31 super-blocks) — the standing proof the exclusive-prefix carry
+    // stays linear on a wide integer domain
     val scaleQueries = Seq("q1_agg", "q3_shipping_priority", "q_sma",
-      "q_events_sessions", "q_text_quality", "q_minhash_pairs")
+      "q_events_sessions", "q_text_quality", "q_minhash_pairs",
+      "q_quantile_bins")
     // 1x medians for ratio denominators: headline queries already have
     // one; the rest are timed here (not emitted — only the ratio rides)
     val scaleBase = scala.collection.mutable.Map.empty[String, Double]
