@@ -106,6 +106,31 @@ object EventQueries {
         .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
     }),
 
+    // Windowed funnel: each step must land within 24 h of the previous
+    // step's timestamp — the conversion-window form of q_events_funnel
+    // (unbounded windows overcount users who convert weeks later).
+    // Exact timestamp-interval arithmetic on both engines, no floats.
+    "q_funnel_windowed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      t1.select(lit("1_view").as("step"), col("user_id"))
+        .unionByName(t2.select(lit("2_click").as("step"), col("user_id")))
+        .unionByName(t3.select(lit("3_purchase").as("step"), col("user_id")))
+        .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
+    }),
+
     // Weekly retention cohorts: users grouped by first-activity week;
     // n_users active per (cohort, weeks-since). Two shuffles on user_id
     // (cohort agg + join back) + one on the cohort key — the standard
@@ -563,6 +588,25 @@ object EventQueries {
         |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
         |  JOIN t2 ON e.user_id = t2.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        |SELECT step, COUNT(*) AS n_users FROM (
+        |  SELECT '1_view' AS step, user_id FROM t1
+        |  UNION ALL SELECT '2_click', user_id FROM t2
+        |  UNION ALL SELECT '3_purchase', user_id FROM t3) u
+        |GROUP BY step""".stripMargin,
+    "q_funnel_windowed" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |    AND e.ts <= t1.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |    AND e.ts <= t2.t2 + INTERVAL 24 HOUR GROUP BY 1)
         |SELECT step, COUNT(*) AS n_users FROM (
         |  SELECT '1_view' AS step, user_id FROM t1
         |  UNION ALL SELECT '2_click', user_id FROM t2
