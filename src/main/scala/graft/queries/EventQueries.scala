@@ -131,6 +131,27 @@ object EventQueries {
         .groupBy(col("step")).agg(count(lit(1)).as("n_users"))
     }),
 
+    // DAU / trailing-28-day MAU / stickiness. Exact distinct-over-window
+    // without a window function: each (user, active-day) row supports MAU
+    // membership on the 28 days [day, day+27], so membership is an
+    // explode (×28, bounded) + distinct + count — two keyed shuffles,
+    // linear in user-days, where a per-day COUNT(DISTINCT) over a 28-day
+    // frame would rescan the window per day.
+    "q_stickiness" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val dau = ud.groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"))
+      val mau = ud.select(col("user_id"),
+          explode(expr("sequence(day, date_add(day, 27))")).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("mau28"))
+      dau.join(mau, Seq("day"))
+        .select(col("day"), col("dau"), col("mau28"),
+          round(col("dau").cast("double") / col("mau28").cast("double"), 6)
+            .as("stickiness"))
+    }),
+
     // Weekly retention cohorts: users grouped by first-activity week;
     // n_users active per (cohort, weeks-since). Two shuffles on user_id
     // (cohort agg + join back) + one on the cohort key — the standard
@@ -612,6 +633,18 @@ object EventQueries {
         |  UNION ALL SELECT '2_click', user_id FROM t2
         |  UNION ALL SELECT '3_purchase', user_id FROM t3) u
         |GROUP BY step""".stripMargin,
+    "q_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |m AS (
+        |  SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+        |  FROM ud, UNNEST(range(0, 28)) AS t(i)),
+        |mau AS (SELECT day, COUNT(*) AS mau28 FROM m GROUP BY 1)
+        |SELECT d.day, d.dau, mau.mau28,
+        |  ROUND(CAST(d.dau AS DOUBLE) / CAST(mau.mau28 AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM dau d JOIN mau USING (day)""".stripMargin,
     "q_events_retention" ->
       """WITH weeks AS (
         |  SELECT DISTINCT user_id,
