@@ -67,6 +67,35 @@ object EvalQueries {
     "q_calibration" -> ((s, dir) =>
       EvalOps.calibration(scored(s, dir), "score", "y", 10)),
 
+    // Multiclass per-class precision/recall/F1 (3 classes: pred =
+    // pmod(score, 3) vs truth = label mod 3) — exact count ratios from
+    // the 3×3 cell table, one shuffle; macro/micro averages are exact
+    // compositions of these rows.
+    "q_multiclass_prf" -> ((s, dir) => {
+      val sc = scored(s, dir)
+        .select(pmod(col("score"), lit(3)).as("pred"),
+          (col("label") % 3).cast("long").as("truth"))
+      val cells = sc.groupBy(col("pred"), col("truth"))
+        .agg(count(lit(1)).as("n"))
+      val byPred = cells.groupBy(col("pred").as("cls"))
+        .agg(sum(col("n")).as("n_pred"),
+          sum(when(col("pred") === col("truth"), col("n"))
+            .otherwise(0L)).as("tp"))
+      val byTruth = cells.groupBy(col("truth").as("cls"))
+        .agg(sum(col("n")).as("n_true"))
+      byPred.join(byTruth, Seq("cls"), "full")
+        .select(col("cls"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          round(coalesce(col("tp"), lit(0L)).cast("double") /
+            col("n_pred").cast("double"), 6).as("precision"),
+          round(coalesce(col("tp"), lit(0L)).cast("double") /
+            col("n_true").cast("double"), 6).as("recall"),
+          round(coalesce(col("tp"), lit(0L)).cast("double") * 2.0 /
+            (col("n_pred") + col("n_true")).cast("double"), 6).as("f1"))
+    }),
+
     // Matthews correlation at the same threshold as q_confusion.
     "q_mcc" -> ((s, dir) =>
       EvalOps.mcc(scored(s, dir), "score", "y", 0L)),
@@ -399,6 +428,32 @@ object EvalQueries {
         |SELECT v.o_orderkey, v.cents,
         |  CAST(FLOOR(w.below * 10 / t.n_tot) AS BIGINT) AS decile
         |FROM v JOIN w ON w.cents = v.cents, t""".stripMargin,
+
+    "q_multiclass_prf" ->
+      s"""WITH scored AS ($scoredSql),
+         |sc AS (
+         |  SELECT CAST((score % 3 + 3) % 3 AS BIGINT) AS pred,
+         |    CAST(label % 3 AS BIGINT) AS truth
+         |  FROM scored),
+         |cells AS (
+         |  SELECT pred, truth, COUNT(*) AS n FROM sc GROUP BY 1, 2),
+         |bp AS (
+         |  SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS n_pred,
+         |    CAST(SUM(CASE WHEN pred = truth THEN n ELSE 0 END) AS BIGINT)
+         |      AS tp
+         |  FROM cells GROUP BY 1),
+         |bt AS (
+         |  SELECT truth AS cls, CAST(SUM(n) AS BIGINT) AS n_true
+         |  FROM cells GROUP BY 1)
+         |SELECT cls, COALESCE(tp, 0) AS tp,
+         |  COALESCE(n_pred, 0) AS n_pred, COALESCE(n_true, 0) AS n_true,
+         |  ROUND(CAST(COALESCE(tp, 0) AS DOUBLE)
+         |    / CAST(n_pred AS DOUBLE), 6) AS precision,
+         |  ROUND(CAST(COALESCE(tp, 0) AS DOUBLE)
+         |    / CAST(n_true AS DOUBLE), 6) AS recall,
+         |  ROUND(CAST(COALESCE(tp, 0) AS DOUBLE) * 2.0
+         |    / CAST(n_pred + n_true AS DOUBLE), 6) AS f1
+         |FROM bp FULL JOIN bt USING (cls)""".stripMargin,
 
     "q_mcc" ->
       s"""WITH scored AS ($scoredSql),
