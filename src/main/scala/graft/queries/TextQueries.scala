@@ -341,6 +341,32 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("pair")).limit(20)
     }),
 
+    // second BPE iteration: apply merge #1 (the top pair, collapsed to a
+    // single sentinel char — exactly how byte-level BPE folds a merged
+    // token back into a 1-symbol alphabet) and recount adjacent pairs.
+    // Proves the iterative merge loop is expressible: each round is a
+    // broadcast of ONE scalar (the winning pair) + a per-row replace —
+    // the corpus is never re-tokenized from scratch.
+    "q_bpe_merge2" -> ((s, dir) => {
+      val wc = Tables.documents(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+        .filter(length(col("word")) >= 2)
+      def pairCounts(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+      val top1 = pairCounts(wc)
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair").as("m1"))
+      pairCounts(wc.crossJoin(broadcast(top1))
+          .select(org.apache.spark.sql.functions.replace(col("word"),
+            col("m1"), lit("\u0001")).as("word"), col("wc"))
+          .filter(length(col("word")) >= 2))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+    }),
+
     // per-doc n-gram NOVELTY: fraction of the doc's distinct trigrams
     // appearing in no other doc (corpus df = 1) — the memorization-risk /
     // uniqueness signal dual to the duplication stats. df-agg + join-back
@@ -1832,6 +1858,30 @@ object TextQueries {
         |SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt
         |FROM p GROUP BY 1
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "q_bpe_merge2" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |t AS (SELECT unnest(w) AS word FROM words),
+        |wc AS (
+        |  SELECT word, COUNT(*) AS wcnt FROM t
+        |  GROUP BY 1 HAVING length(word) >= 2),
+        |p1 AS (
+        |  SELECT substr(word, i, 2) AS pair, SUM(wcnt) AS cnt
+        |  FROM (SELECT word, wcnt, unnest(range(1, length(word))) AS i
+        |        FROM wc)
+        |  GROUP BY 1),
+        |top1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |merged AS (
+        |  SELECT replace(word, (SELECT pair FROM top1), chr(1)) AS word,
+        |    wcnt
+        |  FROM wc
+        |  WHERE length(replace(word, (SELECT pair FROM top1), chr(1))) >= 2)
+        |SELECT substr(word, i, 2) AS pair, CAST(SUM(wcnt) AS BIGINT) AS cnt
+        |FROM (SELECT word, wcnt, unnest(range(1, length(word))) AS i
+        |      FROM merged)
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     "q_novelty" ->
       """WITH words AS (
