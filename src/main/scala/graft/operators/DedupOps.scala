@@ -562,28 +562,29 @@ object DedupOps {
       : DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val chunks = chunkRows(delta, chunkWords, textCol, idCol).persist(disk)
-    // ONE job materializes the cache (three consumers: key collect, delta
-    // counts, join-back) and collects the pushdown key list
-    val keys = chunks.select(col("h")).distinct()
-      .limit(maxPushdownKeys + 1).collect().map(_.getString(0)).toIndexedSeq
-    val stored =
-      if (keys.size > maxPushdownKeys) storedIndex
-      else prunedByKeys(storedIndex, "h", keys)
-    val dCounts = chunks.groupBy(col("h")).agg(count(lit(1)).as("d_occ"))
-    val tot = dCounts.join(stored, Seq("h"), "left")
-      .select(col("h"),
-        (col("d_occ") + coalesce(col("occ"), lit(0L))).as("occ_total"))
-    val out = chunks.join(tot, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("occ_total") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
-      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
-        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
-          .as("dup_fraction"))
-      .persist(disk)
-    out.count()
-    chunks.unpersist(false)
-    out
+    try {
+      // ONE job materializes the cache (three consumers: key collect, delta
+      // counts, join-back) and collects the pushdown key list
+      val keys = chunks.select(col("h")).distinct()
+        .limit(maxPushdownKeys + 1).collect().map(_.getString(0)).toIndexedSeq
+      val stored =
+        if (keys.size > maxPushdownKeys) storedIndex
+        else prunedByKeys(storedIndex, "h", keys)
+      val dCounts = chunks.groupBy(col("h")).agg(count(lit(1)).as("d_occ"))
+      val tot = dCounts.join(stored, Seq("h"), "left")
+        .select(col("h"),
+          (col("d_occ") + coalesce(col("occ"), lit(0L))).as("occ_total"))
+      val out = chunks.join(tot, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("occ_total") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+            .as("dup_fraction"))
+        .persist(disk)
+      out.count()
+      out
+    } finally chunks.unpersist(false)
   }
 
   /** Cross-document duplicated SPANS at word granularity (the
@@ -610,9 +611,9 @@ object DedupOps {
     * [[duplicatedSpans]] / [[removeDuplicatedSpans]]; persisted because
     * both consumers (df aggregate, join-back) read it twice. */
   private def gramLattice(docs: DataFrame, n: Int, textCol: String,
-                          idCol: String): DataFrame = {
+                          idCol: String, cache: Boolean = true): DataFrame = {
     val w = TextOps.words(col(textCol))
-    docs
+    val lattice = docs
       .select(col(idCol).as("doc_id"), w.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
@@ -621,7 +622,12 @@ object DedupOps {
             (0 until n).map(k => element_at(col("w"), i + k)): _*))))
       .select(col("doc_id"), col("pos"),
         md5(col("col").cast("binary")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // single-consumer callers (buildSpanIndex — run per micro-batch by
+    // spanDedupSink) pass cache=false: an unreleased per-batch cache of a
+    // batch-words-sized lattice would leak across a stream's lifetime
+    if (cache)
+      lattice.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else lattice
   }
 
   def duplicatedSpans(docs: DataFrame, n: Int = 3, minDocs: Int = 2,
@@ -630,23 +636,24 @@ object DedupOps {
     require(n >= 1 && minDocs >= 2,
       s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
     val grams = gramLattice(docs, n, textCol, idCol)
-    grams.count() // materialize before the consumers fork
-    val dup = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDocs)
-      .select(col("h"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val out = grams.join(dup, Seq("h"), "left_semi")
-      .withColumn("grp", col("pos") - row_number().over(win))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("pos")).as("start"), count(lit(1)).as("run"))
-      .select(col("doc_id"), col("start").cast("int").as("span_start"),
-        (col("run") + (n - 1)).cast("int").as("span_words"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    grams.unpersist(false)
-    out
+    try {
+      grams.count() // materialize before the consumers fork
+      val dup = grams.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= minDocs)
+        .select(col("h"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val out = grams.join(dup, Seq("h"), "left_semi")
+        .withColumn("grp", col("pos") - row_number().over(win))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("start"), count(lit(1)).as("run"))
+        .select(col("doc_id"), col("start").cast("int").as("span_start"),
+          (col("run") + (n - 1)).cast("int").as("span_words"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally grams.unpersist(false)
   }
 
   /** Stored side of incremental span dedup: per-gram DISTINCT-doc counts
@@ -656,7 +663,7 @@ object DedupOps {
   def buildSpanIndex(docs: DataFrame, n: Int = 3,
                      textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame =
-    gramLattice(docs, n, textCol, idCol)
+    gramLattice(docs, n, textCol, idCol, cache = false)
       .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("df"))
 
   /** Delta pass of incremental span dedup: [[duplicatedSpans]] for ONLY
@@ -677,28 +684,29 @@ object DedupOps {
     require(n >= 1 && minDocs >= 2,
       s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
     val grams = gramLattice(delta, n, textCol, idCol)
-    val keys = grams.select(col("h")).distinct()
-      .limit(maxPushdownKeys + 1).collect().map(_.getString(0)).toIndexedSeq
-    val stored =
-      if (keys.size > maxPushdownKeys) storedIndex
-      else prunedByKeys(storedIndex, "h", keys)
-    val dDf = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("d_df"))
-    val dup = dDf.join(stored, Seq("h"), "left")
-      .filter(col("d_df") + coalesce(col("df"), lit(0L)) >= minDocs)
-      .select(col("h"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val out = grams.join(dup, Seq("h"), "left_semi")
-      .withColumn("grp", col("pos") - row_number().over(win))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("pos")).as("start"), count(lit(1)).as("run"))
-      .select(col("doc_id"), col("start").cast("int").as("span_start"),
-        (col("run") + (n - 1)).cast("int").as("span_words"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    grams.unpersist(false)
-    out
+    try {
+      val keys = grams.select(col("h")).distinct()
+        .limit(maxPushdownKeys + 1).collect().map(_.getString(0)).toIndexedSeq
+      val stored =
+        if (keys.size > maxPushdownKeys) storedIndex
+        else prunedByKeys(storedIndex, "h", keys)
+      val dDf = grams.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("d_df"))
+      val dup = dDf.join(stored, Seq("h"), "left")
+        .filter(col("d_df") + coalesce(col("df"), lit(0L)) >= minDocs)
+        .select(col("h"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val out = grams.join(dup, Seq("h"), "left_semi")
+        .withColumn("grp", col("pos") - row_number().over(win))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("start"), count(lit(1)).as("run"))
+        .select(col("doc_id"), col("start").cast("int").as("span_start"),
+          (col("run") + (n - 1)).cast("int").as("span_words"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally grams.unpersist(false)
   }
 
   /** The REMOVAL pass over [[duplicatedSpans]]' signal: emit each doc's
@@ -722,34 +730,35 @@ object DedupOps {
     require(n >= 1 && minDocs >= 2,
       s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
     val grams = gramLattice(docs, n, textCol, idCol)
-    grams.count() // materialize before the consumers fork
-    val stats = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-        min(col("doc_id")).as("owner"))
-      .filter(col("df") >= minDocs)
-      .select(col("h"), col("owner"))
-    val covered = grams.join(stats, Seq("h"))
-      .filter(col("doc_id") =!= col("owner"))
-      .select(col("doc_id").as("cd"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
-      .distinct()
-    val toks = docs.select(col(idCol).as("doc_id"),
-      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "word")))
-    val out = toks
-      .join(covered,
-        col("doc_id") === col("cd") && col("pos") === col("wpos"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(when(col("wpos").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-        array_sort(collect_list(when(col("wpos").isNull,
-          struct(col("pos"), col("word"))))).as("kept"))
-      .select(col("doc_id"), col("n_words"), col("n_removed"),
-        concat_ws(" ", expr("transform(kept, x -> x.word)"))
-          .as("cleaned_text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    grams.unpersist(false)
-    out
+    try {
+      grams.count() // materialize before the consumers fork
+      val stats = grams.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          min(col("doc_id")).as("owner"))
+        .filter(col("df") >= minDocs)
+        .select(col("h"), col("owner"))
+      val covered = grams.join(stats, Seq("h"))
+        .filter(col("doc_id") =!= col("owner"))
+        .select(col("doc_id").as("cd"),
+          explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
+        .distinct()
+      val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.words(col(textCol))).as(Seq("pos", "word")))
+      val out = toks
+        .join(covered,
+          col("doc_id") === col("cd") && col("pos") === col("wpos"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("wpos").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          array_sort(collect_list(when(col("wpos").isNull,
+            struct(col("pos"), col("word"))))).as("kept"))
+        .select(col("doc_id"), col("n_words"), col("n_removed"),
+          concat_ws(" ", expr("transform(kept, x -> x.word)"))
+            .as("cleaned_text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    } finally grams.unpersist(false)
   }
 
   /** Content-defined chunking (CDC) passage dedup: chunk boundaries are
@@ -897,45 +906,50 @@ object DedupOps {
                             idCol: String = "doc_id"): DataFrame = {
     import graft.functions.SetExpressions.sorted_intersect_count
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shr = shingleRows(docs, shingleN, textCol, idCol).persist(disk)
-    val candSource =
-      if (maxDf == Int.MaxValue) shr
-      else {
-        val bySh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-        shr.withColumn("df", count(lit(1)).over(bySh))
-          .filter(col("df") <= maxDf).drop("df")
-          .persist(disk)
-      }
-    candSource.count() // materialize: both self-join sides consume it
-    val cand = candSource.as("a")
-      .join(candSource.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    val p = cand.localCheckpoint()
-    val docsInPairs = p.select(col("id_a").as("doc_id"))
-      .union(p.select(col("id_b").as("doc_id"))).distinct()
-    val sets = shingleSets(
-      shr.join(docsInPairs, Seq("doc_id"), "left_semi")).persist(disk)
-    sets.count()
-    val out = p
-      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha"),
-        col("n").as("na")), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hb"),
-        col("n").as("nb")), Seq("id_b"))
-      .withColumn("inter", sorted_intersect_count(col("ha"), col("hb")))
-      .withColumn("overlap",
-        round(col("inter").cast("double") /
-          least(col("na"), col("nb")).cast("double"), 6))
-      .withColumn("contain_a",
-        round(col("inter").cast("double") / col("na").cast("double"), 6))
-      .select(col("id_a"), col("id_b"), col("overlap"), col("contain_a"))
-      .filter(col("overlap") >= minOverlap)
-      .persist(disk)
-    out.count()
-    Seq(shr, sets).foreach(_.unpersist(false))
-    if (!(candSource eq shr)) candSource.unpersist(false)
-    out
+    // tracked persists released in the finally (incrementalIndexedBody
+    // doctrine: a failure between persist and release must not leak
+    // corpus-sized caches for the session)
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def track(df: DataFrame): DataFrame = { tracked += df.persist(disk); df }
+    try {
+      val shr = track(shingleRows(docs, shingleN, textCol, idCol))
+      val candSource =
+        if (maxDf == Int.MaxValue) shr
+        else {
+          val bySh =
+            org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+          track(shr.withColumn("df", count(lit(1)).over(bySh))
+            .filter(col("df") <= maxDf).drop("df"))
+        }
+      candSource.count() // materialize: both self-join sides consume it
+      val cand = candSource.as("a")
+        .join(candSource.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val p = cand.localCheckpoint()
+      val docsInPairs = p.select(col("id_a").as("doc_id"))
+        .union(p.select(col("id_b").as("doc_id"))).distinct()
+      val sets = track(shingleSets(
+        shr.join(docsInPairs, Seq("doc_id"), "left_semi")))
+      sets.count()
+      val out = p
+        .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+          col("n").as("na")), Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+          col("n").as("nb")), Seq("id_b"))
+        .withColumn("inter", sorted_intersect_count(col("ha"), col("hb")))
+        .withColumn("overlap",
+          round(col("inter").cast("double") /
+            least(col("na"), col("nb")).cast("double"), 6))
+        .withColumn("contain_a",
+          round(col("inter").cast("double") / col("na").cast("double"), 6))
+        .select(col("id_a"), col("id_b"), col("overlap"), col("contain_a"))
+        .filter(col("overlap") >= minOverlap)
+        .persist(disk)
+      out.count()
+      out
+    } finally tracked.foreach(_.unpersist(false))
   }
 
   /** Exact-Jaccard verification of candidate pairs — EAGER: computes,

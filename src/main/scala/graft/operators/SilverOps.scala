@@ -746,9 +746,13 @@ object SilverOps {
     val cums = base
       .withColumn("cx", sum(col("xc").cast(d38)).over(run))
       .withColumn("cy", sum(col("yc").cast(d38)).over(run))
-      .withColumn("cxy", sum((col("xc") * col("yc")).cast(d38)).over(run))
-      .withColumn("cxx", sum((col("xc") * col("xc")).cast(d38)).over(run))
-      .withColumn("cyy", sum((col("yc") * col("yc")).cast(d38)).over(run))
+      // cast BEFORE multiplying (the rollingBeta doctrine): volume ≥
+      // ~3.04e9 would make the long×long square wrap silently under
+      // ANSI-off; decimal products are exact at any magnitude and the
+      // values are bit-identical where the long form didn't overflow
+      .withColumn("cxy", sum(col("xc").cast(d38) * col("yc")).over(run))
+      .withColumn("cxx", sum(col("xc").cast(d38) * col("xc")).over(run))
+      .withColumn("cyy", sum(col("yc").cast(d38) * col("yc")).over(run))
       .withColumn("cn", count(lit(1)).over(run))
     def lastN(c: String): Column =
       (col(c) - coalesce(lag(col(c), n).over(w), lit(0).cast(d38)))

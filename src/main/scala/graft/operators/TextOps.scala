@@ -435,8 +435,14 @@ object TextOps {
     val withRn = prio.withColumn("rn",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("priority").desc, col(idCol))))
-    val tau = withRn.filter(col("rn") === k + 1)
-      .select(col("priority").as("tau"))
+    // τ as an AGGREGATE (not a filtered frame): when the input has ≤ k
+    // rows there is no (k+1)-th priority, max() returns null, and τ
+    // coalesces to 0 so est_weight = w — the DLT n ≤ k contract (take
+    // everything, exact weights). The filtered-frame form returned zero
+    // rows there and the crossJoin annihilated the whole sample.
+    val tau = withRn
+      .agg(max(when(col("rn") === k + 1, col("priority"))).as("tau"))
+      .select(coalesce(col("tau"), lit(0.0)).as("tau"))
     withRn.filter(col("rn") <= k).drop("rn")
       .crossJoin(broadcast(tau))
       .withColumn("est_weight",

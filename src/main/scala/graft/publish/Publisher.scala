@@ -61,7 +61,15 @@ object Publisher {
     case d: java.time.LocalDate => "'" + d.toString + "'"
     case b: Array[Byte] => "X'" + b.map("%02X".format(_)).mkString + "'"
     case n: java.math.BigDecimal => n.toPlainString
-    case other => other.toString // numeric types
+    // SQLite has no NaN/Infinity literal — a bare 'NaN' token makes the
+    // whole dump unloadable; SQLite would store them as NULL anyway
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "NULL"
+    case f: java.lang.Float if f.isNaN || f.isInfinite => "NULL"
+    case n @ (_: java.lang.Number) => n.toString
+    case other => // non-scalar (array/struct) — fail loudly, never emit
+      // WrappedArray(...) garbage into a SQL dump
+      throw new IllegalArgumentException(
+        s"unpublishable value type ${other.getClass.getName}")
   }
 
   private def createTable(name: String, schema: StructType): String =

@@ -953,8 +953,10 @@ object DomainQueries {
         |cums AS (
         |  SELECT ticker, date,
         |    SUM(xc) OVER run AS cx, SUM(yc) OVER run AS cy,
-        |    SUM(xc * yc) OVER run AS cxy, SUM(xc * xc) OVER run AS cxx,
-        |    SUM(yc * yc) OVER run AS cyy, COUNT(*) OVER run AS cn
+        |    SUM(CAST(xc AS HUGEINT) * yc) OVER run AS cxy,
+        |    SUM(CAST(xc AS HUGEINT) * xc) OVER run AS cxx,
+        |    SUM(CAST(yc AS HUGEINT) * yc) OVER run AS cyy,
+        |    COUNT(*) OVER run AS cn
         |  FROM ints
         |  WINDOW run AS (PARTITION BY ticker ORDER BY date
         |    ROWS UNBOUNDED PRECEDING)),

@@ -79,6 +79,12 @@ final class HttpMarketSource(baseUrl: String, apiKey: String,
             s"HTTP $s from ${redacted(url)}")
         }
       } catch {
+        // Jackson parse errors subclass IOException but a malformed 200
+        // body is a PAYLOAD fault, not transport — retrying it five times
+        // just delays and then mislabels the real problem
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new RuntimeException(
+            s"unparseable 200 body from ${redacted(url)}: ${e.getMessage}", e)
         case e: java.io.IOException => // timeouts, resets, refused connects
           Left((s"${e.getClass.getSimpleName}: " +
             redacted(Option(e.getMessage).getOrElse("")), None))

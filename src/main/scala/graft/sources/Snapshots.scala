@@ -53,11 +53,16 @@ object Snapshots {
     val f = fs(spark, ref.path)
     val root = new Path(ref.path)
     if (!f.exists(root)) Nil
-    else f.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
-      .map(_.getPath.getName.stripPrefix("v_").toLong)
-      .filter(v => head(spark, ref).exists(v <= _)) // ignore torn writes past head
-      .sorted
+    else {
+      // read the pointer ONCE — inside the filter it re-opened _HEAD per
+      // version directory (N+1 metadata round-trips on an object store)
+      val h = head(spark, ref)
+      f.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+        .map(_.getPath.getName.stripPrefix("v_").toLong)
+        .filter(v => h.exists(v <= _)) // ignore torn writes past head
+        .sorted
+    }
   }
 
   /** Commit `df` as the next version; returns the new version number.
@@ -85,9 +90,10 @@ object Snapshots {
   /** Read the head version, or a pinned historical one (time travel). */
   def read(spark: SparkSession, ref: TableRef,
            version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(head(spark, ref)).getOrElse(
+    val h = head(spark, ref)
+    val v = version.orElse(h).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at ${ref.path}"))
-    require(version.forall(pin => head(spark, ref).exists(_ >= pin)),
+    require(version.forall(pin => h.exists(_ >= pin)),
       s"snapshot v$v is past the committed head at ${ref.path}")
     spark.read.parquet(verPath(ref, v))
   }

@@ -662,6 +662,18 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got === expect)
   }
 
+  test("prioritySample with n <= k returns EVERY row with est_weight = w") {
+    // the DLT contract: no (k+1)-th priority exists, τ = 0, the sample is
+    // the whole input and weights are exact (the filtered-τ form returned
+    // an empty frame here — round-7 review finding)
+    val docs = Seq((1L, "aaaa"), (2L, "bbbbbbbb"), (3L, "cc"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextOps.prioritySample(docs, k = 10, "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("est_weight")).toMap
+    assert(got === Map(1L -> 4.0, 2L -> 8.0, 3L -> 2.0))
+  }
+
   test("bm25: term frequency raises score; termless docs are absent") {
     val docs = Seq(
       (1L, "alpha alpha alpha filler filler filler filler filler"),
