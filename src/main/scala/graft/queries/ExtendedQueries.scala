@@ -271,6 +271,44 @@ object ExtendedQueries {
             .cast("double") / count(lit(1)).over(w), 6).as("cma5"))
     }),
 
+    // classical decomposition: close = trend (centered 5-day MA) +
+    // day-of-week seasonal + residual. Exactness: detrending happens in
+    // 5×cents INTEGER units (det5 = 5·c − Σ₅c — no division until the
+    // final projection), dow is pure integer date arithmetic anchored on
+    // a fixed Monday (engine dayofweek conventions differ), and the one
+    // seasonal mean is a single shared double division. Seasonal means
+    // join back on (ticker, dow) — a 7-row-per-ticker dim.
+    "q_decompose" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
+        .rowsBetween(-2, 2)
+      val base = Tables.bars(s, dir).select(col("ticker"), col("date"),
+        col("close"),
+        round(col("close") * 100).cast("long").as("c"),
+        pmod(datediff(col("date"), to_date(lit("1970-01-05"))), lit(7))
+          .cast("long").as("dow"))
+      val t = base
+        .withColumn("n5", count(lit(1)).over(w))
+        .withColumn("sum5", sum(col("c")).over(w))
+        .withColumn("det5",
+          when(col("n5") === 5, col("c") * 5 - col("sum5")))
+      val seas = t.filter(col("det5").isNotNull)
+        .groupBy(col("ticker"), col("dow"))
+        .agg((sum(col("det5")).cast("double") /
+          count(lit(1)).cast("double")).as("s5"))
+      // UNROUNDED (the q_holt doctrine): every output is a double from an
+      // expression tree the oracle shares verbatim, so the bits match;
+      // rounding would actually BREAK parity on dyadic halves (observed:
+      // resid landing on ...5 at 1e-6 split HALF_UP vs HALF_EVEN)
+      t.join(seas, Seq("ticker", "dow"), "left")
+        .select(col("ticker"), col("date"), col("close"),
+          when(col("n5") === 5, col("sum5").cast("double") / 500.0)
+            .as("trend"),
+          (col("s5") / 500.0).as("seasonal"),
+          when(col("det5").isNotNull && col("s5").isNotNull,
+            (col("det5").cast("double") - col("s5")) / 500.0)
+            .as("resid"))
+    }),
+
     // regexp extraction — digit runs only (a regex subset Java and RE2
     // treat identically).
     "q_regexp" -> ((s, dir) =>
@@ -1225,6 +1263,33 @@ object ExtendedQueries {
         |FROM bars
         |WINDOW w AS (PARTITION BY ticker ORDER BY date
         |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin),
+    "q_decompose" -> (Tables.barsSql +
+      """
+        |, ints AS (
+        |  SELECT ticker, date, close,
+        |    CAST(ROUND(close * 100) AS BIGINT) AS c,
+        |    CAST((CAST(date AS DATE) - DATE '1970-01-05') % 7 AS BIGINT)
+        |      AS dow
+        |  FROM bars),
+        |t AS (
+        |  SELECT *, COUNT(*) OVER w AS n5, SUM(c) OVER w AS sum5,
+        |    CASE WHEN COUNT(*) OVER w = 5
+        |         THEN c * 5 - SUM(c) OVER w END AS det5
+        |  FROM ints
+        |  WINDOW w AS (PARTITION BY ticker ORDER BY date
+        |               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+        |seas AS (
+        |  SELECT ticker, dow,
+        |    CAST(SUM(det5) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS s5
+        |  FROM t WHERE det5 IS NOT NULL GROUP BY 1, 2)
+        |SELECT t.ticker, t.date, t.close,
+        |  CASE WHEN n5 = 5
+        |       THEN CAST(sum5 AS DOUBLE) / 500.0 END AS trend,
+        |  s5 / 500.0 AS seasonal,
+        |  CASE WHEN det5 IS NOT NULL AND s5 IS NOT NULL
+        |       THEN (CAST(det5 AS DOUBLE) - s5) / 500.0
+        |  END AS resid
+        |FROM t LEFT JOIN seas USING (ticker, dow)""".stripMargin),
     "q_regexp" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
