@@ -472,6 +472,30 @@ object DomainQueries {
             (col("n") - 1.0)), 4).as("sharpe"))
     }),
 
+    // Sortino ratio: mean return over DOWNSIDE deviation (target 0,
+    // population form over all n days) — penalizes only losses where
+    // Sharpe penalizes all variance. Same integer micro-unit returns and
+    // decimal power sums as q_sharpe; null when no losing day exists.
+    "q_sortino" -> ((s, dir) => {
+      val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
+      val d38 = DecimalType(38, 0)
+      val r8 = round((col("close") / lag(col("close"), 1).over(w) - 1.0) * 1e8)
+        .cast("long")
+      val d8 = when(col("r8") < 0, col("r8")).otherwise(lit(0L))
+      val sums = Tables.bars(s, dir)
+        .withColumn("r8", r8)
+        .filter(col("r8").isNotNull)
+        .groupBy(col("ticker"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("r8")).cast("double").as("s1"),
+          sum(d8.cast(d38) * d8).cast("double").as("s2d"))
+      sums.select(col("ticker"), col("n").cast("long").as("n_days"),
+        round((col("s1") / col("n")) / 1e8, 8).as("mean_ret"),
+        when(col("s2d") > 0.0,
+          round((col("s1") / col("n")) / sqrt(col("s2d") / col("n")), 4))
+          .as("sortino"))
+    }),
+
     // CAPM beta vs an equal-weight market: the market return per date is the
     // mean of micro-unit integer returns — exact integer sum, ONE double
     // division, re-rounded to micro-units — so both the per-ticker x and the
@@ -1138,6 +1162,24 @@ object DomainQueries {
       """SELECT ticker, CAST(n AS BIGINT) AS n_days,
         |  ROUND((s1 / n) / 1e8, 8) AS mean_ret,
         |  ROUND((s1 / n) / SQRT((s2 - s1 * s1 / n) / (n - 1.0)), 4) AS sharpe
+        |FROM sums""".stripMargin),
+
+    "q_sortino" -> withBars(
+      """r AS (
+        |  SELECT ticker,
+        |    CAST(ROUND((close / LAG(close, 1)
+        |      OVER (PARTITION BY ticker ORDER BY date) - 1.0) * 1e8) AS BIGINT) AS r8
+        |  FROM bars),
+        |sums AS (
+        |  SELECT ticker, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(r8) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(CASE WHEN r8 < 0 THEN r8 ELSE 0 END AS HUGEINT)
+        |      * CASE WHEN r8 < 0 THEN r8 ELSE 0 END) AS DOUBLE) AS s2d
+        |  FROM r WHERE r8 IS NOT NULL GROUP BY ticker)""".stripMargin,
+      """SELECT ticker, CAST(n AS BIGINT) AS n_days,
+        |  ROUND((s1 / n) / 1e8, 8) AS mean_ret,
+        |  CASE WHEN s2d > 0.0
+        |       THEN ROUND((s1 / n) / SQRT(s2d / n), 4) END AS sortino
         |FROM sums""".stripMargin),
 
     "q_beta" -> withBars(
