@@ -34,6 +34,31 @@ object ExtendedQueries {
       (lit(-10.0) + (col("doc_id") * 7919 % 2000) / 100.0).as("lat"),
       (lit(-20.0) + (col("doc_id") * 104729 % 4000) / 100.0).as("lon"))
 
+  /** Shared pipeline of the decomposition family (q_decompose /
+    * q_decomp_anomaly): per-ticker centered 5-day window in 5×cents
+    * integer units plus the (ticker, dow) seasonal-mean join — one tree so
+    * every consumer's doubles are bit-identical to the oracle's. Columns:
+    * ticker, date, close, n5, sum5, det5, s5. */
+  private def decomposedBars(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
+      .rowsBetween(-2, 2)
+    val base = Tables.bars(s, dir).select(col("ticker"), col("date"),
+      col("close"),
+      round(col("close") * 100).cast("long").as("c"),
+      pmod(datediff(col("date"), to_date(lit("1970-01-05"))), lit(7))
+        .cast("long").as("dow"))
+    val t = base
+      .withColumn("n5", count(lit(1)).over(w))
+      .withColumn("sum5", sum(col("c")).over(w))
+      .withColumn("det5",
+        when(col("n5") === 5, col("c") * 5 - col("sum5")))
+    val seas = t.filter(col("det5").isNotNull)
+      .groupBy(col("ticker"), col("dow"))
+      .agg((sum(col("det5")).cast("double") /
+        count(lit(1)).cast("double")).as("s5"))
+    t.join(seas, Seq("ticker", "dow"), "left")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // spatial neighbor join: all point pairs within 1 squared degree via
@@ -278,35 +303,44 @@ object ExtendedQueries {
     // a fixed Monday (engine dayofweek conventions differ), and the one
     // seasonal mean is a single shared double division. Seasonal means
     // join back on (ticker, dow) — a 7-row-per-ticker dim.
-    "q_decompose" -> ((s, dir) => {
-      val w = Window.partitionBy(col("ticker")).orderBy(col("date"))
-        .rowsBetween(-2, 2)
-      val base = Tables.bars(s, dir).select(col("ticker"), col("date"),
-        col("close"),
-        round(col("close") * 100).cast("long").as("c"),
-        pmod(datediff(col("date"), to_date(lit("1970-01-05"))), lit(7))
-          .cast("long").as("dow"))
-      val t = base
-        .withColumn("n5", count(lit(1)).over(w))
-        .withColumn("sum5", sum(col("c")).over(w))
-        .withColumn("det5",
-          when(col("n5") === 5, col("c") * 5 - col("sum5")))
-      val seas = t.filter(col("det5").isNotNull)
-        .groupBy(col("ticker"), col("dow"))
-        .agg((sum(col("det5")).cast("double") /
-          count(lit(1)).cast("double")).as("s5"))
-      // UNROUNDED (the q_holt doctrine): every output is a double from an
-      // expression tree the oracle shares verbatim, so the bits match;
-      // rounding would actually BREAK parity on dyadic halves (observed:
-      // resid landing on ...5 at 1e-6 split HALF_UP vs HALF_EVEN)
-      t.join(seas, Seq("ticker", "dow"), "left")
+    // UNROUNDED (the q_holt doctrine): every output is a double from an
+    // expression tree the oracle shares verbatim, so the bits match;
+    // rounding would actually BREAK parity on dyadic halves (observed:
+    // resid landing on ...5 at 1e-6 split HALF_UP vs HALF_EVEN)
+    "q_decompose" -> ((s, dir) =>
+      decomposedBars(s, dir)
         .select(col("ticker"), col("date"), col("close"),
           when(col("n5") === 5, col("sum5").cast("double") / 500.0)
             .as("trend"),
           (col("s5") / 500.0).as("seasonal"),
           when(col("det5").isNotNull && col("s5").isNotNull,
             (col("det5").cast("double") - col("s5")) / 500.0)
+            .as("resid"))),
+
+    // anomaly screen on the DESEASONALIZED series: days whose
+    // decomposition residual exceeds 3× the ticker's median |resid| — the
+    // scale-free alert a raw z-on-price misfires on every seasonal swing,
+    // thresholded per ticker so a volatile name doesn't drown a quiet one.
+    // Exactness: the flag is a strict comparison over the same shared-tree
+    // doubles q_decompose emits, and the threshold is a median (selection
+    // + one interpolation — the q_mad doctrine), so no double summation
+    // can perturb the result. One hash aggregate on ticker after the
+    // decomposition's existing window; the per-ticker medians broadcast.
+    "q_decomp_anomaly" -> ((s, dir) => {
+      val d = decomposedBars(s, dir)
+        .select(col("ticker"),
+          when(col("det5").isNotNull && col("s5").isNotNull,
+            (col("det5").cast("double") - col("s5")) / 500.0)
             .as("resid"))
+        .filter(col("resid").isNotNull)
+      val med = d.groupBy(col("ticker"))
+        .agg(expr("percentile(abs(resid), 0.5)").as("med_abs"))
+      d.join(broadcast(med), "ticker")
+        .groupBy(col("ticker"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(abs(col("resid")) > col("med_abs") * 3.0, 1L)
+            .otherwise(0L)).as("n_anomalies"),
+          min(col("med_abs")).as("med_abs_resid"))
     }),
 
     // regexp extraction — digit runs only (a regex subset Java and RE2
@@ -1290,6 +1324,40 @@ object ExtendedQueries {
         |       THEN (CAST(det5 AS DOUBLE) - s5) / 500.0
         |  END AS resid
         |FROM t LEFT JOIN seas USING (ticker, dow)""".stripMargin),
+    "q_decomp_anomaly" -> (Tables.barsSql +
+      """
+        |, ints AS (
+        |  SELECT ticker, date, close,
+        |    CAST(ROUND(close * 100) AS BIGINT) AS c,
+        |    CAST((CAST(date AS DATE) - DATE '1970-01-05') % 7 AS BIGINT)
+        |      AS dow
+        |  FROM bars),
+        |t AS (
+        |  SELECT *, COUNT(*) OVER w AS n5, SUM(c) OVER w AS sum5,
+        |    CASE WHEN COUNT(*) OVER w = 5
+        |         THEN c * 5 - SUM(c) OVER w END AS det5
+        |  FROM ints
+        |  WINDOW w AS (PARTITION BY ticker ORDER BY date
+        |               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+        |seas AS (
+        |  SELECT ticker, dow,
+        |    CAST(SUM(det5) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS s5
+        |  FROM t WHERE det5 IS NOT NULL GROUP BY 1, 2),
+        |d AS (
+        |  SELECT t.ticker,
+        |    CASE WHEN det5 IS NOT NULL AND s5 IS NOT NULL
+        |         THEN (CAST(det5 AS DOUBLE) - s5) / 500.0
+        |    END AS resid
+        |  FROM t LEFT JOIN seas USING (ticker, dow)),
+        |r AS (SELECT * FROM d WHERE resid IS NOT NULL),
+        |med AS (
+        |  SELECT ticker, quantile_cont(abs(resid), 0.5) AS med_abs
+        |  FROM r GROUP BY ticker)
+        |SELECT r.ticker, COUNT(*) AS n_days,
+        |  CAST(SUM(CASE WHEN ABS(resid) > med_abs * 3.0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  MIN(med_abs) AS med_abs_resid
+        |FROM r JOIN med USING (ticker) GROUP BY r.ticker""".stripMargin),
     "q_regexp" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
