@@ -401,4 +401,18 @@ class PlanSpec extends SparkSpecBase {
       }
     assert(bare.isEmpty, s"${bare.size} unpartitioned window(s)")
   }
+
+  test("decomp anomaly: medians broadcast, every window ticker-partitioned") {
+    // the per-ticker median dim is 100 rows — a sort-merge here would
+    // re-shuffle the full decomposed series at scale; and the centered-MA
+    // window must never degrade to a global pass
+    val p = plan("q_decomp_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val bare = SparkEntry.queries("q_decomp_anomaly")(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+    assert(bare.isEmpty, s"${bare.size} unpartitioned window(s)")
+  }
 }
