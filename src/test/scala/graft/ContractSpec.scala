@@ -17,15 +17,39 @@ class ContractSpec extends AnyFunSuite with SparkSpecBase {
     // Spark jobs inside fn(spark, sf), so this test executes a share of
     // the workload and a query that hangs at execution hangs here too.
     // That is acceptable: the gate's job is failing BY NAME, not speed.
+    // Piggybacked structural sweep (same construction pass, optimizer
+    // only — no extra execution): every unpartitioned logical Window in
+    // the WHOLE catalog must be on the justified-bounded whitelist below,
+    // and the whitelist must stay exact so an entry can't go stale.
+    val globalWin = scala.collection.mutable.SortedSet.empty[String]
     val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try { fn(spark, sf).schema; None }
+        try {
+          val df = fn(spark, sf)
+          df.schema
+          val bare = df.queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+          }
+          if (bare.nonEmpty) globalWin += name
+          None
+        }
         catch { case e: Throwable =>
           Some(s"$name: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(2).mkString(" ")}")
         }
     }
     assert(broken.isEmpty,
       s"${broken.size} queries fail analysis:\n${broken.mkString("\n")}")
+    // Each entry's global window runs over a pre-bounded frame, never the
+    // raw data: q_heaps — 50-doc buckets (|docs|/50 rows); q_skyline — the
+    // bucketed local-frontier reduction's survivors (PlanSpec pins the
+    // two-phase shape); q_zipf — the vocabulary rank (bounded by the
+    // language); q_priority_sample — row_number over an orderBy.limit(k+1)
+    // (TakeOrderedAndProject feeds ≤ 51 rows in).
+    val whitelist = Set("q_heaps", "q_skyline", "q_zipf", "q_priority_sample")
+    assert(globalWin.toSet === whitelist,
+      s"unpartitioned-window drift — plan sweep found ${globalWin.mkString(", ")} " +
+        s"vs whitelist ${whitelist.toSeq.sorted.mkString(", ")}")
   }
 
   test("every query is oracle-checked or explicitly rows-only") {
