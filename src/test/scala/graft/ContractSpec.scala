@@ -22,6 +22,7 @@ class ContractSpec extends AnyFunSuite with SparkSpecBase {
     // the WHOLE catalog must be on the justified-bounded whitelist below,
     // and the whitelist must stay exact so an entry can't go stale.
     val globalWin = scala.collection.mutable.SortedSet.empty[String]
+    val cartesian = scala.collection.mutable.SortedSet.empty[String]
     val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
@@ -32,6 +33,9 @@ class ContractSpec extends AnyFunSuite with SparkSpecBase {
               if w.partitionSpec.isEmpty => w
           }
           if (bare.nonEmpty) globalWin += name
+          if (df.queryExecution.executedPlan.exists(
+              _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+            cartesian += name
           None
         }
         catch { case e: Throwable =>
@@ -50,6 +54,12 @@ class ContractSpec extends AnyFunSuite with SparkSpecBase {
     assert(globalWin.toSet === whitelist,
       s"unpartitioned-window drift — plan sweep found ${globalWin.mkString(", ")} " +
         s"vs whitelist ${whitelist.toSeq.sorted.mkString(", ")}")
+    // a CartesianProductExec is a partition-crossing product with NO
+    // broadcast — unlike the deliberate broadcast NLJs (band joins,
+    // scalar crossJoins), it never survives a scale-up; nothing in the
+    // catalog is allowed to plan one
+    assert(cartesian.isEmpty,
+      s"CartesianProductExec in: ${cartesian.mkString(", ")}")
   }
 
   test("every query is oracle-checked or explicitly rows-only") {
