@@ -571,6 +571,63 @@ object TextQueries {
     "q_cdc_chunks" -> ((s, dir) =>
       DedupOps.cdcChunkStats(Tables.documents(s, dir))),
 
+    // T5-style span-corruption pair construction (the denoising
+    // objective's data prep): every 7th token masks to a sentinel, the
+    // masked tokens concatenate into the target sequence. Deterministic
+    // (position-driven, no RNG), pure per-row lambda projection — zero
+    // shuffle, trivially linear at any corpus size.
+    "q_span_corrupt" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          expr("cast(size(filter(sequence(1, size(w)), i -> i % 7 = 0)) as int)")
+            .as("n_masked"),
+          expr("array_join(transform(sequence(1, size(w)), " +
+            "i -> CASE WHEN i % 7 = 0 THEN '<X>' ELSE element_at(w, i) END), ' ')")
+            .as("corrupted"),
+          expr("array_join(transform(filter(sequence(1, size(w)), " +
+            "i -> i % 7 = 0), i -> element_at(w, i)), ' ')")
+            .as("targets"))),
+
+    // strided context-window chunking (long-doc splitting for a fixed
+    // model context): 16-word windows at stride 8, so consecutive chunks
+    // overlap by half and no boundary-straddling span is ever unseen —
+    // the third member of the splitting family (q_pack_sequences packs
+    // SHORT docs, q_segment_pairs cuts non-overlapping segments). Pure
+    // per-row generator, no shuffle.
+    "q_stride_chunks" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).as("nw"), posexplode(expr(
+          "transform(sequence(0, cast(floor((size(w) - 1) / 8) as int)), " +
+            "j -> array_join(slice(w, j * 8 + 1, 16), ' '))"))
+          .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(16), col("nw") - col("chunk_idx") * 8).as("n_words"),
+          md5(col("chunk").cast("binary")).as("fp"))),
+
+    // adjacent-segment pair construction (next-segment / contrastive
+    // training data): non-overlapping 8-word segments, each paired with
+    // its successor inside the doc. The lead window is doc-partitioned
+    // (segments per doc, never the corpus); pairs ship as md5
+    // fingerprints so the output stays narrow at any segment length.
+    "q_segment_pairs" -> ((s, dir) => {
+      val segs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(floor((size(w) - 1) / 8) as int)), " +
+            "j -> array_join(slice(w, j * 8 + 1, 8), ' '))"))
+          .as(Seq("seg_idx", "seg")))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("seg_idx"))
+      segs.withColumn("next_seg", lead(col("seg"), 1).over(win))
+        .filter(col("next_seg").isNotNull)
+        .select(col("doc_id"), col("seg_idx"),
+          md5(col("seg").cast("binary")).as("a_fp"),
+          md5(col("next_seg").cast("binary")).as("b_fp"))
+    }),
+
     // PII screening report over the deterministically PII-salted corpus
     // (the synthetic docs carry no PII, so the fixture plants emails /
     // phones / IPs as a doc_id function both engines rebuild identically —
@@ -2203,6 +2260,55 @@ object TextQueries {
         |    / COUNT(*), 6) AS dup_fraction
         |FROM chunks c JOIN df ON df.h = c.h
         |GROUP BY c.doc_id""".stripMargin,
+
+    "q_span_corrupt" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(range(1, len(w) + 1), i -> i % 7 = 0)) AS INT)
+        |    AS n_masked,
+        |  array_to_string(list_transform(range(1, len(w) + 1),
+        |    i -> CASE WHEN i % 7 = 0 THEN '<X>'
+        |              ELSE w[CAST(i AS INTEGER)] END), ' ') AS corrupted,
+        |  array_to_string(list_transform(
+        |    list_filter(range(1, len(w) + 1), i -> i % 7 = 0),
+        |    i -> w[CAST(i AS INTEGER)]), ' ') AS targets
+        |FROM d""".stripMargin,
+
+    "q_stride_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx,
+        |  CAST(LEAST(16, len(w) - j * 8) AS INT) AS n_words,
+        |  md5(array_to_string(
+        |    w[CAST(j * 8 + 1 AS INTEGER):CAST(j * 8 + 16 AS INTEGER)],
+        |    ' ')) AS fp
+        |FROM d CROSS JOIN range(0, 1024) r(j)
+        |WHERE j * 8 < len(w)""".stripMargin,
+
+    "q_segment_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |s AS (
+        |  -- constant range + filter (the winnow-oracle idiom); 1024
+        |  -- segments = 8192 words, far past the fixture's max doc
+        |  SELECT doc_id, CAST(j AS INTEGER) AS seg_idx,
+        |    array_to_string(
+        |      w[CAST(j * 8 + 1 AS INTEGER):CAST(j * 8 + 8 AS INTEGER)],
+        |      ' ') AS seg
+        |  FROM d CROSS JOIN range(0, 1024) r(j)
+        |  WHERE j * 8 < len(w)),
+        |p AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    LEAD(seg) OVER (PARTITION BY doc_id ORDER BY seg_idx)
+        |      AS next_seg
+        |  FROM s)
+        |SELECT doc_id, seg_idx, md5(seg) AS a_fp, md5(next_seg) AS b_fp
+        |FROM p WHERE next_seg IS NOT NULL""".stripMargin,
 
     "q_pii_stats" -> (piiSaltedCte +
       """
