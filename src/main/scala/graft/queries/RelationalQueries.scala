@@ -326,7 +326,49 @@ object RelationalQueries {
       Tables.events(s, dir)
         .select(col("event_id"),
           get_json_object(col("props"), "$.device").as("device"))
-        .filter(col("event_id") <= 500))
+        .filter(col("event_id") <= 500)),
+
+    // RFM customer segmentation: recency/frequency/monetary quartile
+    // scores, segment = concat. Quartile membership via strict compares
+    // against broadcast percentile thresholds (selections — the q_mad
+    // doctrine) instead of a global rank window, so the pass is one hash
+    // aggregate on custkey plus per-row projections; ties land on the
+    // same side of every boundary in any engine or partitioning.
+    "q_rfm" -> ((s, dir) => {
+      val per = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_c"))
+      val anchor = per.agg(max(col("last_d")).as("maxd"))
+      val base = per.crossJoin(broadcast(anchor))
+        .select(col("o_custkey"),
+          datediff(col("maxd"), col("last_d")).as("recency_d"),
+          col("frequency"), col("monetary_c"))
+      val th = base.agg(
+        expr("percentile(recency_d, 0.25)").as("r1"),
+        expr("percentile(recency_d, 0.5)").as("r2"),
+        expr("percentile(recency_d, 0.75)").as("r3"),
+        expr("percentile(frequency, 0.25)").as("f1"),
+        expr("percentile(frequency, 0.5)").as("f2"),
+        expr("percentile(frequency, 0.75)").as("f3"),
+        expr("percentile(monetary_c, 0.25)").as("m1"),
+        expr("percentile(monetary_c, 0.5)").as("m2"),
+        expr("percentile(monetary_c, 0.75)").as("m3"))
+      def tier(c: org.apache.spark.sql.Column, a: String, b: String,
+               cc: String) =
+        lit(1) + (c > col(a)).cast("int") + (c > col(b)).cast("int") +
+          (c > col(cc)).cast("int")
+      base.crossJoin(broadcast(th))
+        .select(col("o_custkey"), col("recency_d"), col("frequency"),
+          col("monetary_c"),
+          // low recency is GOOD: invert the tier
+          (lit(5) - tier(col("recency_d"), "r1", "r2", "r3")).as("r_score"),
+          tier(col("frequency"), "f1", "f2", "f3").as("f_score"),
+          tier(col("monetary_c"), "m1", "m2", "m3").as("m_score"))
+        .withColumn("segment", concat(col("r_score").cast("string"),
+          col("f_score").cast("string"), col("m_score").cast("string")))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -481,6 +523,46 @@ object RelationalQueries {
     "q_sample_n" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    "q_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_c
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT MAX(last_d) AS maxd FROM per),
+        |b AS (
+        |  SELECT o_custkey, CAST(maxd - last_d AS INT) AS recency_d,
+        |    frequency, monetary_c
+        |  FROM per CROSS JOIN a),
+        |th AS (SELECT
+        |  quantile_cont(recency_d, 0.25) AS r1,
+        |  quantile_cont(recency_d, 0.5)  AS r2,
+        |  quantile_cont(recency_d, 0.75) AS r3,
+        |  quantile_cont(frequency, 0.25) AS f1,
+        |  quantile_cont(frequency, 0.5)  AS f2,
+        |  quantile_cont(frequency, 0.75) AS f3,
+        |  quantile_cont(monetary_c, 0.25) AS m1,
+        |  quantile_cont(monetary_c, 0.5)  AS m2,
+        |  quantile_cont(monetary_c, 0.75) AS m3 FROM b),
+        |s AS (
+        |  SELECT o_custkey, recency_d, frequency, monetary_c,
+        |    5 - (1 + CASE WHEN recency_d > r1 THEN 1 ELSE 0 END
+        |           + CASE WHEN recency_d > r2 THEN 1 ELSE 0 END
+        |           + CASE WHEN recency_d > r3 THEN 1 ELSE 0 END) AS r_score,
+        |    1 + CASE WHEN frequency > f1 THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > f2 THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > f3 THEN 1 ELSE 0 END AS f_score,
+        |    1 + CASE WHEN monetary_c > m1 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary_c > m2 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary_c > m3 THEN 1 ELSE 0 END AS m_score
+        |  FROM b CROSS JOIN th)
+        |SELECT o_custkey, recency_d, frequency, monetary_c,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |    CAST(m_score AS VARCHAR) AS segment
+        |FROM s""".stripMargin
   )
 }
