@@ -170,6 +170,35 @@ object EventQueries {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // cohort LTV curve: signup-DAY cohorts × days-since-signup →
+    // cumulative purchase revenue, with the cohort's user count for
+    // per-user normalization downstream. Retention's revenue twin. All
+    // integer: revenue in cents, age in whole days, cumsum over a
+    // cohort-partitioned window whose row count is calendar-bounded.
+    "q_cohort_ltv" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("v_c"))
+      val coh = ev.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_d"))
+      val sized = coh.groupBy(col("cohort_d"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val grid = ev.filter(col("event_type") === "purchase")
+        .join(coh, Seq("user_id"))
+        .groupBy(col("cohort_d"),
+          datediff(col("d"), col("cohort_d")).as("age_d"))
+        .agg(sum(col("v_c")).as("rev_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_d")).orderBy(col("age_d"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grid.withColumn("cum_rev_c", sum(col("rev_c")).over(w))
+        .join(broadcast(sized), Seq("cohort_d"))
+        .select(col("cohort_d"), col("age_d"), col("cohort_users"),
+          col("rev_c"), col("cum_rev_c"))
+    }),
+
     // Kaplan-Meier survival for TIME-TO-FIRST-PURCHASE under a fixed
     // 5-day observation horizon: death = the user's first purchase within
     // 5 days of their first event (at its day offset), right-censored at
@@ -645,6 +674,28 @@ object EventQueries {
         |  ROUND(CAST(d.dau AS DOUBLE) / CAST(mau.mau28 AS DOUBLE), 6)
         |    AS stickiness
         |FROM dau d JOIN mau USING (day)""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+        |    CAST(ROUND(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |coh AS (
+        |  SELECT user_id, MIN(d) AS cohort_d FROM ev GROUP BY 1),
+        |sized AS (SELECT cohort_d, COUNT(*) AS cohort_users
+        |          FROM coh GROUP BY 1),
+        |grid AS (
+        |  SELECT c.cohort_d,
+        |    CAST(e.d - c.cohort_d AS INT) AS age_d,
+        |    CAST(SUM(e.v_c) AS BIGINT) AS rev_c
+        |  FROM ev e JOIN coh c USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT g.cohort_d, g.age_d, s.cohort_users, g.rev_c,
+        |  CAST(SUM(g.rev_c) OVER (PARTITION BY g.cohort_d ORDER BY g.age_d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_rev_c
+        |FROM grid g JOIN sized s USING (cohort_d)""".stripMargin,
+
     "q_events_retention" ->
       """WITH weeks AS (
         |  SELECT DISTINCT user_id,
