@@ -165,6 +165,41 @@ object TextQueries {
             .as("bits_per_word"))
     }),
 
+    // bigram-LM fluency (q_unigram_lm's sequence-aware sibling): per-pair
+    // bit cost -log2((c(w1,w2)+1)/(c(w1)+V)) with add-one smoothing, V =
+    // corpus vocabulary. Conditional probability means scrambled word
+    // order raises the score even when the unigram mix is identical — the
+    // repetition/boilerplate signal unigrams can't see. Pair construction
+    // is a per-row lambda (no shuffle); then two corpus-keyed joins (pair
+    // counts, context counts) + one broadcast scalar; per-pair bits round
+    // to 1e-6 and sum as DECIMAL (order-proof, the q_corr doctrine).
+    "q_bigram_lm" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("g"))
+      val words = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w1"))
+        .filter(col("w1") =!= "")
+      val c2 = pairs.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      val c1 = words.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = c1.agg(count(lit(1)).as("v"))
+      pairs.join(c2, "g")
+        .withColumn("w1", expr("split(g, ' ')[0]"))
+        .join(c1, "w1").crossJoin(broadcast(vocab))
+        .withColumn("bits",
+          round(-log2((col("c2") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double")), 6)
+            .cast(DecimalType(28, 6)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("bits")).cast("double") / count(lit(1)), 4)
+            .as("bits_per_pair"))
+    }),
+
     // composite quality FILTER — the accept/reject gate every corpus
     // pipeline runs on top of the raw metrics (Gopher-style thresholds on
     // length, word shape, punctuation, repetition). Per-rule flags are
@@ -1484,6 +1519,35 @@ object TextQueries {
         |  FROM w JOIN f USING (w) CROSS JOIN tot)
         |SELECT doc_id, COUNT(*) AS n_words,
         |  ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS bits_per_word
+        |FROM b GROUP BY doc_id""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    w[CAST(i + 1 AS INTEGER)] || ' ' || w[CAST(i + 2 AS INTEGER)]
+        |      AS g
+        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i
+        |        FROM d WHERE len(w) >= 2)),
+        |wd AS (
+        |  SELECT doc_id, w1
+        |  FROM documents,
+        |    UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS t(w1)
+        |  WHERE w1 <> ''),
+        |c2 AS (SELECT g, COUNT(*) AS c2 FROM p GROUP BY 1),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM wd GROUP BY 1),
+        |v AS (SELECT COUNT(*) AS v FROM c1),
+        |b AS (
+        |  SELECT p.doc_id,
+        |    CAST(ROUND(-log2(CAST(c2.c2 + 1 AS DOUBLE)
+        |      / CAST(c1.c1 + v.v AS DOUBLE)), 6) AS DECIMAL(28,6)) AS bits
+        |  FROM p JOIN c2 USING (g)
+        |  JOIN c1 ON c1.w1 = string_split(p.g, ' ')[1]
+        |  CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_pairs,
+        |  ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS bits_per_pair
         |FROM b GROUP BY doc_id""".stripMargin,
 
     "q_quality_filter" ->
