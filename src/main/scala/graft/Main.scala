@@ -38,6 +38,14 @@ object Main {
           f"maxAbsError=${r.maxAbsError}%.6f ${if (r.ok) "OK" else "FAILED"}")
         if (!r.ok) sys.exit(1)
       case "clean"    => Pipeline.runClean(spark, lake)
+      // training-corpus curation: quality gate → exact dedup → near-dup
+      // removal → split/shard assignment, written under <lakeRoot>/curated
+      case "curate"   =>
+        val st = graft.pipeline.CurationPipeline.run(
+          spark, sfDir, s"${lake.root}/curated")
+        println(s"curate: input=${st.input} quality=${st.afterQuality} " +
+          s"exact=${st.afterExact} neardup=${st.afterNearDup} " +
+          s"written=${st.written} -> ${lake.root}/curated")
       // Datasette-style publishing (reference metadata.json surface):
       // SQLite-loadable dump + query metadata under <lakeRoot>/publish
       case "publish"  =>

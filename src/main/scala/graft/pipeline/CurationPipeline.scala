@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.operators.{DedupOps, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Per-stage survivor counts of one [[CurationPipeline.run]]. Monotone
+  * non-increasing after `input`; `written` re-reads the output table so a
+  * torn or dropped write surfaces as a count mismatch, not silence. */
+case class CurationStats(input: Long, afterQuality: Long, afterExact: Long,
+                         afterNearDup: Long, written: Long)
+
+/** End-to-end corpus curation — the training-data twin of the market
+  * pipeline's bronze→silver→gold ([[Pipeline.runAll]]): one CLI verb
+  * (`graft.Main curate`) that composes the already-oracled stages into a
+  * written, split-partitioned corpus.
+  *
+  * Stages (each a library op with its own oracle-checked query):
+  *  1. Gopher-style quality gate + PII screen — the q_quality_filter
+  *     thresholds plus n_pii = 0 (the ScaleBench curation tier's gate).
+  *  2. Exact dedup, keep-first — min doc_id per whitespace/case-normal
+  *     md5 fingerprint (q_dedup_exact's survivorship).
+  *  3. Near-dup removal — MinHash+LSH candidates ≥ `minJaccard`,
+  *     connected components, canonical (smallest-id) survivor per cluster
+  *     (q_neardup_clusters).
+  *  4. Deterministic split + shard assignment (q_hash_split), written
+  *     partitioned by split.
+  *
+  * Scale shape: every stage is the query's own one-or-two-shuffle plan;
+  * the composition adds NO extra pass over the text — stage outputs are
+  * doc_id semi-join filters against the persisted corpus projection. The
+  * stage counts are driver-side scalar aggregates, not collected rows.
+  */
+object CurationPipeline {
+
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          minJaccard: Double = 0.5): CurationStats = {
+    val docs = Tables.documents(spark, sfDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val input = docs.count() // materialize before the gate's three consumers
+
+    // 1. quality + PII gate (inner joins also drop zero-word docs, which
+    // wordStats cannot score — the strictest reading of the gate)
+    val m = TextOps.qualityMetrics(docs)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("punct_ratio"))
+    val w = TextOps.wordStats(docs).select(col("doc_id"), col("rep_ratio"))
+    val p = TextOps.piiStats(docs).select(col("doc_id"), col("n_pii"))
+    val keep = m.join(w, Seq("doc_id")).join(p, Seq("doc_id"))
+      .filter(col("n_words") >= 10 && col("mean_word_len") >= 2 &&
+        col("mean_word_len") <= 12 && col("punct_ratio") <= 0.2 &&
+        col("rep_ratio") <= 0.4 && col("n_pii") === 0)
+      .select(col("doc_id"))
+    val q = docs.join(keep, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterQuality = q.count()
+
+    // 2. exact dedup, keep-first
+    val fp = q.withColumn("fp",
+      md5(TextOps.normalize(col("text")).cast("binary")))
+    val firsts = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val e = fp.join(firsts, Seq("fp", "doc_id"), "left_semi").drop("fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterExact = e.count()
+    q.unpersist(false)
+
+    // 3. near-dup removal (LSH → CC → canonical survivor)
+    val out = DedupOps.dedupNearDups(e, minJaccard)
+      .filter(col("is_canonical"))
+      .drop("cluster", "is_canonical")
+      // 4. deterministic split/shard assignment
+      .withColumn("split", TextOps.splitAssign(col("doc_id")))
+      .withColumn("shard", TextOps.hashBucket(col("doc_id"), 8))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterNearDup = out.count()
+    out.write.mode("overwrite").partitionBy("split").parquet(outDir)
+    out.unpersist(false)
+    e.unpersist(false)
+    docs.unpersist(false)
+    val written = spark.read.parquet(outDir).count()
+    CurationStats(input, afterQuality, afterExact, afterNearDup, written)
+  }
+}
