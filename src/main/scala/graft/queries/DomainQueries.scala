@@ -101,28 +101,23 @@ object DomainQueries {
     // α=0.25 ⇒ β=0.75, both exact binary doubles, so the fold and the
     // oracle's recursive CTE run the identical IEEE op sequence.
     "q_ema" -> ((s, dir) =>
-      SilverOps.ema(Tables.bars(s, dir), alpha = 0.25)
-        .withColumn("ema", round(col("ema"), 6))),
+      SilverOps.ema(Tables.bars(s, dir), alpha = 0.25)),
 
     // MACD + signal + histogram from the single three-accumulator fold.
     "q_macd" -> ((s, dir) =>
       SilverOps.macd(Tables.bars(s, dir))
         .select(col("ticker"), col("date"), col("close"),
-          round(col("macd"), 6).as("macd"),
-          round(col("signal"), 6).as("signal"),
-          round(col("histogram"), 6).as("histogram"))),
+          col("macd"), col("signal"), col("histogram"))),
 
     // Wilder-smoothed RSI (α=0.0625 — binary-exact Wilder-16 variant;
     // q_rsi keeps the simple-average RSI-14 surface).
     "q_rsi_wilder" -> ((s, dir) =>
-      SilverOps.wilderRsi(Tables.bars(s, dir))
-        .withColumn("rsi_wilder", round(col("rsi_wilder"), 6))),
+      SilverOps.wilderRsi(Tables.bars(s, dir))),
 
     // Kaufman adaptive MA — the adaptive-α member of the fold family;
     // integer-cents efficiency ratio, binary-exact 5/8 / 1/16 constants.
     "q_kama" -> ((s, dir) =>
-      SilverOps.kama(Tables.bars(s, dir))
-        .withColumn("kama", round(col("kama"), 6))),
+      SilverOps.kama(Tables.bars(s, dir))),
 
     // Holt level+trend smoothing — the forecasting fold; α=1/2, β=1/4
     // binary-exact, one-step-ahead forecast emitted per bar. Emitted RAW
@@ -662,7 +657,7 @@ object DomainQueries {
         |  SELECT o.ticker, o.date, o.close, o.rn,
         |    0.25 * o.close + 0.75 * r.ema
         |  FROM o JOIN r ON o.ticker = r.ticker AND o.rn = r.rn + 1)
-        |SELECT ticker, date, close, ROUND(ema, 6) AS ema FROM r""".stripMargin),
+        |SELECT ticker, date, close, ema FROM r""".stripMargin),
 
     // MACD recursion: the CTE frontier carries all three accumulators
     // (fast, slow, signal), exactly like the Spark fold's struct state
@@ -682,8 +677,8 @@ object DomainQueries {
         |  FROM o JOIN r ON o.ticker = r.ticker AND o.rn = r.rn + 1,
         |  LATERAL (SELECT 0.1875 * o.close + 0.8125 * r.ef AS nf,
         |                  0.0625 * o.close + 0.9375 * r.es AS ns) c)
-        |SELECT ticker, date, close, ROUND(macd, 6) AS macd,
-        |  ROUND(sig, 6) AS signal, ROUND(macd - sig, 6) AS histogram
+        |SELECT ticker, date, close, macd,
+        |  sig AS signal, macd - sig AS histogram
         |FROM r""".stripMargin),
 
     // KAMA recursion: integer-cents deltas make the trailing volatility
@@ -713,7 +708,7 @@ object DomainQueries {
         |  LATERAL (SELECT (CASE WHEN o.vol = 0 THEN 0.0
         |                        ELSE CAST(o.chg AS DOUBLE) / CAST(o.vol AS DOUBLE)
         |                   END) * 0.5625 + 0.0625 AS scr) c)
-        |SELECT o0.ticker, o0.date, o0.close, ROUND(r.kama, 6) AS kama
+        |SELECT o0.ticker, o0.date, o0.close, r.kama AS kama
         |FROM o0 LEFT JOIN r ON o0.ticker = r.ticker AND o0.rn = r.rn""".stripMargin),
 
     // Holt recursion: frontier carries (level, trend); the emitted
@@ -857,9 +852,9 @@ object DomainQueries {
         |    0.0625 * GREATEST(r.close - o.close, 0) + 0.9375 * r.al
         |  FROM o JOIN r ON o.ticker = r.ticker AND o.rn = r.rn + 1)
         |SELECT ticker, date, close,
-        |  ROUND(CASE WHEN ag = 0 AND al = 0 THEN NULL
-        |             WHEN al = 0 THEN 100
-        |             ELSE 100 - 100 / (1 + ag / al) END, 6) AS rsi_wilder
+        |  CASE WHEN ag = 0 AND al = 0 THEN NULL
+        |       WHEN al = 0 THEN 100
+        |       ELSE 100 - 100 / (1 + ag / al) END AS rsi_wilder
         |FROM r""".stripMargin),
 
     "q_atr" -> withBars(
