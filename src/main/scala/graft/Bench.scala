@@ -546,6 +546,17 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft_bench_lake").toString)
       timed("pipeline_full") { graft.pipeline.Pipeline.runAll(spark, sfDir, lake) }
     })
+    // composed corpus curation (the curate verb) end-to-end: gate → exact
+    // dedup → near-dup CC survivors → assignment → partitioned write
+    val curationTime = section(Seq("curation_full"), 0.0) {
+      median((1 to runs).map { _ =>
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_bench_cur").toString
+        timed("curation_full") {
+          graft.pipeline.CurationPipeline.run(spark, sfDir, out)
+        }
+      })
+    }
     val stageAvg = graft.pipeline.Timing.snapshot("pipeline")
       .map { case (k, v) => k -> v / runs }
     graft.pipeline.Timing.record(false)
@@ -567,7 +578,8 @@ object Bench {
       "stream_dedup_10k" -> tDedup10k,
       "extrema_deque" -> tExtremaDeque,
       "extrema_sliding" -> tExtremaSliding,
-      "pipeline_full" -> pipelineTime)
+      "pipeline_full" -> pipelineTime,
+      "curation_full" -> curationTime)
     // scale10_* timings ride ONLY in scaleJson (with their ratio) — also
     // listing them in `queries` doubled the JSON line toward the driver's
     // 2000-char stdout capture window (the round-1 truncation failure mode)
