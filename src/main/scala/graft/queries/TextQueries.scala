@@ -1147,6 +1147,15 @@ object TextQueries {
       MultimodalOps.decodeBmp(
         MultimodalOps.encodeBmp(Tables.documents(s, dir)))),
 
+    // REAL compressed-image decode: PNG with zlib DEFLATE and the five
+    // scanline filters (cycled per row, so every reconstruction branch
+    // runs), chunk CRC32s validated. The oracle replays the pixel closed
+    // forms — a wrong filter inverse, a missed big-endian field, or a
+    // broken inflate scrambles the means/top-left and fails the hash.
+    "q_png_decode" -> ((s, dir) =>
+      MultimodalOps.decodePng(
+        MultimodalOps.encodePng(Tables.documents(s, dir)))),
+
     // Perceptual average-hash over the REAL decoded BMP bytes: per-pixel
     // luma vs the exact image mean (luma·n > Σluma — no division), packed
     // LSB-first in image row-major order. The oracle replays the pixel
@@ -3027,6 +3036,27 @@ object TextQueries {
         |  ROUND(AVG((doc_id * 7 + k * 13) % 256), 6) AS mean_b,
         |  ROUND(AVG((doc_id * 11 + k * 17) % 256), 6) AS mean_g,
         |  ROUND(AVG((doc_id * 3 + k * 19) % 256), 6) AS mean_r
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
+
+    "q_png_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS INTEGER) AS width,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height, CAST(t.i AS BIGINT) AS k
+        |  FROM d CROSS JOIN range(0, 48) t(i)
+        |  WHERE t.i < d.width * d.height)
+        |SELECT doc_id, width, height,
+        |  CAST(8 AS INTEGER) AS bit_depth, CAST(2 AS INTEGER) AS color_type,
+        |  CAST(height * (1 + 3 * width) AS INTEGER) AS n_raw,
+        |  CAST((doc_id * 3) % 256 AS INTEGER) AS px_r,
+        |  CAST((doc_id * 11) % 256 AS INTEGER) AS px_g,
+        |  CAST((doc_id * 7) % 256 AS INTEGER) AS px_b,
+        |  ROUND(AVG((doc_id * 3 + k * 19) % 256), 6) AS mean_r,
+        |  ROUND(AVG((doc_id * 11 + k * 17) % 256), 6) AS mean_g,
+        |  ROUND(AVG((doc_id * 7 + k * 13) % 256), 6) AS mean_b
         |FROM px GROUP BY doc_id, width, height""".stripMargin,
 
     // perceptual hash: replay the pixel closed form, luma = B+G+R, bit k

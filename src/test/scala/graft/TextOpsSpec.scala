@@ -317,6 +317,46 @@ class TextOpsSpec extends SparkSpecBase {
     assert(ref.forall(_.toString === bu.toString))
   }
 
+  test("PNG decode: inflate + all five filter inverses, CRC and truncation fail loudly") {
+    import spark.implicits._
+    // byte-level fixture: real signature, chunk layout, deflated IDAT
+    val bytes = MultimodalOps.pngBytes(5L) // w=4+5%5=4, h=4+5%3=6 → filters 0..4,0
+    assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P'.toByte)
+    // decode matches the BMP closed forms (same channels, RGB order);
+    // h=6 docs cycle through every filter type including Paeth
+    val docs = Tables.documents(spark, sf).limit(60)
+    val decoded = MultimodalOps.decodePng(MultimodalOps.encodePng(docs))
+    assert(decoded.schema === MultimodalOps.pngStatsSchema)
+    val rows = decoded.collect()
+    assert(rows.length === 60)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((4 + id % 5).toInt, (4 + id % 3).toInt)
+      assert(r.getInt(1) === w && r.getInt(2) === h)
+      assert(r.getInt(3) === 8 && r.getInt(4) === 2)
+      assert(r.getInt(5) === h * (1 + 3 * w))
+      // top-left pixel k=0, RGB order (PNG) vs BGR (BMP)
+      assert(r.getInt(6) === ((id * 3) % 256).toInt)
+      assert(r.getInt(7) === ((id * 11) % 256).toInt)
+      assert(r.getInt(8) === ((id * 7) % 256).toInt)
+    }
+    // corrupt one IDAT byte → the CRC check names the chunk and doc
+    val corrupt = bytes.clone()
+    corrupt(45) = (corrupt(45) ^ 0x1).toByte // inside IHDR/IDAT body
+    val eCrc = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodePng(
+        Seq((5L, corrupt)).toDF("doc_id", "payload")).collect()
+    }
+    assert(eCrc.getMessage.contains("CRC") || eCrc.getCause != null)
+    // truncated payload → loud failure, not an index error deep in a loop
+    val eTrunc = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodePng(
+        Seq((5L, bytes.take(30))).toDF("doc_id", "payload")).collect()
+    }
+    assert(eTrunc.getMessage.toLowerCase.contains("truncated") ||
+      eTrunc.getCause != null)
+  }
+
   test("aHash: image-order bit packing, top-down twin equal, banding recall 1") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(100)
