@@ -37,49 +37,51 @@ object CurationPipeline {
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
           minJaccard: Double = 0.5): CurationStats = {
-    val docs = Tables.documents(spark, sfDir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val input = docs.count() // materialize before the gate's three consumers
+    // every stage cache is released even on a mid-run failure (the
+    // incremental-dedup finally-release doctrine)
+    val tracked = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.sql.DataFrame]
+    def track(df: org.apache.spark.sql.DataFrame) = {
+      tracked += df.persist(StorageLevel.MEMORY_AND_DISK); df
+    }
+    try {
+      val docs = track(Tables.documents(spark, sfDir))
+      val input = docs.count() // materialize before the gate's 3 consumers
 
-    // 1. quality + PII gate (inner joins also drop zero-word docs, which
-    // wordStats cannot score — the strictest reading of the gate)
-    val m = TextOps.qualityMetrics(docs)
-      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-        col("punct_ratio"))
-    val w = TextOps.wordStats(docs).select(col("doc_id"), col("rep_ratio"))
-    val p = TextOps.piiStats(docs).select(col("doc_id"), col("n_pii"))
-    val keep = m.join(w, Seq("doc_id")).join(p, Seq("doc_id"))
-      .filter(col("n_words") >= 10 && col("mean_word_len") >= 2 &&
-        col("mean_word_len") <= 12 && col("punct_ratio") <= 0.2 &&
-        col("rep_ratio") <= 0.4 && col("n_pii") === 0)
-      .select(col("doc_id"))
-    val q = docs.join(keep, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterQuality = q.count()
+      // 1. quality + PII gate (inner joins also drop zero-word docs, which
+      // wordStats cannot score — the strictest reading of the gate)
+      val m = TextOps.qualityMetrics(docs)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("punct_ratio"))
+      val w = TextOps.wordStats(docs).select(col("doc_id"), col("rep_ratio"))
+      val p = TextOps.piiStats(docs).select(col("doc_id"), col("n_pii"))
+      val keep = m.join(w, Seq("doc_id")).join(p, Seq("doc_id"))
+        .filter(col("n_words") >= 10 && col("mean_word_len") >= 2 &&
+          col("mean_word_len") <= 12 && col("punct_ratio") <= 0.2 &&
+          col("rep_ratio") <= 0.4 && col("n_pii") === 0)
+        .select(col("doc_id"))
+      val q = track(docs.join(keep, Seq("doc_id"), "left_semi"))
+      val afterQuality = q.count()
 
-    // 2. exact dedup, keep-first
-    val fp = q.withColumn("fp",
-      md5(TextOps.normalize(col("text")).cast("binary")))
-    val firsts = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-    val e = fp.join(firsts, Seq("fp", "doc_id"), "left_semi").drop("fp")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterExact = e.count()
-    q.unpersist(false)
+      // 2. exact dedup, keep-first
+      val fp = q.withColumn("fp",
+        md5(TextOps.normalize(col("text")).cast("binary")))
+      val firsts = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val e = track(fp.join(firsts, Seq("fp", "doc_id"), "left_semi")
+        .drop("fp"))
+      val afterExact = e.count()
 
-    // 3. near-dup removal (LSH → CC → canonical survivor)
-    val out = DedupOps.dedupNearDups(e, minJaccard)
-      .filter(col("is_canonical"))
-      .drop("cluster", "is_canonical")
-      // 4. deterministic split/shard assignment
-      .withColumn("split", TextOps.splitAssign(col("doc_id")))
-      .withColumn("shard", TextOps.hashBucket(col("doc_id"), 8))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterNearDup = out.count()
-    out.write.mode("overwrite").partitionBy("split").parquet(outDir)
-    out.unpersist(false)
-    e.unpersist(false)
-    docs.unpersist(false)
-    val written = spark.read.parquet(outDir).count()
-    CurationStats(input, afterQuality, afterExact, afterNearDup, written)
+      // 3. near-dup removal (LSH → CC → canonical survivor)
+      val out = track(DedupOps.dedupNearDups(e, minJaccard)
+        .filter(col("is_canonical"))
+        .drop("cluster", "is_canonical")
+        // 4. deterministic split/shard assignment
+        .withColumn("split", TextOps.splitAssign(col("doc_id")))
+        .withColumn("shard", TextOps.hashBucket(col("doc_id"), 8)))
+      val afterNearDup = out.count()
+      out.write.mode("overwrite").partitionBy("split").parquet(outDir)
+      val written = spark.read.parquet(outDir).count()
+      CurationStats(input, afterQuality, afterExact, afterNearDup, written)
+    } finally tracked.foreach(_.unpersist(false))
   }
 }
