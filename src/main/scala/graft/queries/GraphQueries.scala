@@ -81,7 +81,41 @@ object GraphQueries {
       GraphOps.labelPropagation(edges(s, dir), iters = 3)),
 
     "q_bfs_dist" -> ((s, dir) =>
-      GraphOps.bfsDistances(edges(s, dir), source = 1L, maxHops = 3)))
+      GraphOps.bfsDistances(edges(s, dir), source = 1L, maxHops = 3)),
+
+    // Jaccard link prediction over 2-hop candidate pairs: per-node sorted
+    // neighbor sets, candidates generated THROUGH the shared neighbor
+    // (bounded by Σdeg², never all pairs), common-neighbor counts via the
+    // codegen sorted-merge expression (the Jaccard-verify machinery,
+    // reused on graph neighborhoods). is_edge flags whether the scored
+    // pair already exists — the prediction targets are the 0 rows.
+    // Jaccard ships UNROUNDED (one shared division of exact integers;
+    // denominators like 128 land exact 1e-7 halves where ROUND splits).
+    "q_link_predict" -> ((s, dir) => {
+      val e = edges(s, dir).filter(col("src") =!= col("dst")).distinct()
+      val und = e.select(col("src").as("a"), col("dst").as("b"))
+        .union(e.select(col("dst").as("a"), col("src").as("b"))).distinct()
+      val nbr = und.groupBy(col("a").as("n"))
+        .agg(array_sort(collect_set(col("b"))).as("nb"))
+      val cand = und.as("l").join(und.as("r"), col("l.a") === col("r.a"))
+        .filter(col("l.b") < col("r.b"))
+        .select(col("l.b").as("x"), col("r.b").as("y")).distinct()
+      val isEdge = und
+        .select(least(col("a"), col("b")).as("x"),
+          greatest(col("a"), col("b")).as("y")).distinct()
+        .withColumn("is_edge", lit(1))
+      cand
+        .join(nbr.select(col("n").as("x"), col("nb").as("nx")), Seq("x"))
+        .join(nbr.select(col("n").as("y"), col("nb").as("ny")), Seq("y"))
+        .withColumn("cn", graft.functions.SetExpressions
+          .sorted_intersect_count(col("nx"), col("ny")))
+        .join(isEdge, Seq("x", "y"), "left")
+        .select(col("x"), col("y"), col("cn").cast("int").as("cn"),
+          size(col("nx")).as("deg_x"), size(col("ny")).as("deg_y"),
+          (col("cn").cast("double") /
+            (size(col("nx")) + size(col("ny")) - col("cn"))).as("jaccard"),
+          coalesce(col("is_edge"), lit(0)).as("is_edge"))
+    }))
 
   def oracles: Map[String, String] = Map(
     "q_pagerank" ->
@@ -141,5 +175,33 @@ object GraphQueries {
          |${bfsIterSql(1)},
          |${bfsIterSql(2)},
          |${bfsIterSql(3)}
-         |SELECT n AS node, CAST(dist AS INT) AS dist FROM d3""".stripMargin)
+         |SELECT n AS node, CAST(dist AS INT) AS dist FROM d3""".stripMargin,
+
+    "q_link_predict" ->
+      s"""WITH $edgesSql,
+         |und AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION
+         |  SELECT dst AS a, src AS b FROM edges),
+         |nbr AS (
+         |  SELECT a AS n, list_sort(list(DISTINCT b)) AS nb
+         |  FROM und GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT l.b AS x, r.b AS y
+         |  FROM und l JOIN und r ON l.a = r.a WHERE l.b < r.b),
+         |ed AS (
+         |  SELECT DISTINCT LEAST(a, b) AS x, GREATEST(a, b) AS y, 1 AS ie
+         |  FROM und),
+         |sc AS (
+         |  SELECT c.x, c.y,
+         |    len(list_filter(nx.nb, e -> list_contains(ny.nb, e))) AS cn,
+         |    len(nx.nb) AS ua, len(ny.nb) AS ub
+         |  FROM cand c
+         |  JOIN nbr nx ON nx.n = c.x
+         |  JOIN nbr ny ON ny.n = c.y)
+         |SELECT sc.x, sc.y, CAST(cn AS INT) AS cn,
+         |  CAST(ua AS INT) AS deg_x, CAST(ub AS INT) AS deg_y,
+         |  CAST(cn AS DOUBLE) / (ua + ub - cn) AS jaccard,
+         |  COALESCE(ed.ie, 0) AS is_edge
+         |FROM sc LEFT JOIN ed ON ed.x = sc.x AND ed.y = sc.y""".stripMargin)
 }
