@@ -567,6 +567,22 @@ object MultimodalOps {
     out.toByteArray
   }
 
+  /** Production ingest path for binary payloads: Spark's `binaryFile`
+    * source over a directory of media files (object-store listing at
+    * scale), doc_id parsed from the file stem. Columns: (doc_id, payload)
+    * — the exact shape [[decodeBmp]]/[[decodePng]]/[[decodeWav]] consume,
+    * so `readPayloadFiles(...) |> decodePng` is the real pipeline.
+    * `pathGlobFilter` prunes at the LISTING, before any bytes move. */
+  def readPayloadFiles(spark: SparkSession, dir: String,
+                       glob: String = "*.png"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.[A-Za-z0-9]+$", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("payload"))
+
   /** Synthesize the PNG payload column (the compressed-image fixture). */
   def encodePng(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val enc = RowEncoder.encoderFor(payloadSchema)

@@ -161,7 +161,11 @@ object TextQueries {
             .cast(DecimalType(28, 6)))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"),
-          round(sum(col("bits")).cast("double") / count(lit(1)), 4)
+          // UNROUNDED (q_holt doctrine): the decimal bit sum and the
+          // division are shared trees; round(…,4) split near 4-dp halves
+          // at sf0.1 (Spark rounds the shortest decimal repr, DuckDB the
+          // binary value — 3 of 5000 docs diverged)
+          (sum(col("bits")).cast("double") / count(lit(1)))
             .as("bits_per_word"))
     }),
 
@@ -196,7 +200,7 @@ object TextQueries {
             .cast(DecimalType(28, 6)))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_pairs"),
-          round(sum(col("bits")).cast("double") / count(lit(1)), 4)
+          (sum(col("bits")).cast("double") / count(lit(1)))
             .as("bits_per_pair"))
     }),
 
@@ -1527,7 +1531,7 @@ object TextQueries {
         |      AS DECIMAL(28,6)) AS bits
         |  FROM w JOIN f USING (w) CROSS JOIN tot)
         |SELECT doc_id, COUNT(*) AS n_words,
-        |  ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS bits_per_word
+        |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS bits_per_word
         |FROM b GROUP BY doc_id""".stripMargin,
 
     "q_bigram_lm" ->
@@ -1556,7 +1560,7 @@ object TextQueries {
         |  JOIN c1 ON c1.w1 = string_split(p.g, ' ')[1]
         |  CROSS JOIN v)
         |SELECT doc_id, COUNT(*) AS n_pairs,
-        |  ROUND(CAST(SUM(bits) AS DOUBLE) / COUNT(*), 4) AS bits_per_pair
+        |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS bits_per_pair
         |FROM b GROUP BY doc_id""".stripMargin,
 
     "q_quality_filter" ->

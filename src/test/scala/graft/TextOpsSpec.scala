@@ -357,6 +357,29 @@ class TextOpsSpec extends SparkSpecBase {
       eTrunc.getCause != null)
   }
 
+  test("binaryFile ingest: files on disk decode identically to the direct path") {
+    // the production loop: media files in a directory → binaryFile source
+    // → decodePng; must equal encodePng |> decodePng byte for byte
+    val dir = java.nio.file.Files.createTempDirectory("graft_png_files")
+    val ids = (0L until 20L)
+    ids.foreach { id =>
+      java.nio.file.Files.write(dir.resolve(s"$id.png"),
+        MultimodalOps.pngBytes(id))
+    }
+    // a non-matching file must be pruned by the glob at listing time
+    java.nio.file.Files.write(dir.resolve("readme.txt"),
+      "not a png".getBytes("UTF-8"))
+    val fromFiles = MultimodalOps.decodePng(
+      MultimodalOps.readPayloadFiles(spark, dir.toString))
+      .collect().map(_.toString).sorted
+    import spark.implicits._
+    val direct = MultimodalOps.decodePng(
+      MultimodalOps.encodePng(ids.toDF("doc_id")))
+      .collect().map(_.toString).sorted
+    assert(fromFiles.length === 20)
+    assert(fromFiles.toSeq === direct.toSeq)
+  }
+
   test("aHash: image-order bit packing, top-down twin equal, banding recall 1") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(100)
