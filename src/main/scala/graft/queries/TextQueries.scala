@@ -1151,6 +1151,15 @@ object TextQueries {
       MultimodalOps.decodeBmp(
         MultimodalOps.encodeBmp(Tables.documents(s, dir)))),
 
+    // REAL WARC parse — the Common Crawl container: per-record gzip
+    // members inflated through the multi-member stream, CRLF header-block
+    // scan, Content-Length-octet body slice, terminator required. The
+    // oracle replays headers and body digests from the corpus columns, so
+    // a mis-sliced body or a skipped record breaks the hash.
+    "q_warc_parse" -> ((s, dir) =>
+      graft.operators.WarcOps.decodeWarc(
+        graft.operators.WarcOps.encodeWarc(Tables.documents(s, dir)))),
+
     // REAL compressed-image decode: PNG with zlib DEFLATE and the five
     // scanline filters (cycled per row, so every reconstruction branch
     // runs), chunk CRC32s validated. The oracle replays the pixel closed
@@ -3041,6 +3050,19 @@ object TextQueries {
         |  ROUND(AVG((doc_id * 11 + k * 17) % 256), 6) AS mean_g,
         |  ROUND(AVG((doc_id * 3 + k * 19) % 256), 6) AS mean_r
         |FROM px GROUP BY doc_id, width, height""".stripMargin,
+
+    "q_warc_parse" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents)
+        |SELECT doc_id, CAST(0 AS INT) AS seq, 'response' AS rec_type,
+        |  'https://example.com/doc/' || doc_id AS uri,
+        |  CAST(strlen(text) AS INT) AS content_length,
+        |  md5(text) AS body_md5
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT), 'metadata',
+        |  'https://example.com/doc/' || doc_id,
+        |  CAST(strlen('lang=' || lang) AS INT), md5('lang=' || lang)
+        |FROM d""".stripMargin,
 
     "q_png_decode" ->
       """WITH d AS (

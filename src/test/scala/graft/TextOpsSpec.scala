@@ -357,6 +357,33 @@ class TextOpsSpec extends SparkSpecBase {
       eTrunc.getCause != null)
   }
 
+  test("WARC: gzip-member framing, exact body octets, truncation fails loudly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(10)
+    val warc = graft.operators.WarcOps.encodeWarc(docs).collect()
+    assert(warc.length === 10)
+    // each payload holds ≥ 2 gzip members (magic 1f 8b appears twice)
+    warc.foreach { r =>
+      val b = r.getAs[Array[Byte]](1)
+      val magics = b.indices.count(i => i + 1 < b.length &&
+        (b(i) & 0xff) == 0x1f && (b(i + 1) & 0xff) == 0x8b)
+      assert(magics >= 2, s"expected >=2 gzip members, saw $magics")
+    }
+    // parse emits exactly (response, metadata) per doc with octet lengths
+    val recs = graft.operators.WarcOps.decodeWarc(
+      graft.operators.WarcOps.encodeWarc(docs)).collect()
+    assert(recs.length === 20)
+    assert(recs.count(_.getString(2) == "response") === 10)
+    // a truncated payload must fail with the doc id, not a stream error
+    val cut = warc.head.getAs[Array[Byte]](1)
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.WarcOps.decodeWarc(
+        Seq((warc.head.getLong(0), cut.take(cut.length / 2)))
+          .toDF("doc_id", "payload")).collect()
+    }
+    assert(e.getCause != null)
+  }
+
   test("binaryFile ingest: files on disk decode identically to the direct path") {
     // the production loop: media files in a directory → binaryFile source
     // → decodePng; must equal encodePng |> decodePng byte for byte
