@@ -686,6 +686,27 @@ object TextQueries {
     // URL parsing + canonicalization over deterministically constructed
     // crawl URLs (scheme/host case, default ports, utm params, trailing
     // slashes all exercised by doc_id arithmetic).
+    // HTML visible-text extraction — crawled page → documents-table text.
+    // The fixture wraps the corpus in a deterministic page (title, style
+    // block, a script whose BODY contains a bare '<' — the case naive
+    // tag-stripping corrupts, block removal handles) plus the five core
+    // entities; the oracle rebuilds the page and replays the identical
+    // RE2-safe regexp chain. Pure per-row projection, zero shuffle.
+    "q_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p { color: red; }</style>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2; </script>"),
+        lit("</head><body><h1 class=\"hd\">Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>Tom &amp; Jerry say 1 &lt; 2 &gt; 0 &quot;ok&quot; " +
+          "&#39;yes&#39;</p></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), graft.operators.WebOps.htmlVisibleText(html).as("t"))
+        .select(col("doc_id"), length(col("t")).as("n_chars"),
+          md5(col("t").cast("binary")).as("text_md5"))
+    }),
+
     "q_url_normalize" -> ((s, dir) => {
       val u = urlSalted(s, dir)
       u.select(col("doc_id"),
@@ -2425,6 +2446,33 @@ object TextQueries {
         |  FROM pii)
         |SELECT doc_id, redacted, (redacted <> text) AS was_redacted
         |FROM r""".stripMargin),
+
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style>p { color: red; }</style>' ||
+        |    '<script type="text/javascript">var x = 1 < 2; </script>' ||
+        |    '</head><body><h1 class="hd">Doc ' || doc_id || '</h1><p>' ||
+        |    text ||
+        |    '</p><p>Tom &amp; Jerry say 1 &lt; 2 &gt; 0 &quot;ok&quot; ' ||
+        |    '&#39;yes&#39;</p></body></html>' AS html
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html,
+        |            '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', ''''),
+        |    '\s+', ' ', 'g')) AS t
+        |  FROM h)
+        |SELECT doc_id, CAST(length(t) AS INT) AS n_chars, md5(t) AS text_md5
+        |FROM t""".stripMargin,
 
     "q_url_normalize" -> (urlSaltedCte +
       """,
