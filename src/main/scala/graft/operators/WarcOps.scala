@@ -32,6 +32,13 @@ object WarcOps {
     StructField("content_length", IntegerType),
     StructField("body_md5", StringType)))
 
+  val warcBodySchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("seq", IntegerType),
+    StructField("rec_type", StringType),
+    StructField("uri", StringType),
+    StructField("body", StringType)))
+
   private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
@@ -74,15 +81,26 @@ object WarcOps {
       }(enc)
   }
 
+  /** [[decodeWarcBodies]] projected to the record REPORT shape: octet
+    * length + body digest (via expressions over the parsed bodies — one
+    * parser, two surfaces). */
+  def decodeWarc(payloads: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame =
+    decodeWarcBodies(payloads, idCol, payloadCol)
+      .select(col("doc_id"), col("seq"), col("rec_type"), col("uri"),
+        octet_length(col("body")).as("content_length"),
+        md5(col("body").cast("binary")).as("body_md5"))
+
   /** REAL WARC parse: inflate the multi-member gzip stream, then walk
     * records — scan the CRLF-headers block to its blank line, read the
     * version line and the `WARC-Type` / `WARC-Target-URI` /
-    * `Content-Length` headers, slice exactly Content-Length body octets,
-    * require the record terminator. One row per record; a malformed
-    * record fails loudly with the doc id and record ordinal. */
-  def decodeWarc(payloads: DataFrame, idCol: String = "doc_id",
-                 payloadCol: String = "payload"): DataFrame = {
-    val enc = RowEncoder.encoderFor(warcRecordSchema)
+    * `Content-Length` headers, slice exactly Content-Length body octets
+    * (decoded as UTF-8 — the text-corpus contract), require the record
+    * terminator. One row per record; a malformed record fails loudly with
+    * the doc id and record ordinal. */
+  def decodeWarcBodies(payloads: DataFrame, idCol: String = "doc_id",
+                       payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(warcBodySchema)
     payloads.select(col(idCol).cast("long"), col(payloadCol))
       .flatMap { r =>
         val id = r.getLong(0)
@@ -125,11 +143,8 @@ object WarcOps {
             all(bodyStart + len + 2) == '\r' &&
             all(bodyStart + len + 3) == '\n',
             s"missing WARC record terminator: doc $id record $seq")
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val hexDigest = md.digest(body)
-            .map(b => f"${b & 0xff}%02x").mkString
           out += Row(id, seq, h("WARC-Type"), h("WARC-Target-URI"),
-            len, hexDigest)
+            new String(body, "UTF-8"))
           pos = bodyStart + len + 4
           seq += 1
         }

@@ -36,7 +36,37 @@ case class CurationStats(input: Long, afterQuality: Long, afterExact: Long,
 object CurationPipeline {
 
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          minJaccard: Double = 0.5): CurationStats = {
+          minJaccard: Double = 0.5): CurationStats =
+    runOnDocs(spark, Tables.documents(spark, sfDir), outDir, minJaccard)
+
+  /** The full crawl-to-corpus path: .warc.gz payloads → record parse →
+    * response bodies → HTML visible-text extraction → language ID +
+    * registered-domain source columns → the standard curation stages.
+    * Chains [[graft.operators.WarcOps.decodeWarcBodies]] and
+    * [[graft.operators.WebOps.htmlVisibleText]] (both per-row
+    * projections) in front of [[runOnDocs]], so the only shuffles are the
+    * curation stages' own. */
+  def runFromWarc(spark: SparkSession,
+                  warcPayloads: org.apache.spark.sql.DataFrame,
+                  outDir: String,
+                  minJaccard: Double = 0.5): CurationStats = {
+    val docs = graft.operators.WarcOps.decodeWarcBodies(warcPayloads)
+      .filter(col("rec_type") === "response")
+      .select(col("doc_id"),
+        graft.operators.WebOps.htmlVisibleText(col("body")).as("text"),
+        col("uri"))
+      .select(col("doc_id"), col("text"),
+        graft.operators.WebOps.registeredDomain(col("uri")).as("source"),
+        length(col("text")).as("n_chars"))
+    val withLang = graft.operators.TextOps.langId(docs)
+      .select(col("doc_id"), col("text"),
+        col("lang_guess").as("lang"), col("source"), col("n_chars"))
+    runOnDocs(spark, withLang, outDir, minJaccard)
+  }
+
+  def runOnDocs(spark: SparkSession,
+                input: org.apache.spark.sql.DataFrame, outDir: String,
+                minJaccard: Double = 0.5): CurationStats = {
     // every stage cache is released even on a mid-run failure (the
     // incremental-dedup finally-release doctrine)
     val tracked = scala.collection.mutable.ArrayBuffer.empty[
@@ -45,8 +75,8 @@ object CurationPipeline {
       tracked += df.persist(StorageLevel.MEMORY_AND_DISK); df
     }
     try {
-      val docs = track(Tables.documents(spark, sfDir))
-      val input = docs.count() // materialize before the gate's 3 consumers
+      val docs = track(input)
+      val nInput = docs.count() // materialize before the gate's 3 consumers
 
       // 1. quality + PII gate (inner joins also drop zero-word docs, which
       // wordStats cannot score — the strictest reading of the gate)
@@ -81,7 +111,7 @@ object CurationPipeline {
       val afterNearDup = out.count()
       out.write.mode("overwrite").partitionBy("split").parquet(outDir)
       val written = spark.read.parquet(outDir).count()
-      CurationStats(input, afterQuality, afterExact, afterNearDup, written)
+      CurationStats(nInput, afterQuality, afterExact, afterNearDup, written)
     } finally tracked.foreach(_.unpersist(false))
   }
 }

@@ -54,6 +54,32 @@ class CurationSpec extends SparkSpecBase {
     assert(failing.count() === 0L)
   }
 
+  test("runFromWarc: crawl container to curated corpus end to end") {
+    val warcTmp =
+      java.nio.file.Files.createTempDirectory("graft_warc_cur").toString
+    // wrap the fixture corpus in deterministic HTML pages inside real
+    // .warc.gz payloads, then run the whole chain: parse → extract →
+    // langId/domain → gate → dedup → write
+    val pages = Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"),
+        concat(lit("<html><head><style>p{color:red}</style>"),
+          lit("<script>var x = 1 < 2;</script></head><body><p>"),
+          col("text"), lit("</p></body></html>")).as("text"),
+        col("lang"))
+    val warc = graft.operators.WarcOps.encodeWarc(pages)
+    val st = CurationPipeline.runFromWarc(spark, warc, warcTmp)
+    assert(st.input === 200)
+    assert(st.written > 0 && st.written <= st.input)
+    val curated = spark.read.parquet(warcTmp)
+    // extraction really ran: no page furniture survives into the corpus
+    assert(curated.filter(col("text").contains("<html")).count() === 0)
+    assert(curated.filter(col("text").contains("color:red")).count() === 0)
+    assert(curated.filter(col("text").contains("var x")).count() === 0)
+    // provenance columns derive from the WARC headers
+    assert(curated.filter(col("source") =!= "example.com").count() === 0)
+    assert(curated.filter(col("lang").isNull).count() === 0)
+  }
+
   test("split and shard assignments are present, valid, and deterministic") {
     val splits = out.select(col("split")).distinct()
       .collect().map(_.getString(0)).toSet
