@@ -82,6 +82,20 @@ object WebOps {
       .drop("rn")
   }
 
+  /** robots.txt Disallow rules as a string array: split lines, keep
+    * `Disallow:` directives, trim the values. Pure per-row lambda. */
+  def robotsDisallows(robots: Column): Column =
+    transform(
+      filter(split(robots, "\n"), l => l.startsWith("Disallow:")),
+      l => trim(l.substr(lit(10), length(l))))
+
+  /** Crawl-politeness screen: true when any non-empty Disallow rule
+    * prefix-matches the URL path — the pre-fetch filter every polite
+    * crawler runs. Rules ride as a column, so per-domain robots join in
+    * as a broadcast dim at scale. */
+  def robotsBlocked(path: Column, rules: Column): Column =
+    exists(rules, r => (r =!= lit("")) && path.startsWith(r))
+
   /** Visible-text extraction from raw HTML — the step between a crawled
     * page (e.g. a WARC response body) and the `documents` table. Removes
     * `<script>`/`<style>` blocks whole (their CONTENT is not text),

@@ -707,6 +707,26 @@ object TextQueries {
           md5(col("t").cast("binary")).as("text_md5"))
     }),
 
+    // robots.txt politeness screen: parse per-domain Disallow rules (the
+    // rules text is a closed-form function of the domain, so the oracle
+    // rebuilds it), prefix-match each URL's path. The per-domain rule
+    // digit is the SOURCE digit, so blocked = "doc's leading digit equals
+    // its source number" — varied, non-vacuous. Per-row lambdas only.
+    "q_robots" -> ((s, dir) => {
+      val u = urlSalted(s, dir)
+        .withColumn("domain",
+          graft.operators.WebOps.registeredDomain(col("url")))
+        .withColumn("path",
+          regexp_extract(col("url"), "://[^/?#]*(/[^?#]*)", 1))
+        .withColumn("rt", concat(
+          lit("User-agent: *\nDisallow: /admin\nDisallow: /p/"),
+          substring(col("domain"), 4, 1), lit("\nAllow: /\n")))
+      u.select(col("doc_id"), col("domain"), col("path"),
+        graft.operators.WebOps.robotsBlocked(col("path"),
+          graft.operators.WebOps.robotsDisallows(col("rt")))
+          .cast("int").as("blocked"))
+    }),
+
     "q_url_normalize" -> ((s, dir) => {
       val u = urlSalted(s, dir)
       u.select(col("doc_id"),
@@ -2473,6 +2493,36 @@ object TextQueries {
         |  FROM h)
         |SELECT doc_id, CAST(length(t) AS INT) AS n_chars, md5(t) AS text_md5
         |FROM t""".stripMargin,
+
+    "q_robots" -> (urlSaltedCte +
+      """,
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_extract(
+        |      regexp_replace(lower(regexp_extract(url,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |        ':(80|443)$', ''),
+        |      '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) AS domain,
+        |    regexp_extract(url, '://[^/?#]*(/[^?#]*)', 1) AS path
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, domain, path,
+        |    'User-agent: *' || chr(10) || 'Disallow: /admin' || chr(10) ||
+        |    'Disallow: /p/' || substr(domain, 4, 1) || chr(10) ||
+        |    'Allow: /' || chr(10) AS rt
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, domain, path,
+        |    list_transform(
+        |      list_filter(string_split(rt, chr(10)),
+        |        l -> l LIKE 'Disallow:%'),
+        |      l -> trim(substr(l, 10))) AS rules
+        |  FROM r)
+        |SELECT doc_id, domain, path,
+        |  CAST(CASE WHEN len(list_filter(rules,
+        |    x -> x <> '' AND starts_with(path, x))) > 0
+        |    THEN 1 ELSE 0 END AS INT) AS blocked
+        |FROM p""".stripMargin),
 
     "q_url_normalize" -> (urlSaltedCte +
       """,
