@@ -707,6 +707,28 @@ object TextQueries {
           md5(col("t").cast("binary")).as("text_md5"))
     }),
 
+    // the crawl chain END TO END under one hash: corpus → deterministic
+    // HTML page → real .warc.gz container → WARC record parse → response
+    // bodies → visible-text extraction. The oracle never sees the
+    // container — it rebuilds the page from the corpus and replays only
+    // the extraction chain — so a WARC framing bug, a body mis-slice, or
+    // a filter inverse error all surface as hash mismatches here.
+    "q_crawl_extract" -> ((s, dir) => {
+      val pages = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("<html><head><style>p{color:red}</style>"),
+            lit("<script>if (1 < 2) { x(); }</script></head><body><p>"),
+            col("text"), lit("</p></body></html>")).as("text"),
+          col("lang"))
+      graft.operators.WarcOps.decodeWarcBodies(
+        graft.operators.WarcOps.encodeWarc(pages))
+        .filter(col("rec_type") === "response")
+        .select(col("doc_id"),
+          graft.operators.WebOps.htmlVisibleText(col("body")).as("t"))
+        .select(col("doc_id"), length(col("t")).as("n_chars"),
+          md5(col("t").cast("binary")).as("text_md5"))
+    }),
+
     // robots.txt politeness screen: parse per-domain Disallow rules (the
     // rules text is a closed-form function of the domain, so the oracle
     // rebuilds it), prefix-match each URL's path. The per-domain rule
@@ -2477,6 +2499,29 @@ object TextQueries {
         |    text ||
         |    '</p><p>Tom &amp; Jerry say 1 &lt; 2 &gt; 0 &quot;ok&quot; ' ||
         |    '&#39;yes&#39;</p></body></html>' AS html
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(html,
+        |            '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', ''''),
+        |    '\s+', ' ', 'g')) AS t
+        |  FROM h)
+        |SELECT doc_id, CAST(length(t) AS INT) AS n_chars, md5(t) AS text_md5
+        |FROM t""".stripMargin,
+
+    "q_crawl_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style>' ||
+        |    '<script>if (1 < 2) { x(); }</script></head><body><p>' ||
+        |    text || '</p></body></html>' AS html
         |  FROM documents),
         |t AS (
         |  SELECT doc_id, trim(regexp_replace(
