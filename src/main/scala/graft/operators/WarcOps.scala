@@ -105,6 +105,9 @@ object WarcOps {
       .flatMap { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
+        require(bytes.length > 2 && (bytes(0) & 0xff) == 0x1f &&
+          (bytes(1) & 0xff) == 0x8b,
+          s"not a gzip payload (no 1f 8b magic): doc $id")
         // JDK GZIPInputStream consumes concatenated members transparently
         val gz = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(bytes))
