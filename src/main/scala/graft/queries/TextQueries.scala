@@ -974,6 +974,30 @@ object TextQueries {
     "q_minhash_sig" -> ((s, dir) =>
       DedupOps.minhashSignatures(Tables.documents(s, dir))),
 
+    // the engine measuring ITSELF, oracle-exact: banded-LSH candidate
+    // recall against the exhaustive share-a-shingle truth at Jaccard ≥
+    // 0.5. Every component (shingles, md5 minhash, banding, verified
+    // jaccard) is already engine-exact, so even this meta-measurement
+    // hash-matches. The exhaustive side is the measurement's ground truth
+    // — df caps deliberately OFF; it is a diagnostics query, not a
+    // production candidate generator.
+    "q_lsh_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val truePairs = DedupOps.ngramJaccardPairs(docs, shingleN = 3,
+          maxDf = Int.MaxValue)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val banded = DedupOps.minhashNearDups(docs)
+        .select(col("id_a"), col("id_b"))
+      val hit = truePairs.join(banded, Seq("id_a", "id_b"), "left_semi")
+      truePairs.agg(count(lit(1)).as("n_true"))
+        .crossJoin(banded.agg(count(lit(1)).as("n_banded")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_banded"), col("n_hit"),
+          when(col("n_true") === 0, 0L)
+            .otherwise(expr("n_hit * 10000 div n_true")).as("recall_bp"))
+    }),
+
     "q_minhash_pairs" -> ((s, dir) =>
       DedupOps.minhashNearDups(Tables.documents(s, dir))),
 
@@ -1853,6 +1877,49 @@ object TextQueries {
       s"""WITH ${shingleCte(3)},
          |$sigCte
          |SELECT * FROM sig""".stripMargin,
+
+    "q_lsh_recall" ->
+      s"""WITH ${shingleCte(3)},
+         |$sigCte,
+         |$bandsCte,
+         |bcand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |    AND a.doc_id < b.doc_id),
+         |shr AS (SELECT doc_id, UNNEST(shs) AS s FROM sh),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM shr a JOIN shr b ON b.s = a.s AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+         |  FROM cand c
+         |  JOIN shr a ON a.doc_id = c.id_a
+         |  JOIN shr b ON b.doc_id = c.id_b AND b.s = a.s
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT c.id_a, c.id_b,
+         |    ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
+         |          CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6)
+         |      AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b),
+         |tp AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+         |agg AS (
+         |  SELECT
+         |    (SELECT COUNT(*) FROM tp) AS n_true,
+         |    (SELECT COUNT(*) FROM bcand) AS n_banded,
+         |    (SELECT COUNT(*) FROM tp JOIN bcand USING (id_a, id_b))
+         |      AS n_hit)
+         |SELECT CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_banded AS BIGINT) AS n_banded,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN n_true = 0 THEN 0
+         |       ELSE n_hit * 10000 // n_true END AS BIGINT) AS recall_bp
+         |FROM agg""".stripMargin,
 
     "q_minhash_pairs" ->
       s"""WITH ${shingleCte(3)},
