@@ -112,6 +112,17 @@ object Bench {
           dependents.foreach(n => if (!failed.contains(n)) failed ::= n)
           default
       }
+    // SPARK_GRAFT_SECTIONS=dedup,ivf restricts the structural sections the
+    // way SPARK_GRAFT_ONLY restricts queries (dev iteration; driver unsets
+    // both, so the shipped run always measures everything). A skipped
+    // section reports its default (0.00) — fine locally, never emitted to
+    // the driver.
+    val sectionsOnly = sys.env.get("SPARK_GRAFT_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+    def gated[T](tag: String, dependents: Seq[String], default: T)(
+        body: => T): T =
+      if (sectionsOnly.forall(_.contains(tag))) section(dependents, default)(body)
+      else default
     val queryResults = selected.map { case (name, fn) =>
       // noop write forces every output column to materialize; a count() here
       // would let Catalyst prune unused window/projection expressions and
@@ -148,7 +159,7 @@ object Bench {
       inBytes.get
     }
     val (idxBuild, idxDelta, idxDeltaSmall, deltaBytesLarge, deltaBytesSmall) =
-      section(
+      gated("dedup",
         Seq("dedup_index_build", "dedup_incremental_delta",
           "dedup_delta_small_idx"), (0.0, 0.0, 0.0, 0L, 0L)) {
       // index tables get SMALL parquet row groups (1 MB vs the 128 MB
@@ -215,7 +226,7 @@ object Bench {
       finally spark.sparkContext.removeSparkListener(shufLst)
       shufBytes.get
     }
-    val (tOcBloom, tOcPlain, ocBloomShuf, ocPlainShuf) = section(
+    val (tOcBloom, tOcPlain, ocBloomShuf, ocPlainShuf) = gated("overcap",
       Seq("dedup_overcap_bloom", "dedup_overcap_nobloom"), (0.0, 0.0, 0L, 0L)) {
       def overCapRun(bloom: Boolean): Unit =
         noop(graft.operators.DedupOps.incrementalNearDupsIndexed(
@@ -256,7 +267,7 @@ object Bench {
     // dedup index split: centroid training runs once and persists; the
     // query path loads and probes, nothing trains per query.
     val emb = Tables.embeddings(spark, sfDir)
-    val (ivfTrain, ivfPre, sqIvfPre, ivfEqRecall) = section(
+    val (ivfTrain, ivfPre, sqIvfPre, ivfEqRecall) = gated("ivf",
       Seq("ivf_train_store", "ivf_knn_pretrained", "sq_ivf_knn_pretrained",
         "ivf_knn_eqrecall"), (0.0, 0.0, 0.0, 0.0)) {
       val t = median((1 to runs).map(_ => timed("ivf_train_store") {
@@ -310,7 +321,7 @@ object Bench {
     // replication crossed the threshold and AQE parallelized the plain
     // join itself, erasing the gap; that knife-edge is the point of the
     // demo).
-    val (skewPlain, skewSalted) = section(
+    val (skewPlain, skewSalted) = gated("skew",
       Seq("join_skew_plain", "join_skew_salted"), (0.0, 0.0)) {
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
@@ -354,7 +365,7 @@ object Bench {
     // O(rows×n) at n=200. The monotonic-deque fold is O(rows). Same
     // inputs, identical output values; the pair keeps the measured gap on
     // the record the way join_skew does for salting.
-    val (tExtremaDeque, tExtremaSliding) = section(
+    val (tExtremaDeque, tExtremaSliding) = gated("extrema",
       Seq("extrema_deque", "extrema_sliding"), (0.0, 0.0)) {
       val bars = Tables.bars(spark, sfDir)
       val n = 200
@@ -401,7 +412,7 @@ object Bench {
     // reads+rewrites only the date partitions it touches, so per-batch I/O
     // is O(batch dates), not O(stored table) — the r4 full-rewrite sink's
     // wall time grew with the table regardless of batch size
-    val (tUpsert, upsertRows) = section(Seq("stream_upsert"), (0.0, 0L)) {
+    val (tUpsert, upsertRows) = gated("stream", Seq("stream_upsert"), (0.0, 0L)) {
       val events = spark.read.parquet(s"$sfDir/events.parquet")
       val nEvents = events.count()
       events.repartitionByRange(4, col("ts")).write
@@ -427,7 +438,7 @@ object Bench {
     // ONE section covers both variants: they share the feed write, so a
     // failed write must mark BOTH metrics, not leave the second streaming
     // an empty directory at full "speed".
-    val ((tDedupStream1, dedupRows1), (tDedupStream, dedupRows)) = section(
+    val ((tDedupStream1, dedupRows1), (tDedupStream, dedupRows)) = gated("stream",
       Seq("stream_dedup_1batch", "stream_dedup"), ((0.0, 0L), (0.0, 0L))) {
       val nDocs = docs.count()
       docs.repartition(4).write.parquet(s"$tmpRoot/feed/docs")
@@ -456,7 +467,7 @@ object Bench {
     // bigger. (Plain replication would make every replica an exact dup
     // and blow up pair work quadratically — a different, harder problem.)
     val dedup10kReps = 4
-    val (tDedup10k, dedupRows10k) = section(Seq("stream_dedup_10k"), (0.0, 0L)) {
+    val (tDedup10k, dedupRows10k) = gated("stream", Seq("stream_dedup_10k"), (0.0, 0L)) {
       val big = docs
         .crossJoin(spark.range(dedup10kReps).withColumnRenamed("id", "rep"))
         .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
@@ -496,7 +507,7 @@ object Bench {
     // 1x medians for ratio denominators: headline queries already have
     // one; the rest are timed here (not emitted — only the ratio rides)
     val scaleBase = scala.collection.mutable.Map.empty[String, Double]
-    val scale10: Seq[(String, Double)] = section(
+    val scale10: Seq[(String, Double)] = gated("scale10",
       scaleQueries.map("scale10_" + _), Seq.empty[(String, Double)]) {
       scaleQueries.filterNot(headline.contains).foreach { name =>
         scaleBase(name) = median((1 to runs).map(_ =>
@@ -541,14 +552,16 @@ object Bench {
     // Stage timings recorded across the reps (bronze/silver/gold averages
     // ride into BENCH json) so the flat total is attributable to a stage.
     graft.pipeline.Timing.record(true)
-    val pipelineTime = median((1 to runs).map { _ =>
-      val lake = graft.pipeline.Lake(
-        java.nio.file.Files.createTempDirectory("graft_bench_lake").toString)
-      timed("pipeline_full") { graft.pipeline.Pipeline.runAll(spark, sfDir, lake) }
-    })
+    val pipelineTime = gated("pipeline", Seq("pipeline_full"), 0.0) {
+      median((1 to runs).map { _ =>
+        val lake = graft.pipeline.Lake(
+          java.nio.file.Files.createTempDirectory("graft_bench_lake").toString)
+        timed("pipeline_full") { graft.pipeline.Pipeline.runAll(spark, sfDir, lake) }
+      })
+    }
     // composed corpus curation (the curate verb) end-to-end: gate → exact
     // dedup → near-dup CC survivors → assignment → partitioned write
-    val curationTime = section(Seq("curation_full"), 0.0) {
+    val curationTime = gated("curation", Seq("curation_full"), 0.0) {
       median((1 to runs).map { _ =>
         val out = java.nio.file.Files
           .createTempDirectory("graft_bench_cur").toString
@@ -560,7 +573,7 @@ object Bench {
     // the crawl-container variant: HTML-wrapped corpus inside real
     // .warc.gz payloads → parse → extract → langId/domain → the same
     // stages; the delta over curation_full IS the parse+extract cost
-    val curationWarcTime = section(Seq("curation_from_warc"), 0.0) {
+    val curationWarcTime = gated("curation", Seq("curation_from_warc"), 0.0) {
       import org.apache.spark.sql.functions.{col, concat, lit}
       val pages = graft.Tables.documents(spark, sfDir)
         .select(col("doc_id"),

@@ -119,8 +119,12 @@ object EvalOps {
           bucketWidth: Int = 8): DataFrame =
     scoreCdf(df, scoreCol, labelCol, bucketWidth)
       .agg(
-        sum((col("pos_at") * (col("neg_below") * 2 + col("neg_at")))
-          .cast(D38)).as("u2"),
+        // cast BEFORE multiplying (the rollingBeta doctrine): pos_at and
+        // neg_below are LONG partial counts, and their product wraps
+        // silently under ANSI-off once pos·neg passes 2^63 (~3e9 rows per
+        // class) — the widening must happen on an operand, not the result
+        sum(col("pos_at").cast(D38) *
+          (col("neg_below").cast(D38) * 2 + col("neg_at"))).as("u2"),
         sum(col("pos_at")).as("n_pos"),
         sum(col("neg_at")).as("n_neg"))
       .select(
@@ -176,8 +180,11 @@ object EvalOps {
       max(col("cum_neg")).as("n_neg"))
     val diffs = cdf.crossJoin(broadcast(tot))
       .withColumn("dnum",
-        abs((col("cum_pos") * col("n_neg") - col("cum_neg") * col("n_pos"))
-          .cast(D38)))
+        // cast BEFORE multiplying: cum_pos·n_neg is a LONG product of two
+        // per-class row counts — it wraps past 2^63 under ANSI-off; the
+        // decimal widening must reach the multiply's operand
+        abs(col("cum_pos").cast(D38) * col("n_neg") -
+          col("cum_neg").cast(D38) * col("n_pos")))
     val best = diffs.agg(max(col("dnum")).as("dmax"))
     diffs.crossJoin(broadcast(best))
       .filter(col("dnum") === col("dmax"))
@@ -426,7 +433,10 @@ object EvalOps {
       .select(col("b").as("ob"), col("bc_off").as("off"))
     vals.withColumn("rn", row_number().over(inBkt).cast("long"))
       .join(offsets, col("bkt") === col("ob"))
-      .select(((col("rn") + col("off")) * col("x")).cast(D38).as("rx"),
+      // cast BEFORE multiplying: rank·x is a LONG product (rank up to n,
+      // x an integer value) that wraps silently under ANSI-off — widen
+      // the rank operand, not the already-wrapped product
+      .select(((col("rn") + col("off")).cast(D38) * col("x")).as("rx"),
         col("x"))
       .agg(sum(col("rx")).as("s_rx"), sum(col("x").cast(D38)).as("s_x"),
         count(lit(1)).as("n"))

@@ -167,6 +167,25 @@ object SilverOps {
     * cross-engine bit-identity (the oracle) pick α with exact binary
     * representation (0.25 ⇒ β = 0.75 exact); an inexact α would put a SQL
     * `0.75`-style literal one ulp adrift per step. */
+  /** The recursive-fold family's input contract: ONE bar per (ticker,
+    * date). Duplicate dates make the date-sorted fold order-
+    * nondeterministic (equal keys sort arbitrarily), and the streaming
+    * twins ([[graft.streaming.StreamingOps]]) DROP any bar whose date is
+    * <= the stored lastDate — so folding duplicates here would silently
+    * diverge from the replayed stream. Fail loud at the offending key
+    * instead; callers with dirty feeds dedupe (keep-last) upstream.
+    * Expects the fold's already-sorted date sequence. */
+  private[graft] def requireUniqueSortedDates(
+      key: String, dates: Iterator[java.sql.Date]): Unit = {
+    var prev = Long.MinValue
+    dates.foreach { d =>
+      require(d.getTime != prev,
+        s"duplicate date $d for key $key: the recursive-fold family " +
+          "folds one bar per (ticker, date) — dedupe upstream before folding")
+      prev = d.getTime
+    }
+  }
+
   def ema(daily: DataFrame, alpha: Double, valueCol: String = "close"): DataFrame = {
     val ss = daily.sparkSession
     import ss.implicits._
@@ -178,6 +197,7 @@ object SilverOps {
       .groupByKey(_._1)
       .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
         val sorted = it.toArray.sortBy(_._2.getTime)
+        requireUniqueSortedDates(t, sorted.iterator.map(_._2))
         var prev = 0.0
         var first = true
         sorted.iterator.map { case (_, d, x) =>
@@ -348,6 +368,7 @@ object SilverOps {
       .groupByKey(_._1)
       .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
         val s = it.toArray.sortBy(_._2.getTime)
+        requireUniqueSortedDates(t, s.iterator.map(_._2))
         var lev = 0.0
         var tr = 0.0
         s.indices.iterator.map { j =>
@@ -397,6 +418,7 @@ object SilverOps {
       .groupByKey(_._1)
       .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
         val s = it.toArray.sortBy(_._2.getTime)
+        requireUniqueSortedDates(t, s.iterator.map(_._2))
         var lev = 0.0
         var tr = 0.0
         val seas = new Array[Double](period)
@@ -447,6 +469,7 @@ object SilverOps {
       .groupByKey(_._1)
       .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
         val s = it.toArray.sortBy(_._2.getTime)
+        requireUniqueSortedDates(t, s.iterator.map(_._2))
         var sp = 0L
         var sn = 0L
         var prevCents = 0L
@@ -497,6 +520,7 @@ object SilverOps {
       .flatMapGroups { (t: String,
                         it: Iterator[(String, java.sql.Date, Double, Double, Double)]) =>
         val s = it.toArray.sortBy(_._2.getTime)
+        requireUniqueSortedDates(t, s.iterator.map(_._2))
         val m = s.length
         val maxHigh = new Array[Double](m)
         val minLow = new Array[Double](m)

@@ -83,10 +83,16 @@ object WebOps {
   }
 
   /** robots.txt Disallow rules as a string array: split lines, keep
-    * `Disallow:` directives, trim the values. Pure per-row lambda. */
+    * `Disallow:` directives, trim the values. Pure per-row lambda.
+    * RFC 9309 field names are case-insensitive and real robots.txt files
+    * arrive CRLF-terminated, so lines split on `\r?\n` (a trailing `\r`
+    * would otherwise ride into the rule value — Spark's trim strips only
+    * spaces — and the rule would never prefix-match any URL path) and the
+    * directive matches lowercased. */
   def robotsDisallows(robots: Column): Column =
     transform(
-      filter(split(robots, "\n"), l => l.startsWith("Disallow:")),
+      filter(split(robots, "\r?\n"),
+        l => lower(l).startsWith("disallow:")),
       l => trim(l.substr(lit(10), length(l))))
 
   /** Crawl-politeness screen: true when any non-empty Disallow rule
@@ -110,8 +116,11 @@ object WebOps {
     val noStyle = regexp_replace(noScript,
       "(?s)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
-    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'")
+    // &amp; decodes LAST (standard entity-decode order): decoding it first
+    // double-decodes nested entities — '&amp;lt;' in the source is the
+    // author writing a literal '&lt;', not a '<'
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }

@@ -709,7 +709,7 @@ object EvalQueries {
         |ranked AS (
         |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, k) AS rn FROM spend)
         |SELECT
-        |  CAST(SUM(rn * x) AS DOUBLE) * 2.0 /
+        |  CAST(SUM(CAST(rn AS HUGEINT) * x) AS DOUBLE) * 2.0 /
         |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)) -
         |  CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gini,
         |  COUNT(*) AS n

@@ -2576,8 +2576,8 @@ object TextQueries {
         |            '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
         |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
         |        '<[^>]*>', ' ', 'g'),
-        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-        |      '&quot;', '"'), '&#39;', ''''),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS t
         |  FROM h)
         |SELECT doc_id, CAST(length(t) AS INT) AS n_chars, md5(t) AS text_md5
@@ -2599,8 +2599,8 @@ object TextQueries {
         |            '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
         |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
         |        '<[^>]*>', ' ', 'g'),
-        |      '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-        |      '&quot;', '"'), '&#39;', ''''),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS t
         |  FROM h)
         |SELECT doc_id, CAST(length(t) AS INT) AS n_chars, md5(t) AS text_md5
@@ -2626,8 +2626,8 @@ object TextQueries {
         |p AS (
         |  SELECT doc_id, domain, path,
         |    list_transform(
-        |      list_filter(string_split(rt, chr(10)),
-        |        l -> l LIKE 'Disallow:%'),
+        |      list_filter(string_split(replace(rt, chr(13), ''), chr(10)),
+        |        l -> lower(l) LIKE 'disallow:%'),
         |      l -> trim(substr(l, 10))) AS rules
         |  FROM r)
         |SELECT doc_id, domain, path,

@@ -799,7 +799,13 @@ object StreamingOps {
     * triple smoothing, period fixed at 5): per-ticker state carries the
     * level, trend, the 5-slot seasonal vector AND the running row index
     * (the slot selector), so the recursion resumes across micro-batch
-    * boundaries on the identical IEEE sequence as the batch fold. */
+    * boundaries on the identical IEEE sequence as the batch fold — for an
+    * IN-ORDER, UNIQUE-DATE feed. A bar whose date is <= the stored
+    * lastDate (late arrival or a duplicate date) is DROPPED, never folded;
+    * the batch fold REJECTS duplicate dates outright
+    * ([[graft.operators.SilverOps.requireUniqueSortedDates]]), so neither
+    * path ever folds a duplicate — one loudly, one by dropping (both
+    * pinned in StreamingSpec). Dirty feeds dedupe (keep-last) upstream. */
   def holtWintersStream(bars: Dataset[Bar], alpha: Double = 0.5,
                         beta: Double = 0.25,
                         gamma: Double = 0.25): Dataset[HwPoint] = {

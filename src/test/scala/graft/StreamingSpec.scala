@@ -198,6 +198,57 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.nonEmpty)
   }
 
+  test("duplicate dates: the batch fold fails loud, the stream twin drops") {
+    import spark.implicits._
+    // the recursive-fold family's contract (ADVICE r7): a duplicate
+    // (ticker, date) makes the batch sort order-nondeterministic and the
+    // stream's fresh guard would silently skip it — so batch REJECTS,
+    // stream DROPS, and both behaviors are pinned here, not implied.
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val clean = Seq(
+      ("X", d("2024-01-02"), 10.0), ("X", d("2024-01-03"), 11.0),
+      ("X", d("2024-01-04"), 12.0), ("X", d("2024-01-05"), 13.0))
+    val dupRow = ("X", d("2024-01-03"), 99.0)
+    val cleanDf = clean.toDF("ticker", "date", "close")
+    val dirtyDf = (clean :+ dupRow).toDF("ticker", "date", "close")
+    // batch: loud failure naming the key
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.operators.SilverOps.holtWinters(dirtyDf).collect()
+    }
+    assert(ex.getMessage.contains("duplicate date") ||
+      Option(ex.getCause).exists(_.getMessage.contains("duplicate date")))
+    // stream: feed the duplicate in a LATER micro-batch; output must equal
+    // the clean batch fold — the dup row dropped, state untouched by it
+    val schema = cleanDf.schema
+    val dir = Files.createTempDirectory("graft_hw_dup_feed").toString
+    Seq(clean.take(2), Seq(dupRow) ++ clean.drop(2)).foreach { chunk =>
+      spark.createDataFrame(
+        java.util.Arrays.asList(chunk.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3)).toIndexedSeq: _*),
+        schema).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(20)
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .as[StreamingOps.Bar]
+    val q = StreamingOps.holtWintersStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hw_dup_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hw_dup_out")
+      .select("ticker", "date", "level", "trend", "seasonal", "forecast")
+      .collect().map(_.toString).toSet
+    val batch = graft.operators.SilverOps.holtWinters(cleanDf)
+      .select("ticker", "date", "level", "trend", "seasonal", "forecast")
+      .collect().map(_.toString).toSet
+    assert(streamed === batch)
+    assert(streamed.size === clean.size)
+  }
+
   test("streaming rolling extrema replay the batch deque fold bit-for-bit") {
     import spark.implicits._
     val n = 14

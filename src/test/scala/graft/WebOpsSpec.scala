@@ -66,4 +66,30 @@ class WebOpsSpec extends SparkSpecBase {
       (i, s"https://s.site${i % 4}-x.com/p/$i")).toDF("doc_id", "url")
     assert(WebOps.domainCap(spread, maxPerDomain = 3).count() === 12)
   }
+
+  test("robotsDisallows: case-insensitive directives, CRLF lines") {
+    // RFC 9309: field names are case-insensitive; real robots.txt files
+    // arrive CRLF-terminated. Before the r8 fix, 'disallow:' never matched
+    // and '/path\r' never prefix-matched any URL path (ADVICE r7).
+    val rt = "User-agent: *\r\ndisallow: /admin\r\nDISALLOW: /p/\r\nAllow: /\r\n"
+    val rules = Seq(Tuple1(rt)).toDF("rt")
+      .select(WebOps.robotsDisallows(col("rt")).as("r"))
+      .first().getSeq[String](0)
+    assert(rules === Seq("/admin", "/p/"))
+    val blocked = Seq(("/admin/x", rt), ("/public", rt)).toDF("path", "rt")
+      .select(WebOps.robotsBlocked(col("path"),
+        WebOps.robotsDisallows(col("rt"))).as("b"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(blocked === Seq(true, false))
+  }
+
+  test("htmlVisibleText: nested entities decode once, &amp; last") {
+    // '&amp;lt;' is an author writing the LITERAL '&lt;' — decoding &amp;
+    // first would double-decode it to '<' (ADVICE r7); standard entity
+    // decoding handles &amp; last.
+    val html = "<p>&amp;lt; stays literal; 1 &lt; 2 &amp; 3 &gt; 0</p>"
+    val t = Seq(Tuple1(html)).toDF("h")
+      .select(WebOps.htmlVisibleText(col("h"))).first().getString(0)
+    assert(t === "&lt; stays literal; 1 < 2 & 3 > 0")
+  }
 }
