@@ -23,7 +23,7 @@ object Bench {
     */
   private val headline: Seq[String] = Seq(
     "q1_agg", "q3_shipping_priority", "q5_local_supplier",
-    "q_asof_join", "q_asof_native", "q_sma", "q_vwap_signals", "q_gap_fill",
+    "q_asof_join", "q_asof_native", "q_sma", "q_vwap_signals",
     "q_weekly_rollup", "q_hvc_daily", "q_events_sessions",
     "q_dedup_exact", "q_neardup_clusters",
     "q_simhash_neardup", "q_ngram_jaccard", "q_embed_neardup_lsh",
@@ -37,13 +37,17 @@ object Bench {
     // round-7 additions: the slide-expanded window agg, the per-key
     // recursive fold, the corpus-wide LM join, the bloom-prefiltered join,
     // the deque-fold extrema + integer-co-moment corr, and the graph tier
-    "q_hopping_window", "q_ema", "q_macd", "q_unigram_lm",
+    "q_ema", "q_macd", "q_unigram_lm",
     "q_bloom_semi_join", "q_stoch", "q_rolling_corr", "q_pagerank",
     "q_triangles",
-    // late round-7: basket self-join mining, LPA rounds, the CMS build+probe
-    "q_assoc_rules", "q_communities", "q_cms_counts", "q_cusum",
-    // final round-7 batch: fixed-point PCA, the Holt fold, stationary mass
-    "q_pca", "q_holt", "q_stationary",
+    // late round-7: basket self-join mining, LPA rounds
+    "q_assoc_rules", "q_communities", "q_cusum",
+    // final round-7 batch: fixed-point PCA, stationary mass
+    "q_pca", "q_stationary",
+    // r8 trim for the new scale10 dedup entries + oc_bloom_s: q_gap_fill
+    // (0.60 s), q_hopping_window (0.41), q_cms_counts (0.70), q_holt
+    // (0.97 — q_holt_winters keeps the recursion family's heavier twin)
+    // move to SPARK_GRAFT_FULL-only, same budget doctrine as earlier trims
     // closing round-7 batch: the widest TPC-H star, the two-level-stitch
     // AUC, and the seasonal recursion (one per new tier; the full tiers —
     // and the small stable entries trimmed above (q_full_outer,
@@ -226,9 +230,11 @@ object Bench {
       finally spark.sparkContext.removeSparkListener(shufLst)
       shufBytes.get
     }
-    val (tOcBloom, tOcPlain, ocBloomShuf, ocPlainShuf) = gated("overcap",
-      Seq("dedup_overcap_bloom", "dedup_overcap_nobloom"), (0.0, 0.0, 0L, 0L)) {
-      def overCapRun(bloom: Boolean): Unit =
+    val (tOcBloom, tOcPlain, tOcForced, ocBloomShuf, ocPlainShuf) =
+      gated("overcap",
+      Seq("dedup_overcap_bloom", "dedup_overcap_nobloom"),
+      (0.0, 0.0, 0.0, 0L, 0L)) {
+      def overCapRun(bloom: Option[Boolean]): Unit =
         noop(graft.operators.DedupOps.incrementalNearDupsIndexed(
           deltaDocs,
           spark.read.parquet(s"$tmpRoot/idx/bands"),
@@ -239,27 +245,31 @@ object Bench {
       // measures is BOTH sides too big to broadcast. Pin that plan shape
       // (broadcast off) so the shuffle-MB pair reflects the at-scale
       // exchange the bloom actually prunes; restore the threshold after.
-      // Expect bloom's fixed cost (~one delta-sized agg job) to make its
-      // WALL time worse at this corpus size — the shuffle bytes are the
-      // scale-relevant signal, which is why both are reported.
+      // r8 (VERDICT r7 #2): dedup_overcap_bloom now times the DEFAULT
+      // over-cap path — the overCapBloomWorthIt cost gate, which at this
+      // corpus size picks the PLAIN scan (the forced-bloom fixed cost was
+      // a measured wall-time loss: 7.45 s vs 3.54 s for 0.6 MB of shuffle
+      // saved). The forced-bloom run still executes once for the
+      // shuffle-MB pair (oc_bloom_mb vs oc_plain_mb in dedup_prune — the
+      // at-scale signal) and its wall time rides there as oc_bloom_s.
       val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
-        var bShuf = 0L
         val tb = median((1 to runs).map { _ =>
-          var t = 0.0
-          bShuf = shuffleOf { t = timed("dedup_overcap_bloom") {
-            overCapRun(bloom = true) } }
-          t
+          timed("dedup_overcap_bloom") { overCapRun(bloom = None) }
         })
         var pShuf = 0L
         val tp = median((1 to runs).map { _ =>
           var t = 0.0
           pShuf = shuffleOf { t = timed("dedup_overcap_nobloom") {
-            overCapRun(bloom = false) } }
+            overCapRun(bloom = Some(false)) } }
           t
         })
-        (tb, tp, bShuf, pShuf)
+        var bShuf = 0L
+        var tForced = 0.0
+        bShuf = shuffleOf { tForced = timed("dedup_overcap_forced") {
+          overCapRun(bloom = Some(true)) } }
+        (tb, tp, tForced, bShuf, pShuf)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     }
 
@@ -540,11 +550,40 @@ object Bench {
       Seq("region", "nation", "supplier", "part").foreach(t =>
         spark.read.parquet(s"$sfDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$dir/$t.parquet"))
+      // dedup-index family at 10× (VERDICT r7 #3): the family the r7
+      // driver bench regressed on was the only major tier with no scale
+      // entry. Same 90/10 split (the replica offset is a multiple of 10,
+      // so pmod(doc_id,10) survives replication) and the same
+      // small-row-group index layout as the 1× pair; ratios land against
+      // this session's own 1× dedup section medians.
+      val dedupScale = section(
+        Seq("scale10_dedup_index_build", "scale10_dedup_incremental_delta"),
+        Seq.empty[(String, Double)]) {
+        val docs10 = spark.read.parquet(s"$dir/documents.parquet")
+        def writeIdx10(path: String)(
+            df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.mode("overwrite").option("compression", "zstd")
+            .option("parquet.block.size", (1 << 20).toString)
+            .parquet(path)
+        val b10 = timed("scale10_dedup_index_build") {
+          graft.operators.DedupOps.writeNearDupIndex(
+            docs10.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+            writeIdx10(s"$dir/idx/bands"), writeIdx10(s"$dir/idx/sets"))
+        }
+        val d10 = timed("scale10_dedup_incremental_delta") {
+          noop(graft.operators.DedupOps.incrementalNearDupsIndexed(
+            docs10.filter(pmod(col("doc_id"), lit(10)) === 0),
+            spark.read.parquet(s"$dir/idx/bands"),
+            spark.read.parquet(s"$dir/idx/sets")))
+        }
+        Seq("scale10_dedup_index_build" -> b10,
+          "scale10_dedup_incremental_delta" -> d10)
+      }
       scaleQueries.map { name =>
         val t = section(Seq(s"scale10_$name"), -1.0)(
           timed(s"scale10_$name") { noop(SparkEntry.queries(name)(spark, dir)) })
         s"scale10_$name" -> t
-      }
+      } ++ dedupScale
     }
 
     // end-to-end medallion pipeline (bronze→silver→gold incl. indicators,
@@ -644,13 +683,18 @@ object Bench {
     // index), i.e. delta cost does not scale with index size
     def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     // large/small = delta read MB vs the two index sizes; oc_* = shuffle
-    // MB of the over-cap dedup path with/without the bloom prefilter
+    // MB of the over-cap dedup path with/without the FORCED bloom
+    // prefilter (oc_bloom_s = the forced run's wall time — the honest
+    // other side of the shuffle-MB saving; the default path is cost-gated
+    // and rides in queries as dedup_overcap_bloom)
     val pruneJson =
-      s"""{"large_mb":${mb(deltaBytesLarge)},"small_mb":${mb(deltaBytesSmall)},"oc_bloom_mb":${mb(ocBloomShuf)},"oc_plain_mb":${mb(ocPlainShuf)}}"""
+      s"""{"large_mb":${mb(deltaBytesLarge)},"small_mb":${mb(deltaBytesSmall)},"oc_bloom_mb":${mb(ocBloomShuf)},"oc_plain_mb":${mb(ocPlainShuf)},"oc_bloom_s":${ms(tOcForced)}}"""
     val stagesJson = stageAvg.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     // scale tier: t10 plus the ratio vs this session's own 1x median —
     // a ratio far above the 10x data factor flags super-linear scaling
+    scaleBase("dedup_index_build") = idxBuild
+    scaleBase("dedup_incremental_delta") = idxDelta
     val oneX = queryResults.toMap
     // compact [t10_sec, ratio_vs_1x] pairs — the verbose object form plus
     // the scale10_* duplicates in `queries` overflowed the capture window

@@ -242,13 +242,44 @@ object DedupOps {
     * doc_id join on the per-doc set table restricted to pair members —
     * the delta cost is O(delta hashing + candidates), with no
     * corpus-sized aggregation anywhere. */
+  /** Floor + ratio for [[overCapBloomWorthIt]]'s cost gate. The bloom
+    * build costs two extra delta-sized jobs (a count for sizing, then a
+    * full aggregation pass) BEFORE any stored row moves; at fixture scale
+    * that fixed cost is a measured wall-time LOSS (BENCH r7:
+    * dedup_overcap_bloom 7.45 s vs 3.54 s plain, to save 0.6 MB of
+    * shuffle). The prefilter pays only when the stored side it prunes is
+    * big enough that shuffling it dominates those passes: at least a few
+    * shuffle partitions' worth of bytes, and several times the delta
+    * (when the delta approaches the stored size, most stored rows match a
+    * delta bucket anyway and the bloom prunes nothing). */
+  val OverCapBloomMinStoredBytes: Long = 256L << 20
+  val OverCapBloomMinRatio: Int = 4
+
+  /** Cost gate for the over-cap bloom prefilter: engage only when
+    * Catalyst's zero-job size estimates (file stats for parquet-backed
+    * indexes — the [[writeNearDupIndex]] form this path reads) say the
+    * stored band table clears [[OverCapBloomMinStoredBytes]] AND is at
+    * least [[OverCapBloomMinRatio]]× the delta. Estimates, not truths —
+    * but the failure mode of a wrong estimate is only a missed
+    * optimization (plain scan) or a wasted delta pass, never a wrong
+    * result (the bloom admits false positives only; the band join's
+    * equality rejects them). */
+  private[graft] def overCapBloomWorthIt(storedBands: DataFrame,
+                                         newDocs: DataFrame): Boolean = {
+    val stored = storedBands.queryExecution.optimizedPlan.stats.sizeInBytes
+    val delta = newDocs.queryExecution.optimizedPlan.stats.sizeInBytes
+    stored >= BigInt(OverCapBloomMinStoredBytes) &&
+      stored >= delta * OverCapBloomMinRatio
+  }
+
   def incrementalNearDupsIndexed(newDocs: DataFrame, storedBands: DataFrame,
                                  storedSets: DataFrame, k: Int = 8,
                                  bands: Int = 4, shingleN: Int = 3,
                                  textCol: String = "text",
                                  idCol: String = "doc_id",
                                  maxPushdownKeys: Int = DefaultMaxPushdownKeys,
-                                 overCapBloom: Boolean = true): DataFrame =
+                                 overCapBloom: Option[Boolean] = None)
+  : DataFrame =
     incrementalIndexedCore(newDocs, storedBands, storedSets, k, bands,
       shingleN, textCol, idCol, keepDelta = false, maxPushdownKeys,
       overCapBloom)._1
@@ -270,13 +301,13 @@ object DedupOps {
   : (DataFrame, DataFrame, DataFrame) =
     incrementalIndexedCore(newDocs, storedBands, storedSets, k, bands,
       shingleN, textCol, idCol, keepDelta = true, maxPushdownKeys,
-      overCapBloom = true)
+      overCapBloom = None)
 
   private def incrementalIndexedCore(
       newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
       k: Int, bands: Int, shingleN: Int, textCol: String, idCol: String,
       keepDelta: Boolean, maxPushdownKeys: Int,
-      overCapBloom: Boolean): (DataFrame, DataFrame, DataFrame) =
+      overCapBloom: Option[Boolean]): (DataFrame, DataFrame, DataFrame) =
     // AQE stays ON here. An earlier build flipped the session-global
     // spark.sql.adaptive.enabled off for the delta pass — it shaved ~40%
     // at local[8] but (a) mutated shared-session state visible to every
@@ -292,7 +323,7 @@ object DedupOps {
       newDocs: DataFrame, storedBands: DataFrame, storedSets: DataFrame,
       k: Int, bands: Int, shingleN: Int, textCol: String, idCol: String,
       keepDelta: Boolean, maxPushdownKeys: Int,
-      overCapBloom: Boolean): (DataFrame, DataFrame, DataFrame) = {
+      overCapBloom: Option[Boolean]): (DataFrame, DataFrame, DataFrame) = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // every persist is tracked so a mid-flight failure (stored-table read,
     // checkpoint, verification join) releases them on the way out — without
@@ -323,11 +354,17 @@ object DedupOps {
       // rejects, so the result is exact; the shuffled stored volume falls
       // to matching rows + fpp·rest, which at 100 TB is the difference
       // between shuffling the corpus index and shuffling the overlap.
-      // (overCapBloom=false is the measurement control — Bench times the
-      // over-cap delta both ways to keep the claim empirical)
+      // (overCapBloom=Some(true)/Some(false) are the measurement
+      // controls — Bench times the over-cap delta both ways to keep the
+      // claim empirical; None = the overCapBloomWorthIt cost gate, which
+      // at fixture scale correctly picks the plain scan: the bloom's two
+      // fixed delta passes only pay for themselves once the stored side
+      // is shuffle-dominant — measured 7.45 s bloom vs 3.54 s plain at
+      // fixture scale, for a 0.6 MB shuffle saving)
       val storedB =
         if (deltaBuckets.size > maxPushdownKeys) {
-          if (overCapBloom) {
+          if (overCapBloom.getOrElse(
+              overCapBloomWorthIt(storedBands, newDocs))) {
             val bloom = newBands.stat.bloomFilter(
               "bucket", math.max(newBands.count(), 1L), 0.01)
             storedBands.filter(graft.functions.BloomExpressions

@@ -133,12 +133,25 @@ class TextOpsSpec extends SparkSpecBase {
     // silent wrong-result hides. The bloom prefilter admits false
     // positives only (the band join's equality rejects them), so the same
     // pair set and jaccards are required.
-    val overCap = DedupOps.incrementalNearDupsIndexed(
-      docs.filter(col("doc_id") >= split),
-      spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"),
-      maxPushdownKeys = 2)
-      .collect().map(key).toSet
-    assert(overCap === batch)
+    // both FORCED branches must agree with the batch truth (the default
+    // is the overCapBloomWorthIt cost gate, which at fixture scale picks
+    // plain — so the bloom branch only ships tested if forced here)
+    for (forced <- Seq(Some(true), Some(false), None)) {
+      val overCap = DedupOps.incrementalNearDupsIndexed(
+        docs.filter(col("doc_id") >= split),
+        spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/sets"),
+        maxPushdownKeys = 2, overCapBloom = forced)
+        .collect().map(key).toSet
+      assert(overCap === batch, s"overCapBloom=$forced")
+    }
+    // the cost gate itself: a fixture-sized stored index is below the
+    // bytes floor (bloom would be a measured wall-time loss) ...
+    assert(!DedupOps.overCapBloomWorthIt(
+      spark.read.parquet(s"$dir/bands"), docs.filter(col("doc_id") >= split)))
+    // ... while a shuffle-dominant stored side with a small delta clears
+    // it (spark.range stats are exact and zero-job: 8 bytes x count)
+    assert(DedupOps.overCapBloomWorthIt(
+      spark.range(1L << 26).toDF("bucket"), spark.range(1000).toDF("doc_id")))
   }
 
   test("ngram repetition: looped phrase scores high, varied text low") {
