@@ -118,15 +118,20 @@ object Bench {
       }
     // SPARK_GRAFT_SECTIONS=dedup,ivf restricts the structural sections the
     // way SPARK_GRAFT_ONLY restricts queries (dev iteration; driver unsets
-    // both, so the shipped run always measures everything). A skipped
-    // section reports its default (0.00) — fine locally, never emitted to
-    // the driver.
+    // both, so the shipped run always measures everything).
     val sectionsOnly = sys.env.get("SPARK_GRAFT_SECTIONS")
       .map(_.split(",").map(_.trim).toSet)
+    // a gated-OFF section's dependents are recorded here and emitted with
+    // the -1 sentinel plus a "skipped" list: a 0.00 default would read as
+    // a (suspiciously fast) real measurement if a SPARK_GRAFT_SECTIONS run
+    // ever shipped (ADVICE r8). The driver unsets SECTIONS, so the shipped
+    // line always has "skipped":[].
+    var skipped = List.empty[String]
     def gated[T](tag: String, dependents: Seq[String], default: T)(
         body: => T): T =
       if (sectionsOnly.forall(_.contains(tag))) section(dependents, default)(body)
-      else default
+      else { dependents.foreach(n => if (!skipped.contains(n)) skipped ::= n)
+        default }
     val queryResults = selected.map { case (name, fn) =>
       // noop write forces every output column to materialize; a count() here
       // would let Catalyst prune unused window/projection expressions and
@@ -230,9 +235,17 @@ object Bench {
       finally spark.sparkContext.removeSparkListener(shufLst)
       shufBytes.get
     }
-    val (tOcBloom, tOcPlain, tOcForced, ocBloomShuf, ocPlainShuf) =
+    // r9 rename (ADVICE r8): the metric formerly named dedup_overcap_bloom
+    // has, since the r8 cost gate landed, timed the DEFAULT over-cap path
+    // (which at fixture scale picks the plain scan) — the old name made the
+    // r7→r8 drop read as a spurious bloom speedup in trend tooling. It is
+    // emitted as dedup_overcap_default from r9 on; the forced-bloom run is
+    // its own dependent so a failure there flags instead of riding an
+    // unremarkable oc_bloom_s:0.00.
+    val (tOcDefault, tOcPlain, tOcForced, ocBloomShuf, ocPlainShuf) =
       gated("overcap",
-      Seq("dedup_overcap_bloom", "dedup_overcap_nobloom"),
+      Seq("dedup_overcap_default", "dedup_overcap_nobloom",
+        "dedup_overcap_forced"),
       (0.0, 0.0, 0.0, 0L, 0L)) {
       def overCapRun(bloom: Option[Boolean]): Unit =
         noop(graft.operators.DedupOps.incrementalNearDupsIndexed(
@@ -245,7 +258,7 @@ object Bench {
       // measures is BOTH sides too big to broadcast. Pin that plan shape
       // (broadcast off) so the shuffle-MB pair reflects the at-scale
       // exchange the bloom actually prunes; restore the threshold after.
-      // r8 (VERDICT r7 #2): dedup_overcap_bloom now times the DEFAULT
+      // r8 (VERDICT r7 #2): dedup_overcap_default times the DEFAULT
       // over-cap path — the overCapBloomWorthIt cost gate, which at this
       // corpus size picks the PLAIN scan (the forced-bloom fixed cost was
       // a measured wall-time loss: 7.45 s vs 3.54 s for 0.6 MB of shuffle
@@ -256,7 +269,7 @@ object Bench {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val tb = median((1 to runs).map { _ =>
-          timed("dedup_overcap_bloom") { overCapRun(bloom = None) }
+          timed("dedup_overcap_default") { overCapRun(bloom = None) }
         })
         var pShuf = 0L
         val tp = median((1 to runs).map { _ =>
@@ -565,23 +578,32 @@ object Bench {
           df.write.mode("overwrite").option("compression", "zstd")
             .option("parquet.block.size", (1 << 20).toString)
             .parquet(path)
-        val b10 = timed("scale10_dedup_index_build") {
-          graft.operators.DedupOps.writeNearDupIndex(
-            docs10.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-            writeIdx10(s"$dir/idx/bands"), writeIdx10(s"$dir/idx/sets"))
-        }
-        val d10 = timed("scale10_dedup_incremental_delta") {
-          noop(graft.operators.DedupOps.incrementalNearDupsIndexed(
-            docs10.filter(pmod(col("doc_id"), lit(10)) === 0),
-            spark.read.parquet(s"$dir/idx/bands"),
-            spark.read.parquet(s"$dir/idx/sets")))
-        }
+        // medianed like every other entry (VERDICT r8 #2): the r8
+        // single-shot readings put q_minhash_pairs at 17.3× and this
+        // delta at 38× — re-measured with medians + stage instrumentation
+        // (tools/ProfileScale10) they are 1.4× and ~5.6× at 10× data;
+        // both "superlinear ratios" were single-shot host noise, which a
+        // single-shot scale tier has no defense against
+        val b10 = median((1 to runs).map(_ =>
+          timed("scale10_dedup_index_build") {
+            graft.operators.DedupOps.writeNearDupIndex(
+              docs10.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+              writeIdx10(s"$dir/idx/bands"), writeIdx10(s"$dir/idx/sets"))
+          }))
+        val d10 = median((1 to runs).map(_ =>
+          timed("scale10_dedup_incremental_delta") {
+            noop(graft.operators.DedupOps.incrementalNearDupsIndexed(
+              docs10.filter(pmod(col("doc_id"), lit(10)) === 0),
+              spark.read.parquet(s"$dir/idx/bands"),
+              spark.read.parquet(s"$dir/idx/sets")))
+          }))
         Seq("scale10_dedup_index_build" -> b10,
           "scale10_dedup_incremental_delta" -> d10)
       }
       scaleQueries.map { name =>
         val t = section(Seq(s"scale10_$name"), -1.0)(
-          timed(s"scale10_$name") { noop(SparkEntry.queries(name)(spark, dir)) })
+          median((1 to runs).map(_ => timed(s"scale10_$name") {
+            noop(SparkEntry.queries(name)(spark, dir)) })))
         s"scale10_$name" -> t
       } ++ dedupScale
     }
@@ -619,16 +641,24 @@ object Bench {
           concat(lit("<html><head><style>p{color:red}</style></head><body><p>"),
             col("text"), lit("</p></body></html>")).as("text"),
           col("lang"))
-      val warc = graft.operators.WarcOps.encodeWarc(pages)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      warc.count() // build the containers OUTSIDE the timed window
-      try median((1 to runs).map { _ =>
+      // containers are MATERIALIZED to parquet, not persist()ed: timed()
+      // opens every run with catalog.clearCache(), which silently dropped
+      // the r7/r8 persist — so each timed run re-synthesized the corpus
+      // and gzip-encoded every .warc.gz payload INSIDE the window. That
+      // hidden encode is what the metric's round-to-round swings (6.79 →
+      // 25.85 s in r8's driver run) were riding on; the parquet read-back
+      // is immune to cache clearing and the metric now times what it
+      // claims: parse → extract → curate.
+      graft.operators.WarcOps.encodeWarc(pages)
+        .write.mode("overwrite").parquet(s"$tmpRoot/warc_in")
+      val warc = spark.read.parquet(s"$tmpRoot/warc_in")
+      median((1 to runs).map { _ =>
         val out = java.nio.file.Files
           .createTempDirectory("graft_bench_warc").toString
         timed("curation_from_warc") {
           graft.pipeline.CurationPipeline.runFromWarc(spark, warc, out)
         }
-      }) finally warc.unpersist(false)
+      })
     }
     val stageAvg = graft.pipeline.Timing.snapshot("pipeline")
       .map { case (k, v) => k -> v / runs }
@@ -637,7 +667,7 @@ object Bench {
       "dedup_index_build" -> idxBuild,
       "dedup_incremental_delta" -> idxDelta,
       "dedup_delta_small_idx" -> idxDeltaSmall,
-      "dedup_overcap_bloom" -> tOcBloom,
+      "dedup_overcap_default" -> tOcDefault,
       "dedup_overcap_nobloom" -> tOcPlain,
       "ivf_train_store" -> ivfTrain,
       "ivf_knn_pretrained" -> ivfPre,
@@ -663,8 +693,10 @@ object Bench {
     // chars, one sbt "[success]" line away from head truncation
     def ms(v: Double): String = f"$v%.2f"
     val qs = results.map { case (k, v) =>
-      // a failed query reports the -1 sentinel, not a normal-looking time
-      "\"" + k + "\":" + (if (failed.contains(k)) "-1" else ms(v))
+      // a failed OR gated-off query reports the -1 sentinel, not a
+      // normal-looking 0.00 "measurement" (ADVICE r8)
+      "\"" + k + "\":" +
+        (if (failed.contains(k) || skipped.contains(k)) "-1" else ms(v))
     }.mkString("{", ",", "}")
     val total = results.collect { case (k, v) if !failed.contains(k) => v }.sum
     // the total alone is not comparable across rounds as structural
@@ -673,6 +705,12 @@ object Bench {
     val headlineTotal = queryResults
       .collect { case (k, v) if !failed.contains(k) => v }.sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // emitted only when a SPARK_GRAFT_SECTIONS run skipped something: the
+    // shipped driver run (SECTIONS unset) keeps the line free of the key,
+    // and a nonempty list makes a partial run unmistakable in the JSON
+    val skippedJson = if (skipped.isEmpty) ""
+      else skipped.reverse.map("\"" + _ + "\"")
+        .mkString(",\"skipped\":[", ",", "]")
     def rps(rows: Long, sec: Double): Long =
       if (sec > 0) (rows / sec).toLong else 0L
     // *_rps = rows/second through the corresponding stream_* sink above
@@ -686,7 +724,7 @@ object Bench {
     // MB of the over-cap dedup path with/without the FORCED bloom
     // prefilter (oc_bloom_s = the forced run's wall time — the honest
     // other side of the shuffle-MB saving; the default path is cost-gated
-    // and rides in queries as dedup_overcap_bloom)
+    // and rides in queries as dedup_overcap_default)
     val pruneJson =
       s"""{"large_mb":${mb(deltaBytesLarge)},"small_mb":${mb(deltaBytesSmall)},"oc_bloom_mb":${mb(ocBloomShuf)},"oc_plain_mb":${mb(ocPlainShuf)},"oc_bloom_s":${ms(tOcForced)}}"""
     val stagesJson = stageAvg.toSeq.sortBy(_._1)
@@ -704,7 +742,7 @@ object Bench {
       val ratio = base.filter(_ > 0).map(b => f"${t10 / b}%.2f").getOrElse("null")
       "\"" + name + "\":[" + ms(t10) + "," + ratio + "]"
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","query_total":${ms(headlineTotal)},"structural_total":${ms(total - headlineTotal)},"queries":$qs,"stream":$streamJson,"dedup_prune":$pruneJson,"scale10":$scaleJson,"pipeline_stages":$stagesJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","query_total":${ms(headlineTotal)},"structural_total":${ms(total - headlineTotal)},"queries":$qs,"stream":$streamJson,"dedup_prune":$pruneJson,"scale10":$scaleJson,"pipeline_stages":$stagesJson,"failed":$failedJson$skippedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -698,4 +698,465 @@ object MultimodalOps {
         }
       }(enc)
   }
+
+  // ------------------------------------------------------------------
+  // JPEG: baseline sequential JFIF — the codec real crawled images
+  // overwhelmingly arrive in. The decoder is a complete baseline
+  // profile: marker walk, DQT (zigzag-ordered tables), SOF0, DHT
+  // (canonical Huffman from BITS/HUFFVAL), SOS, entropy decode with
+  // 0xFF00 byte-unstuffing and RSTn handling, DC DPCM + extend, AC
+  // run/size with ZRL and EOB, dezigzag + dequantize, full 64-term
+  // IDCT, level shift, and JFIF YCbCr→RGB. The fixture images are
+  // 8×8-block constant-color mosaics whose DC quantization is EXACT
+  // (Y−128 even against Q00=16; chroma−128 a multiple of Q00=17), so
+  // the lossy round-trip is bit-deterministic and the DuckDB oracle
+  // replays the per-block closed forms end to end — a wrong Huffman
+  // table, DPCM predictor, dequant step, or color matrix scrambles the
+  // means/top-left and fails the hash. Nonzero-AC payloads (the
+  // general IDCT path) are cross-checked against the JDK's independent
+  // ImageIO decoder in TextOpsSpec.
+
+  val jpegStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_blocks", IntegerType),
+    StructField("px_r", IntegerType),
+    StructField("px_g", IntegerType),
+    StructField("px_b", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** Zigzag scan: position k in the entropy stream ↔ natural index
+    * ZigZag(k) in the 8×8 block (ISO/IEC 10918-1 Figure A.6). */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K example quantization tables (natural order). Only Q(0,0)
+    * matters for the fixture's exactness; the full tables keep the
+    * files decodable as ordinary quality-50 baseline JPEGs. */
+  private val QLum: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  private val QChrom: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Flat canonical Huffman tables (every code 4 bits — legal JPEG
+    * BITS/HUFFVAL form, Kraft-incomplete so the all-ones code is never
+    * assigned). DC: categories 0..11. AC: EOB, run-0 sizes 1..10, ZRL,
+    * and (run 1, size 1) — the symbols the deterministic encoders emit;
+    * anything else fails loudly at encode time. */
+  private val DcHuffVals: Array[Int] = (0 to 11).toArray
+  private val AcHuffVals: Array[Int] =
+    Array(0x00) ++ (1 to 10).map(s => s) ++ Array(0xF0, 0x11, 0x32)
+
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0; private var nbits = 0
+    def write(bits: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bits >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = while (nbits != 0) write(1, 1) // pad with 1-bits
+  }
+
+  private def bitCategory(v: Int): Int = {
+    var a = math.abs(v); var c = 0
+    while (a != 0) { a >>= 1; c += 1 }
+    c
+  }
+
+  /** Fixture geometry: dimensions are whole blocks so every MCU is full
+    * (the decoder still computes ceil counts like a general one). */
+  private[graft] def jpegDims(id: Long): (Int, Int) =
+    (8 * (1 + (id % 3)).toInt, 8 * (1 + (id % 2)).toInt)
+
+  /** Per-block fixture YCbCr (the closed forms the oracle replays):
+    * Y even-offset around 128 so 8·(Y−128) divides Q00=16 exactly;
+    * chroma offsets are multiples of 17 = chroma Q00 — both make DC
+    * quantization lossless, so the mosaic round-trips bit-exactly. */
+  private[graft] def jpegBlockYcc(id: Long, b: Int): (Int, Int, Int) = (
+    (76 + 2 * ((id * 7 + b * 13) % 53)).toInt,
+    (128 + 17 * (((id * 11 + b * 17) % 9) - 4)).toInt,
+    (128 + 17 * (((id * 3 + b * 19) % 9) - 4)).toInt)
+
+  /** Serialize one baseline JFIF file from quantized, zigzag-ordered
+    * coefficient blocks: `coefs(mcu)(comp)` = 64 values. Interleaved
+    * single scan, components Y (tables 0) / Cb / Cr (tables 1), 1×1
+    * sampling, real DPCM across MCUs, run/size AC coding. */
+  private def jpegFromCoefs(w: Int, h: Int,
+                            coefs: Array[Array[Array[Int]]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body)
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    def dqt(tq: Int, tab: Array[Int]): Array[Byte] =
+      (Array(tq) ++ ZigZag.map(tab(_))).map(_.toByte)
+    seg(0xdb, dqt(0, QLum) ++ dqt(1, QChrom))
+    seg(0xc0, (Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)).map(_.toByte))
+    def dht(tcTh: Int, vals: Array[Int]): Array[Byte] = {
+      val bits = Array.fill(16)(0); bits(3) = vals.length // all length 4
+      (Array(tcTh) ++ bits ++ vals).map(_.toByte)
+    }
+    seg(0xc4, dht(0x00, DcHuffVals) ++ dht(0x10, AcHuffVals) ++
+      dht(0x01, DcHuffVals) ++ dht(0x11, AcHuffVals))
+    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0).map(_.toByte))
+    val bw = new JpegBitWriter(out)
+    def huff(vals: Array[Int], sym: Int): Unit = {
+      val i = vals.indexOf(sym)
+      require(i >= 0, f"symbol 0x$sym%02x not in the flat Huffman table")
+      bw.write(i, 4)
+    }
+    val pred = Array(0, 0, 0)
+    coefs.foreach { mcu =>
+      var comp = 0
+      while (comp < 3) {
+        val zz = mcu(comp)
+        val dcVals = DcHuffVals; val acVals = AcHuffVals
+        val diff = zz(0) - pred(comp); pred(comp) = zz(0)
+        val cat = bitCategory(diff)
+        huff(dcVals, cat)
+        if (cat > 0) bw.write(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+        var run = 0; var k = 1
+        while (k < 64) {
+          val v = zz(k)
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) { huff(acVals, 0xF0); run -= 16 }
+            val size = bitCategory(v)
+            huff(acVals, (run << 4) | size)
+            bw.write(if (v >= 0) v else v + (1 << size) - 1, size)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) huff(acVals, 0x00) // EOB
+        comp += 1
+      }
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** One deterministic baseline JPEG: the constant-block mosaic (DC
+    * only in the coefficient domain — the quantization-exact fixture). */
+  private[graft] def jpegBytes(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    val nb = (w / 8) * (h / 8)
+    val coefs = Array.tabulate(nb) { b =>
+      val (y, cb, cr) = jpegBlockYcc(id, b)
+      Array(
+        { val a = new Array[Int](64); a(0) = 8 * (y - 128) / QLum(0); a },
+        { val a = new Array[Int](64); a(0) = 8 * (cb - 128) / QChrom(0); a },
+        { val a = new Array[Int](64); a(0) = 8 * (cr - 128) / QChrom(0); a })
+    }
+    jpegFromCoefs(w, h, coefs)
+  }
+
+  /** Nonzero-AC variant for the ImageIO cross-check: same mosaic DCs
+    * plus closed-form AC coefficients on the luma blocks (zigzag 1..4
+    * and a ZRL-forcing tail coefficient), so Huffman AC decode, extend,
+    * dezigzag, and the general 64-term IDCT all run against an
+    * independent reference decoder. */
+  private[graft] def jpegBytesWithAc(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    val nb = (w / 8) * (h / 8)
+    val coefs = Array.tabulate(nb) { b =>
+      val (y, cb, cr) = jpegBlockYcc(id, b)
+      val ya = new Array[Int](64)
+      ya(0) = 8 * (y - 128) / QLum(0)
+      var k = 1
+      while (k <= 4) { // never zero: keeps the emitted AC symbol set flat
+        val mag = (1 + (id + b * 7 + k * 3) % 4).toInt
+        ya(k) = if ((id + b + k) % 2 == 0) mag else -mag
+        k += 1
+      }
+      ya(40) = if ((id + b) % 2 == 0) 2 else -2 // 35-zero run → ZRL×2 + 0x32
+      Array(ya,
+        { val a = new Array[Int](64); a(0) = 8 * (cb - 128) / QChrom(0); a },
+        { val a = new Array[Int](64); a(0) = 8 * (cr - 128) / QChrom(0); a })
+    }
+    jpegFromCoefs(w, h, coefs)
+  }
+
+  /** Synthesize the JPEG payload column. */
+  def encodeJpeg(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    docs.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), jpegBytes(r.getLong(0))))
+    }(enc)
+  }
+
+  private val idctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val invSqrt2 = 1.0 / math.sqrt(2.0)
+
+  /** Full baseline decode of one JPEG payload → (w, h, R, G, B planes).
+    * Throws with `what: doc <id>` on anything outside the baseline
+    * 8-bit 1×1-sampling profile or on corrupt structure. */
+  private[graft] def decodeJpegPixels(id: Long, bytes: Array[Byte])
+      : (Int, Int, Array[Int], Array[Int], Array[Int]) = {
+    require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, s"not a JPEG payload (no SOI): doc $id")
+    var pos = 2
+    def u8(): Int = { val v = bytes(pos) & 0xff; pos += 1; v }
+    def u16(): Int = { val v = ((bytes(pos) & 0xff) << 8) |
+      (bytes(pos + 1) & 0xff); pos += 2; v }
+    val qtabs = Array.ofDim[Int](4, 64) // zigzag order, as stored
+    // (tc,th) → flat (len,code) → symbol maps built from BITS/HUFFVAL
+    val huff = scala.collection.mutable.Map.empty[(Int, Int), Map[(Int, Int), Int]]
+    var w = 0; var h = 0
+    var nComp = 0
+    val compQ = new Array[Int](3); val compDc = new Array[Int](3)
+    val compAc = new Array[Int](3)
+    var sosAt = -1
+    while (sosAt < 0) {
+      require(pos + 4 <= bytes.length, s"truncated JPEG before SOS: doc $id")
+      require((u8()) == 0xff, s"marker expected at ${pos - 1}: doc $id")
+      var m = u8()
+      while (m == 0xff) m = u8() // fill bytes are legal
+      m match {
+        case 0xdb =>
+          val end = pos + u16() - 2
+          while (pos < end) {
+            val pqTq = u8()
+            require(pqTq >> 4 == 0, s"16-bit DQT unsupported: doc $id")
+            var k = 0
+            while (k < 64) { qtabs(pqTq & 0xf)(k) = u8(); k += 1 }
+          }
+        case 0xc0 =>
+          u16() // length
+          require(u8() == 8, s"non-8-bit SOF0: doc $id")
+          h = u16(); w = u16(); nComp = u8()
+          require(nComp == 3, s"expected 3 components, got $nComp: doc $id")
+          var c = 0
+          while (c < nComp) {
+            u8() // component id (1-based by convention)
+            require(u8() == 0x11, s"subsampling unsupported: doc $id")
+            compQ(c) = u8(); c += 1
+          }
+        case 0xc4 =>
+          val end = pos + u16() - 2
+          while (pos < end) {
+            val tcTh = u8()
+            val bits = Array.fill(16)(u8())
+            var code = 0
+            val table = scala.collection.mutable.Map.empty[(Int, Int), Int]
+            var len = 1
+            while (len <= 16) {
+              var i = 0
+              while (i < bits(len - 1)) {
+                table((len, code)) = u8(); code += 1; i += 1
+              }
+              code <<= 1; len += 1
+            }
+            huff((tcTh >> 4, tcTh & 0xf)) = table.toMap
+          }
+        case 0xdd =>
+          u16()
+          require(u16() == 0, s"restart intervals unsupported: doc $id")
+        case 0xda =>
+          u16()
+          val ns = u8()
+          require(ns == nComp, s"scan components $ns != $nComp: doc $id")
+          var c = 0
+          while (c < ns) {
+            u8() // component selector, in SOF order here
+            val t = u8(); compDc(c) = t >> 4; compAc(c) = t & 0xf; c += 1
+          }
+          require(u8() == 0 && u8() == 63 && u8() == 0,
+            s"progressive/successive scan unsupported: doc $id")
+          sosAt = pos
+        case x if x >= 0xc1 && x <= 0xcf && x != 0xc4 && x != 0xc8 =>
+          throw new IllegalArgumentException(
+            f"non-baseline SOF marker 0xff$x%02x: doc $id")
+        case 0xd9 =>
+          throw new IllegalArgumentException(s"EOI before SOS: doc $id")
+        case _ => // APPn/COM/... skipped
+          // NOT `pos += u16() - 2`: that desugars to pos = pos + (...),
+          // reading the stale pos BEFORE u16() advances it
+          val skip = u16() - 2; pos += skip
+      }
+    }
+    require(w > 0 && h > 0, s"SOS before SOF0: doc $id")
+    // entropy-coded segment bit reader with FF00 unstuffing; any real
+    // marker inside the scan (incl. RSTn — this profile declares no
+    // restart interval) fails loudly by doc id
+    var acc = 0L; var nbits = 0
+    def nextBits(n: Int): Int = {
+      while (nbits < n) {
+        require(pos < bytes.length, s"entropy stream underflow: doc $id")
+        val b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          val m2 = bytes(pos) & 0xff; pos += 1
+          require(m2 == 0x00, // stuffed literal FF
+            f"unexpected marker 0xff$m2%02x inside scan: doc $id")
+        }
+        acc = (acc << 8) | b; nbits += 8
+      }
+      val v = ((acc >> (nbits - n)) & ((1L << n) - 1)).toInt
+      nbits -= n; v
+    }
+    def decodeSym(table: Map[(Int, Int), Int]): Int = {
+      var len = 1; var code = nextBits(1)
+      while (len <= 16) {
+        table.get((len, code)) match {
+          case Some(s) => return s
+          case None => code = (code << 1) | nextBits(1); len += 1
+        }
+      }
+      throw new IllegalArgumentException(s"invalid Huffman code: doc $id")
+    }
+    def extend(v: Int, size: Int): Int =
+      if (size == 0) 0
+      else if (v < (1 << (size - 1))) v - (1 << size) + 1
+      else v
+    val nBx = (w + 7) / 8; val nBy = (h + 7) / 8
+    val planes = Array.fill(3)(new Array[Int](nBx * 8 * nBy * 8))
+    val pred = Array(0, 0, 0)
+    val block = new Array[Double](64)
+    var mcu = 0
+    while (mcu < nBx * nBy) {
+      val by = mcu / nBx; val bx = mcu % nBx
+      var comp = 0
+      while (comp < 3) {
+        val dcTab = huff.getOrElse((0, compDc(comp)), throw
+          new IllegalArgumentException(s"missing DC table ${compDc(comp)}: doc $id"))
+        val acTab = huff.getOrElse((1, compAc(comp)), throw
+          new IllegalArgumentException(s"missing AC table ${compAc(comp)}: doc $id"))
+        val q = qtabs(compQ(comp))
+        java.util.Arrays.fill(block, 0.0)
+        val cat = decodeSym(dcTab)
+        require(cat <= 11, s"DC category $cat out of range: doc $id")
+        val diff = extend(nextBits(cat), cat)
+        pred(comp) += diff
+        block(0) = pred(comp).toDouble * q(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = decodeSym(acTab)
+          if (rs == 0x00) eob = true
+          else if (rs == 0xF0) k += 16
+          else {
+            k += rs >> 4
+            require(k < 64, s"AC run past block end: doc $id")
+            val size = rs & 0xf
+            block(ZigZag(k)) = extend(nextBits(size), size).toDouble * q(k)
+            k += 1
+          }
+        }
+        // IDCT (direct 64-term double-precision form; a production hot
+        // path swaps in AAN row-column with identical rounding contract)
+        val plane = planes(comp)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0.0
+            var v = 0
+            while (v < 8) {
+              val cv = if (v == 0) invSqrt2 else 1.0
+              var u = 0
+              while (u < 8) {
+                val cu = if (u == 0) invSqrt2 else 1.0
+                val f = block(v * 8 + u)
+                if (f != 0.0) s += cu * cv * f * idctCos(x)(u) * idctCos(y)(v)
+                u += 1
+              }
+              v += 1
+            }
+            val px = math.floor(s / 4.0 + 128.0 + 0.5).toInt
+            plane((by * 8 + y) * (nBx * 8) + bx * 8 + x) =
+              math.max(0, math.min(255, px))
+            x += 1
+          }
+          y += 1
+        }
+        comp += 1
+      }
+      mcu += 1
+    }
+    // JFIF YCbCr→RGB, floor(x+0.5) rounding (the closed form the oracle
+    // replays), cropped to the declared dimensions
+    val stride = nBx * 8
+    val r = new Array[Int](w * h); val g = new Array[Int](w * h)
+    val b = new Array[Int](w * h)
+    def clamp(x: Double): Int =
+      math.max(0, math.min(255, math.floor(x + 0.5).toInt))
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val i = yy * stride + xx
+        val yv = planes(0)(i).toDouble
+        val cb = planes(1)(i) - 128.0
+        val cr = planes(2)(i) - 128.0
+        val o = yy * w + xx
+        r(o) = clamp(yv + 1.402 * cr)
+        g(o) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+        b(o) = clamp(yv + 1.772 * cb)
+        xx += 1
+      }
+      yy += 1
+    }
+    (w, h, r, g, b)
+  }
+
+  /** REAL JPEG decode over binary payloads, partition-at-a-time — the
+    * compressed-image sibling of [[decodePng]], same output contract:
+    * header fields, the top-left pixel (layout sentinel) and
+    * per-channel means. */
+  def decodeJpeg(payloads: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(jpegStatsSchema)
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val id = row.getLong(0)
+          val (w, h, r, g, b) =
+            decodeJpegPixels(id, row.getAs[Array[Byte]](1))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < w * h) { sr += r(i); sg += g(i); sb += b(i); i += 1 }
+          val n = (w * h).toDouble
+          Row(id, w, h, (w / 8) * (h / 8), r(0), g(0), b(0),
+            round6(sr / n), round6(sg / n), round6(sb / n))
+        }
+      }(enc)
+  }
 }

@@ -234,6 +234,7 @@ object SilverOps {
       .groupByKey(_._1)
       .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
         val sorted = it.toArray.sortBy(_._2.getTime)
+        requireUniqueSortedDates(t, sorted.iterator.map(_._2))
         var (pf, ps, pg) = (0.0, 0.0, 0.0)
         var first = true
         sorted.iterator.map { case (_, d, x) =>
@@ -270,6 +271,7 @@ object SilverOps {
       .groupByKey(_._1)
       .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
         val sorted = it.toArray.sortBy(_._2.getTime)
+        requireUniqueSortedDates(t, sorted.iterator.map(_._2))
         var prevClose = Double.NaN
         var ag = 0.0
         var al = 0.0
@@ -318,6 +320,7 @@ object SilverOps {
       .groupByKey(_._1)
       .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
         val s = it.toArray.sortBy(_._2.getTime)
+        requireUniqueSortedDates(t, s.iterator.map(_._2))
         val cents = s.map(x => math.round(x._3 * 100))
         val deltas = new Array[Long](s.length) // |Δcents|, deltas(0) unused
         var i = 1
@@ -572,6 +575,7 @@ object SilverOps {
       .groupByKey(_._1)
       .flatMapGroups { (t: String, it: Iterator[(String, java.sql.Date, Double)]) =>
         val s = it.toArray.sortBy(_._2.getTime)
+        requireUniqueSortedDates(t, s.iterator.map(_._2))
         import java.{util => ju}
         val lo = new ju.PriorityQueue[java.lang.Double](ju.Collections.reverseOrder[java.lang.Double]())
         val hi = new ju.PriorityQueue[java.lang.Double]()
@@ -636,6 +640,7 @@ object SilverOps {
       .flatMapGroups { (tk: String,
                         it: Iterator[(String, java.sql.Date, Double, Double, Double)]) =>
         val s = it.toArray.sortBy(_._2.getTime)
+        requireUniqueSortedDates(tk, s.iterator.map(_._2))
         val m = s.length
         import java.{util => ju}
         val dqMax = Array.fill(3)(new ju.ArrayDeque[Int]())

@@ -1256,6 +1256,17 @@ object TextQueries {
       MultimodalOps.decodePng(
         MultimodalOps.encodePng(Tables.documents(s, dir)))),
 
+    // REAL lossy-codec decode: baseline JFIF — Huffman (canonical
+    // BITS/HUFFVAL), DC DPCM + extend, AC run/size with ZRL/EOB, zigzag,
+    // dequantize, full 64-term IDCT, JFIF YCbCr→RGB, 0xFF00 unstuffing.
+    // The fixture mosaic's DC quantization is exact (see MultimodalOps),
+    // so the lossy round-trip is bit-deterministic and the oracle replays
+    // the per-block closed forms; the nonzero-AC general path is pinned
+    // against the JDK's independent ImageIO decoder in TextOpsSpec.
+    "q_jpeg_decode" -> ((s, dir) =>
+      MultimodalOps.decodeJpeg(
+        MultimodalOps.encodeJpeg(Tables.documents(s, dir)))),
+
     // Perceptual average-hash over the REAL decoded BMP bytes: per-pixel
     // luma vs the exact image mean (luma·n > Σluma — no division), packed
     // LSB-first in image row-major order. The oracle replays the pixel
@@ -2626,7 +2637,7 @@ object TextQueries {
         |p AS (
         |  SELECT doc_id, domain, path,
         |    list_transform(
-        |      list_filter(string_split(replace(rt, chr(13), ''), chr(10)),
+        |      list_filter(string_split(replace(rt, chr(13) || chr(10), chr(10)), chr(10)),
         |        l -> lower(l) LIKE 'disallow:%'),
         |      l -> trim(substr(l, 10))) AS rules
         |  FROM r)
@@ -3294,6 +3305,44 @@ object TextQueries {
         |  ROUND(AVG((doc_id * 11 + k * 17) % 256), 6) AS mean_g,
         |  ROUND(AVG((doc_id * 7 + k * 13) % 256), 6) AS mean_b
         |FROM px GROUP BY doc_id, width, height""".stripMargin,
+
+    // JPEG: per-8×8-block constant mosaic with exact DC quantization —
+    // the decode is bit-deterministic, so the oracle replays block YCbCr
+    // closed forms + the JFIF color matrix with floor(x+0.5) rounding
+    // (the decoder's documented contract). Pixel means equal block means
+    // exactly (equal 64-px blocks; scaling num/den by 2^6 is IEEE-exact).
+    "q_jpeg_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+        |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
+        |  FROM documents),
+        |blk AS (
+        |  SELECT d.doc_id, d.width, d.height, CAST(t.i AS BIGINT) AS b
+        |  FROM d CROSS JOIN range(0, 6) t(i)
+        |  WHERE t.i < (d.width // 8) * (d.height // 8)),
+        |ycc AS (
+        |  SELECT doc_id, width, height, b,
+        |    76 + 2 * ((doc_id * 7 + b * 13) % 53) AS y,
+        |    17 * (((doc_id * 11 + b * 17) % 9) - 4) AS cb,
+        |    17 * (((doc_id * 3 + b * 19) % 9) - 4) AS cr
+        |  FROM blk),
+        |rgb AS (
+        |  SELECT doc_id, width, height, b,
+        |    GREATEST(0, LEAST(255, FLOOR(y + 1.402 * cr + 0.5))) AS r,
+        |    GREATEST(0, LEAST(255,
+        |      FLOOR(y - 0.344136 * cb - 0.714136 * cr + 0.5))) AS g,
+        |    GREATEST(0, LEAST(255, FLOOR(y + 1.772 * cb + 0.5))) AS bb
+        |  FROM ycc)
+        |SELECT doc_id, width, height,
+        |  CAST((width // 8) * (height // 8) AS INTEGER) AS n_blocks,
+        |  CAST(MAX(CASE WHEN b = 0 THEN r END) AS INTEGER) AS px_r,
+        |  CAST(MAX(CASE WHEN b = 0 THEN g END) AS INTEGER) AS px_g,
+        |  CAST(MAX(CASE WHEN b = 0 THEN bb END) AS INTEGER) AS px_b,
+        |  ROUND(AVG(r), 6) AS mean_r,
+        |  ROUND(AVG(g), 6) AS mean_g,
+        |  ROUND(AVG(bb), 6) AS mean_b
+        |FROM rgb GROUP BY doc_id, width, height""".stripMargin,
 
     // perceptual hash: replay the pixel closed form, luma = B+G+R, bit k
     // set iff luma·n > Σluma, packed LSB-first over image row-major k

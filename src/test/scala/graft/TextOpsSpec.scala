@@ -370,6 +370,85 @@ class TextOpsSpec extends SparkSpecBase {
       eTrunc.getCause != null)
   }
 
+  test("JPEG decode: baseline Huffman+DPCM+IDCT+YCbCr, closed forms, ImageIO parity") {
+    import spark.implicits._
+    // the quantization-exact mosaic round-trips bit-deterministically:
+    // decode must reproduce the per-block closed forms the oracle replays
+    val docs = Tables.documents(spark, sf).limit(60)
+    val decoded = MultimodalOps.decodeJpeg(MultimodalOps.encodeJpeg(docs))
+    assert(decoded.schema === MultimodalOps.jpegStatsSchema)
+    val rows = decoded.collect()
+    assert(rows.length === 60)
+    def clamp(x: Double): Int =
+      math.max(0, math.min(255, math.floor(x + 0.5).toInt))
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = MultimodalOps.jpegDims(id)
+      val nb = (w / 8) * (h / 8)
+      assert(r.getInt(1) === w && r.getInt(2) === h && r.getInt(3) === nb)
+      val rgb = (0 until nb).map { b =>
+        val (y, cb, cr) = MultimodalOps.jpegBlockYcc(id, b)
+        (clamp(y + 1.402 * (cr - 128)),
+          clamp(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+          clamp(y + 1.772 * (cb - 128)))
+      }
+      // top-left pixel lives in block 0; means over equal-sized blocks
+      assert(r.getInt(4) === rgb.head._1 && r.getInt(5) === rgb.head._2 &&
+        r.getInt(6) === rgb.head._3)
+      assert(math.abs(r.getDouble(7) - rgb.map(_._1).sum.toDouble / nb) < 1e-6)
+      assert(math.abs(r.getDouble(8) - rgb.map(_._2).sum.toDouble / nb) < 1e-6)
+      assert(math.abs(r.getDouble(9) - rgb.map(_._3).sum.toDouble / nb) < 1e-6)
+    }
+    // independent-decoder parity: the JDK's ImageIO (libjpeg-backed) must
+    // read the same files — DC-only mosaics AND the nonzero-AC variant
+    // that drives Huffman AC/ZRL/extend and the general 64-term IDCT.
+    // Tolerance ±3: ImageIO's fixed-point IDCT + integer YCbCr differ from
+    // the float reference by at most a couple of counts per channel.
+    for (id <- 0L to 12L; withAc <- Seq(false, true)) {
+      val bytes = if (withAc) MultimodalOps.jpegBytesWithAc(id)
+                  else MultimodalOps.jpegBytes(id)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected doc $id withAc=$withAc")
+      val (w, h, rr, gg, bb) = MultimodalOps.decodeJpegPixels(id, bytes)
+      assert(img.getWidth === w && img.getHeight === h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val i = y * w + x
+        val dr = math.abs(((argb >> 16) & 0xff) - rr(i))
+        val dg = math.abs(((argb >> 8) & 0xff) - gg(i))
+        val db = math.abs((argb & 0xff) - bb(i))
+        assert(dr <= 3 && dg <= 3 && db <= 3,
+          s"doc $id withAc=$withAc px($x,$y): ImageIO vs graft " +
+            s"Δ=($dr,$dg,$db)")
+      }
+    }
+    // corrupt structure fails loudly by doc id
+    val good = MultimodalOps.jpegBytes(7L)
+    val noSoi = good.clone(); noSoi(1) = 0x00
+    val e1 = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeJpeg(
+        Seq((7L, noSoi)).toDF("doc_id", "payload")).collect()
+    }
+    assert(e1.getMessage.contains("doc 7") || e1.getCause != null)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeJpeg(
+        Seq((7L, good.take(good.length / 3))).toDF("doc_id", "payload"))
+        .collect()
+    }
+    assert(e2.getMessage.contains("doc 7") || e2.getCause != null)
+    // progressive SOF (FFC2) is rejected by marker, not mis-decoded
+    val prog = good.clone()
+    val sof = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    val e3 = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.decodeJpeg(
+        Seq((7L, prog)).toDF("doc_id", "payload")).collect()
+    }
+    assert(e3.getMessage.contains("doc 7") || e3.getCause != null)
+  }
+
   test("WARC: gzip-member framing, exact body octets, truncation fails loudly") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(10)
