@@ -30,20 +30,27 @@ object Bench {
     "q_semantic_dedup",
     "q_ivf_knn", "q_quality_filter", "q_corpus_card",
     "q_range_frame",
-    // q_cosine_knn (0.3 s stable brute-force baseline) trimmed to make
-    // room for the corpus-wide trigram-df novelty pass inside the
-    // driver's stdout capture; still measured via SPARK_GRAFT_FULL
-    "q_novelty",
+    // q_cosine_knn (0.3 s stable brute-force baseline) and q_novelty
+    // (1.2 s; its corpus-wide trigram-df shape is covered by q_dup_spans)
+    // trimmed for the driver's stdout capture; both still measured via
+    // SPARK_GRAFT_FULL
     // round-7 additions: the slide-expanded window agg, the per-key
     // recursive fold, the corpus-wide LM join, the bloom-prefiltered join,
-    // the deque-fold extrema + integer-co-moment corr, and the graph tier
+    // the integer-co-moment corr, and the graph tier
     "q_ema", "q_macd", "q_unigram_lm",
-    "q_bloom_semi_join", "q_stoch", "q_rolling_corr", "q_pagerank",
-    "q_triangles",
+    "q_bloom_semi_join", "q_rolling_corr", "q_pagerank",
     // late round-7: basket self-join mining, LPA rounds
-    "q_assoc_rules", "q_communities", "q_cusum",
-    // final round-7 batch: fixed-point PCA, stationary mass
-    "q_pca", "q_stationary",
+    "q_assoc_rules", "q_communities",
+    // final round-7 batch: fixed-point PCA
+    "q_pca",
+    // r9 trim for pq_ivf_knn_pretrained + head-truncation margin: the r8
+    // line ALREADY overflowed the driver's 2000-char stdout capture by a
+    // few dozen chars (BENCH_r08 parsed:null, tail starts mid-line), so
+    // five stable entries whose families stay covered move to
+    // SPARK_GRAFT_FULL-only: q_cusum (q_ema/q_holt_winters keep the
+    // recursion family), q_stoch (q_rolling_corr keeps the deque/co-moment
+    // pair), q_triangles (q_pagerank keeps graph), q_stationary (q_pca
+    // keeps fixed-point), q_auc (oracle still gates EvalOps)
     // r8 trim for the new scale10 dedup entries + oc_bloom_s: q_gap_fill
     // (0.60 s), q_hopping_window (0.41), q_cms_counts (0.70), q_holt
     // (0.97 — q_holt_winters keeps the recursion family's heavier twin)
@@ -56,7 +63,7 @@ object Bench {
     // SPARK_GRAFT_FULL locally: the emitted JSON line must stay inside
     // the driver's ~2000-char stdout capture, and the r7 line hit 2055
     // chars before this trim)
-    "q9_product_profit", "q_auc", "q_holt_winters",
+    "q9_product_profit", "q_holt_winters",
     // round-8 batch: the overlapping-gram span lattice (the heaviest new
     // dedup family member — two shuffles over corpus-words rows), its
     // removal pass (adds the token-stream join + ordered rebuild), and
@@ -290,9 +297,10 @@ object Bench {
     // dedup index split: centroid training runs once and persists; the
     // query path loads and probes, nothing trains per query.
     val emb = Tables.embeddings(spark, sfDir)
-    val (ivfTrain, ivfPre, sqIvfPre, ivfEqRecall) = gated("ivf",
+    val (ivfTrain, ivfPre, sqIvfPre, ivfEqRecall, pqIvfPre) = gated("ivf",
       Seq("ivf_train_store", "ivf_knn_pretrained", "sq_ivf_knn_pretrained",
-        "ivf_knn_eqrecall"), (0.0, 0.0, 0.0, 0.0)) {
+        "ivf_knn_eqrecall", "pq_ivf_knn_pretrained"),
+      (0.0, 0.0, 0.0, 0.0, 0.0)) {
       val t = median((1 to runs).map(_ => timed("ivf_train_store") {
         val cents = graft.operators.SimilarityOps.kmeansCentroids(
           emb, 16, iters = 2, trainSample = 512)
@@ -324,7 +332,15 @@ object Bench {
           emb, emb.filter(col("vec_id") < 10), k = 5, storedCents,
           nprobe = 12))
       }))
-      (t, p, sq, eq)
+      // the third compression tier (r9): IVF ∘ PQ/ADC ∘ exact refine,
+      // codebook pre-trained like every other stored artifact — the
+      // direct comparand for sq_ivf_knn_pretrained (same nprobe/refine)
+      val pqCb = graft.operators.SimilarityOps.pqTrain(emb)
+      val pqv = median((1 to runs).map(_ => timed("pq_ivf_knn_pretrained") {
+        noop(graft.operators.SimilarityOps.ivfPqKnn(
+          emb, emb.filter(col("vec_id") < 10), k = 5, storedCents, pqCb))
+      }))
+      (t, p, sq, eq, pqv)
     }
 
     // ---- skewed-key join: plain vs salted (VERDICT r3 #5) -------------
@@ -673,6 +689,7 @@ object Bench {
       "ivf_knn_pretrained" -> ivfPre,
       "sq_ivf_knn_pretrained" -> sqIvfPre,
       "ivf_knn_eqrecall" -> ivfEqRecall,
+      "pq_ivf_knn_pretrained" -> pqIvfPre,
       "join_skew_plain" -> skewPlain,
       "join_skew_salted" -> skewSalted,
       "stream_upsert" -> tUpsert,

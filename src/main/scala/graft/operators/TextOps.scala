@@ -498,4 +498,124 @@ object TextOps {
       .reduceLeft(_ + _)
     byDoc.select(col(idCol), total.as("score"))
   }
+
+  /** One trained BPE merge: `idx` is 1-based merge order, `pair` the
+    * winning adjacent symbol pair IN SENTINEL SPACE (earlier merges
+    * collapsed to the single char U+000j, so every symbol stays one char and
+    * a merge is always a 2-char substring), `merged` the fully decoded
+    * surface string the merge produces, `cnt` its corpus-weighted count
+    * at selection time. */
+  case class BpeMerge(idx: Int, pair: String, merged: String, cnt: Long)
+
+  /** BPE tokenizer training TO CONVERGENCE — the driver-local merge loop
+    * over aggregated pair counts (the `kmeansCentroids` trainSample
+    * pattern: training state is bounded and driver-side; the corpus is
+    * touched only by ONE word-count aggregation). q_bpe_pairs/
+    * q_bpe_merge2 are iterations 1 and 2 of exactly this loop.
+    *
+    * Semantics (chosen to be replayable verbatim by a SQL oracle):
+    * pair counts are corpus-frequency-weighted counts of adjacent 2-char
+    * substrings (overlaps counted — "aaa" contributes "aa" twice);
+    * the winner is (max count, ties → lexicographically smallest pair),
+    * stops early below `minCount`; applying a merge is leftmost
+    * non-overlapping `replace` of the pair with the sentinel char
+    * U+000idx (Java String.replace ≡ SQL replace); words collapsed
+    * below 2 symbols leave the working vocabulary.
+    *
+    * Scale shape: ONE map-combined word-count shuffle + a TakeOrdered
+    * top-`maxVocab` to the driver (vocabulary-bounded, never the token
+    * stream — the q_bpe_pairs trick); every merge iteration then runs
+    * over the ≤`maxVocab` in-memory word table, which is the standard
+    * industrial shape (HF/sentencepiece train on a word-count table,
+    * not the raw corpus). Sentinels require corpus text free of
+    * control chars <   (true of [[words]] output on any sane
+    * corpus; merges never exceed 30 so sentinels stay in C0 space). */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8, minCount: Long = 2,
+               maxVocab: Int = 50000, textCol: String = "text")
+      : Seq[BpeMerge] = {
+    require(nMerges >= 1 && nMerges <= 30,
+      s"sentinel space supports 1..30 merges, got $nMerges")
+    val wcRows = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .filter(length(col("word")) >= 2)
+      .orderBy(col("wc").desc, col("word")).limit(maxVocab)
+      .collect()
+    var vocab = wcRows.map(r => (r.getString(0), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var converged = false
+    while (merges.size < nMerges && !converged) {
+      val counts = new java.util.HashMap[String, Long]()
+      vocab.foreach { case (w, c) =>
+        var i = 0
+        while (i < w.length - 1) {
+          counts.merge(w.substring(i, i + 2), c, _ + _); i += 1
+        }
+      }
+      var bestPair: String = null; var bestCnt = 0L
+      counts.forEach { (p, c) =>
+        if (c > bestCnt || (c == bestCnt && (bestPair == null || p < bestPair))) {
+          bestPair = p; bestCnt = c
+        }
+      }
+      if (bestPair == null || bestCnt < minCount) converged = true
+      else {
+        val idx = merges.size + 1
+        val sentinel = (1 + merges.size).toChar.toString
+        // decoded surface form: expand earlier sentinels (distinct chars,
+        // decoded forms are sentinel-free, so order is irrelevant)
+        val merged = merges.foldLeft(bestPair) { (s, m) =>
+          s.replace(m.idx.toChar.toString, m.merged)
+        }
+        merges += BpeMerge(idx, bestPair, merged, bestCnt)
+        vocab = vocab
+          .map { case (w, c) => (w.replace(bestPair, sentinel), c) }
+          .filter(_._1.length >= 2)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The trained merge table as a persistable DataFrame (what a training
+    * job writes next to the corpus card). */
+  def bpeMergesToDf(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[BpeMerge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("idx", "pair", "merged", "cnt")
+      .select(col("idx").cast("int"), col("pair"), col("merged"),
+        col("cnt").cast("long"))
+  }
+
+  /** Read a stored merge table back into apply order. */
+  def bpeMergesFromDf(df: DataFrame): Seq[BpeMerge] =
+    df.select(col("idx").cast("int"), col("pair"), col("merged"),
+        col("cnt").cast("long"))
+      .collect().map(r => BpeMerge(r.getInt(0), r.getString(1),
+        r.getString(2), r.getLong(3)))
+      .sortBy(_.idx).toSeq
+
+  /** Apply a trained merge table to the corpus: per word, replay every
+    * merge in training order (chained codegen'd `replace` expressions —
+    * per-row, zero shuffle at any corpus size). Output keeps the word in
+    * sentinel space plus its symbol count — the encoded stream a
+    * sequence-packing stage consumes. */
+  def bpeApply(docs: DataFrame, merges: Seq[BpeMerge],
+               textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "word")))
+    val encoded = merges.foldLeft(col("word")) { (c, m) =>
+      replace(c, lit(m.pair), lit(m.idx.toChar.toString))
+    }
+    tok.select(col("doc_id"), col("pos"), col("word"),
+      encoded.as("encoded"), length(encoded).as("n_symbols"))
+  }
+
+  /** Invert [[bpeApply]]: expand sentinels in REVERSE merge order (merge
+    * i's pair may contain sentinels j < i). `bpeDecode(bpeApply(w)) == w`
+    * for any input — the round-trip law the spec pins. */
+  def bpeDecode(encoded: Column, merges: Seq[BpeMerge]): Column =
+    merges.reverse.foldLeft(encoded) { (c, m) =>
+      replace(c, lit(m.idx.toChar.toString), lit(m.pair))
+    }
 }

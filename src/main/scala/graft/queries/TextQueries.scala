@@ -406,6 +406,16 @@ object TextQueries {
         .orderBy(col("cnt").desc, col("pair")).limit(20)
     }),
 
+    // BPE training TO CONVERGENCE: the driver-local merge loop over the
+    // vocabulary-bounded word-count table (q_bpe_pairs/q_bpe_merge2 are
+    // its first two iterations). Output is the persistable merge table —
+    // (idx, sentinel-space pair, decoded surface form, count at
+    // selection) — the artifact a tokenizer-prep run stores next to the
+    // corpus card; the oracle replays all 8 merges as unrolled SQL.
+    "q_bpe_train" -> ((s, dir) =>
+      TextOps.bpeMergesToDf(s,
+        TextOps.bpeTrain(Tables.documents(s, dir), nMerges = 8))),
+
     // per-doc n-gram NOVELTY: fraction of the doc's distinct trigrams
     // appearing in no other doc (corpus df = 1) — the memorization-risk /
     // uniqueness signal dual to the duplication stats. df-agg + join-back
@@ -1504,7 +1514,59 @@ object TextQueries {
 
   private val ivfScoresCte = kmeansScoresCte(16, 2, 512)
 
+  /** Unrolled-SQL replay of [[graft.operators.TextOps.bpeTrain]]: step i
+    * computes pair counts over vocabulary v(i-1), picks the (cnt DESC,
+    * pair) winner with cnt >= 2, and rewrites the vocabulary with the
+    * winner collapsed to chr(i) — exactly the engine's loop, one CTE
+    * trio per merge. d(i) decodes the sentinel-space pair back to its
+    * surface form via the earlier steps' decoded strings (sentinels are
+    * distinct chars and decoded forms are sentinel-free, so replace
+    * order is irrelevant). If a step converges (no pair >= 2), its
+    * scalar subquery is NULL, the rewritten vocabulary empties, and the
+    * step emits no row — matching the engine's early stop. */
+  private def bpeTrainOracle(nMerges: Int): String = {
+    val steps = (1 to nMerges).map { i =>
+      // MATERIALIZED: each v(i) references v(i-1) three times (pair
+      // count + two replace arms); inlined CTEs would blow up ~3^n
+      s"""p$i AS MATERIALIZED (
+         |  SELECT substr(word, i, 2) AS pair, SUM(wcnt) AS cnt
+         |  FROM (SELECT word, wcnt, unnest(range(1, length(word))) AS i
+         |        FROM v${i - 1})
+         |  GROUP BY 1),
+         |s$i AS MATERIALIZED (SELECT pair, cnt FROM p$i WHERE cnt >= 2
+         |  ORDER BY cnt DESC, pair LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT replace(word, (SELECT pair FROM s$i), chr($i)) AS word,
+         |    wcnt
+         |  FROM v${i - 1}
+         |  WHERE length(replace(word, (SELECT pair FROM s$i), chr($i)))
+         |    >= 2)""".stripMargin
+    }
+    val decodes = (1 to nMerges).map { i =>
+      val dec = (1 until i).foldLeft("pair") { (e, j) =>
+        s"replace($e, chr($j), (SELECT merged FROM d$j))"
+      }
+      s"d$i AS MATERIALIZED (SELECT $i AS idx, pair, $dec AS merged, cnt FROM s$i)"
+    }
+    val union = (1 to nMerges).map(i => s"SELECT * FROM d$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+       |  FROM documents),
+       |t AS (SELECT unnest(w) AS word FROM words),
+       |v0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt FROM t
+       |  GROUP BY 1 HAVING length(word) >= 2
+       |  ORDER BY wcnt DESC, word LIMIT 50000),
+       |${steps.mkString(",\n")},
+       |${decodes.mkString(",\n")}
+       |SELECT CAST(idx AS INTEGER) AS idx, pair, merged,
+       |  CAST(cnt AS BIGINT) AS cnt
+       |FROM (${union}) ORDER BY idx""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_bpe_train" -> bpeTrainOracle(8),
     "q_approx_distinct" ->
       graft.functions.Sketches.kmvOracleSql("documents", "lang", "source",
         k = 64),

@@ -270,6 +270,48 @@ class SimilarityOpsSpec extends SparkSpecBase {
       "exhaustive refine must reproduce the float IVF result")
   }
 
+  test("PQ: codes bounded, codebook roundtrip, ADC recall >= 0.9, IVF-PQ gated") {
+    val cb = SimilarityOps.pqTrain(e) // defaults: m=8, ks=256, 4 iters
+    assert(cb.length === 8 && cb.forall(_.length === 256) &&
+      cb.forall(_.forall(_.length === 8))) // 64 dims / 8 subspaces
+    // persistable codebook round-trips exactly
+    val viaDf = SimilarityOps.pqCodebookFromDf(
+      SimilarityOps.pqCodebookToDf(spark, cb))
+    assert(viaDf.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // codes are valid sub-centroid ids
+    val codes = SimilarityOps.pqEncode(e, cb).collect()
+    assert(codes.length === e.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === 8 && cs.forall(c => c >= 0 && c < 256))
+    }
+    // ADC candidate recall vs brute force — the PQ quality gate
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = ids(SimilarityOps.pqKnn(e, q, k = 5, cb))
+    val pqRecall = pq.intersect(exactKnn).size.toDouble / exactKnn.size
+    info(f"pqKnn recall@5 vs brute force: $pqRecall%.3f")
+    assert(pqRecall >= 0.9, s"PQ ADC recall $pqRecall < 0.9")
+    // exhaustive refine covers every candidate = brute force exactly
+    val n = e.count().toInt
+    assert(ids(SimilarityOps.pqKnn(e, q, k = 5, cb, refine = n)) === exactKnn,
+      "exhaustive refine must reproduce brute force")
+    // the full IVF-PQ stack: recall gate + parent bound (exhaustive
+    // refine == float IVF at the same nprobe — the composition's only
+    // loss is the ADC shortlist)
+    val cents = SimilarityOps.kmeansCentroids(e, 16, iters = 2,
+      trainSample = 512)
+    val ivfPq = ids(SimilarityOps.ivfPqKnn(e, q, k = 5, cents, cb))
+    val ivfPqRecall = ivfPq.intersect(exactKnn).size.toDouble / exactKnn.size
+    info(f"ivfPqKnn recall@5 vs brute force: $ivfPqRecall%.3f")
+    assert(ivfPqRecall >= 0.9, s"IVF-PQ recall $ivfPqRecall < 0.9")
+    assert(ids(SimilarityOps.ivfPqKnn(e, q, k = 5, cents, cb, refine = n))
+      === ids(SimilarityOps.ivfKnnWith(e, q, k = 5, cents, nprobe = 12)),
+      "exhaustive refine must reproduce float IVF at the same nprobe")
+  }
+
   test("scalar quantization: constant dimension encodes to 0, zero error") {
     import spark.implicits._
     val docs = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(1.0f, -5.0f)))

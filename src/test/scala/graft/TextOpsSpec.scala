@@ -707,6 +707,48 @@ class TextOpsSpec extends SparkSpecBase {
     assert(t(5L) === "p q r s t" && t(6L) === "")
   }
 
+  test("BPE train: greedy winners, early stop, apply/decode round-trips") {
+    import spark.implicits._
+    // hand corpus: 'ab' dominates, then the merged symbol chains — the
+    // classic BPE cascade (ab → <1>, <1>c via 'abc'×3)
+    val docs = Seq(
+      (1L, "abab abc abc"), (2L, "abc abab xy"), (3L, "abab xy zq"))
+      .toDF("doc_id", "text")
+    val merges = graft.operators.TextOps.bpeTrain(docs, nMerges = 10)
+    // r1 pair counts: 'ab' twice per abab (positions 0,2) ×3 words
+    // + once per abc ×3 = 9 … winner 'ab'
+    assert(merges.head.pair === "ab" && merges.head.merged === "ab" &&
+      merges.head.cnt === 9L)
+    // r2 vocabulary: <1><1>(×3), <1>c(×3), xy(×2), zq(×1): pairs
+    // <1><1>=3 ties <1>c=3 — broken lexicographically toward <1><1>
+    assert(merges(1).pair === "\u0001\u0001" && merges(1).merged === "abab")
+    // early stop: finite corpus converges before 10 merges (every
+    // remaining pair count < 2), so fewer merges come back
+    assert(merges.size < 10)
+    assert(merges.map(_.idx) === (1 to merges.size))
+    // decoded forms are sentinel-free surface strings
+    merges.foreach(m => assert(!m.merged.exists(_ < ' ')))
+    // merge table round-trips through its persistable DataFrame form
+    val viaDf = graft.operators.TextOps.bpeMergesFromDf(
+      graft.operators.TextOps.bpeMergesToDf(spark, merges))
+    assert(viaDf === merges)
+    // apply/decode round-trip law on the real corpus, and encoding must
+    // strictly compress somewhere (the frequent pairs exist by training)
+    val corpus = Tables.documents(spark, sf).limit(200)
+    val trained = graft.operators.TextOps.bpeTrain(corpus, nMerges = 8)
+    assert(trained.size === 8)
+    val applied = graft.operators.TextOps.bpeApply(corpus, trained)
+    val rt = applied.select(col("word"),
+      graft.operators.TextOps.bpeDecode(col("encoded"), trained)
+        .as("decoded"))
+    assert(rt.filter(col("word") =!= col("decoded")).count() === 0L)
+    val comp = applied.agg(
+      sum(length(col("word"))).as("raw"),
+      sum(col("n_symbols")).as("enc")).head()
+    assert(comp.getLong(1) < comp.getLong(0),
+      s"encoding must shorten the stream: ${comp.getLong(1)} vs ${comp.getLong(0)}")
+  }
+
   test("vocab OOV: top-k by frequency with word tie-break, per-doc rate") {
     import spark.implicits._
     val docs = Seq(
