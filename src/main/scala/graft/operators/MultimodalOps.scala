@@ -809,11 +809,15 @@ object MultimodalOps {
     (128 + 17 * (((id * 3 + b * 19) % 9) - 4)).toInt)
 
   /** Serialize one baseline JFIF file from quantized, zigzag-ordered
-    * coefficient blocks: `coefs(mcu)(comp)` = 64 values. Interleaved
-    * single scan, components Y (tables 0) / Cb / Cr (tables 1), 1×1
-    * sampling, real DPCM across MCUs, run/size AC coding. */
+    * coefficient blocks. `sampling(c)` is component c's (square) sampling
+    * factor — `[1,1,1]` is 4:4:4 and `[2,1,1]` is 4:2:0; `coefs(mcu)` is
+    * that MCU's block list in interleaved scan order (per component, its
+    * f² blocks raster-ordered — 3 blocks/MCU at 4:4:4, 6 at 4:2:0).
+    * Components Y (tables 0) / Cb / Cr (tables 1), real DPCM per
+    * component across the scan, run/size AC coding. */
   private def jpegFromCoefs(w: Int, h: Int,
-                            coefs: Array[Array[Array[Int]]]): Array[Byte] = {
+                            coefs: Array[Array[Array[Int]]],
+                            sampling: Array[Int] = Array(1, 1, 1)): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, body: Array[Byte]): Unit = {
@@ -826,8 +830,9 @@ object MultimodalOps {
     def dqt(tq: Int, tab: Array[Int]): Array[Byte] =
       (Array(tq) ++ ZigZag.map(tab(_))).map(_.toByte)
     seg(0xdb, dqt(0, QLum) ++ dqt(1, QChrom))
+    def sf(c: Int): Int = (sampling(c) << 4) | sampling(c)
     seg(0xc0, (Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
-      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)).map(_.toByte))
+      1, sf(0), 0, 2, sf(1), 1, 3, sf(2), 1)).map(_.toByte))
     def dht(tcTh: Int, vals: Array[Int]): Array[Byte] = {
       val bits = Array.fill(16)(0); bits(3) = vals.length // all length 4
       (Array(tcTh) ++ bits ++ vals).map(_.toByte)
@@ -841,11 +846,17 @@ object MultimodalOps {
       require(i >= 0, f"symbol 0x$sym%02x not in the flat Huffman table")
       bw.write(i, 4)
     }
+    // block index → owning component, in interleaved scan order
+    val blockComp: Array[Int] =
+      sampling.zipWithIndex.flatMap { case (f, c) => Array.fill(f * f)(c) }
     val pred = Array(0, 0, 0)
     coefs.foreach { mcu =>
-      var comp = 0
-      while (comp < 3) {
-        val zz = mcu(comp)
+      require(mcu.length == blockComp.length,
+        s"expected ${blockComp.length} blocks/MCU, got ${mcu.length}")
+      var bi = 0
+      while (bi < mcu.length) {
+        val comp = blockComp(bi)
+        val zz = mcu(bi)
         val dcVals = DcHuffVals; val acVals = AcHuffVals
         val diff = zz(0) - pred(comp); pred(comp) = zz(0)
         val cat = bitCategory(diff)
@@ -865,7 +876,7 @@ object MultimodalOps {
           k += 1
         }
         if (run > 0) huff(acVals, 0x00) // EOB
-        comp += 1
+        bi += 1
       }
     }
     bw.flush()
@@ -922,13 +933,61 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** 4:2:0 fixture geometry: whole 16×16 MCUs. */
+  private[graft] def jpegDims420(id: Long): (Int, Int) =
+    (16 * (1 + (id % 3)).toInt, 16 * (1 + (id % 2)).toInt)
+
+  /** 4:2:0 fixture YCbCr: luma varies per 8×8 block ([[jpegBlockYcc]]'s Y
+    * closed form over the LUMA-block raster index), chroma is constant
+    * per image — constant chroma makes the 2× downsampling lossless AND
+    * keeps the ImageIO cross-check exact (libjpeg's fancy chroma
+    * upsampling interpolates between neighboring chroma samples, which
+    * diverges from replication wherever adjacent chroma values differ). */
+  private[graft] def jpegChroma420(id: Long): (Int, Int) = (
+    (128 + 17 * (((id * 11) % 9) - 4)).toInt,
+    (128 + 17 * (((id * 3) % 9) - 4)).toInt)
+
+  /** One deterministic baseline 4:2:0 JPEG — the subsampling profile
+    * real crawled images overwhelmingly use: interleaved 16×16 MCUs of
+    * four raster-ordered luma blocks + one Cb + one Cr, luma DPCM
+    * threading through all four blocks per MCU. DC quantization stays
+    * exact, so the decode is bit-deterministic and oracle-checkable. */
+  private[graft] def jpegBytes420(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims420(id)
+    val bw8 = w / 8 // luma blocks per row
+    val (cb, cr) = jpegChroma420(id)
+    def dcOnly(dc: Int): Array[Int] = {
+      val a = new Array[Int](64); a(0) = dc; a
+    }
+    val mcus = for {
+      my <- 0 until h / 16; mx <- 0 until w / 16
+    } yield {
+      val ys = for (iy <- 0 to 1; ix <- 0 to 1) yield {
+        val lb = (2 * my + iy) * bw8 + (2 * mx + ix)
+        val y = (76 + 2 * ((id * 7 + lb * 13) % 53)).toInt
+        dcOnly(8 * (y - 128) / QLum(0))
+      }
+      (ys :+ dcOnly(8 * (cb - 128) / QChrom(0))
+        :+ dcOnly(8 * (cr - 128) / QChrom(0))).toArray
+    }
+    jpegFromCoefs(w, h, mcus.toArray, sampling = Array(2, 1, 1))
+  }
+
+  /** Synthesize the 4:2:0 JPEG payload column. */
+  def encodeJpeg420(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    docs.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), jpegBytes420(r.getLong(0))))
+    }(enc)
+  }
+
   private val idctCos: Array[Array[Double]] =
     Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
   private val invSqrt2 = 1.0 / math.sqrt(2.0)
 
   /** Full baseline decode of one JPEG payload → (w, h, R, G, B planes).
     * Throws with `what: doc <id>` on anything outside the baseline
-    * 8-bit 1×1-sampling profile or on corrupt structure. */
+    * 8-bit 4:4:4 / 4:2:0 profiles or on corrupt structure. */
   private[graft] def decodeJpegPixels(id: Long, bytes: Array[Byte])
       : (Int, Int, Array[Int], Array[Int], Array[Int]) = {
     require(bytes.length > 4 && (bytes(0) & 0xff) == 0xff &&
@@ -943,7 +1002,7 @@ object MultimodalOps {
     var w = 0; var h = 0
     var nComp = 0
     val compQ = new Array[Int](3); val compDc = new Array[Int](3)
-    val compAc = new Array[Int](3)
+    val compAc = new Array[Int](3); val compF = new Array[Int](3)
     var sosAt = -1
     while (sosAt < 0) {
       require(pos + 4 <= bytes.length, s"truncated JPEG before SOS: doc $id")
@@ -967,9 +1026,18 @@ object MultimodalOps {
           var c = 0
           while (c < nComp) {
             u8() // component id (1-based by convention)
-            require(u8() == 0x11, s"subsampling unsupported: doc $id")
+            val s = u8()
+            val fh = s >> 4; val fv = s & 0xf
+            require(fh == fv && (fh == 1 || fh == 2),
+              s"unsupported sampling ${fh}x$fv: doc $id")
+            compF(c) = fh
             compQ(c) = u8(); c += 1
           }
+          // supported profiles: 4:4:4 (all 1×1) and 4:2:0 (luma 2×2,
+          // chroma 1×1) — every component either full or max rate
+          val fmax0 = compF.take(nComp).max
+          require(compF.take(nComp).forall(f => f == 1 || f == fmax0),
+            s"mixed sampling ladder unsupported: doc $id")
         case 0xc4 =>
           val end = pos + u16() - 2
           while (pos < end) {
@@ -1046,13 +1114,20 @@ object MultimodalOps {
       if (size == 0) 0
       else if (v < (1 << (size - 1))) v - (1 << size) + 1
       else v
-    val nBx = (w + 7) / 8; val nBy = (h + 7) / 8
-    val planes = Array.fill(3)(new Array[Int](nBx * 8 * nBy * 8))
+    // MCU geometry from the sampling ladder: the MCU spans 8·fmax px,
+    // component c contributes f(c)² raster-ordered blocks per MCU into
+    // its own plane (full-rate for luma at 4:2:0, half-rate for chroma)
+    val fmax = compF.max
+    val mcuPx = 8 * fmax
+    val nMx = (w + mcuPx - 1) / mcuPx; val nMy = (h + mcuPx - 1) / mcuPx
+    val planeW = Array.tabulate(3)(c => nMx * 8 * compF(c))
+    val planes = Array.tabulate(3)(c =>
+      new Array[Int](planeW(c) * nMy * 8 * compF(c)))
     val pred = Array(0, 0, 0)
     val block = new Array[Double](64)
     var mcu = 0
-    while (mcu < nBx * nBy) {
-      val by = mcu / nBx; val bx = mcu % nBx
+    while (mcu < nMx * nMy) {
+      val my = mcu / nMx; val mx = mcu % nMx
       var comp = 0
       while (comp < 3) {
         val dcTab = huff.getOrElse((0, compDc(comp)), throw
@@ -1060,72 +1135,82 @@ object MultimodalOps {
         val acTab = huff.getOrElse((1, compAc(comp)), throw
           new IllegalArgumentException(s"missing AC table ${compAc(comp)}: doc $id"))
         val q = qtabs(compQ(comp))
-        java.util.Arrays.fill(block, 0.0)
-        val cat = decodeSym(dcTab)
-        require(cat <= 11, s"DC category $cat out of range: doc $id")
-        val diff = extend(nextBits(cat), cat)
-        pred(comp) += diff
-        block(0) = pred(comp).toDouble * q(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = decodeSym(acTab)
-          if (rs == 0x00) eob = true
-          else if (rs == 0xF0) k += 16
-          else {
-            k += rs >> 4
-            require(k < 64, s"AC run past block end: doc $id")
-            val size = rs & 0xf
-            block(ZigZag(k)) = extend(nextBits(size), size).toDouble * q(k)
-            k += 1
-          }
-        }
-        // IDCT (direct 64-term double-precision form; a production hot
-        // path swaps in AAN row-column with identical rounding contract)
-        val plane = planes(comp)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            var s = 0.0
-            var v = 0
-            while (v < 8) {
-              val cv = if (v == 0) invSqrt2 else 1.0
-              var u = 0
-              while (u < 8) {
-                val cu = if (u == 0) invSqrt2 else 1.0
-                val f = block(v * 8 + u)
-                if (f != 0.0) s += cu * cv * f * idctCos(x)(u) * idctCos(y)(v)
-                u += 1
-              }
-              v += 1
+        val f = compF(comp)
+        var sub = 0
+        while (sub < f * f) {
+          val iy = sub / f; val ix = sub % f
+          java.util.Arrays.fill(block, 0.0)
+          val cat = decodeSym(dcTab)
+          require(cat <= 11, s"DC category $cat out of range: doc $id")
+          val diff = extend(nextBits(cat), cat)
+          pred(comp) += diff
+          block(0) = pred(comp).toDouble * q(0)
+          var k = 1
+          var eob = false
+          while (k < 64 && !eob) {
+            val rs = decodeSym(acTab)
+            if (rs == 0x00) eob = true
+            else if (rs == 0xF0) k += 16
+            else {
+              k += rs >> 4
+              require(k < 64, s"AC run past block end: doc $id")
+              val size = rs & 0xf
+              block(ZigZag(k)) = extend(nextBits(size), size).toDouble * q(k)
+              k += 1
             }
-            val px = math.floor(s / 4.0 + 128.0 + 0.5).toInt
-            plane((by * 8 + y) * (nBx * 8) + bx * 8 + x) =
-              math.max(0, math.min(255, px))
-            x += 1
           }
-          y += 1
+          // IDCT (direct 64-term double-precision form; a production hot
+          // path swaps in AAN row-column with identical rounding contract)
+          val plane = planes(comp)
+          val baseY = (my * f + iy) * 8; val baseX = (mx * f + ix) * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var s = 0.0
+              var v = 0
+              while (v < 8) {
+                val cv = if (v == 0) invSqrt2 else 1.0
+                var u = 0
+                while (u < 8) {
+                  val cu = if (u == 0) invSqrt2 else 1.0
+                  val fc = block(v * 8 + u)
+                  if (fc != 0.0) s += cu * cv * fc * idctCos(x)(u) * idctCos(y)(v)
+                  u += 1
+                }
+                v += 1
+              }
+              val px = math.floor(s / 4.0 + 128.0 + 0.5).toInt
+              plane((baseY + y) * planeW(comp) + baseX + x) =
+                math.max(0, math.min(255, px))
+              x += 1
+            }
+            y += 1
+          }
+          sub += 1
         }
         comp += 1
       }
       mcu += 1
     }
     // JFIF YCbCr→RGB, floor(x+0.5) rounding (the closed form the oracle
-    // replays), cropped to the declared dimensions
-    val stride = nBx * 8
+    // replays), cropped to the declared dimensions; subsampled planes
+    // read by replication (y·f/fmax — exact on the constant-chroma
+    // fixtures, and the standard nearest-neighbor upsample otherwise)
     val r = new Array[Int](w * h); val g = new Array[Int](w * h)
     val b = new Array[Int](w * h)
     def clamp(x: Double): Int =
       math.max(0, math.min(255, math.floor(x + 0.5).toInt))
+    def sample(comp: Int, yy: Int, xx: Int): Int =
+      planes(comp)(
+        (yy * compF(comp) / fmax) * planeW(comp) + xx * compF(comp) / fmax)
     var yy = 0
     while (yy < h) {
       var xx = 0
       while (xx < w) {
-        val i = yy * stride + xx
-        val yv = planes(0)(i).toDouble
-        val cb = planes(1)(i) - 128.0
-        val cr = planes(2)(i) - 128.0
+        val yv = sample(0, yy, xx).toDouble
+        val cb = sample(1, yy, xx) - 128.0
+        val cr = sample(2, yy, xx) - 128.0
         val o = yy * w + xx
         r(o) = clamp(yv + 1.402 * cr)
         g(o) = clamp(yv - 0.344136 * cb - 0.714136 * cr)

@@ -1277,6 +1277,16 @@ object TextQueries {
       MultimodalOps.decodeJpeg(
         MultimodalOps.encodeJpeg(Tables.documents(s, dir)))),
 
+    // 4:2:0 chroma subsampling — the profile real crawled JPEGs actually
+    // use: interleaved 16×16 MCUs (4 luma + Cb + Cr blocks), luma DPCM
+    // threading through four blocks per MCU, chroma planes decoded at
+    // half rate and upsampled by replication. Luma varies per 8×8 block;
+    // chroma is constant per image so the 2× downsample is lossless and
+    // the oracle replays the closed forms exactly.
+    "q_jpeg420_decode" -> ((s, dir) =>
+      MultimodalOps.decodeJpeg(
+        MultimodalOps.encodeJpeg420(Tables.documents(s, dir)))),
+
     // Perceptual average-hash over the REAL decoded BMP bytes: per-pixel
     // luma vs the exact image mean (luma·n > Σluma — no division), packed
     // LSB-first in image row-major order. The oracle replays the pixel
@@ -3401,6 +3411,42 @@ object TextQueries {
         |  CAST(MAX(CASE WHEN b = 0 THEN r END) AS INTEGER) AS px_r,
         |  CAST(MAX(CASE WHEN b = 0 THEN g END) AS INTEGER) AS px_g,
         |  CAST(MAX(CASE WHEN b = 0 THEN bb END) AS INTEGER) AS px_b,
+        |  ROUND(AVG(r), 6) AS mean_r,
+        |  ROUND(AVG(g), 6) AS mean_g,
+        |  ROUND(AVG(bb), 6) AS mean_b
+        |FROM rgb GROUP BY doc_id, width, height""".stripMargin,
+
+    // 4:2:0: luma per 8x8 block (raster index), chroma constant per image
+    // (lossless 2x downsample), same color matrix + floor rounding
+    "q_jpeg420_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(16 * (1 + doc_id % 3) AS INTEGER) AS width,
+        |    CAST(16 * (1 + doc_id % 2) AS INTEGER) AS height,
+        |    17 * (((doc_id * 11) % 9) - 4) AS cb,
+        |    17 * (((doc_id * 3) % 9) - 4) AS cr
+        |  FROM documents),
+        |blk AS (
+        |  SELECT d.doc_id, d.width, d.height, d.cb, d.cr,
+        |    CAST(t.i AS BIGINT) AS lb
+        |  FROM d CROSS JOIN range(0, 24) t(i)
+        |  WHERE t.i < (d.width // 8) * (d.height // 8)),
+        |ycc AS (
+        |  SELECT doc_id, width, height, lb, cb, cr,
+        |    76 + 2 * ((doc_id * 7 + lb * 13) % 53) AS y
+        |  FROM blk),
+        |rgb AS (
+        |  SELECT doc_id, width, height, lb,
+        |    GREATEST(0, LEAST(255, FLOOR(y + 1.402 * cr + 0.5))) AS r,
+        |    GREATEST(0, LEAST(255,
+        |      FLOOR(y - 0.344136 * cb - 0.714136 * cr + 0.5))) AS g,
+        |    GREATEST(0, LEAST(255, FLOOR(y + 1.772 * cb + 0.5))) AS bb
+        |  FROM ycc)
+        |SELECT doc_id, width, height,
+        |  CAST((width // 8) * (height // 8) AS INTEGER) AS n_blocks,
+        |  CAST(MAX(CASE WHEN lb = 0 THEN r END) AS INTEGER) AS px_r,
+        |  CAST(MAX(CASE WHEN lb = 0 THEN g END) AS INTEGER) AS px_g,
+        |  CAST(MAX(CASE WHEN lb = 0 THEN bb END) AS INTEGER) AS px_b,
         |  ROUND(AVG(r), 6) AS mean_r,
         |  ROUND(AVG(g), 6) AS mean_g,
         |  ROUND(AVG(bb), 6) AS mean_b

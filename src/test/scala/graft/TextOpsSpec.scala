@@ -404,12 +404,15 @@ class TextOpsSpec extends SparkSpecBase {
     // that drives Huffman AC/ZRL/extend and the general 64-term IDCT.
     // Tolerance ±3: ImageIO's fixed-point IDCT + integer YCbCr differ from
     // the float reference by at most a couple of counts per channel.
-    for (id <- 0L to 12L; withAc <- Seq(false, true)) {
-      val bytes = if (withAc) MultimodalOps.jpegBytesWithAc(id)
-                  else MultimodalOps.jpegBytes(id)
+    for (id <- 0L to 12L; variant <- Seq("dc", "ac", "420")) {
+      val bytes = variant match {
+        case "dc" => MultimodalOps.jpegBytes(id)
+        case "ac" => MultimodalOps.jpegBytesWithAc(id)
+        case _ => MultimodalOps.jpegBytes420(id)
+      }
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
-      assert(img != null, s"ImageIO rejected doc $id withAc=$withAc")
+      assert(img != null, s"ImageIO rejected doc $id variant=$variant")
       val (w, h, rr, gg, bb) = MultimodalOps.decodeJpegPixels(id, bytes)
       assert(img.getWidth === w && img.getHeight === h)
       for (y <- 0 until h; x <- 0 until w) {
@@ -419,9 +422,31 @@ class TextOpsSpec extends SparkSpecBase {
         val dg = math.abs(((argb >> 8) & 0xff) - gg(i))
         val db = math.abs((argb & 0xff) - bb(i))
         assert(dr <= 3 && dg <= 3 && db <= 3,
-          s"doc $id withAc=$withAc px($x,$y): ImageIO vs graft " +
+          s"doc $id variant=$variant px($x,$y): ImageIO vs graft " +
             s"Δ=($dr,$dg,$db)")
       }
+    }
+    // 4:2:0 closed forms: luma per 8×8 block raster, constant chroma
+    val rows420 = MultimodalOps.decodeJpeg(
+      MultimodalOps.encodeJpeg420(docs)).collect()
+    assert(rows420.length === 60)
+    rows420.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = MultimodalOps.jpegDims420(id)
+      val (cb, cr) = MultimodalOps.jpegChroma420(id)
+      val nb = (w / 8) * (h / 8)
+      assert(r.getInt(1) === w && r.getInt(2) === h && r.getInt(3) === nb)
+      val rgb = (0 until nb).map { lb =>
+        val y = (76 + 2 * ((id * 7 + lb * 13) % 53)).toInt
+        (clamp(y + 1.402 * (cr - 128)),
+          clamp(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+          clamp(y + 1.772 * (cb - 128)))
+      }
+      assert(r.getInt(4) === rgb.head._1 && r.getInt(5) === rgb.head._2 &&
+        r.getInt(6) === rgb.head._3)
+      assert(math.abs(r.getDouble(7) - rgb.map(_._1).sum.toDouble / nb) < 1e-6)
+      assert(math.abs(r.getDouble(8) - rgb.map(_._2).sum.toDouble / nb) < 1e-6)
+      assert(math.abs(r.getDouble(9) - rgb.map(_._3).sum.toDouble / nb) < 1e-6)
     }
     // corrupt structure fails loudly by doc id
     val good = MultimodalOps.jpegBytes(7L)
