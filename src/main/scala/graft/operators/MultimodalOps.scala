@@ -817,7 +817,9 @@ object MultimodalOps {
     * component across the scan, run/size AC coding. */
   private def jpegFromCoefs(w: Int, h: Int,
                             coefs: Array[Array[Array[Int]]],
-                            sampling: Array[Int] = Array(1, 1, 1)): Array[Byte] = {
+                            sampling: Array[Int] = Array(1, 1, 1),
+                            restartInterval: Int = 0): Array[Byte] = {
+    val nComp = sampling.length
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, body: Array[Byte]): Unit = {
@@ -829,17 +831,25 @@ object MultimodalOps {
     seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
     def dqt(tq: Int, tab: Array[Int]): Array[Byte] =
       (Array(tq) ++ ZigZag.map(tab(_))).map(_.toByte)
-    seg(0xdb, dqt(0, QLum) ++ dqt(1, QChrom))
+    seg(0xdb, if (nComp == 1) dqt(0, QLum)
+              else dqt(0, QLum) ++ dqt(1, QChrom))
     def sf(c: Int): Int = (sampling(c) << 4) | sampling(c)
-    seg(0xc0, (Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
-      1, sf(0), 0, 2, sf(1), 1, 3, sf(2), 1)).map(_.toByte))
+    seg(0xc0, (Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nComp) ++
+      (0 until nComp).flatMap(c =>
+        Array(c + 1, sf(c), if (c == 0) 0 else 1))).map(_.toByte))
     def dht(tcTh: Int, vals: Array[Int]): Array[Byte] = {
       val bits = Array.fill(16)(0); bits(3) = vals.length // all length 4
       (Array(tcTh) ++ bits ++ vals).map(_.toByte)
     }
-    seg(0xc4, dht(0x00, DcHuffVals) ++ dht(0x10, AcHuffVals) ++
-      dht(0x01, DcHuffVals) ++ dht(0x11, AcHuffVals))
-    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0).map(_.toByte))
+    seg(0xc4, if (nComp == 1) dht(0x00, DcHuffVals) ++ dht(0x10, AcHuffVals)
+              else dht(0x00, DcHuffVals) ++ dht(0x10, AcHuffVals) ++
+                   dht(0x01, DcHuffVals) ++ dht(0x11, AcHuffVals))
+    if (restartInterval > 0)
+      seg(0xdd,
+        Array(restartInterval >> 8, restartInterval & 0xff).map(_.toByte))
+    seg(0xda, (Array(nComp) ++ (0 until nComp).flatMap(c =>
+      Array(c + 1, if (c == 0) 0x00 else 0x11)) ++
+      Array(0, 63, 0)).map(_.toByte))
     val bw = new JpegBitWriter(out)
     def huff(vals: Array[Int], sym: Int): Unit = {
       val i = vals.indexOf(sym)
@@ -850,7 +860,17 @@ object MultimodalOps {
     val blockComp: Array[Int] =
       sampling.zipWithIndex.flatMap { case (f, c) => Array.fill(f * f)(c) }
     val pred = Array(0, 0, 0)
+    var mcuIdx = 0
     coefs.foreach { mcu =>
+      if (restartInterval > 0 && mcuIdx > 0 && mcuIdx % restartInterval == 0) {
+        // RSTn between entropy segments: pad to the byte, emit the
+        // cycling marker, reset every component's DPCM predictor
+        bw.flush()
+        out.write(0xff)
+        out.write(0xd0 + ((mcuIdx / restartInterval - 1) % 8))
+        pred(0) = 0; pred(1) = 0; pred(2) = 0
+      }
+      mcuIdx += 1
       require(mcu.length == blockComp.length,
         s"expected ${blockComp.length} blocks/MCU, got ${mcu.length}")
       var bi = 0
@@ -884,19 +904,50 @@ object MultimodalOps {
     out.toByteArray
   }
 
-  /** One deterministic baseline JPEG: the constant-block mosaic (DC
-    * only in the coefficient domain — the quantization-exact fixture). */
-  private[graft] def jpegBytes(id: Long): Array[Byte] = {
+  /** The quantization-exact DC-mosaic coefficient blocks (one MCU per
+    * 8×8 block at 4:4:4). */
+  private def jpegDcCoefs(id: Long): Array[Array[Array[Int]]] = {
     val (w, h) = jpegDims(id)
     val nb = (w / 8) * (h / 8)
-    val coefs = Array.tabulate(nb) { b =>
+    Array.tabulate(nb) { b =>
       val (y, cb, cr) = jpegBlockYcc(id, b)
       Array(
         { val a = new Array[Int](64); a(0) = 8 * (y - 128) / QLum(0); a },
         { val a = new Array[Int](64); a(0) = 8 * (cb - 128) / QChrom(0); a },
         { val a = new Array[Int](64); a(0) = 8 * (cr - 128) / QChrom(0); a })
     }
-    jpegFromCoefs(w, h, coefs)
+  }
+
+  /** One deterministic baseline JPEG: the constant-block mosaic (DC
+    * only in the coefficient domain — the quantization-exact fixture). */
+  private[graft] def jpegBytes(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    jpegFromCoefs(w, h, jpegDcCoefs(id))
+  }
+
+  /** The DC mosaic re-encoded with a restart interval of 2 MCUs — the
+    * resilience feature real encoders emit routinely. DPCM resets at
+    * every boundary on BOTH sides, so the decoded pixels are IDENTICAL
+    * to [[jpegBytes]]'s closed forms while the scan additionally
+    * exercises byte-alignment, stuffed-pad skip, marker-sequence
+    * checking, and predictor reset. */
+  private[graft] def jpegBytesRst(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    jpegFromCoefs(w, h, jpegDcCoefs(id), restartInterval = 2)
+  }
+
+  /** Grayscale (single-component SOF/SOS) fixture — the profile scanned
+    * documents and OCR corpora commonly arrive in: the luma mosaic
+    * alone, no chroma planes, decode emits R=G=B=Y with no color
+    * matrix. */
+  private[graft] def jpegBytesGray(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    val nb = (w / 8) * (h / 8)
+    val coefs = Array.tabulate(nb) { b =>
+      val y = jpegBlockYcc(id, b)._1
+      Array({ val a = new Array[Int](64); a(0) = 8 * (y - 128) / QLum(0); a })
+    }
+    jpegFromCoefs(w, h, coefs, sampling = Array(1))
   }
 
   /** Nonzero-AC variant for the ImageIO cross-check: same mosaic DCs
@@ -906,8 +957,20 @@ object MultimodalOps {
     * independent reference decoder. */
   private[graft] def jpegBytesWithAc(id: Long): Array[Byte] = {
     val (w, h) = jpegDims(id)
+    jpegFromCoefs(w, h, jpegAcCoefs(id))
+  }
+
+  /** AC-mosaic variant with restart markers — for the ImageIO
+    * cross-check only (nonzero AC has no closed-form oracle). */
+  private[graft] def jpegBytesAcRst(id: Long): Array[Byte] = {
+    val (w, h) = jpegDims(id)
+    jpegFromCoefs(w, h, jpegAcCoefs(id), restartInterval = 2)
+  }
+
+  private def jpegAcCoefs(id: Long): Array[Array[Array[Int]]] = {
+    val (w, h) = jpegDims(id)
     val nb = (w / 8) * (h / 8)
-    val coefs = Array.tabulate(nb) { b =>
+    Array.tabulate(nb) { b =>
       val (y, cb, cr) = jpegBlockYcc(id, b)
       val ya = new Array[Int](64)
       ya(0) = 8 * (y - 128) / QLum(0)
@@ -922,7 +985,6 @@ object MultimodalOps {
         { val a = new Array[Int](64); a(0) = 8 * (cb - 128) / QChrom(0); a },
         { val a = new Array[Int](64); a(0) = 8 * (cr - 128) / QChrom(0); a })
     }
-    jpegFromCoefs(w, h, coefs)
   }
 
   /** Synthesize the JPEG payload column. */
@@ -981,6 +1043,22 @@ object MultimodalOps {
     }(enc)
   }
 
+  /** Synthesize the restart-marker JPEG payload column. */
+  def encodeJpegRst(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    docs.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), jpegBytesRst(r.getLong(0))))
+    }(enc)
+  }
+
+  /** Synthesize the grayscale JPEG payload column. */
+  def encodeJpegGray(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    docs.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), jpegBytesGray(r.getLong(0))))
+    }(enc)
+  }
+
   private val idctCos: Array[Array[Double]] =
     Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
   private val invSqrt2 = 1.0 / math.sqrt(2.0)
@@ -1001,6 +1079,7 @@ object MultimodalOps {
     val huff = scala.collection.mutable.Map.empty[(Int, Int), Map[(Int, Int), Int]]
     var w = 0; var h = 0
     var nComp = 0
+    var restartInterval = 0
     val compQ = new Array[Int](3); val compDc = new Array[Int](3)
     val compAc = new Array[Int](3); val compF = new Array[Int](3)
     var sosAt = -1
@@ -1022,7 +1101,8 @@ object MultimodalOps {
           u16() // length
           require(u8() == 8, s"non-8-bit SOF0: doc $id")
           h = u16(); w = u16(); nComp = u8()
-          require(nComp == 3, s"expected 3 components, got $nComp: doc $id")
+          require(nComp == 3 || nComp == 1,
+            s"expected 1 or 3 components, got $nComp: doc $id")
           var c = 0
           while (c < nComp) {
             u8() // component id (1-based by convention)
@@ -1056,8 +1136,8 @@ object MultimodalOps {
             huff((tcTh >> 4, tcTh & 0xf)) = table.toMap
           }
         case 0xdd =>
-          u16()
-          require(u16() == 0, s"restart intervals unsupported: doc $id")
+          require(u16() == 4, s"malformed DRI length: doc $id")
+          restartInterval = u16()
         case 0xda =>
           u16()
           val ns = u8()
@@ -1127,9 +1207,27 @@ object MultimodalOps {
     val block = new Array[Double](64)
     var mcu = 0
     while (mcu < nMx * nMy) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // Restart boundary (ISO 10918-1 §F.2.1.3.1): byte-align by
+        // discarding the ≤7 leftover pad bits, consume any stuffed-pad
+        // FF00 pair the 1-bit padding produced, then require the RSTn
+        // marker IN SEQUENCE (n cycles 0..7) and reset every DPCM
+        // predictor. An out-of-order index means dropped data.
+        acc = 0L; nbits = 0
+        while (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+          (bytes(pos + 1) & 0xff) == 0x00) pos += 2
+        require(pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff,
+          s"missing restart marker at MCU $mcu: doc $id")
+        val rm = bytes(pos + 1) & 0xff
+        val want = 0xd0 + ((mcu / restartInterval - 1) % 8)
+        require(rm == want, f"restart marker 0xff$rm%02x out of order " +
+          f"(want 0xff$want%02x) at MCU $mcu: doc $id")
+        pos += 2
+        pred(0) = 0; pred(1) = 0; pred(2) = 0
+      }
       val my = mcu / nMx; val mx = mcu % nMx
       var comp = 0
-      while (comp < 3) {
+      while (comp < nComp) {
         val dcTab = huff.getOrElse((0, compDc(comp)), throw
           new IllegalArgumentException(s"missing DC table ${compDc(comp)}: doc $id"))
         val acTab = huff.getOrElse((1, compAc(comp)), throw
@@ -1208,14 +1306,19 @@ object MultimodalOps {
     while (yy < h) {
       var xx = 0
       while (xx < w) {
+        val o = yy * w + xx
+        if (nComp == 1) { // grayscale: Y is the pixel, no color matrix
+          val yv = sample(0, yy, xx)
+          r(o) = yv; g(o) = yv; b(o) = yv; xx += 1
+        } else {
         val yv = sample(0, yy, xx).toDouble
         val cb = sample(1, yy, xx) - 128.0
         val cr = sample(2, yy, xx) - 128.0
-        val o = yy * w + xx
         r(o) = clamp(yv + 1.402 * cr)
         g(o) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
         b(o) = clamp(yv + 1.772 * cb)
         xx += 1
+        }
       }
       yy += 1
     }

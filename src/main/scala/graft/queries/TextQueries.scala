@@ -1287,6 +1287,24 @@ object TextQueries {
       MultimodalOps.decodeJpeg(
         MultimodalOps.encodeJpeg420(Tables.documents(s, dir)))),
 
+    // Restart markers (DRI/RSTn) — the resilience feature real encoders
+    // emit routinely: the scan byte-aligns at every 2-MCU boundary, the
+    // decoder skips the stuffed 1-bit padding, checks the marker index
+    // cycles 0..7 IN ORDER, and resets every DPCM predictor. Both sides
+    // reset, so the pixels are exactly q_jpeg_decode's closed forms —
+    // identical oracle, different entropy-stream geometry.
+    "q_jpeg_rst_decode" -> ((s, dir) =>
+      MultimodalOps.decodeJpeg(
+        MultimodalOps.encodeJpegRst(Tables.documents(s, dir)))),
+
+    // Grayscale single-component JPEG — the scanned-document/OCR corpus
+    // profile: SOF/SOS declare one component, no chroma planes are
+    // decoded, and the pixel is Y itself (R=G=B, no color matrix, so no
+    // rounding either — the luma closed form IS the channel value).
+    "q_jpeg_gray_decode" -> ((s, dir) =>
+      MultimodalOps.decodeJpeg(
+        MultimodalOps.encodeJpegGray(Tables.documents(s, dir)))),
+
     // Perceptual average-hash over the REAL decoded BMP bytes: per-pixel
     // luma vs the exact image mean (luma·n > Σluma — no division), packed
     // LSB-first in image row-major order. The oracle replays the pixel
@@ -3451,6 +3469,68 @@ object TextQueries {
         |  ROUND(AVG(g), 6) AS mean_g,
         |  ROUND(AVG(bb), 6) AS mean_b
         |FROM rgb GROUP BY doc_id, width, height""".stripMargin,
+
+    // restart markers change the entropy-stream geometry, not the
+    // pixels: both sides reset DPCM at every boundary, so the oracle is
+    // exactly q_jpeg_decode's closed-form replay
+    "q_jpeg_rst_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+        |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
+        |  FROM documents),
+        |blk AS (
+        |  SELECT d.doc_id, d.width, d.height, CAST(t.i AS BIGINT) AS b
+        |  FROM d CROSS JOIN range(0, 6) t(i)
+        |  WHERE t.i < (d.width // 8) * (d.height // 8)),
+        |ycc AS (
+        |  SELECT doc_id, width, height, b,
+        |    76 + 2 * ((doc_id * 7 + b * 13) % 53) AS y,
+        |    17 * (((doc_id * 11 + b * 17) % 9) - 4) AS cb,
+        |    17 * (((doc_id * 3 + b * 19) % 9) - 4) AS cr
+        |  FROM blk),
+        |rgb AS (
+        |  SELECT doc_id, width, height, b,
+        |    GREATEST(0, LEAST(255, FLOOR(y + 1.402 * cr + 0.5))) AS r,
+        |    GREATEST(0, LEAST(255,
+        |      FLOOR(y - 0.344136 * cb - 0.714136 * cr + 0.5))) AS g,
+        |    GREATEST(0, LEAST(255, FLOOR(y + 1.772 * cb + 0.5))) AS bb
+        |  FROM ycc)
+        |SELECT doc_id, width, height,
+        |  CAST((width // 8) * (height // 8) AS INTEGER) AS n_blocks,
+        |  CAST(MAX(CASE WHEN b = 0 THEN r END) AS INTEGER) AS px_r,
+        |  CAST(MAX(CASE WHEN b = 0 THEN g END) AS INTEGER) AS px_g,
+        |  CAST(MAX(CASE WHEN b = 0 THEN bb END) AS INTEGER) AS px_b,
+        |  ROUND(AVG(r), 6) AS mean_r,
+        |  ROUND(AVG(g), 6) AS mean_g,
+        |  ROUND(AVG(bb), 6) AS mean_b
+        |FROM rgb GROUP BY doc_id, width, height""".stripMargin,
+
+    // grayscale: one component, R=G=B=Y with no color matrix and no
+    // rounding — the luma closed form is the channel value verbatim
+    "q_jpeg_gray_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+        |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
+        |  FROM documents),
+        |blk AS (
+        |  SELECT d.doc_id, d.width, d.height, CAST(t.i AS BIGINT) AS b
+        |  FROM d CROSS JOIN range(0, 6) t(i)
+        |  WHERE t.i < (d.width // 8) * (d.height // 8)),
+        |ycc AS (
+        |  SELECT doc_id, width, height, b,
+        |    76 + 2 * ((doc_id * 7 + b * 13) % 53) AS y
+        |  FROM blk)
+        |SELECT doc_id, width, height,
+        |  CAST((width // 8) * (height // 8) AS INTEGER) AS n_blocks,
+        |  CAST(MAX(CASE WHEN b = 0 THEN y END) AS INTEGER) AS px_r,
+        |  CAST(MAX(CASE WHEN b = 0 THEN y END) AS INTEGER) AS px_g,
+        |  CAST(MAX(CASE WHEN b = 0 THEN y END) AS INTEGER) AS px_b,
+        |  ROUND(AVG(y), 6) AS mean_r,
+        |  ROUND(AVG(y), 6) AS mean_g,
+        |  ROUND(AVG(y), 6) AS mean_b
+        |FROM ycc GROUP BY doc_id, width, height""".stripMargin,
 
     // perceptual hash: replay the pixel closed form, luma = B+G+R, bit k
     // set iff luma·n > Σluma, packed LSB-first over image row-major k

@@ -404,18 +404,33 @@ class TextOpsSpec extends SparkSpecBase {
     // that drives Huffman AC/ZRL/extend and the general 64-term IDCT.
     // Tolerance ±3: ImageIO's fixed-point IDCT + integer YCbCr differ from
     // the float reference by at most a couple of counts per channel.
-    for (id <- 0L to 12L; variant <- Seq("dc", "ac", "420")) {
+    for (id <- 0L to 12L;
+         variant <- Seq("dc", "ac", "420", "rst", "acrst", "gray")) {
       val bytes = variant match {
         case "dc" => MultimodalOps.jpegBytes(id)
         case "ac" => MultimodalOps.jpegBytesWithAc(id)
-        case _ => MultimodalOps.jpegBytes420(id)
+        case "420" => MultimodalOps.jpegBytes420(id)
+        case "rst" => MultimodalOps.jpegBytesRst(id)
+        case "acrst" => MultimodalOps.jpegBytesAcRst(id)
+        case _ => MultimodalOps.jpegBytesGray(id)
       }
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       assert(img != null, s"ImageIO rejected doc $id variant=$variant")
       val (w, h, rr, gg, bb) = MultimodalOps.decodeJpegPixels(id, bytes)
       assert(img.getWidth === w && img.getHeight === h)
-      for (y <- 0 until h; x <- 0 until w) {
+      if (variant == "gray") {
+        // getRGB on TYPE_BYTE_GRAY applies a gray→sRGB color transform;
+        // compare the raw raster sample (the decoded Y) instead
+        for (y <- 0 until h; x <- 0 until w) {
+          val i = y * w + x
+          assert(rr(i) === gg(i) && gg(i) === bb(i),
+            s"gray doc $id px($x,$y) channels differ")
+          val dy = math.abs(img.getRaster.getSample(x, y, 0) - rr(i))
+          assert(dy <= 3,
+            s"doc $id variant=gray px($x,$y): ImageIO vs graft Δ=$dy")
+        }
+      } else for (y <- 0 until h; x <- 0 until w) {
         val argb = img.getRGB(x, y)
         val i = y * w + x
         val dr = math.abs(((argb >> 16) & 0xff) - rr(i))
@@ -425,6 +440,32 @@ class TextOpsSpec extends SparkSpecBase {
           s"doc $id variant=$variant px($x,$y): ImageIO vs graft " +
             s"Δ=($dr,$dg,$db)")
       }
+    }
+    // restart markers leave the pixels exactly equal to the no-DRI file
+    // (both sides reset DPCM), and a tampered marker index fails loudly
+    for (id <- 0L to 12L) {
+      val (wP, hP, rP, gP, bP) =
+        MultimodalOps.decodeJpegPixels(id, MultimodalOps.jpegBytes(id))
+      val (wR, hR, rR, gR, bR) =
+        MultimodalOps.decodeJpegPixels(id, MultimodalOps.jpegBytesRst(id))
+      assert(wP === wR && hP === hR)
+      assert(rP.sameElements(rR) && gP.sameElements(gR) &&
+        bP.sameElements(bR), s"RST pixels diverge: doc $id")
+    }
+    locally {
+      // doc 5 spans 6 MCUs → markers RST0 (MCU 2) and RST1 (MCU 4);
+      // flipping RST0→RST3 must fail as out-of-order, by doc id
+      val rstBytes = MultimodalOps.jpegBytesRst(5L)
+      val sosIdx = rstBytes.indices.find(i =>
+        (rstBytes(i) & 0xff) == 0xff && (rstBytes(i + 1) & 0xff) == 0xda).get
+      val rstIdx = (sosIdx until rstBytes.length - 1).find(i =>
+        (rstBytes(i) & 0xff) == 0xff && (rstBytes(i + 1) & 0xff) == 0xd0).get
+      val tampered = rstBytes.clone(); tampered(rstIdx + 1) = 0xd3.toByte
+      val eRst = intercept[IllegalArgumentException] {
+        MultimodalOps.decodeJpegPixels(5L, tampered)
+      }
+      assert(eRst.getMessage.contains("out of order") &&
+        eRst.getMessage.contains("doc 5"))
     }
     // 4:2:0 closed forms: luma per 8×8 block raster, constant chroma
     val rows420 = MultimodalOps.decodeJpeg(
@@ -447,6 +488,23 @@ class TextOpsSpec extends SparkSpecBase {
       assert(math.abs(r.getDouble(7) - rgb.map(_._1).sum.toDouble / nb) < 1e-6)
       assert(math.abs(r.getDouble(8) - rgb.map(_._2).sum.toDouble / nb) < 1e-6)
       assert(math.abs(r.getDouble(9) - rgb.map(_._3).sum.toDouble / nb) < 1e-6)
+    }
+    // grayscale closed form: R=G=B = the per-block luma verbatim
+    val rowsGray = MultimodalOps.decodeJpeg(
+      MultimodalOps.encodeJpegGray(docs)).collect()
+    assert(rowsGray.length === 60)
+    rowsGray.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = MultimodalOps.jpegDims(id)
+      val nb = (w / 8) * (h / 8)
+      val ys = (0 until nb).map(b => (76 + 2 * ((id * 7 + b * 13) % 53)).toInt)
+      assert(r.getInt(1) === w && r.getInt(2) === h && r.getInt(3) === nb)
+      assert(r.getInt(4) === ys.head && r.getInt(5) === ys.head &&
+        r.getInt(6) === ys.head)
+      val m = ys.sum.toDouble / nb
+      assert(math.abs(r.getDouble(7) - m) < 1e-6)
+      assert(math.abs(r.getDouble(8) - m) < 1e-6)
+      assert(math.abs(r.getDouble(9) - m) < 1e-6)
     }
     // corrupt structure fails loudly by doc id
     val good = MultimodalOps.jpegBytes(7L)
