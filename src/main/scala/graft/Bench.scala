@@ -26,10 +26,14 @@ object Bench {
     "q_asof_join", "q_asof_native", "q_sma", "q_vwap_signals",
     "q_weekly_rollup", "q_hvc_daily", "q_events_sessions",
     "q_dedup_exact", "q_neardup_clusters",
-    "q_simhash_neardup", "q_ngram_jaccard", "q_embed_neardup_lsh",
+    "q_simhash_neardup", "q_ngram_jaccard",
     "q_semantic_dedup",
     "q_ivf_knn", "q_quality_filter", "q_corpus_card",
     "q_range_frame",
+    // r9 trim for hnsw_knn_pretrained's line budget: q_embed_neardup_lsh
+    // (0.47 s stable; the embedding near-dup family keeps q_semantic_dedup
+    // here and the whole ANN pretrained tier below) moves to
+    // SPARK_GRAFT_FULL-only
     // q_cosine_knn (0.3 s stable brute-force baseline) and q_novelty
     // (1.2 s; its corpus-wide trigram-df shape is covered by q_dup_spans)
     // trimmed for the driver's stdout capture; both still measured via
@@ -297,10 +301,11 @@ object Bench {
     // dedup index split: centroid training runs once and persists; the
     // query path loads and probes, nothing trains per query.
     val emb = Tables.embeddings(spark, sfDir)
-    val (ivfTrain, ivfPre, sqIvfPre, ivfEqRecall, pqIvfPre) = gated("ivf",
+    val (ivfTrain, ivfPre, sqIvfPre, ivfEqRecall, pqIvfPre, hnswPre) =
+      gated("ivf",
       Seq("ivf_train_store", "ivf_knn_pretrained", "sq_ivf_knn_pretrained",
-        "ivf_knn_eqrecall", "pq_ivf_knn_pretrained"),
-      (0.0, 0.0, 0.0, 0.0, 0.0)) {
+        "ivf_knn_eqrecall", "pq_ivf_knn_pretrained", "hnsw_knn_pretrained"),
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)) {
       val t = median((1 to runs).map(_ => timed("ivf_train_store") {
         val cents = graft.operators.SimilarityOps.kmeansCentroids(
           emb, 16, iters = 2, trainSample = 512)
@@ -340,7 +345,18 @@ object Bench {
         noop(graft.operators.SimilarityOps.ivfPqKnn(
           emb, emb.filter(col("vec_id") < 10), k = 5, storedCents, pqCb))
       }))
-      (t, p, sq, eq, pqv)
+      // graph tier (r9): queries walk the STORED partitioned-HNSW shard
+      // graphs — built once to parquet like every other index artifact
+      // (materialized, not persist()ed: timed() clears the cache)
+      graft.operators.SimilarityOps.hnswBuild(emb)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$tmpRoot/idx/hnsw")
+      val hnswG = spark.read.parquet(s"$tmpRoot/idx/hnsw")
+      val hn = median((1 to runs).map(_ => timed("hnsw_knn_pretrained") {
+        noop(graft.operators.SimilarityOps.hnswKnn(
+          emb, hnswG, emb.filter(col("vec_id") < 10), k = 5))
+      }))
+      (t, p, sq, eq, pqv, hn)
     }
 
     // ---- skewed-key join: plain vs salted (VERDICT r3 #5) -------------
@@ -690,6 +706,7 @@ object Bench {
       "sq_ivf_knn_pretrained" -> sqIvfPre,
       "ivf_knn_eqrecall" -> ivfEqRecall,
       "pq_ivf_knn_pretrained" -> pqIvfPre,
+      "hnsw_knn_pretrained" -> hnswPre,
       "join_skew_plain" -> skewPlain,
       "join_skew_salted" -> skewSalted,
       "stream_upsert" -> tUpsert,

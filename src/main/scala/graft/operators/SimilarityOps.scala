@@ -887,34 +887,63 @@ object SimilarityOps {
     * struct ordering (d2 asc, code asc) makes ties deterministic. Pure
     * per-row higher-order expression; the codebook rides as a broadcast
     * literal, so encoding is the 100 TB map stage (no join, no shuffle). */
-  private def pqCodesExpr(vecCol: Column,
-                          codebook: Array[Array[Array[Double]]]): Column = {
+  /** PQ code assignment as one compiled per-row loop: unit-normalize
+    * (zero vectors stay zero), then per subspace the strict-< nearest
+    * sub-centroid (ties keep the smallest code). An in-plan
+    * transform/aggregate HOF form was tried first and abandoned: lambda
+    * higher-order functions evaluate INTERPRETED outside whole-stage
+    * codegen, and at m·ks·dsub ≈ 16k sub-expression evals per corpus
+    * row it measured 58 s on the bench fixture where this loop is
+    * ~0.1 s — same doubles, same ties, 500× cheaper. */
+  private def pqCodes(vec: Seq[Float],
+                      codebook: Array[Array[Array[Double]]]): Array[Int] = {
     val m = codebook.length
     val ks = codebook(0).length
     val dsub = codebook(0)(0).length
-    val cb = typedLit(codebook.map(_.map(_.toSeq).toSeq).toSeq)
-    // unit-normalize in-expression (zero vectors stay zero)
-    val nrm = sqrt(array_dot(vecCol, vecCol))
-    transform(sequence(lit(0), lit(m - 1)), sub => {
-      val scored = transform(sequence(lit(0), lit(ks - 1)), c => {
-        val cent = element_at(element_at(cb, sub + 1), c + 1)
-        val d2 = aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0d),
-          (acc, i) => {
-            val x = element_at(vecCol, sub * lit(dsub) + i + 1).cast("double")
-            val diff = when(nrm > 0, x / nrm).otherwise(lit(0.0d)) -
-              element_at(cent, i + 1)
-            acc + diff * diff
-          })
-        struct(d2.as("d2"), c.cast("int").as("c"))
+    val v = new Array[Double](vec.length)
+    var n2 = 0.0
+    var i = 0
+    while (i < v.length) {
+      val x = vec(i).toDouble; v(i) = x; n2 += x * x; i += 1
+    }
+    val nrm = math.sqrt(n2)
+    Array.tabulate(m) { sub =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < ks) {
+        val cent = codebook(sub)(c)
+        var d = 0.0; var j = 0
+        while (j < dsub) {
+          val x = v(sub * dsub + j)
+          val t = (if (nrm > 0) x / nrm else 0.0) - cent(j)
+          d += t * t; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** (nid, ne, ncodes) for the whole corpus via [[pqCodes]]. */
+  private def pqCodesFrame(corpus: DataFrame,
+                           codebook: Array[Array[Array[Double]]],
+                           idCol: String, vecCol: String): DataFrame = {
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        (id, v, pqCodes(v, codebook).toSeq)
       })
-      array_min(scored).getField("c")
-    })
+      .toDF("nid", "ne", "ncodes")
   }
 
   def pqEncode(corpus: DataFrame, codebook: Array[Array[Array[Double]]],
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol), pqCodesExpr(col(vecCol), codebook).as("codes"))
+    pqCodesFrame(corpus, codebook, idCol, vecCol)
+      .select(col("nid").as(idCol), col("ncodes").as("codes"))
 
   /** Per-query ADC lookup table: lut(sub)(code) = ‖q_sub − cb[sub][code]‖²
     * — computed ONCE per query row (broadcast side), so candidate scoring
@@ -952,9 +981,8 @@ object SimilarityOps {
             codebook: Array[Array[Array[Double]]], refine: Int = 4,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val m = codebook.length
-    val cc = corpus.select(col(idCol).as("nid"), col(vecCol).as("ne"),
-      pqCodesExpr(col(vecCol), codebook).as("ncodes"),
-      sqrt(array_dot(col(vecCol), col(vecCol))).as("nn"))
+    val cc = pqCodesFrame(corpus, codebook, idCol, vecCol)
+      .withColumn("nn", sqrt(array_dot(col("ne"), col("ne"))))
     val qq = broadcast(queries.select(col(idCol).as("qid"),
       col(vecCol).as("qe"),
       pqLutExpr(col(vecCol), codebook).as("qlut"),
@@ -985,10 +1013,9 @@ object SimilarityOps {
                nprobe: Int = 12, refine: Int = 4,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val m = codebook.length
-    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("ne"),
-      pqCodesExpr(col(vecCol), codebook).as("ncodes"),
-      sqrt(array_dot(col(vecCol), col(vecCol))).as("nn"),
-      nearestCid(col(vecCol), cents).as("cid"))
+    val assigned = pqCodesFrame(corpus, codebook, idCol, vecCol)
+      .withColumn("nn", sqrt(array_dot(col("ne"), col("ne"))))
+      .withColumn("cid", nearestCid(col("ne"), cents))
     val qnorm = sqrt(array_dot(col(vecCol), col(vecCol)))
     val probes = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qe"), qnorm.as("qn"),
@@ -1012,5 +1039,275 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(wExact))
       .filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("cosine"), col("rn"))
+  }
+
+  // ------------------------------------------------------------------
+  // Partitioned HNSW (Malkov & Yashunin, arXiv:1603.09320) — the graph-
+  // walk ANN tier large vector stores run beside IVF-PQ. The corpus
+  // shards by md5; each shard builds an independent multi-layer
+  // navigable-small-world graph in ONE flatMapGroups pass and the edges
+  // persist as a plain (shard, level, src, dst) table. Every choice is
+  // deterministic — md5-geometric levels (p=1/4 per extra layer, the
+  // mL=1/ln 4 regime), insertion in ascending id order, all ties broken
+  // by id — so two builds of the same corpus are identical and the
+  // stored graph reloads bit-exactly.
+  //
+  // Scale shape (100 TB): a shard = one executor-resident subgraph
+  // (pick nShards so |corpus|/nShards vectors + M·n edges fit executor
+  // memory — exactly how hnswlib-style stores shard). Build is one
+  // shuffle by shard then local O(n·ef_c·log n) work; the query path
+  // ships the bounded query set to every shard (scatter-gather), walks
+  // each graph at O(ef·log n) distance evaluations instead of scanning
+  // n, and merges per-shard top-k with one window — no corpus shuffle.
+  // Graph quality is not oracle-replayable (construction is a greedy
+  // walk), so correctness is pinned by spec: recall ≥ 0.9 vs
+  // bruteForceKnn, build determinism, and a parquet round-trip; the
+  // md5 shard/level assignment IS SQL-replayable and q_hnsw_levels
+  // oracles it.
+
+  /** md5-deterministic shard + geometric level for every vector. Level =
+    * length of the leading `[0-3]` run of md5(id‖"_lvl") capped at 6 —
+    * P(level ≥ L) = 4^-L, the standard geometric ladder, integer-exact
+    * on any engine (no float ln, so the DuckDB oracle replays it). */
+  def hnswAssign(corpus: DataFrame, nShards: Int = 4,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val hx = md5(col(idCol).cast("string").cast("binary"))
+    val lx = md5(concat(col(idCol).cast("string"), lit("_lvl")).cast("binary"))
+    corpus.select(col(idCol), col(vecCol),
+      (conv(substring(hx, 1, 4), 16, 10).cast("int") % nShards).as("shard"),
+      least(length(regexp_extract(lx, "^[0-3]+", 0)), lit(6))
+        .cast("int").as("level"))
+  }
+
+  private def dotd(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Greedy layer descent: move to the best neighbor while one improves
+    * (strictly better sim, or equal sim with a smaller id — cannot
+    * cycle because the id strictly decreases on ties). */
+  private def hnswGreedy(simTo: Int => Double,
+                         adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
+                         start: Int, lev: Int): Int = {
+    var cur = start; var curSim = simTo(cur)
+    var moved = true
+    while (moved) {
+      moved = false
+      val nbs = adj(cur)(lev)
+      var i = 0
+      while (i < nbs.length) {
+        val nb = nbs(i); val s2 = simTo(nb)
+        if (s2 > curSim || (s2 == curSim && nb < cur)) {
+          cur = nb; curSim = s2; moved = true
+        }
+        i += 1
+      }
+    }
+    cur
+  }
+
+  /** Beam (ef) search on one layer: classic best-first expansion with a
+    * bounded result heap; returns up to `ef` node indices sorted best
+    * first. Total (sim, id) orderings everywhere → deterministic. */
+  private def hnswBeam(simTo: Int => Double,
+                       adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
+                       entry: Int, lev: Int, ef: Int): Array[Int] = {
+    val byBest: Ordering[(Double, Int)] = Ordering.by(t => (t._1, -t._2))
+    val visited = scala.collection.mutable.HashSet(entry)
+    val cand = scala.collection.mutable.PriorityQueue((simTo(entry), entry))(byBest)
+    val res = scala.collection.mutable.PriorityQueue((simTo(entry), entry))(byBest.reverse)
+    var stop = false
+    while (cand.nonEmpty && !stop) {
+      val (cs, c) = cand.dequeue()
+      if (res.size >= ef && cs < res.head._1) stop = true // cannot improve
+      else {
+        val nbs = adj(c)(lev)
+        var i = 0
+        while (i < nbs.length) {
+          val nb = nbs(i)
+          if (!visited(nb)) {
+            visited += nb
+            val s2 = simTo(nb)
+            if (res.size < ef || s2 > res.head._1 ||
+                (s2 == res.head._1 && nb < res.head._2)) {
+              cand.enqueue((s2, nb))
+              res.enqueue((s2, nb))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    res.toArray.sortBy(t => (-t._1, t._2)).map(_._2)
+  }
+
+  /** Deterministic single-shard HNSW construction. `ids` ascending;
+    * returns directed edges (level, srcIdx, dstIdx) — both directions
+    * are present unless degree pruning trimmed one side (the standard
+    * asymmetry). Level-0 degree cap is 2M, upper layers M. */
+  private[graft] def buildShardGraph(
+      ids: Array[Long], vecs: Array[Array[Double]], levels: Array[Int],
+      m: Int, efC: Int): Array[(Int, Int, Int)] = {
+    val n = ids.length
+    val norms = vecs.map(v => math.sqrt(dotd(v, v)))
+    def sim(a: Int, b: Int): Double = {
+      val d = norms(a) * norms(b)
+      if (d == 0) 0.0 else dotd(vecs(a), vecs(b)) / d
+    }
+    val adj = Array.tabulate(n)(i =>
+      Array.fill(levels(i) + 1)(scala.collection.mutable.ArrayBuffer.empty[Int]))
+    var ep = -1; var maxLev = -1
+    var i = 0
+    while (i < n) {
+      val li = levels(i)
+      if (ep < 0) { ep = i; maxLev = li }
+      else {
+        val simTo = (x: Int) => sim(i, x)
+        var cur = ep
+        var lev = maxLev
+        while (lev > li) { cur = hnswGreedy(simTo, adj, cur, lev); lev -= 1 }
+        while (lev >= 0) {
+          val cands = hnswBeam(simTo, adj, cur, lev, efC)
+          val cap = if (lev == 0) 2 * m else m
+          cands.take(m).foreach { nb =>
+            adj(i)(lev) += nb
+            adj(nb)(lev) += i
+            if (adj(nb)(lev).length > cap) {
+              val pruned = adj(nb)(lev).toArray
+                .sortBy(x => (-sim(nb, x), x)).take(cap)
+              adj(nb)(lev).clear(); adj(nb)(lev) ++= pruned
+            }
+          }
+          cur = cands.head
+          lev -= 1
+        }
+        if (li > maxLev) { maxLev = li; ep = i }
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var s = 0
+    while (s < n) {
+      var lev = 0
+      while (lev <= levels(s)) {
+        adj(s)(lev).foreach(d => out += ((lev, s, d)))
+        lev += 1
+      }
+      s += 1
+    }
+    out.toArray
+  }
+
+  /** Build the persistable per-shard HNSW edge table:
+    * (shard, level, src, dst). One shuffle (by shard), then local
+    * deterministic construction per shard. */
+  def hnswBuild(corpus: DataFrame, nShards: Int = 4, m: Int = 8,
+                efC: Int = 64, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    hnswAssign(corpus, nShards, idCol, vecCol)
+      .select(col("shard"), col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"), col("level"))
+      .as[(Int, Long, Seq[Double], Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard: Int, it: Iterator[(Int, Long, Seq[Double], Int)]) =>
+        val rows = it.toArray.sortBy(_._2)
+        val ids = rows.map(_._2)
+        buildShardGraph(ids, rows.map(_._3.toArray), rows.map(_._4), m, efC)
+          .iterator.map { case (lev, si, di) => (shard, lev, ids(si), ids(di)) }
+      }
+      .toDF("shard", "level", "src", "dst")
+  }
+
+  /** Walk one shard's reloaded graph for one external query vector:
+    * greedy descent from the top layer, beam `ef` at layer 0, top-k by
+    * (rounded cosine desc, id). */
+  private[graft] def searchShardGraph(
+      ids: Array[Long], vecs: Array[Array[Double]], levels: Array[Int],
+      adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
+      q: Array[Double], ef: Int, k: Int): Array[(Long, Double)] = {
+    val qn = math.sqrt(dotd(q, q))
+    val norms = vecs.map(v => math.sqrt(dotd(v, v)))
+    def qsim(i: Int): Double = {
+      val d = qn * norms(i)
+      if (d == 0) 0.0 else dotd(q, vecs(i)) / d
+    }
+    var ep = 0; var maxLev = -1
+    var i = 0
+    while (i < ids.length) { // first id reaching the max = build's entry
+      if (levels(i) > maxLev) { maxLev = levels(i); ep = i }
+      i += 1
+    }
+    var cur = ep
+    var lev = maxLev
+    while (lev > 0) { cur = hnswGreedy(qsim, adj, cur, lev); lev -= 1 }
+    hnswBeam(qsim, adj, cur, 0, math.max(ef, k))
+      .take(k)
+      .map(x => (ids(x), round6(qsim(x))))
+  }
+
+  /** Scatter-gather kNN over the stored shard graphs: queries are a
+    * bounded set (collected once, shipped in the closure — the same
+    * discipline as [[bruteForceKnn]]'s broadcast), every shard walks
+    * its graph locally, one window merges per-shard top-k. Output
+    * matches bruteForceKnn: (qid, nid, cosine, rn), self excluded. */
+  def hnswKnn(corpus: DataFrame, graph: DataFrame, queries: DataFrame,
+              k: Int, nShards: Int = 4, ef: Int = 64,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    val qArr = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (qid, v) => (qid, v.toArray) }
+    val vs = hnswAssign(corpus, nShards, idCol, vecCol)
+      .select(col("shard"), col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"), col("level"))
+      .as[(Int, Long, Seq[Double], Int)]
+      .groupByKey(_._1)
+    val es = graph
+      .select(col("shard").cast("int"), col("level").cast("int"),
+        col("src").cast("long"), col("dst").cast("long"))
+      .as[(Int, Int, Long, Long)]
+      .groupByKey(_._1)
+    val perShard = vs.cogroup(es) { (_, vit, eit) =>
+      val rows = vit.toArray.sortBy(_._2)
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val ids = rows.map(_._2)
+        val vecs = rows.map(_._3.toArray)
+        val levels = rows.map(_._4)
+        val idx = ids.zipWithIndex.toMap
+        val adj = Array.tabulate(ids.length)(i =>
+          Array.fill(levels(i) + 1)(
+            scala.collection.mutable.ArrayBuffer.empty[Int]))
+        // shuffle order is arbitrary — sort so adjacency (and thus the
+        // beam traversal) is reproducible run to run
+        eit.toArray.sortBy(t => (t._2, t._3, t._4)).foreach {
+          case (_, lev, s, d) =>
+            (idx.get(s), idx.get(d)) match {
+              case (Some(si), Some(di)) if lev <= levels(si) =>
+                adj(si)(lev) += di
+              case _ => ()
+            }
+        }
+        qArr.iterator.flatMap { case (qid, qv) =>
+          searchShardGraph(ids, vecs, levels, adj, qv, ef, k + 1)
+            .filter(_._1 != qid).take(k)
+            .map { case (nid, cos) => (qid, nid, cos) }
+        }
+      }
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    perShard.toDF("qid", "nid", "cosine")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
   }
 }

@@ -1204,6 +1204,17 @@ object TextQueries {
       SimilarityOps.ivfKnn(e, e.filter(col("vec_id") < 10), k = 5)
     }),
 
+    // Partitioned-HNSW shard/level assignment — the deterministic half
+    // of the graph tier (construction itself is a greedy walk, gated in
+    // SimilarityOpsSpec by recall vs brute force + build determinism +
+    // the exhaustive-beam==brute-force law). Level = leading [0-3] run
+    // of md5(id‖"_lvl"), the P(level≥L)=4^-L geometric ladder with NO
+    // float ln — integer-exact on any engine, so DuckDB replays it.
+    "q_hnsw_levels" -> ((s, dir) =>
+      SimilarityOps.hnswAssign(Tables.embeddings(s, dir))
+        .groupBy(col("shard"), col("level"))
+        .agg(count(lit(1)).as("n"))),
+
     // Near-dup clustering end-to-end (LSH → connected components →
     // canonical pick). Oracle: the same pipeline with CC as a recursive
     // CTE — min reachable id per vertex is the propagation fixpoint.
@@ -2042,6 +2053,36 @@ object TextQueries {
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |  WHERE a.doc_id >= 400 OR b.doc_id >= 400),
          |$jaccardTail""".stripMargin,
+
+    // HNSW shard = first 4 md5 nibbles mod nShards; level = leading
+    // [0-3] run of md5(id||'_lvl') capped at 6 — both integer-exact
+    "q_hnsw_levels" ->
+      """WITH h AS (
+        |  SELECT vec_id,
+        |    md5(CAST(vec_id AS VARCHAR)) AS hx,
+        |    md5(CAST(vec_id AS VARCHAR) || '_lvl') AS lx
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT
+        |    CAST((
+        |      (CASE WHEN ascii(substr(hx,1,1)) >= 97
+        |            THEN ascii(substr(hx,1,1))-87
+        |            ELSE ascii(substr(hx,1,1))-48 END) * 4096 +
+        |      (CASE WHEN ascii(substr(hx,2,1)) >= 97
+        |            THEN ascii(substr(hx,2,1))-87
+        |            ELSE ascii(substr(hx,2,1))-48 END) * 256 +
+        |      (CASE WHEN ascii(substr(hx,3,1)) >= 97
+        |            THEN ascii(substr(hx,3,1))-87
+        |            ELSE ascii(substr(hx,3,1))-48 END) * 16 +
+        |      (CASE WHEN ascii(substr(hx,4,1)) >= 97
+        |            THEN ascii(substr(hx,4,1))-87
+        |            ELSE ascii(substr(hx,4,1))-48 END)
+        |    ) % 4 AS INTEGER) AS shard,
+        |    CAST(LEAST(length(regexp_extract(lx, '^[0-3]+')), 6)
+        |      AS INTEGER) AS level
+        |  FROM h)
+        |SELECT shard, level, COUNT(*) AS n
+        |FROM a GROUP BY shard, level""".stripMargin,
 
     // same LSH candidate pipeline as q_minhash_pairs, thresholded at 0.3,
     // then connected components as a recursive CTE: reach(id) = every label

@@ -312,6 +312,40 @@ class SimilarityOpsSpec extends SparkSpecBase {
       "exhaustive refine must reproduce float IVF at the same nprobe")
   }
 
+  test("partitioned HNSW: deterministic build, degree caps, parquet " +
+    "roundtrip, recall >= 0.9, exhaustive beam == brute force") {
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Long, Long)] =
+      df.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val g1 = SimilarityOps.hnswBuild(e) // defaults: 4 shards, M=8, efC=64
+    val s1 = edges(g1)
+    assert(s1.nonEmpty)
+    assert(s1 === edges(SimilarityOps.hnswBuild(e)),
+      "two builds of the same corpus must be identical")
+    // the degree caps the pruning promises: level 0 <= 2M, upper <= M
+    g1.groupBy("shard", "level", "src").count().collect().foreach { r =>
+      val cap = if (r.getInt(1) == 0) 16 else 8
+      assert(r.getLong(3) <= cap,
+        s"degree ${r.getLong(3)} above cap $cap at level ${r.getInt(1)}")
+    }
+    // the stored graph is the query-path input: round-trip via parquet
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString
+    g1.write.mode("overwrite").parquet(s"$dir/graph")
+    val loaded = spark.read.parquet(s"$dir/graph")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hnsw = ids(SimilarityOps.hnswKnn(e, loaded, q, k = 5))
+    val recall = hnsw.intersect(exactKnn).size.toDouble / exactKnn.size
+    info(f"hnswKnn recall@5 vs brute force: $recall%.3f")
+    assert(recall >= 0.9, s"HNSW recall $recall < 0.9")
+    // beam = shard size ⇒ every shard returns its exact top-k (the
+    // level-0 graph is connected on this fixture), and the union of
+    // shard-exact merges to the global exact answer
+    assert(ids(SimilarityOps.hnswKnn(e, loaded, q, k = 5, ef = 500))
+      === exactKnn, "exhaustive beam must reproduce brute force")
+  }
+
   test("scalar quantization: constant dimension encodes to 0, zero error") {
     import spark.implicits._
     val docs = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(1.0f, -5.0f)))
