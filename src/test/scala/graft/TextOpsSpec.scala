@@ -489,6 +489,44 @@ class TextOpsSpec extends SparkSpecBase {
       assert(math.abs(r.getDouble(8) - rgb.map(_._2).sum.toDouble / nb) < 1e-6)
       assert(math.abs(r.getDouble(9) - rgb.map(_._3).sum.toDouble / nb) < 1e-6)
     }
+    // third-party-encoder realism: files written by the JDK's OWN JPEG
+    // encoder (its choice of tables, subsampling, and dimension padding
+    // — nothing shared with our writer) must decode to what the JDK
+    // itself reads back. Gray pixels keep Cb=Cr constant at 128 so the
+    // encoder's chroma downsample and our replication upsample agree
+    // exactly; 50×34 forces partial-MCU crop handling.
+    for ((w, h, q) <- Seq((48, 32, 0.9f), (50, 34, 0.7f))) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 4 + y * 2) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(
+        javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(q)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      val bytes = baos.toByteArray
+      val (dw, dh, rr, gg, bb) = MultimodalOps.decodeJpegPixels(99L, bytes)
+      assert(dw === w && dh === h)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = back.getRGB(x, y); val i = y * w + x
+        val dr = math.abs(((argb >> 16) & 0xff) - rr(i))
+        val dg = math.abs(((argb >> 8) & 0xff) - gg(i))
+        val db = math.abs((argb & 0xff) - bb(i))
+        assert(dr <= 3 && dg <= 3 && db <= 3,
+          s"JDK-encoded ${w}x$h q=$q px($x,$y): Δ=($dr,$dg,$db)")
+      }
+    }
     // grayscale closed form: R=G=B = the per-block luma verbatim
     val rowsGray = MultimodalOps.decodeJpeg(
       MultimodalOps.encodeJpegGray(docs)).collect()
