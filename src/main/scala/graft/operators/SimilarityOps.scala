@@ -1145,23 +1145,47 @@ object SimilarityOps {
     res.toArray.sortBy(t => (-t._1, t._2)).map(_._2)
   }
 
-  /** Deterministic single-shard HNSW construction. `ids` ascending;
-    * returns directed edges (level, srcIdx, dstIdx) — both directions
-    * are present unless degree pruning trimmed one side (the standard
-    * asymmetry). Level-0 degree cap is 2M, upper layers M. */
-  private[graft] def buildShardGraph(
-      ids: Array[Long], vecs: Array[Array[Double]], levels: Array[Int],
-      m: Int, efC: Int): Array[(Int, Int, Int)] = {
-    val n = ids.length
+  /** Insert at a sorted position — adjacency lists stay CANONICAL
+    * (ascending node index). Canonical order is what makes warm-start
+    * insertion replayable: [[hnswInsert]] reconstructs lists from
+    * stored (lev, src, dst)-sorted edges and must see exactly the
+    * state the cold build had after its prefix. */
+  private def insSorted(buf: scala.collection.mutable.ArrayBuffer[Int],
+                        x: Int): Unit = {
+    var lo = 0; var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf(mid) < x) lo = mid + 1 else hi = mid
+    }
+    buf.insert(lo, x)
+  }
+
+  /** Continue HNSW construction from node `startFrom` against the
+    * (canonical) adjacency state of the prefix — `startFrom = 0` is the
+    * cold build; a positive value is [[hnswInsert]]'s warm start, which
+    * replays EXACTLY what the cold build would have done from that
+    * point (same beam walks over the same canonical lists), so
+    * append-only incremental insertion equals a full rebuild. */
+  private def insertNodes(
+      vecs: Array[Array[Double]], levels: Array[Int],
+      adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
+      startFrom: Int, m: Int, efC: Int): Unit = {
+    val n = vecs.length
     val norms = vecs.map(v => math.sqrt(dotd(v, v)))
     def sim(a: Int, b: Int): Double = {
       val d = norms(a) * norms(b)
       if (d == 0) 0.0 else dotd(vecs(a), vecs(b)) / d
     }
-    val adj = Array.tabulate(n)(i =>
-      Array.fill(levels(i) + 1)(scala.collection.mutable.ArrayBuffer.empty[Int]))
+    // recover the builder state after the prefix: maxLev = prefix max,
+    // ep = FIRST prefix node attaining it (insertion only replaces the
+    // entry point on a strict increase)
     var ep = -1; var maxLev = -1
-    var i = 0
+    var p = 0
+    while (p < startFrom) {
+      if (levels(p) > maxLev) { maxLev = levels(p); ep = p }
+      p += 1
+    }
+    var i = startFrom
     while (i < n) {
       val li = levels(i)
       if (ep < 0) { ep = i; maxLev = li }
@@ -1174,11 +1198,11 @@ object SimilarityOps {
           val cands = hnswBeam(simTo, adj, cur, lev, efC)
           val cap = if (lev == 0) 2 * m else m
           cands.take(m).foreach { nb =>
-            adj(i)(lev) += nb
-            adj(nb)(lev) += i
+            insSorted(adj(i)(lev), nb)
+            insSorted(adj(nb)(lev), i)
             if (adj(nb)(lev).length > cap) {
               val pruned = adj(nb)(lev).toArray
-                .sortBy(x => (-sim(nb, x), x)).take(cap)
+                .sortBy(x => (-sim(nb, x), x)).take(cap).sorted
               adj(nb)(lev).clear(); adj(nb)(lev) ++= pruned
             }
           }
@@ -1189,9 +1213,14 @@ object SimilarityOps {
       }
       i += 1
     }
+  }
+
+  private def emitEdges(levels: Array[Int],
+      adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]])
+      : Array[(Int, Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     var s = 0
-    while (s < n) {
+    while (s < levels.length) {
       var lev = 0
       while (lev <= levels(s)) {
         adj(s)(lev).foreach(d => out += ((lev, s, d)))
@@ -1200,6 +1229,19 @@ object SimilarityOps {
       s += 1
     }
     out.toArray
+  }
+
+  /** Deterministic single-shard HNSW construction. `ids` ascending;
+    * returns directed edges (level, srcIdx, dstIdx) — both directions
+    * are present unless degree pruning trimmed one side (the standard
+    * asymmetry). Level-0 degree cap is 2M, upper layers M. */
+  private[graft] def buildShardGraph(
+      ids: Array[Long], vecs: Array[Array[Double]], levels: Array[Int],
+      m: Int, efC: Int): Array[(Int, Int, Int)] = {
+    val adj = Array.tabulate(ids.length)(i =>
+      Array.fill(levels(i) + 1)(scala.collection.mutable.ArrayBuffer.empty[Int]))
+    insertNodes(vecs, levels, adj, 0, m, efC)
+    emitEdges(levels, adj)
   }
 
   /** Build the persistable per-shard HNSW edge table:
@@ -1222,6 +1264,73 @@ object SimilarityOps {
           .iterator.map { case (lev, si, di) => (shard, lev, ids(si), ids(di)) }
       }
       .toDF("shard", "level", "src", "dst")
+  }
+
+  /** Incremental insertion into a STORED graph: only the shards the
+    * delta touches are rebuilt — their vectors reload, the stored
+    * edges reconstruct the canonical adjacency, and construction
+    * resumes from the first new node; untouched shards' edges pass
+    * through VERBATIM with no compute (the anti-join pass-through
+    * discipline). Because adjacency lists are canonical and the warm
+    * start recovers the cold build's exact state, an APPEND-ONLY delta
+    * (every new id greater than every stored id — the new-documents
+    * regime) produces bit-identically the graph a full rebuild would;
+    * out-of-order ids still insert into a valid graph, just not the
+    * rebuild-identical one (HNSW insertion order is a quality
+    * heuristic, not a correctness condition). Delta cost ∝ touched
+    * shards, not corpus size; partition the stored edge table by
+    * `shard` and the untouched read prunes too. */
+  def hnswInsert(corpus: DataFrame, graph: DataFrame, delta: DataFrame,
+                 nShards: Int = 4, m: Int = 8, efC: Int = 64,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    val touched = hnswAssign(delta, nShards, idCol, vecCol)
+      .select(col("shard")).distinct().as[Int].collect().toSeq.sorted
+    val edgeCols = Seq(col("shard").cast("int").as("shard"),
+      col("level").cast("int").as("level"), col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val untouched = graph.select(edgeCols: _*)
+      .filter(!col("shard").isin(touched: _*))
+    def side(df: DataFrame, isNew: Boolean) =
+      hnswAssign(df, nShards, idCol, vecCol)
+        .filter(col("shard").isin(touched: _*))
+        .select(col("shard"), col(idCol).cast("long"),
+          col(vecCol).cast("array<double>"), col("level"),
+          lit(isNew).as("is_new"))
+    val vs = side(corpus, isNew = false).unionByName(side(delta, isNew = true))
+      .as[(Int, Long, Seq[Double], Int, Boolean)]
+      .groupByKey(_._1)
+    val es = graph.select(edgeCols: _*)
+      .filter(col("shard").isin(touched: _*))
+      .as[(Int, Int, Long, Long)]
+      .groupByKey(_._1)
+    val rebuilt = vs.cogroup(es) { (shard, vit, eit) =>
+      val all = vit.toArray
+      val (nw, old) = all.partition(_._5)
+      val rows = old.sortBy(_._2) ++ nw.sortBy(_._2)
+      val ids = rows.map(_._2)
+      val levels = rows.map(_._4)
+      val idx = ids.zipWithIndex.toMap
+      val adj = Array.tabulate(ids.length)(i =>
+        Array.fill(levels(i) + 1)(
+          scala.collection.mutable.ArrayBuffer.empty[Int]))
+      // stored edges sorted by (lev, src, dst) reconstruct each list in
+      // canonical (ascending dst) order — the cold build's exact state
+      eit.toArray.sortBy(t => (t._2, t._3, t._4)).foreach {
+        case (_, lev, s, d) =>
+          (idx.get(s), idx.get(d)) match {
+            case (Some(si), Some(di)) if lev <= levels(si) =>
+              adj(si)(lev) += di
+            case _ => ()
+          }
+      }
+      insertNodes(rows.map(_._3.toArray), levels, adj, old.length, m, efC)
+      emitEdges(levels, adj).iterator
+        .map { case (lev, si, di) => (shard, lev, ids(si), ids(di)) }
+    }
+    rebuilt.toDF("shard", "level", "src", "dst").unionByName(untouched)
   }
 
   /** Walk one shard's reloaded graph for one external query vector:
