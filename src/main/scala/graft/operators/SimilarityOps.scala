@@ -1041,6 +1041,64 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("cosine"), col("rn"))
   }
 
+  /** The PQ index as a stored artifact: (id, codes, cid) — 8 B of codes
+    * + one coarse cell per vector. At scale this is written ONCE per
+    * corpus version (partition by `cid` so probes prune at the scan)
+    * and every query batch reads it instead of re-encoding the corpus. */
+  def pqIndex(corpus: DataFrame, cents: Array[(Long, Seq[Double], Double)],
+              codebook: Array[Array[Array[Double]]],
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    pqCodesFrame(corpus, codebook, idCol, vecCol)
+      .withColumn("cid", nearestCid(col("ne"), cents))
+      .select(col("nid").as(idCol), col("ncodes").as("codes"), col("cid"))
+
+  /** IVF-PQ against the STORED index — the shape a 100 TB deployment
+    * actually runs: the ADC scan touches ONLY the codes table (8 B/
+    * vector, probed lists only), and the exact re-rank point-joins the
+    * tiny k·refine shortlist back to the float corpus. Produces exactly
+    * [[ivfPqKnn]]'s rows (spec law) — that form re-derives codes and
+    * carries float vectors through the scan, right for one-shot calls;
+    * this form is right when the index is an artifact. */
+  def ivfPqKnnWith(corpus: DataFrame, index: DataFrame, queries: DataFrame,
+                   k: Int, cents: Array[(Long, Seq[Double], Double)],
+                   codebook: Array[Array[Array[Double]]],
+                   nprobe: Int = 12, refine: Int = 4,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val m = codebook.length
+    val qnorm = sqrt(array_dot(col(vecCol), col(vecCol)))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qe"), qnorm.as("qn"),
+        pqLutExpr(col(vecCol), codebook).as("qlut"),
+        slice(reverse(array_sort(centroidScores(col(vecCol), qnorm, cents))),
+          1, nprobe).as("pr"))
+      .select(col("qid"), col("qe"), col("qn"), col("qlut"),
+        explode(col("pr")).as("p"))
+      .select(col("qid"), col("qe"), col("qn"), col("qlut"),
+        (-col("p.nc")).cast("long").as("cid"))
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("adist"), col("nid"))
+    val wExact = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    val shortlist = index
+      .select(col(idCol).cast("long").as("nid"), col("codes"), col("cid"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("adist", pqAdcDist(col("qlut"), col("codes"), m))
+      .withColumn("arn", row_number().over(wApprox))
+      .filter(col("arn") <= k * refine)
+      .select(col("qid"), col("qe"), col("qn"), col("nid"))
+    val floats = corpus.select(col(idCol).cast("long").as("nid"),
+      col(vecCol).as("ne"),
+      sqrt(array_dot(col(vecCol), col(vecCol))).as("nn"))
+    shortlist.join(floats, Seq("nid"))
+      .withColumn("cosine", cosinePre(col("qe"), col("ne"), col("qn"), col("nn")))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("cosine"), col("rn"))
+  }
+
   // ------------------------------------------------------------------
   // Partitioned HNSW (Malkov & Yashunin, arXiv:1603.09320) — the graph-
   // walk ANN tier large vector stores run beside IVF-PQ. The corpus

@@ -346,6 +346,22 @@ class SimilarityOpsSpec extends SparkSpecBase {
       === exactKnn, "exhaustive beam must reproduce brute force")
   }
 
+  test("stored PQ index: ivfPqKnnWith(pqIndex) == ivfPqKnn row for row") {
+    val cb = SimilarityOps.pqTrain(e)
+    val cents = SimilarityOps.kmeansCentroids(e, 16, iters = 2,
+      trainSample = 512)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    SimilarityOps.pqIndex(e, cents, cb)
+      .write.mode("overwrite").parquet(s"$dir/idx")
+    val stored = spark.read.parquet(s"$dir/idx")
+    assert(rows(SimilarityOps.ivfPqKnnWith(e, stored, q, k = 5, cents, cb))
+      === rows(SimilarityOps.ivfPqKnn(e, q, k = 5, cents, cb)),
+      "the stored-index path must produce exactly the inline path's rows")
+  }
+
   test("incremental HNSW: append-only delta == full rebuild bit-exactly; " +
     "untouched shards pass through verbatim") {
     import spark.implicits._
