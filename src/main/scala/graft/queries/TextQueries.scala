@@ -1215,6 +1215,19 @@ object TextQueries {
         .groupBy(col("shard"), col("level"))
         .agg(count(lit(1)).as("n"))),
 
+    // The graph tier's oracled END-TO-END query: exhaustive-beam HNSW.
+    // With ef ≥ shard size the beam explores each shard's whole
+    // (connected) level-0 graph, so build → walk → scatter-gather merge
+    // must equal brute-force top-k EXACTLY — the oracle gates graph
+    // connectivity, the walk machinery, and the merge at every SF. The
+    // approximate-ef production setting is recall-gated in
+    // SimilarityOpsSpec (measured 1.00 at ef=64).
+    "q_hnsw_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      SimilarityOps.hnswKnn(e, SimilarityOps.hnswBuild(e),
+        e.filter(col("vec_id") < 10), k = 5, ef = 4096)
+    }),
+
     // Near-dup clustering end-to-end (LSH → connected components →
     // canonical pick). Oracle: the same pipeline with CC as a recursive
     // CTE — min reachable id per vertex is the propagation fixpoint.
@@ -2053,6 +2066,26 @@ object TextQueries {
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |  WHERE a.doc_id >= 400 OR b.doc_id >= 400),
          |$jaccardTail""".stripMargin,
+
+    // exhaustive-beam HNSW == brute force (connectivity + walk + merge
+    // gate): the oracle is exact top-k, identical to q_cosine_knn's
+    "q_hnsw_knn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |    SUM(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS dot,
+        |    SUM(CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(q.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS qq,
+        |    SUM(CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(n.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS nn
+        |  FROM e q, e n, range(1, 65) t(i)
+        |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, nid, ROUND(dot / (SQRT(qq) * SQRT(nn)), 6) AS cosine
+        |  FROM pairs)
+        |SELECT qid, nid, cosine, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY cosine DESC, nid) AS rn
+        |  FROM scored) WHERE rn <= 5""".stripMargin,
 
     // HNSW shard = first 4 md5 nibbles mod nShards; level = leading
     // [0-3] run of md5(id||'_lvl') capped at 6 — both integer-exact
