@@ -547,6 +547,62 @@ object StreamingOps {
                            upToBatch: Long): Unit =
     compactIndexTable(spark, indexRef, "cid", upToBatch)
 
+  /** Streaming maintenance of the partitioned-HNSW graph — the stream
+    * twin of [[graft.operators.SimilarityOps.hnswBuild]] via
+    * [[graft.operators.SimilarityOps.hnswInsert]]. Each micro-batch
+    * (1) advances a graph STATE CHAIN — `graphDir/v=k` holds the full
+    * post-batch edge state, computed as hnswInsert(vectors of batches
+    * < k, latest state below k, batch k) — and (2) appends its vectors
+    * to `vecsRef` under a batch_id partition. The state chain is what
+    * makes at-least-once foreachBatch exactly-once HERE: the graph is
+    * a rebuild-in-place structure (a delta REPLACES its touched
+    * shards' edges), so batch_id appends can't express it; instead a
+    * replayed batch re-reads its input version — untouched by the
+    * failed attempt — and deterministically rewrites the same output
+    * version. With append-only ids across batches the warm-start
+    * rebuild identity composes, so the latest version equals the cold
+    * `hnswBuild` over everything absorbed — StreamingSpec pins the
+    * bit-exact equality and replay idempotence. Versions below the
+    * committed watermark are retention to garbage-collect, not
+    * correctness (the dedup-compaction discipline). */
+  def hnswSink(vecs: DataFrame, vecsRef: graft.sources.TableRef,
+               graphDir: String, checkpointDir: String,
+               nShards: Int = 4, m: Int = 8, efC: Int = 64)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.SimilarityOps
+    import graft.sources.Storage
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF()
+        val prior =
+          if (Storage.tableExists(s, vecsRef))
+            Storage.readTable(s, vecsRef)
+              .filter(col("batch_id") < batchId).drop("batch_id")
+          else b.limit(0)
+        val versions = Option(new java.io.File(graphDir).listFiles())
+          .getOrElse(Array.empty[java.io.File]).toSeq
+          .map(_.getName).filter(_.startsWith("v="))
+          .map(_.stripPrefix("v=").toLong).filter(_ < batchId)
+        val stored = versions.sorted.lastOption match {
+          case Some(v) => s.read.parquet(s"$graphDir/v=$v")
+          case None =>
+            import s.implicits._
+            Seq.empty[(Int, Int, Long, Long)]
+              .toDF("shard", "level", "src", "dst")
+        }
+        // empty prior + empty stored degenerate to the cold build of
+        // the batch — no first-batch special case
+        SimilarityOps.hnswInsert(prior, stored, b, nShards, m, efC)
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$graphDir/v=$batchId")
+        idempotentBatchAppend(b, vecsRef, batchId)
+        ()
+      }
+      .start()
+  }
+
   private def compactIndexTable(spark: SparkSession,
                                 ref: graft.sources.TableRef,
                                 key: String, upToBatch: Long): Unit = {

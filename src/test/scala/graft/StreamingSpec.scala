@@ -826,6 +826,63 @@ class StreamingSpec extends SparkSpecBase {
       "a delta against the compacted index must equal the batch-index result")
   }
 
+  test("streaming HNSW maintenance: latest state == cold batch build " +
+    "bit-exactly; replay rewrites the same states") {
+    import graft.operators.SimilarityOps
+    import graft.sources.TableRef
+    val all = Tables.embeddings(spark, sf)
+    val vecsDir = Files.createTempDirectory("graft_hnswvec").toString
+    // three ID-ORDERED micro-batches — the append-only regime the
+    // rebuild identity composes over
+    all.filter(col("vec_id") < 200).coalesce(1).write.parquet(s"$vecsDir/f1")
+    all.filter(col("vec_id") >= 200 && col("vec_id") < 350)
+      .coalesce(1).write.parquet(s"$vecsDir/f2")
+    all.filter(col("vec_id") >= 350).coalesce(1).write.parquet(s"$vecsDir/f3")
+    new java.io.File(vecsDir).listFiles().filter(_.isDirectory).foreach { d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+        case (f, i) => Files.move(f.toPath,
+          Paths.get(s"$vecsDir/${d.getName}_$i.parquet"))
+      }
+      d.listFiles().foreach(_.delete()); d.delete()
+    }
+    val schema = spark.read.parquet(vecsDir).schema
+    val root = Files.createTempDirectory("graft_hnswidx").toString
+    val vecsRef = TableRef(s"$root/vecs", "index", "hnswvecs")
+    val graphDir = s"$root/graph"
+    def startSink(ckpt: String) = StreamingOps.hnswSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(vecsDir),
+      vecsRef, graphDir, ckpt)
+    val q = startSink(Files.createTempDirectory("graft_hnswck").toString)
+    q.processAllAvailable()
+    q.stop()
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Long, Long)] =
+      df.select("shard", "level", "src", "dst").collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    def versions(): Seq[Long] =
+      new java.io.File(graphDir).listFiles().toSeq.map(_.getName)
+        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
+    val vs = versions()
+    assert(vs.size === 3, s"expected 3 state versions, got $vs")
+    val latest = edges(spark.read.parquet(s"$graphDir/v=${vs.last}"))
+    assert(latest === edges(SimilarityOps.hnswBuild(all)),
+      "streamed state chain must equal the cold batch build")
+    // intermediate versions are the prefix builds
+    assert(edges(spark.read.parquet(s"$graphDir/v=${vs.head}")) ===
+      edges(SimilarityOps.hnswBuild(all.filter(col("vec_id") < 200))))
+    // replay from a fresh checkpoint: every version deterministically
+    // rewritten, latest unchanged, vector table not duplicated
+    val nVecs = spark.read.parquet(vecsRef.path).count()
+    val q2 = startSink(Files.createTempDirectory("graft_hnswck2").toString)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(versions() === vs, "replay must not mint new versions")
+    assert(edges(spark.read.parquet(s"$graphDir/v=${vs.last}")) === latest,
+      "replay must rewrite the same latest state")
+    assert(spark.read.parquet(vecsRef.path).count() === nVecs,
+      "replay must not duplicate vectors")
+  }
+
   test("streaming semantic dedup sink == batch within-cluster pairs + index") {
     import graft.operators.SimilarityOps
     import graft.sources.{Storage, TableRef}
