@@ -547,6 +547,24 @@ object StreamingOps {
                            upToBatch: Long): Unit =
     compactIndexTable(spark, indexRef, "cid", upToBatch)
 
+  /** Garbage-collect [[hnswSink]] state versions below the committed
+    * watermark: every version except the LATEST at or below `upToBatch`
+    * is deleted (later versions are untouched). PRECONDITION — the same
+    * as compaction everywhere in this file: `upToBatch` must be ≤ the
+    * stream's last COMMITTED batch id, or a replay of an uncommitted
+    * batch would find its input version gone. */
+  def pruneHnswVersions(graphDir: String, upToBatch: Long): Unit = {
+    val dirs = Option(new java.io.File(graphDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(f => (f.getName.stripPrefix("v=").toLong, f))
+      .filter(_._1 <= upToBatch)
+      .sortBy(_._1)
+    dirs.dropRight(1).foreach { case (_, dir) =>
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   /** Streaming maintenance of the partitioned-HNSW graph — the stream
     * twin of [[graft.operators.SimilarityOps.hnswBuild]] via
     * [[graft.operators.SimilarityOps.hnswInsert]]. Each micro-batch

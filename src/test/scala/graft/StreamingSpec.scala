@@ -881,6 +881,11 @@ class StreamingSpec extends SparkSpecBase {
       "replay must rewrite the same latest state")
     assert(spark.read.parquet(vecsRef.path).count() === nVecs,
       "replay must not duplicate vectors")
+    // version GC keeps only the latest committed state; queries on it
+    // are unaffected
+    StreamingOps.pruneHnswVersions(graphDir, vs.last)
+    assert(versions() === Seq(vs.last), "GC must keep only the latest")
+    assert(edges(spark.read.parquet(s"$graphDir/v=${vs.last}")) === latest)
   }
 
   test("streaming semantic dedup sink == batch within-cluster pairs + index") {
