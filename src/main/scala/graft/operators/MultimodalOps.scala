@@ -1325,6 +1325,71 @@ object MultimodalOps {
     (w, h, r, g, b)
   }
 
+  val jpegHashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_blocks", IntegerType),
+    StructField("ahash", LongType)))
+
+  /** Average-hash over DECODED JPEG pixels — the image-dedup
+    * fingerprint on the format crawled images actually arrive in
+    * (the [[aHash]] chain was BMP-only before). The aHash downsample
+    * grid is the full-8×8-block lattice (mean over each block = the
+    * standard decode-then-downscale), partial edge blocks cropped:
+    * per-block integer luma sum (R+G+B over the block's 64 pixels),
+    * bit b set iff blockSum·nBlocks > totalSum — exact integer
+    * compare, no division, packed LSB-first in block raster order.
+    * ≤63 blocks per image so the hash fits one BIGINT; feed the
+    * output straight to [[aHashNearDups]] (format-agnostic) for the
+    * banded Hamming near-dup pass. */
+  def aHashJpeg(payloads: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(jpegHashSchema)
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val id = row.getLong(0)
+          val (w, h, r, g, b) =
+            decodeJpegPixels(id, row.getAs[Array[Byte]](1))
+          val nbx = w / 8; val nby = h / 8
+          val nb = nbx * nby
+          require(nb >= 1 && nb <= 63,
+            s"aHashJpeg needs 1..63 full blocks, got $nb: doc $id")
+          val sums = new Array[Long](nb)
+          var total = 0L
+          var by = 0
+          while (by < nby) {
+            var bx = 0
+            while (bx < nbx) {
+              var s = 0L
+              var y = by * 8
+              while (y < by * 8 + 8) {
+                var x = bx * 8
+                while (x < bx * 8 + 8) {
+                  val i = y * w + x
+                  s += r(i) + g(i) + b(i)
+                  x += 1
+                }
+                y += 1
+              }
+              sums(by * nbx + bx) = s
+              total += s
+              bx += 1
+            }
+            by += 1
+          }
+          var hash = 0L
+          var k = 0
+          while (k < nb) {
+            if (sums(k) * nb > total) hash |= (1L << k)
+            k += 1
+          }
+          Row(id, w, h, nb, hash)
+        }
+      }(enc)
+  }
+
   /** REAL JPEG decode over binary payloads, partition-at-a-time — the
     * compressed-image sibling of [[decodePng]], same output contract:
     * header fields, the top-left pixel (layout sentinel) and

@@ -1329,6 +1329,17 @@ object TextQueries {
       MultimodalOps.decodeJpeg(
         MultimodalOps.encodeJpegGray(Tables.documents(s, dir)))),
 
+    // Average-hash over DECODED JPEG pixels — the image-dedup
+    // fingerprint on the compressed format crawled images arrive in:
+    // the 8×8-block lattice is the downsample grid, per-block integer
+    // luma sums thresholded against the image total (blockSum·n >
+    // total — no division), packed LSB-first in block raster order.
+    // The mosaic decode is bit-exact, so the oracle replays block
+    // luma = (r+g+b)·64 from the closed forms and the full bit math.
+    "q_jpeg_phash" -> ((s, dir) =>
+      MultimodalOps.aHashJpeg(
+        MultimodalOps.encodeJpeg(Tables.documents(s, dir)))),
+
     // Perceptual average-hash over the REAL decoded BMP bytes: per-pixel
     // luma vs the exact image mean (luma·n > Σluma — no division), packed
     // LSB-first in image row-major order. The oracle replays the pixel
@@ -3605,6 +3616,43 @@ object TextQueries {
         |  ROUND(AVG(y), 6) AS mean_g,
         |  ROUND(AVG(y), 6) AS mean_b
         |FROM ycc GROUP BY doc_id, width, height""".stripMargin,
+
+    // JPEG aHash: block luma sum = (r+g+b)*64 from the mosaic closed
+    // forms; bit b set iff lsum*nb > total; pack via BIGINT shifts
+    "q_jpeg_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+        |    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
+        |  FROM documents),
+        |blk AS (
+        |  SELECT d.doc_id, d.width, d.height, CAST(t.i AS BIGINT) AS b
+        |  FROM d CROSS JOIN range(0, 6) t(i)
+        |  WHERE t.i < (d.width // 8) * (d.height // 8)),
+        |ycc AS (
+        |  SELECT doc_id, width, height, b,
+        |    76 + 2 * ((doc_id * 7 + b * 13) % 53) AS y,
+        |    17 * (((doc_id * 11 + b * 17) % 9) - 4) AS cb,
+        |    17 * (((doc_id * 3 + b * 19) % 9) - 4) AS cr
+        |  FROM blk),
+        |lum AS (
+        |  SELECT doc_id, width, height, b,
+        |    64 * (GREATEST(0, LEAST(255, FLOOR(y + 1.402 * cr + 0.5)))
+        |        + GREATEST(0, LEAST(255,
+        |            FLOOR(y - 0.344136 * cb - 0.714136 * cr + 0.5)))
+        |        + GREATEST(0, LEAST(255, FLOOR(y + 1.772 * cb + 0.5))))
+        |      AS lsum
+        |  FROM ycc),
+        |tot AS (
+        |  SELECT doc_id, SUM(lsum) AS total, COUNT(*) AS nb
+        |  FROM lum GROUP BY doc_id)
+        |SELECT l.doc_id, l.width, l.height,
+        |  CAST(t.nb AS INTEGER) AS n_blocks,
+        |  CAST(SUM(CASE WHEN l.lsum * t.nb > t.total
+        |    THEN (CAST(1 AS BIGINT) << CAST(l.b AS INTEGER))
+        |    ELSE 0 END) AS BIGINT) AS ahash
+        |FROM lum l JOIN tot t ON l.doc_id = t.doc_id
+        |GROUP BY l.doc_id, l.width, l.height, t.nb""".stripMargin,
 
     // perceptual hash: replay the pixel closed form, luma = B+G+R, bit k
     // set iff luma·n > Σluma, packed LSB-first over image row-major k

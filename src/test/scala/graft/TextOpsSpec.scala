@@ -544,6 +544,16 @@ class TextOpsSpec extends SparkSpecBase {
       assert(math.abs(r.getDouble(8) - m) < 1e-6)
       assert(math.abs(r.getDouble(9) - m) < 1e-6)
     }
+    // JPEG aHash: a single-block image IS its own mean (hash 0); the
+    // multi-block mosaics must set at least one bit somewhere
+    val jh = MultimodalOps.aHashJpeg(MultimodalOps.encodeJpeg(docs)).collect()
+    assert(jh.length === 60)
+    jh.foreach { r =>
+      assert(r.getInt(3) === (r.getInt(1) / 8) * (r.getInt(2) / 8))
+      if (r.getInt(3) === 1) assert(r.getLong(4) === 0L,
+        s"single-block doc ${r.getLong(0)} must hash to 0")
+    }
+    assert(jh.exists(_.getLong(4) != 0L), "mosaics must set bits")
     // corrupt structure fails loudly by doc id
     val good = MultimodalOps.jpegBytes(7L)
     val noSoi = good.clone(); noSoi(1) = 0x00
