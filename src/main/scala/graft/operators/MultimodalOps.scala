@@ -364,6 +364,59 @@ object MultimodalOps {
       }(enc)
   }
 
+  val wavFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("fp", LongType)))
+
+  /** Audio dedup fingerprint — the waveform sibling of [[aHashJpeg]]:
+    * one bit per [[wavFrameEnergy]] frame, set iff the frame's Σs²
+    * energy exceeds the track's per-sample mean energy — compared
+    * cross-multiplied (`frameEnergy·totalSamples >
+    * totalEnergy·frameLen`) so partial last frames weigh correctly and
+    * no division is involved; packed LSB-first in frame order, ≤63
+    * frames per BIGINT (at production framing, one fingerprint per
+    * fixed-length chunk). Banded Hamming near-dup runs the
+    * [[aHashNearDups]] pattern over (fp, n_frames). */
+  def wavFingerprint(payloads: DataFrame, frameSamples: Int = 16,
+                     idCol: String = "doc_id",
+                     payloadCol: String = "payload"): DataFrame = {
+    require(frameSamples > 0, s"frameSamples must be positive: $frameSamples")
+    val enc = RowEncoder.encoderFor(wavFpSchema)
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (_, dataOff, dataSize) = wavChunks(bytes, id)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = dataSize / 2
+          val nf = (n + frameSamples - 1) / frameSamples
+          require(nf >= 1 && nf <= 63,
+            s"wavFingerprint needs 1..63 frames, got $nf: doc $id")
+          val fe = new Array[Long](nf)
+          val fn = new Array[Int](nf)
+          var total = 0L
+          var k = 0
+          while (k < n) {
+            val s = bb.getShort(dataOff + 2 * k).toInt
+            val f = k / frameSamples
+            fe(f) += s.toLong * s; fn(f) += 1; total += s.toLong * s
+            k += 1
+          }
+          var fp = 0L
+          var f = 0
+          while (f < nf) {
+            if (fe(f) * n > total * fn(f)) fp |= (1L << f)
+            f += 1
+          }
+          Row(id, n, nf, fp)
+        }
+      }(enc)
+  }
+
   val aHashSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("w", IntegerType),

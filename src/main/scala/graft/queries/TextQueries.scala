@@ -1371,6 +1371,15 @@ object TextQueries {
     // over the same decoded bytes.
     "q_wav_frames" -> ((s, dir) =>
       MultimodalOps.wavFrameEnergy(
+        MultimodalOps.encodeWav(Tables.documents(s, dir)))),
+
+    // Audio dedup fingerprint — the waveform sibling of q_jpeg_phash:
+    // one bit per energy frame, set iff the frame beats the per-sample
+    // mean energy (cross-multiplied so the partial last frame weighs
+    // correctly, all-integer), LSB-first. The oracle replays the
+    // closed-form waveform through the identical bit math.
+    "q_wav_fingerprint" -> ((s, dir) =>
+      MultimodalOps.wavFingerprint(
         MultimodalOps.encodeWav(Tables.documents(s, dir))))
   )
 
@@ -3745,6 +3754,31 @@ object TextQueries {
         |SELECT doc_id, frame_idx,
         |  CAST(COUNT(*) AS INTEGER) AS frame_n,
         |  CAST(SUM(s * s) AS BIGINT) AS frame_energy
-        |FROM s GROUP BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // waveform fingerprint: frame energies from the closed form, bit f
+    // set iff fe*n_samples > total*frame_n, BIGINT shifts
+    "q_wav_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(32 + doc_id % 17 AS INTEGER) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(k // 16 AS INTEGER) AS frame_idx,
+        |    ((doc_id * 31 + k * 57) % 4096) - 2048 AS s
+        |  FROM d, UNNEST(generate_series(0, n - 1)) AS t(k)),
+        |fr AS (
+        |  SELECT doc_id, frame_idx, COUNT(*) AS fn, SUM(s * s) AS fe
+        |  FROM s GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, SUM(fn) AS ns, SUM(fe) AS te, COUNT(*) AS nf
+        |  FROM fr GROUP BY 1)
+        |SELECT f.doc_id,
+        |  CAST(t.ns AS INTEGER) AS n_samples,
+        |  CAST(t.nf AS INTEGER) AS n_frames,
+        |  CAST(SUM(CASE WHEN f.fe * t.ns > t.te * f.fn
+        |    THEN (CAST(1 AS BIGINT) << CAST(f.frame_idx AS INTEGER))
+        |    ELSE 0 END) AS BIGINT) AS fp
+        |FROM fr f JOIN tot t ON f.doc_id = t.doc_id
+        |GROUP BY f.doc_id, t.ns, t.nf""".stripMargin
   )
 }

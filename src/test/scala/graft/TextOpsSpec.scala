@@ -720,6 +720,21 @@ class TextOpsSpec extends SparkSpecBase {
       assert(fs.map(_.getInt(2)).sum === r.getInt(3))
       assert(fs.map(_.getInt(1)).sorted.toSeq === (0 until fs.length))
     }
+    // fingerprint: bit f ≡ frame f beats the per-sample mean energy
+    // (cross-multiplied with the frame length), replayed from the frames
+    val fps = MultimodalOps.wavFingerprint(MultimodalOps.encodeWav(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    frames.foreach { case (id, fs) =>
+      val total = fs.map(_.getLong(3)).sum
+      val n = fs.map(_.getInt(2)).sum
+      val expect = fs.sortBy(_.getInt(1)).zipWithIndex.map { case (f, i) =>
+        if (f.getLong(3) * n > total * f.getInt(2)) 1L << i else 0L
+      }.sum
+      val got = fps(id)
+      assert(got.getInt(1) === n && got.getInt(2) === fs.length)
+      assert(got.getLong(3) === expect, s"fingerprint mismatch doc $id")
+    }
+    assert(fps.values.exists(_.getLong(3) != 0L), "fixture must set bits")
     // a corrupted magic or truncated payload fails loudly, by doc id
     import spark.implicits._
     val bad = bytes.clone(); bad(0) = 'X'.toByte
