@@ -346,6 +346,24 @@ class SimilarityOpsSpec extends SparkSpecBase {
       === exactKnn, "exhaustive beam must reproduce brute force")
   }
 
+  test("hnsw ef recall curve: non-decreasing, deterministic") {
+    val g = SimilarityOps.hnswBuild(e)
+    def recallAt(ef: Int): Double = {
+      val h = SimilarityOps.hnswKnn(e, g, q, k = 5, ef = ef)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      h.intersect(exactKnn).size.toDouble / exactKnn.size
+    }
+    val efs = Seq(4, 8, 16, 64)
+    val curve = efs.map(recallAt)
+    info(s"recall@5 vs brute force, ef ${efs.mkString("/")}: " +
+      curve.map(c => f"$c%.2f").mkString(" → "))
+    curve.zip(curve.tail).foreach { case (lo, hi) =>
+      assert(hi >= lo, s"recall must not drop as ef grows: $curve")
+    }
+    assert(curve.last >= 0.9, s"ef=64 recall ${curve.last} < 0.9")
+  }
+
   test("stored PQ index: ivfPqKnnWith(pqIndex) == ivfPqKnn row for row") {
     val cb = SimilarityOps.pqTrain(e)
     val cents = SimilarityOps.kmeansCentroids(e, 16, iters = 2,
