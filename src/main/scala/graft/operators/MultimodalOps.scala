@@ -556,24 +556,35 @@ object MultimodalOps {
     out.array()
   }
 
-  /** One deterministic 8-bit RGB PNG (color type 2, non-interlaced):
-    * [[bmpBytes]]'s dimensions and channel closed forms, stored in PNG's
-    * RGB order, TOP-DOWN rows. Scanline filters CYCLE 0..4 by row (None,
-    * Sub, Up, Average, Paeth), so decode exercises every reconstruction
-    * branch; IDAT is genuinely DEFLATEd. */
-  private[graft] def pngBytes(id: Long): Array[Byte] = {
-    val w = (4 + id % 5).toInt
-    val h = (4 + id % 3).toInt
-    val bpr = 3 * w
+  /** Channels per pixel for the supported 8-bit color types: 0 gray,
+    * 2 RGB, 6 RGBA. */
+  private def pngBpp(colorType: Int): Int = colorType match {
+    case 0 => 1
+    case 2 => 3
+    case 6 => 4
+    case ct => throw new IllegalArgumentException(s"color type $ct")
+  }
+
+  /** Serialize one 8-bit non-interlaced PNG from a per-(pixel, channel)
+    * closed form. Scanline filters CYCLE 0..4 by row (None, Sub, Up,
+    * Average, Paeth) with the LEFT offset at the color type's bpp, so
+    * decode exercises every reconstruction branch at every pixel width;
+    * IDAT is genuinely DEFLATEd. */
+  private def pngFromPixels(w: Int, h: Int, colorType: Int,
+                            px: (Int, Int) => Int): Array[Byte] = {
+    val bpp = pngBpp(colorType)
+    val bpr = bpp * w
     val raw = Array.ofDim[Byte](h, bpr)
     var row = 0
     while (row < h) {
       var c = 0
       while (c < w) {
         val k = row * w + c
-        raw(row)(3 * c) = ((id * 3 + k * 19) % 256).toByte     // R
-        raw(row)(3 * c + 1) = ((id * 11 + k * 17) % 256).toByte // G
-        raw(row)(3 * c + 2) = ((id * 7 + k * 13) % 256).toByte  // B
+        var ch = 0
+        while (ch < bpp) {
+          raw(row)(bpp * c + ch) = px(k, ch).toByte
+          ch += 1
+        }
         c += 1
       }
       row = row + 1
@@ -586,9 +597,9 @@ object MultimodalOps {
       var x = 0
       while (x < bpr) {
         val cur = raw(row)(x) & 0xff
-        val left = if (x >= 3) raw(row)(x - 3) & 0xff else 0
+        val left = if (x >= bpp) raw(row)(x - bpp) & 0xff else 0
         val up = if (row > 0) raw(row - 1)(x) & 0xff else 0
-        val ul = if (row > 0 && x >= 3) raw(row - 1)(x - 3) & 0xff else 0
+        val ul = if (row > 0 && x >= bpp) raw(row - 1)(x - bpp) & 0xff else 0
         val pred = ft match {
           case 0 => 0
           case 1 => left
@@ -610,7 +621,7 @@ object MultimodalOps {
       comp.write(buf, 0, deflater.deflate(buf))
     deflater.end()
     val ihdr = java.nio.ByteBuffer.allocate(13)
-      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig)
@@ -618,6 +629,44 @@ object MultimodalOps {
     out.write(pngChunk("IDAT", comp.toByteArray))
     out.write(pngChunk("IEND", Array.emptyByteArray))
     out.toByteArray
+  }
+
+  /** One deterministic 8-bit RGB PNG (color type 2, non-interlaced):
+    * [[bmpBytes]]'s dimensions and channel closed forms, stored in PNG's
+    * RGB order, TOP-DOWN rows. */
+  private[graft] def pngBytes(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (4 + id % 3).toInt
+    pngFromPixels(w, h, 2, (k, ch) => ch match {
+      case 0 => ((id * 3 + k * 19) % 256).toInt
+      case 1 => ((id * 11 + k * 17) % 256).toInt
+      case _ => ((id * 7 + k * 13) % 256).toInt
+    })
+  }
+
+  /** Grayscale PNG (color type 0 — icons/scans): one channel, so the
+    * Sub/Paeth LEFT offset is 1 byte, a different reconstruction
+    * geometry than RGB's 3. */
+  private[graft] def pngBytesGray(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (4 + id % 3).toInt
+    pngFromPixels(w, h, 0, (k, _) => ((id * 5 + k * 23) % 256).toInt)
+  }
+
+  /** RGBA PNG (color type 6 — what web transparency actually ships):
+    * RGB closed forms as [[pngBytes]] plus an alpha plane that rides
+    * through the 4-byte filter geometry (a wrong bpp corrupts the RGB
+    * reconstruction, so alpha is load-bearing even though the emitted
+    * stats are RGB). */
+  private[graft] def pngBytesRgba(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (4 + id % 3).toInt
+    pngFromPixels(w, h, 6, (k, ch) => ch match {
+      case 0 => ((id * 3 + k * 19) % 256).toInt
+      case 1 => ((id * 11 + k * 17) % 256).toInt
+      case 2 => ((id * 7 + k * 13) % 256).toInt
+      case _ => ((id * 13 + k * 7) % 256).toInt
+    })
   }
 
   /** Production ingest path for binary payloads: Spark's `binaryFile`
@@ -641,6 +690,22 @@ object MultimodalOps {
     val enc = RowEncoder.encoderFor(payloadSchema)
     docs.select(col(idCol).cast("long")).mapPartitions { rows =>
       rows.map(r => Row(r.getLong(0), pngBytes(r.getLong(0))))
+    }(enc)
+  }
+
+  /** Synthesize the grayscale PNG payload column. */
+  def encodePngGray(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    docs.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), pngBytesGray(r.getLong(0))))
+    }(enc)
+  }
+
+  /** Synthesize the RGBA PNG payload column. */
+  def encodePngRgba(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val enc = RowEncoder.encoderFor(payloadSchema)
+    docs.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), pngBytesRgba(r.getLong(0))))
     }(enc)
   }
 
@@ -685,7 +750,8 @@ object MultimodalOps {
                 w = hb.getInt; h = hb.getInt
                 bitDepth = hb.get() & 0xff; colorType = hb.get() & 0xff
                 val interlace = data(12) & 0xff
-                require(bitDepth == 8 && colorType == 2 && interlace == 0,
+                require(bitDepth == 8 && interlace == 0 &&
+                  (colorType == 0 || colorType == 2 || colorType == 6),
                   s"unsupported PNG profile (depth=$bitDepth color=$colorType " +
                     s"interlace=$interlace): doc $id")
               case "IDAT" => idat.write(data)
@@ -693,7 +759,8 @@ object MultimodalOps {
               case _ => () // ancillary chunks skipped (CRC still checked)
             }
           }
-          val bpr = 3 * w
+          val bpp = pngBpp(colorType)
+          val bpr = bpp * w
           val nRaw = h * (1 + bpr)
           val inflater = new java.util.zip.Inflater()
           inflater.setInput(idat.toByteArray)
@@ -717,9 +784,10 @@ object MultimodalOps {
             var x = 0
             while (x < bpr) {
               val enc0 = stream(base + 1 + x) & 0xff
-              val left = if (x >= 3) raw(row)(x - 3) & 0xff else 0
+              val left = if (x >= bpp) raw(row)(x - bpp) & 0xff else 0
               val up = if (row > 0) raw(row - 1)(x) & 0xff else 0
-              val ul = if (row > 0 && x >= 3) raw(row - 1)(x - 3) & 0xff else 0
+              val ul = if (row > 0 && x >= bpp) raw(row - 1)(x - bpp) & 0xff
+                       else 0
               val pred = ft match {
                 case 0 => 0
                 case 1 => left
@@ -732,21 +800,25 @@ object MultimodalOps {
             }
             row += 1
           }
+          // gray replicates its single channel; RGBA's alpha rides the
+          // filter geometry (bpp=4) but stats stay RGB
           var sr = 0L; var sg = 0L; var sb = 0L
           row = 0
           while (row < h) {
             var c = 0
             while (c < w) {
-              sr += raw(row)(3 * c) & 0xff
-              sg += raw(row)(3 * c + 1) & 0xff
-              sb += raw(row)(3 * c + 2) & 0xff
+              sr += raw(row)(bpp * c) & 0xff
+              sg += raw(row)(bpp * c + (if (bpp == 1) 0 else 1)) & 0xff
+              sb += raw(row)(bpp * c + (if (bpp == 1) 0 else 2)) & 0xff
               c += 1
             }
             row += 1
           }
           val n = (w * h).toDouble
           Row(id, w, h, bitDepth, colorType, nRaw,
-            raw(0)(0) & 0xff, raw(0)(1) & 0xff, raw(0)(2) & 0xff,
+            raw(0)(0) & 0xff,
+            raw(0)(if (bpp == 1) 0 else 1) & 0xff,
+            raw(0)(if (bpp == 1) 0 else 2) & 0xff,
             round6(sr / n), round6(sg / n), round6(sb / n))
         }
       }(enc)

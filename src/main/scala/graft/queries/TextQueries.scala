@@ -1290,6 +1290,20 @@ object TextQueries {
       MultimodalOps.decodePng(
         MultimodalOps.encodePng(Tables.documents(s, dir)))),
 
+    // Grayscale PNG (color type 0): one channel per pixel, so the
+    // Sub/Paeth LEFT offset is 1 byte — a different reconstruction
+    // geometry than RGB's 3. Stats replicate the single channel.
+    "q_png_gray_decode" -> ((s, dir) =>
+      MultimodalOps.decodePng(
+        MultimodalOps.encodePngGray(Tables.documents(s, dir)))),
+
+    // RGBA PNG (color type 6 — web transparency): the alpha plane rides
+    // the 4-byte filter geometry, so a wrong bpp corrupts the RGB
+    // reconstruction even though the emitted stats are RGB-only.
+    "q_png_rgba_decode" -> ((s, dir) =>
+      MultimodalOps.decodePng(
+        MultimodalOps.encodePngRgba(Tables.documents(s, dir)))),
+
     // REAL lossy-codec decode: baseline JFIF — Huffman (canonical
     // BITS/HUFFVAL), DC DPCM + extend, AC run/size with ZRL/EOB, zigzag,
     // dequantize, full 64-term IDCT, JFIF YCbCr→RGB, 0xFF00 unstuffing.
@@ -3482,6 +3496,50 @@ object TextQueries {
         |SELECT doc_id, width, height,
         |  CAST(8 AS INTEGER) AS bit_depth, CAST(2 AS INTEGER) AS color_type,
         |  CAST(height * (1 + 3 * width) AS INTEGER) AS n_raw,
+        |  CAST((doc_id * 3) % 256 AS INTEGER) AS px_r,
+        |  CAST((doc_id * 11) % 256 AS INTEGER) AS px_g,
+        |  CAST((doc_id * 7) % 256 AS INTEGER) AS px_b,
+        |  ROUND(AVG((doc_id * 3 + k * 19) % 256), 6) AS mean_r,
+        |  ROUND(AVG((doc_id * 11 + k * 17) % 256), 6) AS mean_g,
+        |  ROUND(AVG((doc_id * 7 + k * 13) % 256), 6) AS mean_b
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
+
+    // grayscale PNG: single channel replicated into all three outputs
+    "q_png_gray_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS INTEGER) AS width,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height, CAST(t.i AS BIGINT) AS k
+        |  FROM d CROSS JOIN range(0, 48) t(i)
+        |  WHERE t.i < d.width * d.height)
+        |SELECT doc_id, width, height,
+        |  CAST(8 AS INTEGER) AS bit_depth, CAST(0 AS INTEGER) AS color_type,
+        |  CAST(height * (1 + width) AS INTEGER) AS n_raw,
+        |  CAST((doc_id * 5) % 256 AS INTEGER) AS px_r,
+        |  CAST((doc_id * 5) % 256 AS INTEGER) AS px_g,
+        |  CAST((doc_id * 5) % 256 AS INTEGER) AS px_b,
+        |  ROUND(AVG((doc_id * 5 + k * 23) % 256), 6) AS mean_r,
+        |  ROUND(AVG((doc_id * 5 + k * 23) % 256), 6) AS mean_g,
+        |  ROUND(AVG((doc_id * 5 + k * 23) % 256), 6) AS mean_b
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
+
+    // RGBA PNG: RGB closed forms as q_png_decode, n_raw at 4 B/px
+    "q_png_rgba_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS INTEGER) AS width,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height, CAST(t.i AS BIGINT) AS k
+        |  FROM d CROSS JOIN range(0, 48) t(i)
+        |  WHERE t.i < d.width * d.height)
+        |SELECT doc_id, width, height,
+        |  CAST(8 AS INTEGER) AS bit_depth, CAST(6 AS INTEGER) AS color_type,
+        |  CAST(height * (1 + 4 * width) AS INTEGER) AS n_raw,
         |  CAST((doc_id * 3) % 256 AS INTEGER) AS px_r,
         |  CAST((doc_id * 11) % 256 AS INTEGER) AS px_g,
         |  CAST((doc_id * 7) % 256 AS INTEGER) AS px_b,

@@ -353,6 +353,52 @@ class TextOpsSpec extends SparkSpecBase {
       assert(r.getInt(7) === ((id * 11) % 256).toInt)
       assert(r.getInt(8) === ((id * 7) % 256).toInt)
     }
+    // grayscale + RGBA (bpp 1 and 4 filter geometries): closed-form
+    // stats AND exact ImageIO parity — PNG is lossless, so every decoded
+    // channel must match the JDK's independent decoder bit for bit
+    for (variant <- Seq("gray", "rgba")) {
+      val dec = variant match {
+        case "gray" => MultimodalOps.decodePng(MultimodalOps.encodePngGray(docs))
+        case _ => MultimodalOps.decodePng(MultimodalOps.encodePngRgba(docs))
+      }
+      dec.collect().foreach { r =>
+        val id = r.getLong(0)
+        assert(r.getInt(4) === (if (variant == "gray") 0 else 6))
+        if (variant == "gray") {
+          val v = ((id * 5) % 256).toInt
+          assert(r.getInt(6) === v && r.getInt(7) === v && r.getInt(8) === v)
+        } else {
+          assert(r.getInt(6) === ((id * 3) % 256).toInt)
+          assert(r.getInt(7) === ((id * 11) % 256).toInt)
+          assert(r.getInt(8) === ((id * 7) % 256).toInt)
+        }
+      }
+      for (id <- 0L to 10L) {
+        val pb = if (variant == "gray") MultimodalOps.pngBytesGray(id)
+                 else MultimodalOps.pngBytesRgba(id)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(pb))
+        assert(img != null, s"ImageIO rejected PNG $variant doc $id")
+        val (w, h) = ((4 + id % 5).toInt, (4 + id % 3).toInt)
+        assert(img.getWidth === w && img.getHeight === h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val k = y * w + x
+          if (variant == "gray") {
+            // getRGB on TYPE_BYTE_GRAY applies a gray→sRGB transform;
+            // the raw raster sample is the decoded channel
+            assert(img.getRaster.getSample(x, y, 0) ===
+              ((id * 5 + k * 23) % 256).toInt, s"gray doc $id px($x,$y)")
+          } else {
+            val argb = img.getRGB(x, y)
+            assert(((argb >> 16) & 0xff) === ((id * 3 + k * 19) % 256).toInt)
+            assert(((argb >> 8) & 0xff) === ((id * 11 + k * 17) % 256).toInt)
+            assert((argb & 0xff) === ((id * 7 + k * 13) % 256).toInt)
+            assert(((argb >>> 24) & 0xff) === ((id * 13 + k * 7) % 256).toInt,
+              s"alpha doc $id px($x,$y)")
+          }
+        }
+      }
+    }
     // corrupt one IDAT byte → the CRC check names the chunk and doc
     val corrupt = bytes.clone()
     corrupt(45) = (corrupt(45) ^ 0x1).toByte // inside IHDR/IDAT body
