@@ -774,16 +774,28 @@ object DedupOps {
     * corpus, and never a sliding window frame over all words), distinct
     * on (doc, pos), then one left join against the token stream and a
     * per-doc order-preserving rebuild (array_sort over (pos, word)
-    * structs — no global sort). Docs with ZERO covered positions — the
-    * overwhelming majority of a mostly-clean corpus — never enter the
-    * posexplode/join/collect_list rebuild at all: they anti-join against
-    * the (small, broadcast) touched-doc set and pass through as one
-    * per-row projection re-emitting their normalized token stream
-    * (identical output by construction: with no covered position every
-    * token is kept in pos order, which IS the words() array). */
+    * structs — no global sort).
+    *
+    * `passThrough = true` adds a tier that routes docs with ZERO covered
+    * positions around the rebuild (anti-join against the broadcast
+    * touched-doc set, re-emit the normalized token stream as one per-row
+    * projection — identical output by construction). MEASURED A LOSS and
+    * therefore OFF by default: tools/ProfileSpan timed it on four corpus
+    * shapes at sf0.1 (short/10×/30×-long docs, 90%-clean and
+    * replica-heavy) and the rebuild path won every one (pass-through
+    * 1.11–1.27× slower; e.g. 8.1M-token 90%-clean: 36.4 vs 32.6 s). The
+    * lattice + df aggregate dominate end-to-end cost, and the tier's two
+    * extra joins re-tokenize the corpus twice — more than the posexplode/
+    * collect_list it skips. This also attributes q_span_removal's r9
+    * 2.53 → 3.71 s regression: r9 turned the tier on by default on a
+    * fixture where 99.7% of docs are touched (BENCH span_touched_frac),
+    * so it added the joins without removing any work. The flag stays for
+    * the regime the measurement cannot reach on this box: docs long
+    * enough that a touched doc's collect_list rebuild spills. */
   def removeDuplicatedSpans(docs: DataFrame, n: Int = 3, minDocs: Int = 2,
                             textCol: String = "text",
-                            idCol: String = "doc_id"): DataFrame = {
+                            idCol: String = "doc_id",
+                            passThrough: Boolean = false): DataFrame = {
     require(n >= 1 && minDocs >= 2,
       s"need n >= 1 and minDocs >= 2, got n=$n minDocs=$minDocs")
     val grams = gramLattice(docs, n, textCol, idCol)
@@ -807,17 +819,28 @@ object DedupOps {
       val touched = covered.select(col("cd")).distinct()
       val docWords = docs.select(col(idCol).as("doc_id"),
         TextOps.words(col(textCol)).as("ws"))
-      // pass-through tier: no covered position ⇒ no rebuild; zero-word
-      // docs are dropped here exactly as the rebuild path drops them
-      // (they emit no token row)
-      val clean = docWords
-        .join(broadcast(touched), col("doc_id") === col("cd"), "left_anti")
-        .filter(size(col("ws")) > 0)
-        .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
-          lit(0L).as("n_removed"),
-          concat_ws(" ", col("ws")).as("cleaned_text"))
-      val toks = docWords
-        .join(broadcast(touched), col("doc_id") === col("cd"), "left_semi")
+      // pass-through tier (opt-in, see scaladoc): no covered position ⇒
+      // no rebuild; zero-word docs are dropped here exactly as the
+      // rebuild path drops them (they emit no token row). The default
+      // routes EVERY doc through the rebuild join — output is identical
+      // by construction (an untouched doc's left join finds no wpos, so
+      // every token is kept in pos order); PropertySpec pins both paths
+      // against the same reference, Bench's span_clean_* pair keeps the
+      // measured gap on the record.
+      val clean =
+        if (passThrough) docWords
+          .join(broadcast(touched), col("doc_id") === col("cd"), "left_anti")
+          .filter(size(col("ws")) > 0)
+          .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+            lit(0L).as("n_removed"),
+            concat_ws(" ", col("ws")).as("cleaned_text"))
+        else docWords.filter(lit(false))
+          .select(col("doc_id"), lit(0L).as("n_words"),
+            lit(0L).as("n_removed"), lit("").as("cleaned_text"))
+      val toks = (if (passThrough)
+          docWords.join(broadcast(touched), col("doc_id") === col("cd"),
+            "left_semi")
+        else docWords)
         .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
       val rebuilt = toks
         .join(covered,

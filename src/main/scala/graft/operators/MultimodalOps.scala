@@ -409,7 +409,16 @@ object MultimodalOps {
           var fp = 0L
           var f = 0
           while (f < nf) {
-            if (fe(f) * n > total * fn(f)) fp |= (1L << f)
+            // cross-multiplied energy compare: fe ≤ frameSamples·2^30 and
+            // n ≤ 63·frameSamples, so fe*n overflows Long past frameSamples
+            // ≈ 12k full-scale samples — go exact via BigInt once the
+            // operands could overflow (nf ≤ 63 compares/doc, cost is nil)
+            val gt =
+              if (fe(f) <= Long.MaxValue / math.max(n, 1) &&
+                  total <= Long.MaxValue / math.max(fn(f), 1))
+                fe(f) * n > total * fn(f)
+              else BigInt(fe(f)) * n > BigInt(total) * fn(f)
+            if (gt) fp |= (1L << f)
             f += 1
           }
           Row(id, n, nf, fp)
@@ -1296,6 +1305,9 @@ object MultimodalOps {
         require(pos < bytes.length, s"entropy stream underflow: doc $id")
         val b = bytes(pos) & 0xff; pos += 1
         if (b == 0xff) {
+          // a truncated payload ending exactly on a stuffing FF must fail
+          // by doc id like every other corrupt-input path, not AIOOBE
+          require(pos < bytes.length, s"entropy stream underflow: doc $id")
           val m2 = bytes(pos) & 0xff; pos += 1
           require(m2 == 0x00, // stuffed literal FF
             f"unexpected marker 0xff$m2%02x inside scan: doc $id")

@@ -1413,9 +1413,15 @@ object SimilarityOps {
     var cur = ep
     var lev = maxLev
     while (lev > 0) { cur = hnswGreedy(qsim, adj, cur, lev); lev -= 1 }
+    // truncate shard-local results under the SAME ordering the cross-shard
+    // merge (and the oracle) use — round6(cosine) desc, id asc. Cutting by
+    // raw cosine can drop the smaller-id neighbor of a 1e-6 rounding
+    // collision straddling the take(k) boundary, breaking the
+    // exhaustive-beam == brute-force tie law on other fixtures.
     hnswBeam(qsim, adj, cur, 0, math.max(ef, k))
-      .take(k)
       .map(x => (ids(x), round6(qsim(x))))
+      .sortBy { case (id0, c) => (-c, id0) }
+      .take(k)
   }
 
   /** Scatter-gather kNN over the stored shard graphs: queries are a
@@ -1426,9 +1432,19 @@ object SimilarityOps {
   def hnswKnn(corpus: DataFrame, graph: DataFrame, queries: DataFrame,
               k: Int, nShards: Int = 4, ef: Int = 64,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              maxQueries: Int = 100000): DataFrame = {
     val ss = corpus.sparkSession
     import ss.implicits._
+    // the bounded-query-set contract, ENFORCED: the query side is collected
+    // to the driver and shipped in the closure (kNN serving shape), so a
+    // corpus-sized misuse must fail loudly here, not OOM the driver.
+    // limit(max+1) keeps the probe O(max) regardless of the input's size.
+    val probe = queries.limit(maxQueries + 1).count()
+    require(probe <= maxQueries,
+      s"hnswKnn collects the query set to the driver (bounded-set " +
+        s"contract): got > $maxQueries query rows — batch the queries or " +
+        s"raise maxQueries deliberately")
     val qArr = queries
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Seq[Double])].collect().sortBy(_._1)

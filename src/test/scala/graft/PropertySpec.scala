@@ -344,12 +344,18 @@ class PropertySpec extends SparkSpecBase {
         (id, w.length.toLong,
           w.indices.count(i => covered((id, i))).toLong, kept.mkString(" "))
       }.toSet
-      val got = graft.operators.DedupOps.removeDuplicatedSpans(
-          docs.toDF("doc_id", "text"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
-        .toSet
-      assert(got === expect, s"seed=$seed")
+      // both the default rebuild path AND the opt-in pass-through tier
+      // must equal the reference — the tier is a plan choice, never a
+      // semantics choice (it lost its default status on measurement, but
+      // stays available and must stay correct)
+      for (pt <- Seq(false, true)) {
+        val got = graft.operators.DedupOps.removeDuplicatedSpans(
+            docs.toDF("doc_id", "text"), passThrough = pt)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+          .toSet
+        assert(got === expect, s"seed=$seed passThrough=$pt")
+      }
     }
   }
 

@@ -346,6 +346,19 @@ class SimilarityOpsSpec extends SparkSpecBase {
       === exactKnn, "exhaustive beam must reproduce brute force")
   }
 
+  test("hnswKnn enforces the bounded-query-set contract") {
+    // the query side is collected to the driver (kNN serving shape) — a
+    // corpus-sized misuse must fail loudly at the cap, not OOM the driver
+    val g = SimilarityOps.hnswBuild(e)
+    val ex = intercept[IllegalArgumentException] {
+      SimilarityOps.hnswKnn(e, g, q, k = 5, maxQueries = 2)
+    }
+    assert(ex.getMessage.contains("bounded-set"))
+    // exactly at the cap still runs
+    assert(SimilarityOps.hnswKnn(e, g, q.limit(2), k = 5, maxQueries = 2)
+      .count() > 0)
+  }
+
   test("hnsw ef recall curve: non-decreasing, deterministic") {
     val g = SimilarityOps.hnswBuild(e)
     def recallAt(ef: Int): Double = {
