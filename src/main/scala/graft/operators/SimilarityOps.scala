@@ -1127,13 +1127,19 @@ object SimilarityOps {
     * length of the leading `[0-3]` run of md5(id‖"_lvl") capped at 6 —
     * P(level ≥ L) = 4^-L, the standard geometric ladder, integer-exact
     * on any engine (no float ln, so the DuckDB oracle replays it). */
+  /** Shard assignment is a pure function of the ID — [[hnswDelete]]
+    * depends on this to find touched shards from a bare tombstone set. */
+  private def hnswShardCol(idCol: String, nShards: Int): Column = {
+    val hx = md5(col(idCol).cast("string").cast("binary"))
+    conv(substring(hx, 1, 4), 16, 10).cast("int") % nShards
+  }
+
   def hnswAssign(corpus: DataFrame, nShards: Int = 4,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
-    val hx = md5(col(idCol).cast("string").cast("binary"))
     val lx = md5(concat(col(idCol).cast("string"), lit("_lvl")).cast("binary"))
     corpus.select(col(idCol), col(vecCol),
-      (conv(substring(hx, 1, 4), 16, 10).cast("int") % nShards).as("shard"),
+      hnswShardCol(idCol, nShards).as("shard"),
       least(length(regexp_extract(lx, "^[0-3]+", 0)), lit(6))
         .cast("int").as("level"))
   }
@@ -1390,6 +1396,53 @@ object SimilarityOps {
     }
     rebuilt.toDF("shard", "level", "src", "dst").unionByName(untouched)
   }
+
+  /** Deletion from a STORED graph (takedowns/opt-outs — routine at
+    * 100 TB): the shards holding deleted ids rebuild COLD from their
+    * remaining vectors; untouched shards' edges pass through verbatim
+    * with no compute. Because each shard's deterministic build depends
+    * only on its member vectors in ascending-id order, the law is exact
+    * (spec-pinned): `hnswDelete(corpus, graph, del) ≡ hnswBuild(corpus
+    * anti-join del)` — not an approximation with tombstone markers the
+    * walk must skip, so recall after deletion is the rebuilt graph's
+    * recall by construction. Cost ∝ touched shards; a delete batch
+    * clustered on few shards (or a shard-partitioned edge table) prunes
+    * the rest at the scan. Idempotent: ids absent from the corpus only
+    * mark shards touched, the rebuild just replays them. */
+  def hnswDelete(corpus: DataFrame, graph: DataFrame, deleted: DataFrame,
+                 nShards: Int = 4, m: Int = 8, efC: Int = 64,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    val delIds = deleted.select(col(idCol)).distinct()
+    val touched = delIds.select(hnswShardCol(idCol, nShards).as("shard"))
+      .distinct().as[Int].collect().toSeq.sorted
+    val edgeCols = Seq(col("shard").cast("int").as("shard"),
+      col("level").cast("int").as("level"),
+      col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val untouched = graph.select(edgeCols: _*)
+      .filter(!col("shard").isin(touched: _*))
+    if (touched.isEmpty) return untouched
+    val remaining = corpus
+      .filter(hnswShardCol(idCol, nShards).isin(touched: _*))
+      .join(broadcast(delIds), Seq(idCol), "left_anti")
+    hnswBuild(remaining, nShards, m, efC, idCol, vecCol)
+      .unionByName(untouched)
+  }
+
+  /** Delete-then-compact for the row-per-vector stored ANN artifacts —
+    * [[pqIndex]] codes, [[ivfAssign]]/SQ tables, anything keyed by the
+    * vector id. Encoding is per-row independent, so the law is
+    * definitional and spec-pinned anyway: `annIndexDelete(index(C), X) ≡
+    * index(C anti-join X)`, and queries against the compacted index over
+    * the compacted corpus equal queries against a from-scratch rebuild.
+    * One broadcast anti-join; rewrite the partition-pruned output in
+    * place for the compaction. */
+  def annIndexDelete(index: DataFrame, deleted: DataFrame,
+                     idCol: String = "vec_id"): DataFrame =
+    index.join(broadcast(deleted.select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
 
   /** Walk one shard's reloaded graph for one external query vector:
     * greedy descent from the top layer, beam `ef` at layer 0, top-k by

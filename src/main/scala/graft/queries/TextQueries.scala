@@ -1281,6 +1281,28 @@ object TextQueries {
       graft.operators.WarcOps.decodeWarc(
         graft.operators.WarcOps.encodeWarc(Tables.documents(s, dir)))),
 
+    // REAL PDF text extraction — startxref → xref walk → catalog/pages/
+    // page/content object graph (every xref offset validated against the
+    // object it claims), FlateDecode inflate on even doc_ids, BT/ET scan
+    // over Tj and TJ (alternated per page) with the full literal escape
+    // set. Pages carry consecutive 256-BYTE slices of the UTF-8 text, so
+    // the oracle replays n_pages and the byte-exact text from the corpus
+    // column: a mis-resolved object, a broken escape, or a dropped page
+    // breaks the hash.
+    "q_pdf_extract" -> ((s, dir) =>
+      graft.operators.PdfOps.extractPdfText(
+        graft.operators.PdfOps.encodePdf(Tables.documents(s, dir)))),
+
+    // REAL MP3 frame-header walk (metadata-level: sync/version/layer
+    // bits, ISO bitrate/samplerate tables, the 144·br/sr+pad frame-length
+    // law, ID3v2 syncsafe skip, CBR consistency) — the fingerprint-or-
+    // skip pass for crawled audio. Every field is closed-form in doc_id,
+    // so a mis-hopped frame, a wrong table row, or a mis-sized ID3 skip
+    // breaks the hash.
+    "q_mp3_frames" -> ((s, dir) =>
+      graft.operators.Mp3Ops.parseMp3Frames(
+        graft.operators.Mp3Ops.encodeMp3(Tables.documents(s, dir)))),
+
     // REAL compressed-image decode: PNG with zlib DEFLATE and the five
     // scanline filters (cycled per row, so every reconstruction branch
     // runs), chunk CRC32s validated. The oracle replays the pixel closed
@@ -3482,6 +3504,37 @@ object TextQueries {
         |  'https://example.com/doc/' || doc_id,
         |  CAST(strlen('lang=' || lang) AS INT), md5('lang=' || lang)
         |FROM d""".stripMargin,
+
+    "q_pdf_extract" ->
+      """SELECT doc_id,
+        |  CAST(GREATEST(1, CEIL(strlen(text) / 256.0)) AS INT) AS n_pages,
+        |  (doc_id % 2 = 0) AS flate,
+        |  text AS pdf_text
+        |FROM documents""".stripMargin,
+
+    "q_mp3_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(2 + doc_id % 7 AS BIGINT) AS n,
+        |    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |      CAST(doc_id % 14 AS INT) + 1) AS br,
+        |    list_extract([44100,48000,32000],
+        |      CAST(doc_id % 3 AS INT) + 1) AS sr,
+        |    CASE WHEN doc_id % 3 = 0 THEN 30 + doc_id % 30 ELSE 0 END AS id3
+        |  FROM documents),
+        |p AS (
+        |  SELECT *,
+        |    n // 2 + CASE WHEN doc_id % 2 = 1 THEN n % 2 ELSE 0 END AS pad
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(n AS INT) AS n_frames,
+        |  CAST(br AS INT) AS bitrate_kbps,
+        |  CAST(sr AS INT) AS sample_rate,
+        |  CAST(pad AS INT) AS padded_frames,
+        |  CAST(id3 AS INT) AS id3_bytes,
+        |  CAST(id3 + n * ((144000 * br) // sr) + pad AS BIGINT) AS total_bytes,
+        |  (n * 1152) * 1000.0 / sr AS duration_ms
+        |FROM p""".stripMargin,
 
     "q_png_decode" ->
       """WITH d AS (

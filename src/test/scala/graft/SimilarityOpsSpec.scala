@@ -359,6 +359,48 @@ class SimilarityOpsSpec extends SparkSpecBase {
       .count() > 0)
   }
 
+  test("ANN deletion: delete(X) ≡ rebuild-without-X, for HNSW and PQ index") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val del = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val remaining = e.join(del, Seq("vec_id"), "left_anti")
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Int, Int, Long, Long)] =
+      df.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val g = SimilarityOps.hnswBuild(e)
+    // the exact law: tombstone-delete equals a from-scratch build of the
+    // surviving corpus (each shard's deterministic build depends only on
+    // its member vectors in ascending-id order)
+    assert(edges(SimilarityOps.hnswDelete(e, g, del))
+      === edges(SimilarityOps.hnswBuild(remaining)))
+    // empty tombstone set: the stored graph passes through verbatim
+    assert(edges(SimilarityOps.hnswDelete(e, g,
+      e.filter(lit(false)).select("vec_id"))) === edges(g))
+    // query law: a deleted id can never be returned
+    val deletedIds = del.collect().map(_.getLong(0)).toSet
+    val hits = SimilarityOps.hnswKnn(remaining,
+        SimilarityOps.hnswDelete(e, g, del), q, k = 5)
+      .select("nid").collect().map(_.getLong(0)).toSet
+    assert(hits.intersect(deletedIds).isEmpty)
+
+    // stored PQ index: delete-then-compact equals re-encoding the
+    // survivors (codes are per-row independent), and queries agree
+    val cents = SimilarityOps.kmeansCentroids(e, 16, iters = 2,
+      trainSample = 512)
+    val cb = SimilarityOps.pqTrain(e)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toList, r.getLong(2)).toString).toSet
+    val compacted = SimilarityOps.annIndexDelete(
+      SimilarityOps.pqIndex(e, cents, cb), del)
+    val rebuilt = SimilarityOps.pqIndex(remaining, cents, cb)
+    assert(rows(compacted) === rows(rebuilt))
+    def knn(idx: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      SimilarityOps.ivfPqKnnWith(remaining, idx, q, k = 5, cents, cb)
+        .select("qid", "nid", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(knn(compacted) === knn(rebuilt))
+  }
+
   test("hnsw ef recall curve: non-decreasing, deterministic") {
     val g = SimilarityOps.hnswBuild(e)
     def recallAt(ef: Int): Double = {
