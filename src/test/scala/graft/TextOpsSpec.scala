@@ -85,6 +85,34 @@ class TextOpsSpec extends SparkSpecBase {
     assert(p.getDouble(2) === 1.0)
   }
 
+  test("dedup index delete-then-compact == rebuild without the deleted docs") {
+    // right-to-be-forgotten on the stored near-dup index: both tables are
+    // keyed per-doc (signatures and shingle sets never mix docs), so the
+    // generic annIndexDelete anti-join IS a full rebuild-without — the
+    // same law as the ANN artifacts, spec-pinned here for the dedup tier
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 300)
+    val del = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val remaining = docs.join(del, Seq("doc_id"), "left_anti")
+    val (bands, sets) = DedupOps.buildNearDupIndex(docs)
+    val (rb, rs) = DedupOps.buildNearDupIndex(remaining)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val cb = graft.operators.SimilarityOps.annIndexDelete(bands, del, "doc_id")
+    val cs = graft.operators.SimilarityOps.annIndexDelete(sets, del, "doc_id")
+    assert(rows(cb) === rows(rb))
+    assert(rows(cs) === rows(rs))
+    // a delta probed against the compacted index behaves exactly as
+    // against the rebuilt one — deleted docs can never pair again
+    val delta = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(DedupOps.incrementalNearDupsIndexed(delta, cb, cs)
+        .collect().map(key).toSet
+      === DedupOps.incrementalNearDupsIndexed(delta, rb, rs)
+        .collect().map(key).toSet)
+  }
+
   test("incremental near-dup == batch restricted to pairs touching the delta") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 300)
     val split = 150L
