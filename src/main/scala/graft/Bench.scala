@@ -374,11 +374,13 @@ object Bench {
     // dedup index split: centroid training runs once and persists; the
     // query path loads and probes, nothing trains per query.
     val emb = Tables.embeddings(spark, sfDir)
-    val (ivfTrain, ivfPre, sqIvfPre, ivfEqRecall, pqIvfPre, hnswPre) =
+    val (ivfTrain, ivfPre, sqIvfPre, ivfEqRecall, pqIvfPre, hnswPre,
+        hnswJoinFull) =
       gated("ivf",
       Seq("ivf_train_store", "ivf_knn_pretrained", "sq_ivf_knn_pretrained",
-        "ivf_knn_eqrecall", "pq_ivf_knn_pretrained", "hnsw_knn_pretrained"),
-      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)) {
+        "ivf_knn_eqrecall", "pq_ivf_knn_pretrained", "hnsw_knn_pretrained",
+        "hnsw_knn_graph"),
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)) {
       val t = median((1 to runs).map(_ => timed("ivf_train_store") {
         val cents = graft.operators.SimilarityOps.kmeansCentroids(
           emb, 16, iters = 2, trainSample = 512)
@@ -429,7 +431,15 @@ object Bench {
         noop(graft.operators.SimilarityOps.hnswKnn(
           emb, hnswG, emb.filter(col("vec_id") < 10), k = 5))
       }))
-      (t, p, sq, eq, pqv, hn)
+      // the FULL kNN graph (every corpus vector queries the stored graph)
+      // through the DISTRIBUTED walk — queries stream through resident
+      // shard graphs, nothing touches the driver; the semantic-dedup /
+      // hard-negative-mining shape at 100 TB. Rides in BENCH_FULL.json.
+      val hj = median((1 to runs).map(_ => timed("hnsw_knn_graph") {
+        noop(graft.operators.SimilarityOps.hnswKnnJoin(
+          emb, hnswG, emb, k = 5))
+      }))
+      (t, p, sq, eq, pqv, hn, hj)
     }
 
     // ---- skewed-key join: plain vs salted (VERDICT r3 #5) -------------
@@ -854,6 +864,7 @@ object Bench {
       "ivf_knn_eqrecall" -> ivfEqRecall,
       "pq_ivf_knn_pretrained" -> pqIvfPre,
       "hnsw_knn_pretrained" -> hnswPre,
+      "hnsw_knn_graph" -> hnswJoinFull,
       "join_skew_plain" -> skewPlain,
       "join_skew_salted" -> skewSalted,
       "span_clean_passthrough" -> tSpanPt,

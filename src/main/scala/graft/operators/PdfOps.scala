@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * xref table + trailer + startxref, content streams holding the doc's
   * text as `Tj`/`TJ` text-showing operators (alternated per page so both
   * parse paths run), FlateDecode-compressed on even doc_ids (raw
-  * otherwise). [[extractPdfText]] is a REAL extractor: it finds
+  * otherwise); every third page carries its content as a TWO-stream
+  * `/Contents` array — the appended-content layout real generators emit.
+  * [[extractPdfText]] is a REAL extractor: it finds
   * `startxref`, walks the xref table, resolves the catalog's /Pages tree
   * and each page's /Contents stream via the xref offsets (validating
   * each offset actually lands on the referenced object — a corrupt xref
@@ -130,26 +132,47 @@ object PdfOps {
           // objects: 1 catalog, 2 pages, then (page, content) per page
           val objs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
           def ascii(s: String) = s.getBytes("US-ASCII")
-          val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R")
-            .mkString(" ")
+          // page object numbers: pages consume 2 objects (page + stream),
+          // or 3 when the page carries a two-stream /Contents array
+          val pageNums = new Array[Int](nPages)
+          var nextObj = 3
+          for (i <- 0 until nPages) {
+            pageNums(i) = nextObj
+            nextObj += (if (i % 3 == 2) 3 else 2)
+          }
+          val kids = pageNums.map(n => s"$n 0 R").mkString(" ")
           objs += ascii("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
           objs += ascii(s"2 0 obj\n<< /Type /Pages /Kids [$kids] " +
             s"/Count $nPages >>\nendobj\n")
-          slices.zipWithIndex.foreach { case (slice, i) =>
-            val pageNum = 3 + 2 * i
-            val contNum = pageNum + 1
-            objs += ascii(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R " +
-              s"/Contents $contNum 0 R >>\nendobj\n")
-            val raw = contentStream(slice, i)
+          def streamObj(num: Int, raw: Array[Byte]): Array[Byte] = {
             val body = if (useFlate) deflate(raw) else raw
             val filt = if (useFlate) " /Filter /FlateDecode" else ""
             val head = ascii(
-              s"$contNum 0 obj\n<< /Length ${body.length}$filt >>\nstream\n")
+              s"$num 0 obj\n<< /Length ${body.length}$filt >>\nstream\n")
             val bo = new java.io.ByteArrayOutputStream(
               head.length + body.length + 24)
             bo.write(head); bo.write(body)
             bo.write(ascii("\nendstream\nendobj\n"))
-            objs += bo.toByteArray
+            bo.toByteArray
+          }
+          slices.zipWithIndex.foreach { case (slice, i) =>
+            val pageNum = objs.length + 1
+            if (i % 3 == 2) {
+              // every third page splits its content across TWO stream
+              // objects referenced by a /Contents ARRAY — the layout real
+              // generators emit when they append content; extraction must
+              // concatenate streams in array order
+              val cut = slice.length / 2
+              objs += ascii(s"$pageNum 0 obj\n<< /Type /Page " +
+                s"/Parent 2 0 R /Contents [${pageNum + 1} 0 R " +
+                s"${pageNum + 2} 0 R] >>\nendobj\n")
+              objs += streamObj(pageNum + 1, contentStream(slice.take(cut), i))
+              objs += streamObj(pageNum + 2, contentStream(slice.drop(cut), i))
+            } else {
+              objs += ascii(s"$pageNum 0 obj\n<< /Type /Page " +
+                s"/Parent 2 0 R /Contents ${pageNum + 1} 0 R >>\nendobj\n")
+              objs += streamObj(pageNum + 1, contentStream(slice, i))
+            }
           }
           val out = new java.io.ByteArrayOutputStream()
           out.write(ascii("%PDF-1.4\n"))
@@ -341,33 +364,42 @@ object PdfOps {
     val textBytes = new java.io.ByteArrayOutputStream()
     kids.foreach { pageNum =>
       val page = parseDict(objText(pageNum), id)
-      val contNum = refNum(page.getOrElse("Contents",
+      // /Contents is a single ref OR an array of refs (content appended
+      // by a second writer) — streams concatenate in array order
+      val contentsRaw = page.getOrElse("Contents",
         throw new IllegalArgumentException(
-          s"page $pageNum has no /Contents: doc $id")), "/Contents", id)
-      // the content object: dict + stream body of exactly /Length bytes
-      val off = offsets.getOrElse(contNum,
-        throw new IllegalArgumentException(
-          s"xref has no in-use entry for object $contNum: doc $id"))
-      require(asciiAt(bytes, off, 24).matches(s"(?s)^$contNum\\s+\\d+\\s+obj.*"),
-        s"corrupt xref: offset $off does not hold object $contNum: doc $id")
-      val dictEnd = all.indexOf(">>", off)
-      require(dictEnd >= 0, s"content object $contNum has no dict: doc $id")
-      val dict = parseDict(all.substring(off, dictEnd + 2), id)
-      val len = dict.getOrElse("Length",
-        throw new IllegalArgumentException(
-          s"content stream has no /Length: doc $id")).trim.toInt
-      val isFlate = dict.get("Filter").exists(_.contains("FlateDecode"))
-      sawFlate ||= isFlate
-      val sAt = all.indexOf("stream", dictEnd)
-      require(sAt >= 0, s"content object $contNum has no stream: doc $id")
-      var body = sAt + "stream".length
-      if (body < bytes.length && bytes(body) == '\r') body += 1
-      if (body < bytes.length && bytes(body) == '\n') body += 1
-      require(body + len <= bytes.length,
-        s"stream body overruns payload (len $len): doc $id")
-      val raw = java.util.Arrays.copyOfRange(bytes, body, body + len)
-      val content = if (isFlate) inflate(raw, id) else raw
-      textBytes.write(textFromContent(content, id))
+          s"page $pageNum has no /Contents: doc $id"))
+      val contNums = "(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(contentsRaw)
+        .map(_.group(1).toInt).toArray
+      require(contNums.nonEmpty,
+        s"page $pageNum has an unresolvable /Contents '$contentsRaw': doc $id")
+      contNums.foreach { contNum =>
+        // the content object: dict + stream body of exactly /Length bytes
+        val off = offsets.getOrElse(contNum,
+          throw new IllegalArgumentException(
+            s"xref has no in-use entry for object $contNum: doc $id"))
+        require(
+          asciiAt(bytes, off, 24).matches(s"(?s)^$contNum\\s+\\d+\\s+obj.*"),
+          s"corrupt xref: offset $off does not hold object $contNum: doc $id")
+        val dictEnd = all.indexOf(">>", off)
+        require(dictEnd >= 0, s"content object $contNum has no dict: doc $id")
+        val dict = parseDict(all.substring(off, dictEnd + 2), id)
+        val len = dict.getOrElse("Length",
+          throw new IllegalArgumentException(
+            s"content stream has no /Length: doc $id")).trim.toInt
+        val isFlate = dict.get("Filter").exists(_.contains("FlateDecode"))
+        sawFlate ||= isFlate
+        val sAt = all.indexOf("stream", dictEnd)
+        require(sAt >= 0, s"content object $contNum has no stream: doc $id")
+        var body = sAt + "stream".length
+        if (body < bytes.length && bytes(body) == '\r') body += 1
+        if (body < bytes.length && bytes(body) == '\n') body += 1
+        require(body + len <= bytes.length,
+          s"stream body overruns payload (len $len): doc $id")
+        val raw = java.util.Arrays.copyOfRange(bytes, body, body + len)
+        val content = if (isFlate) inflate(raw, id) else raw
+        textBytes.write(textFromContent(content, id))
+      }
     }
     (kids.length, sawFlate, new String(textBytes.toByteArray, "UTF-8"))
   }

@@ -1546,4 +1546,84 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
+
+  /** [[hnswKnn]] for CORPUS-SIZED query sets — the distributed half of
+    * the bounded-set contract: nothing ever touches the driver. Queries
+    * replicate to every shard (the scatter of scatter-gather, one
+    * exchange of |Q|·nShards slim rows); inside each shard task a
+    * cogroupSorted pass buffers ONLY the shard graph (corpus rows sort
+    * first — the structure already sized to executor memory) and then
+    * STREAMS the query rows one at a time through the same
+    * [[searchShardGraph]] walk, so per-task memory is the graph alone
+    * regardless of |Q|. One window merges per-shard top-k, identical to
+    * [[hnswKnn]] (spec law: equal output on any query set both accept).
+    * This is the kNN-graph-construction shape (every doc queries the
+    * index — semantic-dedup and hard-negative mining at 100 TB). */
+  def hnswKnnJoin(corpus: DataFrame, graph: DataFrame, queries: DataFrame,
+                  k: Int, nShards: Int = 4, ef: Int = 64,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val ss = corpus.sparkSession
+    import ss.implicits._
+    val shards = ss.range(nShards).select(col("id").cast("int").as("shard"))
+    val vrows = hnswAssign(corpus, nShards, idCol, vecCol)
+      .select(col("shard"), lit(false).as("is_q"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"), col("level"))
+    val qrows = queries
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .crossJoin(broadcast(shards))
+      .select(col("shard"), lit(true).as("is_q"), col("id"), col("vec"),
+        lit(0).as("level"))
+    val tagged = vrows.unionByName(qrows)
+      .as[(Int, Boolean, Long, Seq[Double], Int)]
+      .groupByKey(_._1)
+    val es = graph.select(col("shard").cast("int"), col("level").cast("int"),
+        col("src").cast("long"), col("dst").cast("long"))
+      .as[(Int, Int, Long, Long)]
+      .groupByKey(_._1)
+    // secondary sort: (is_q, id) puts the shard's corpus rows first in
+    // ascending id order (the canonical build order), queries after —
+    // the walk starts only when the graph is assembled, and queries
+    // never accumulate in memory
+    val perShard = tagged.cogroupSorted(es)(col("is_q"), col("id"))(
+        col("level"), col("src"), col("dst")) { (_, vit, eit) =>
+      val buf = vit.buffered
+      val rows =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Int)]
+      while (buf.hasNext && !buf.head._2) {
+        val r = buf.next(); rows += ((r._3, r._4.toArray, r._5))
+      }
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val ids = rows.map(_._1).toArray
+        val vecs = rows.map(_._2).toArray
+        val levels = rows.map(_._3).toArray
+        val idx = ids.zipWithIndex.toMap
+        val adj = Array.tabulate(ids.length)(i =>
+          Array.fill(levels(i) + 1)(
+            scala.collection.mutable.ArrayBuffer.empty[Int]))
+        // edges arrive (level, src, dst)-sorted via the cogroup sort —
+        // the same canonical reconstruction order hnswKnn sorts into
+        eit.foreach { case (_, lev, s, d) =>
+          (idx.get(s), idx.get(d)) match {
+            case (Some(si), Some(di)) if lev <= levels(si) =>
+              adj(si)(lev) += di
+            case _ => ()
+          }
+        }
+        buf.flatMap { case (_, _, qid, qv, _) =>
+          searchShardGraph(ids, vecs, levels, adj, qv.toArray, ef, k + 1)
+            .filter(_._1 != qid).take(k)
+            .map { case (nid, cos) => (qid, nid, cos) }
+        }
+      }
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    perShard.toDF("qid", "nid", "cosine")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
 }

@@ -53,6 +53,8 @@ class PdfOpsSpec extends SparkSpecBase {
     // doc 5 (odd) must carry raw streams with visible TJ arrays AND Tj
     assert(s.contains(") Tj") && s.contains(")] TJ"))
     assert(!s.contains("FlateDecode"))
+    // 3 pages ⇒ page index 2 carries the two-stream /Contents array form
+    assert(s.contains("/Contents ["))
   }
 
   test("corrupt xref fails loudly by doc id") {

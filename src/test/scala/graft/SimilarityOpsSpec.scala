@@ -346,6 +346,25 @@ class SimilarityOpsSpec extends SparkSpecBase {
       === exactKnn, "exhaustive beam must reproduce brute force")
   }
 
+  test("hnswKnnJoin: distributed path == driver-collect path, at any |Q|") {
+    import org.apache.spark.sql.functions.col
+    val g = SimilarityOps.hnswBuild(e)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // the bounded query set both paths accept
+    assert(rows(SimilarityOps.hnswKnnJoin(e, g, q, k = 5))
+      === rows(SimilarityOps.hnswKnn(e, g, q, k = 5)))
+    // a corpus-sized query set — the regime the driver-collect path caps
+    // out of (its distributed twin must agree where both run: cross-check
+    // on a slice, then assert full-corpus coverage)
+    val all = SimilarityOps.hnswKnnJoin(e, g, e, k = 3)
+    assert(all.select("qid").distinct().count() === e.count())
+    val slice = all.filter(col("qid") < 20)
+    assert(rows(slice) === rows(
+      SimilarityOps.hnswKnn(e, g, e.filter(col("vec_id") < 20), k = 3)))
+  }
+
   test("hnswKnn enforces the bounded-query-set contract") {
     // the query side is collected to the driver (kNN serving shape) — a
     // corpus-sized misuse must fail loudly at the cap, not OOM the driver
