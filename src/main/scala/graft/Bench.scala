@@ -374,13 +374,13 @@ object Bench {
     // dedup index split: centroid training runs once and persists; the
     // query path loads and probes, nothing trains per query.
     val emb = Tables.embeddings(spark, sfDir)
-    val (ivfTrain, ivfPre, sqIvfPre, ivfEqRecall, pqIvfPre, hnswPre,
-        hnswJoinFull) =
+    val (ivfTrain, ivfPre, sqIvfPre, ivfEqRecall, pqIvfPre, pqIvfStored,
+        hnswPre, hnswJoinFull) =
       gated("ivf",
       Seq("ivf_train_store", "ivf_knn_pretrained", "sq_ivf_knn_pretrained",
-        "ivf_knn_eqrecall", "pq_ivf_knn_pretrained", "hnsw_knn_pretrained",
-        "hnsw_knn_graph"),
-      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)) {
+        "ivf_knn_eqrecall", "pq_ivf_knn_pretrained", "pq_ivf_knn_stored",
+        "hnsw_knn_pretrained", "hnsw_knn_graph"),
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)) {
       val t = median((1 to runs).map(_ => timed("ivf_train_store") {
         val cents = graft.operators.SimilarityOps.kmeansCentroids(
           emb, 16, iters = 2, trainSample = 512)
@@ -420,6 +420,21 @@ object Bench {
         noop(graft.operators.SimilarityOps.ivfPqKnn(
           emb, emb.filter(col("vec_id") < 10), k = 5, storedCents, pqCb))
       }))
+      // the STORED-codES variant — the shape a 100 TB deployment runs:
+      // the codes table (8 B/vector) is a written-once artifact, the ADC
+      // scan reads it instead of re-encoding the float corpus, and only
+      // the k·refine shortlist point-joins back to the floats. The delta
+      // vs pq_ivf_knn_pretrained IS the per-query encode cost the stored
+      // index amortizes away. Rides in BENCH_FULL.json.
+      graft.operators.SimilarityOps.pqIndex(emb, storedCents, pqCb)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$tmpRoot/idx/pqcodes")
+      val pqIdx = spark.read.parquet(s"$tmpRoot/idx/pqcodes")
+      val pqs = median((1 to runs).map(_ => timed("pq_ivf_knn_stored") {
+        noop(graft.operators.SimilarityOps.ivfPqKnnWith(
+          emb, pqIdx, emb.filter(col("vec_id") < 10), k = 5,
+          storedCents, pqCb))
+      }))
       // graph tier (r9): queries walk the STORED partitioned-HNSW shard
       // graphs — built once to parquet like every other index artifact
       // (materialized, not persist()ed: timed() clears the cache)
@@ -439,7 +454,7 @@ object Bench {
         noop(graft.operators.SimilarityOps.hnswKnnJoin(
           emb, hnswG, emb, k = 5))
       }))
-      (t, p, sq, eq, pqv, hn, hj)
+      (t, p, sq, eq, pqv, pqs, hn, hj)
     }
 
     // ---- skewed-key join: plain vs salted (VERDICT r3 #5) -------------
@@ -863,6 +878,7 @@ object Bench {
       "sq_ivf_knn_pretrained" -> sqIvfPre,
       "ivf_knn_eqrecall" -> ivfEqRecall,
       "pq_ivf_knn_pretrained" -> pqIvfPre,
+      "pq_ivf_knn_stored" -> pqIvfStored,
       "hnsw_knn_pretrained" -> hnswPre,
       "hnsw_knn_graph" -> hnswJoinFull,
       "join_skew_plain" -> skewPlain,
