@@ -1303,6 +1303,16 @@ object TextQueries {
       graft.operators.Mp3Ops.parseMp3Frames(
         graft.operators.Mp3Ops.encodeMp3(Tables.documents(s, dir)))),
 
+    // REAL ISO-BMFF (MP4) box walk — the video leg of the metadata
+    // triad: big-endian length-prefixed boxes with container recursion
+    // (moov/trak/mdia), ftyp-first validation, spec-shaped mvhd/tkhd/
+    // hdlr offsets, every box required to fit its parent. All fields
+    // closed-form in doc_id — a mis-walked container or a wrong offset
+    // breaks the hash.
+    "q_mp4_boxes" -> ((s, dir) =>
+      graft.operators.Mp4Ops.parseMp4Boxes(
+        graft.operators.Mp4Ops.encodeMp4(Tables.documents(s, dir)))),
+
     // REAL compressed-image decode: PNG with zlib DEFLATE and the five
     // scanline filters (cycled per row, so every reconstruction branch
     // runs), chunk CRC32s validated. The oracle replays the pixel closed
@@ -3534,6 +3544,29 @@ object TextQueries {
         |  CAST(id3 AS INT) AS id3_bytes,
         |  CAST(id3 + n * ((144000 * br) // sr) + pad AS BIGINT) AS total_bytes,
         |  (n * 1152) * 1000.0 / sr AS duration_ms
+        |FROM p""".stripMargin,
+
+    "q_mp4_boxes" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(600 * (1 + doc_id % 4) AS BIGINT) AS ts,
+        |    CAST(1 + doc_id % 3 AS BIGINT) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, ts, n,
+        |    (3 + doc_id % 10) * ts + (doc_id % 7) * 30 AS dur,
+        |    n // 2 + CASE WHEN doc_id % 2 = 0 THEN n % 2 ELSE 0 END AS nv
+        |  FROM d)
+        |SELECT doc_id,
+        |  'isom' AS brand,
+        |  CAST(ts AS INT) AS timescale,
+        |  CAST(dur AS BIGINT) AS duration_units,
+        |  dur * 1000.0 / ts AS duration_ms,
+        |  CAST(n AS INT) AS n_tracks,
+        |  CAST(nv AS INT) AS n_video,
+        |  CAST(n - nv AS INT) AS n_audio,
+        |  CAST(16 + doc_id % 100 AS INT) AS mdat_bytes,
+        |  CAST(160 + 141 * n + doc_id % 100 AS BIGINT) AS total_bytes
         |FROM p""".stripMargin,
 
     "q_png_decode" ->
