@@ -1303,6 +1303,16 @@ object TextQueries {
       graft.operators.Mp3Ops.parseMp3Frames(
         graft.operators.Mp3Ops.encodeMp3(Tables.documents(s, dir)))),
 
+    // REAL GIF87a decode — the fourth image codec, with a genuinely
+    // different decompression algorithm: variable-code-width LZW
+    // (LSB-first bit reader across sub-block boundaries, dictionary
+    // growth + code-width escalation, CLEAR/EOI, KwKwK). Palette and
+    // pixel indices are closed-form, so a wrong LZW step, palette read
+    // or scan order breaks the hash.
+    "q_gif_decode" -> ((s, dir) =>
+      graft.operators.GifOps.decodeGif(
+        graft.operators.GifOps.encodeGif(Tables.documents(s, dir)))),
+
     // REAL ISO-BMFF (MP4) box walk — the video leg of the metadata
     // triad: big-endian length-prefixed boxes with container recursion
     // (moov/trak/mdia), ftyp-first validation, spec-shaped mvhd/tkhd/
@@ -3545,6 +3555,26 @@ object TextQueries {
         |  CAST(id3 + n * ((144000 * br) // sr) + pad AS BIGINT) AS total_bytes,
         |  (n * 1152) * 1000.0 / sr AS duration_ms
         |FROM p""".stripMargin,
+
+    "q_gif_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS INTEGER) AS width,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height, CAST(t.i AS BIGINT) AS k
+        |  FROM d CROSS JOIN range(0, 48) t(i)
+        |  WHERE t.i < d.width * d.height)
+        |SELECT doc_id, width, height,
+        |  CAST(16 AS INTEGER) AS palette_size,
+        |  CAST(16 * (doc_id % 16) AS INTEGER) AS px_r,
+        |  CAST(255 - 16 * (doc_id % 16) AS INTEGER) AS px_g,
+        |  CAST((37 * (doc_id % 16)) % 256 AS INTEGER) AS px_b,
+        |  ROUND(AVG(16 * ((doc_id + 7 * k) % 16)), 6) AS mean_r,
+        |  ROUND(AVG(255 - 16 * ((doc_id + 7 * k) % 16)), 6) AS mean_g,
+        |  ROUND(AVG((37 * ((doc_id + 7 * k) % 16)) % 256), 6) AS mean_b
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
 
     "q_mp4_boxes" ->
       """WITH d AS (

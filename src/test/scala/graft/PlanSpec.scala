@@ -178,6 +178,26 @@ class PlanSpec extends SparkSpecBase {
     assert(q.collect().head.getLong(0) > 0)
   }
 
+  test("binary codecs (PDF, MP3, MP4, WARC) plan with NO exchange") {
+    // encode→parse chains are partition-at-a-time projections over a
+    // binary column — the object-store batch shape; any Exchange here
+    // means a codec silently grew a shuffle
+    val docs = Tables.documents(spark, sf)
+    for ((label, df) <- Seq(
+      "pdf" -> graft.operators.PdfOps.extractPdfText(
+        graft.operators.PdfOps.encodePdf(docs)),
+      "mp3" -> graft.operators.Mp3Ops.parseMp3Frames(
+        graft.operators.Mp3Ops.encodeMp3(docs)),
+      "mp4" -> graft.operators.Mp4Ops.parseMp4Boxes(
+        graft.operators.Mp4Ops.encodeMp4(docs)),
+      "warc" -> graft.operators.WarcOps.decodeWarc(
+        graft.operators.WarcOps.encodeWarc(docs)))) {
+      val p = formatted(df)
+      assert(!p.contains("Exchange"),
+        s"$label codec must stay a per-partition projection:\n$p")
+    }
+  }
+
   test("per-row curation ops (PII, URL parse, SQ encode) plan with NO exchange") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
