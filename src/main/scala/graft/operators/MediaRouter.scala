@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The multimodal tier's front door: magic-byte format sniffing over an
+  * opaque binary column, so a mixed crawled-media table can be routed to
+  * the right decoder ([[MultimodalOps]] BMP/PNG/JPEG/WAV, [[GifOps]],
+  * [[Mp3Ops]], [[Mp4Ops]], [[PdfOps]], [[WarcOps]]) or skipped — the
+  * decision every ingest pipeline makes before it spends decode cycles.
+  *
+  * [[sniffFormat]] is a PURE codegen column expression (binary substring
+  * compares — functions, not UDFs): zero shuffle, zero object
+  * serialization, pushdown-friendly. [[encodeMixed]] builds the mixed
+  * fixture by routing each doc through one of the nine real encoders by
+  * doc_id mod 9, so `q_media_sniff`'s oracle is closed-form and the
+  * sniffer is exercised against every container this repo can write.
+  */
+object MediaRouter {
+
+  private def bytesLit(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+
+  /** Magic-byte format id for a binary payload column. Order matters
+    * only for robustness (the specific long magics run before the
+    * 2-byte ones); every format this repo writes is disjoint at the
+    * magic level. */
+  def sniffFormat(payload: Column): Column =
+    when(substring(payload, 1, 5) === lit("%PDF-".getBytes("US-ASCII")),
+      "pdf")
+      .when(substring(payload, 1, 4) === bytesLit(0x89, 'P', 'N', 'G'),
+        "png")
+      .when(substring(payload, 1, 3) === bytesLit(0xff, 0xd8, 0xff),
+        "jpeg")
+      .when(substring(payload, 1, 4) === lit("GIF8".getBytes("US-ASCII")),
+        "gif")
+      .when(substring(payload, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(payload, 9, 4) === lit("WAVE".getBytes("US-ASCII")),
+        "wav")
+      .when(substring(payload, 5, 4) === lit("ftyp".getBytes("US-ASCII")),
+        "mp4")
+      .when(substring(payload, 1, 3) === lit("ID3".getBytes("US-ASCII")) ||
+        substring(payload, 1, 2) === bytesLit(0xff, 0xfb),
+        "mp3")
+      .when(substring(payload, 1, 2) === lit("BM".getBytes("US-ASCII")),
+        "bmp")
+      .when(substring(payload, 1, 2) === bytesLit(0x1f, 0x8b),
+        "warc_gz")
+      .otherwise("unknown")
+
+  /** One payload per doc, format chosen by doc_id mod 9 — every real
+    * encoder in the repo contributes, so the sniffer's answer has a
+    * closed-form oracle. */
+  def encodeMixed(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    def part(m: Int)(f: DataFrame => DataFrame): DataFrame =
+      f(docs.filter(pmod(col(idCol), lit(9)) === m))
+        .select(col(idCol).cast("long").as(idCol), col("payload"))
+    part(0)(d => MultimodalOps.encodeBmp(d, idCol))
+      .unionByName(part(1)(d => MultimodalOps.encodePng(d, idCol)))
+      .unionByName(part(2)(d => MultimodalOps.encodeJpeg(d, idCol)))
+      .unionByName(part(3)(d => GifOps.encodeGif(d, idCol)))
+      .unionByName(part(4)(d => MultimodalOps.encodeWav(d, idCol)))
+      .unionByName(part(5)(d => Mp3Ops.encodeMp3(d, idCol)))
+      .unionByName(part(6)(d => Mp4Ops.encodeMp4(d, idCol)))
+      .unionByName(part(7)(d => PdfOps.encodePdf(d, idCol)))
+      .unionByName(part(8)(d => WarcOps.encodeWarc(d, idCol)))
+  }
+}

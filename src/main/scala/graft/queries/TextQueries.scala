@@ -1303,6 +1303,18 @@ object TextQueries {
       graft.operators.Mp3Ops.parseMp3Frames(
         graft.operators.Mp3Ops.encodeMp3(Tables.documents(s, dir)))),
 
+    // Media format routing — the ingest front door: magic-byte sniffing
+    // as a PURE codegen expression (binary substring compares, zero
+    // shuffle) over a mixed fixture built by all nine real encoders
+    // (doc_id mod 9), so the router is exercised against every container
+    // this repo writes and the oracle is closed-form.
+    "q_media_sniff" -> ((s, dir) =>
+      graft.operators.MediaRouter
+        .encodeMixed(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          graft.operators.MediaRouter.sniffFormat(col("payload"))
+            .as("format"))),
+
     // REAL GIF87a decode — the fourth image codec, with a genuinely
     // different decompression algorithm: variable-code-width LZW
     // (LSB-first bit reader across sub-block boundaries, dictionary
@@ -3555,6 +3567,15 @@ object TextQueries {
         |  CAST(id3 + n * ((144000 * br) // sr) + pad AS BIGINT) AS total_bytes,
         |  (n * 1152) * 1000.0 / sr AS duration_ms
         |FROM p""".stripMargin,
+
+    "q_media_sniff" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 9 AS INT)
+        |    WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
+        |    WHEN 3 THEN 'gif' WHEN 4 THEN 'wav' WHEN 5 THEN 'mp3'
+        |    WHEN 6 THEN 'mp4' WHEN 7 THEN 'pdf' ELSE 'warc_gz'
+        |  END AS format
+        |FROM documents""".stripMargin,
 
     "q_gif_decode" ->
       """WITH d AS (

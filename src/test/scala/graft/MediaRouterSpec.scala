@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.MediaRouter
+import org.apache.spark.sql.functions._
+
+class MediaRouterSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("sniffer routes every format the repo writes, by magic alone") {
+    val docs = Tables.documents(spark, sf).limit(90)
+    val got = MediaRouter.encodeMixed(docs)
+      .select(col("doc_id"), MediaRouter.sniffFormat(col("payload"))
+        .as("format"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = Seq("bmp", "png", "jpeg", "gif", "wav", "mp3", "mp4",
+      "pdf", "warc_gz")
+    got.foreach { case (id, fmt) =>
+      assert(fmt === expect((id % 9).toInt), s"doc $id")
+    }
+    assert(got.values.toSet === expect.toSet, "all nine formats present")
+  }
+
+  test("junk and short payloads sniff as unknown, never crash") {
+    val junk = Seq(
+      (1L, "not a media file".getBytes("UTF-8")),
+      (2L, Array[Byte](0x00)),
+      (3L, Array.empty[Byte])).toDF("doc_id", "payload")
+    val got = junk.select(MediaRouter.sniffFormat(col("payload")))
+      .collect().map(_.getString(0))
+    assert(got.forall(_ == "unknown"))
+  }
+
+  test("the sniff projection plans with no exchange and no UDF") {
+    val docs = Tables.documents(spark, sf)
+    val plan = MediaRouter.encodeMixed(docs)
+      .select(MediaRouter.sniffFormat(col("payload")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+}
