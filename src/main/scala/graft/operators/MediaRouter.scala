@@ -47,6 +47,51 @@ object MediaRouter {
         "warc_gz")
       .otherwise("unknown")
 
+  /** The composed tier under ONE hash: sniff each payload, DISPATCH it
+    * to its real parser, and normalize every format's primary integer
+    * fact into one (doc_id, format, units) row — pixels for images,
+    * samples for WAV, frames for MP3, duration units for MP4, pages for
+    * PDF, records for WARC. A payload routed to the wrong parser throws
+    * (each decoder validates its magic), and a mis-parsed one mismatches
+    * `units`, so `q_media_route`'s oracle catches routing AND parsing
+    * errors through the whole tier at once (the [[WebOps]]
+    * `q_crawl_extract` doctrine, applied to media).
+    *
+    * Scale shape: nine disjoint per-partition parse branches behind one
+    * codegen filter each, unioned — the only exchange is the WARC
+    * branch's per-doc record count. */
+  def routeUnits(payloads: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame = {
+    val tagged = payloads.select(col(idCol).cast("long").as(idCol),
+      col(payloadCol).as(payloadCol),
+      sniffFormat(col(payloadCol)).as("format"))
+    def sub(f: String): DataFrame =
+      tagged.filter(col("format") === f).select(col(idCol), col(payloadCol))
+    def norm(df: DataFrame, f: String, units: Column): DataFrame =
+      df.select(col(idCol), lit(f).as("format"),
+        units.cast("long").as("units"))
+    norm(MultimodalOps.decodeBmp(sub("bmp"), idCol), "bmp",
+        col("width") * col("height"))
+      .unionByName(norm(MultimodalOps.decodePng(sub("png"), idCol), "png",
+        col("width") * col("height")))
+      .unionByName(norm(MultimodalOps.decodeJpeg(sub("jpeg"), idCol), "jpeg",
+        col("width") * col("height")))
+      .unionByName(norm(GifOps.decodeGif(sub("gif"), idCol), "gif",
+        col("width") * col("height")))
+      .unionByName(norm(MultimodalOps.decodeWav(sub("wav"), idCol), "wav",
+        col("n_samples")))
+      .unionByName(norm(Mp3Ops.parseMp3Frames(sub("mp3"), idCol), "mp3",
+        col("n_frames")))
+      .unionByName(norm(Mp4Ops.parseMp4Boxes(sub("mp4"), idCol), "mp4",
+        col("duration_units")))
+      .unionByName(norm(PdfOps.extractPdfText(sub("pdf"), idCol), "pdf",
+        col("n_pages")))
+      .unionByName(norm(
+        WarcOps.decodeWarc(sub("warc_gz"), idCol)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_records")),
+        "warc_gz", col("n_records")))
+  }
+
   /** One payload per doc, format chosen by doc_id mod 9 — every real
     * encoder in the repo contributes, so the sniffer's answer has a
     * closed-form oracle. */

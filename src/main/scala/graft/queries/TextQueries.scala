@@ -1315,6 +1315,14 @@ object TextQueries {
           graft.operators.MediaRouter.sniffFormat(col("payload"))
             .as("format"))),
 
+    // The WHOLE media tier composed under one hash: sniff → dispatch to
+    // the real parser → normalize each format's primary integer fact
+    // (pixels/samples/frames/duration/pages/records). A wrong route
+    // throws in the misrouted decoder; a wrong parse mismatches units.
+    "q_media_route" -> ((s, dir) =>
+      graft.operators.MediaRouter.routeUnits(
+        graft.operators.MediaRouter.encodeMixed(Tables.documents(s, dir)))),
+
     // REAL GIF87a decode — the fourth image codec, with a genuinely
     // different decompression algorithm: variable-code-width LZW
     // (LSB-first bit reader across sub-block boundaries, dictionary
@@ -3575,6 +3583,27 @@ object TextQueries {
         |    WHEN 3 THEN 'gif' WHEN 4 THEN 'wav' WHEN 5 THEN 'mp3'
         |    WHEN 6 THEN 'mp4' WHEN 7 THEN 'pdf' ELSE 'warc_gz'
         |  END AS format
+        |FROM documents""".stripMargin,
+
+    "q_media_route" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 9 AS INT)
+        |    WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
+        |    WHEN 3 THEN 'gif' WHEN 4 THEN 'wav' WHEN 5 THEN 'mp3'
+        |    WHEN 6 THEN 'mp4' WHEN 7 THEN 'pdf' ELSE 'warc_gz'
+        |  END AS format,
+        |  CAST(CASE CAST(doc_id % 9 AS INT)
+        |    WHEN 0 THEN (4 + doc_id % 5) * (4 + doc_id % 3)
+        |    WHEN 1 THEN (4 + doc_id % 5) * (4 + doc_id % 3)
+        |    WHEN 2 THEN 8 * (1 + doc_id % 3) * 8 * (1 + doc_id % 2)
+        |    WHEN 3 THEN (4 + doc_id % 5) * (4 + doc_id % 3)
+        |    WHEN 4 THEN 32 + doc_id % 17
+        |    WHEN 5 THEN 2 + doc_id % 7
+        |    WHEN 6 THEN (3 + doc_id % 10) * (600 * (1 + doc_id % 4))
+        |      + (doc_id % 7) * 30
+        |    WHEN 7 THEN GREATEST(1, CAST(CEIL(strlen(text) / 256.0) AS BIGINT))
+        |    ELSE 2
+        |  END AS BIGINT) AS units
         |FROM documents""".stripMargin,
 
     "q_gif_decode" ->

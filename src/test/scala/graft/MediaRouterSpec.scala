@@ -30,6 +30,29 @@ class MediaRouterSpec extends SparkSpecBase {
     assert(got.forall(_ == "unknown"))
   }
 
+  test("routeUnits dispatches every doc to its parser and normalizes") {
+    val docs = Tables.documents(spark, sf).limit(90)
+    val got = MediaRouter.routeUnits(MediaRouter.encodeMixed(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got.size === 90, "one row per doc — nothing dropped or doubled")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, (fmt, units)) =>
+      val expect: Long = (id % 9) match {
+        case 0 | 1 | 3 => (4 + id % 5) * (4 + id % 3)
+        case 2 => 8 * (1 + id % 3) * 8 * (1 + id % 2)
+        case 4 => 32 + id % 17
+        case 5 => 2 + id % 7
+        case 6 => (3 + id % 10) * (600 * (1 + id % 4)) + (id % 7) * 30
+        case 7 => math.max(1,
+          (texts(id).getBytes("UTF-8").length + 255) / 256).toLong
+        case _ => 2L
+      }
+      assert(units === expect, s"doc $id ($fmt)")
+    }
+  }
+
   test("the sniff projection plans with no exchange and no UDF") {
     val docs = Tables.documents(spark, sf)
     val plan = MediaRouter.encodeMixed(docs)
