@@ -131,16 +131,12 @@ object GifOps {
       }(enc)
   }
 
-  /** REAL GIF87a + LZW decode (see object scaladoc). One row per doc. */
-  def decodeGif(payloads: DataFrame, idCol: String = "doc_id",
-                payloadCol: String = "payload"): DataFrame = {
-    val enc = RowEncoder.encoderFor(gifStatsSchema)
-    payloads.select(col(idCol).cast("long"), col(payloadCol))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val b = r.getAs[Array[Byte]](1)
-          var pos = 0
+  /** The shared container + LZW walk: (width, height, palette, pixel
+    * palette-indices in raster order). [[decodeGif]] projects stats from
+    * it; [[aHashGif]] fingerprints the same pixels. */
+  private[graft] def decodeGifPixels(id: Long, b: Array[Byte])
+      : (Int, Int, Array[(Int, Int, Int)], Array[Int]) = {
+    var pos = 0
           def u8(): Int = {
             require(pos < b.length, s"truncated GIF at $pos: doc $id")
             val v = b(pos) & 0xff; pos += 1; v
@@ -232,6 +228,19 @@ object GifOps {
           require(np == w * h, s"LZW decoded $np of ${w * h} pixels: doc $id")
           px.foreach(c => require(c < palSize,
             s"pixel index $c outside the $palSize-entry palette: doc $id"))
+    (w, h, pal, px)
+  }
+
+  /** REAL GIF87a + LZW decode (see object scaladoc). One row per doc. */
+  def decodeGif(payloads: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(gifStatsSchema)
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h, pal, px) =
+            decodeGifPixels(id, r.getAs[Array[Byte]](1))
           var sr = 0L; var sg = 0L; var sb2 = 0L
           px.foreach { c =>
             val (pr, pg, pb) = pal(c); sr += pr; sg += pg; sb2 += pb
@@ -240,8 +249,40 @@ object GifOps {
           def r6(v: Double): Double =
             graft.functions.GraftFunctions.round6(v)
           val (r0, g0, b0) = pal(px(0))
-          Row(id, w, h, palSize, r0, g0, b0,
+          Row(id, w, h, pal.length, r0, g0, b0,
             r6(sr / n), r6(sg / n), r6(sb2 / n))
+        }
+      }(enc)
+  }
+
+  /** Image-dedup fingerprint over DECODED GIF pixels — the palette-format
+    * member of the format-agnostic aHash family ([[MultimodalOps.aHash]]
+    * for BMP/PNG, [[MultimodalOps.aHashJpeg]]): per-pixel integer luma
+    * (r+g+b via the palette), bit k set iff luma_k·n > Σluma (no
+    * division), LSB-first in raster order — so GIF payloads feed the
+    * same banded-Hamming near-dup pass as every other image format. */
+  def aHashGif(payloads: DataFrame, idCol: String = "doc_id",
+               payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(MultimodalOps.aHashSchema)
+    payloads.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val (w, h, pal, px) =
+            decodeGifPixels(id, r.getAs[Array[Byte]](1))
+          val n = w * h
+          require(n >= 1 && n <= 63, s"aHashGif needs 1..63 px, got $n: doc $id")
+          val luma = px.map { c =>
+            val (pr, pg, pb) = pal(c); (pr + pg + pb).toLong
+          }
+          val total = luma.sum
+          var hash = 0L
+          var k = 0
+          while (k < n) {
+            if (luma(k) * n > total) hash |= (1L << k)
+            k += 1
+          }
+          Row(id, w, h, n, hash)
         }
       }(enc)
   }

@@ -1333,6 +1333,15 @@ object TextQueries {
       graft.operators.GifOps.decodeGif(
         graft.operators.GifOps.encodeGif(Tables.documents(s, dir)))),
 
+    // GIF image-dedup fingerprint: aHash over the DECODED palette pixels
+    // (per-pixel integer luma vs the image total, no division, LSB-first
+    // raster pack) — the palette-format member of the format-agnostic
+    // aHash family, so GIF payloads feed the same banded-Hamming
+    // near-dup pass as BMP/PNG/JPEG.
+    "q_gif_phash" -> ((s, dir) =>
+      graft.operators.GifOps.aHashGif(
+        graft.operators.GifOps.encodeGif(Tables.documents(s, dir)))),
+
     // REAL ISO-BMFF (MP4) box walk — the video leg of the metadata
     // triad: big-endian length-prefixed boxes with container recursion
     // (moov/trak/mdia), ftyp-first validation, spec-shaped mvhd/tkhd/
@@ -3625,6 +3634,24 @@ object TextQueries {
         |  ROUND(AVG(255 - 16 * ((doc_id + 7 * k) % 16)), 6) AS mean_g,
         |  ROUND(AVG((37 * ((doc_id + 7 * k) % 16)) % 256), 6) AS mean_b
         |FROM px GROUP BY doc_id, width, height""".stripMargin,
+
+    "q_gif_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(4 + doc_id % 5 AS INTEGER) AS w,
+        |    CAST(4 + doc_id % 3 AS INTEGER) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, CAST(k AS INTEGER) AS k,
+        |    255 + (37 * ((doc_id + 7 * k) % 16)) % 256 AS luma
+        |  FROM d, UNNEST(generate_series(0, w*h - 1)) AS t(k)),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n, SUM(luma) AS total
+        |  FROM px GROUP BY 1)
+        |SELECT p.doc_id, p.w, p.h, CAST(a.n AS INTEGER) AS n_px,
+        |  CAST(SUM(CASE WHEN p.luma * a.n > a.total
+        |    THEN (CAST(1 AS BIGINT) << p.k) ELSE 0 END) AS BIGINT) AS ahash
+        |FROM px p JOIN agg a ON p.doc_id = a.doc_id
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q_mp4_boxes" ->
       """WITH d AS (

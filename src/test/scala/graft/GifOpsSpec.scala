@@ -66,6 +66,21 @@ class GifOpsSpec extends SparkSpecBase {
     assert(e3.getCause.getMessage.contains("doc 1"))
   }
 
+  test("aHashGif matches an in-test replica of the luma bit math") {
+    val got = GifOps.aHashGif(GifOps.encodeGif(corpus))
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    Seq(0L, 1L, 2L, 3L, 7L, 14L).foreach { id =>
+      val w = 4 + (id % 5).toInt; val h = 4 + (id % 3).toInt
+      val luma = (0 until w * h)
+        .map(k => 255L + (37 * ((id + 7L * k) % 16)) % 256)
+      val total = luma.sum
+      val expect = luma.zipWithIndex.collect {
+        case (l, k) if l * w * h > total => 1L << k
+      }.sum
+      assert(got(id) === expect, s"doc $id")
+    }
+  }
+
   test("decodes the fixture corpus end to end, one row per doc") {
     val docs = Tables.documents(spark, sf)
     val out = GifOps.decodeGif(GifOps.encodeGif(docs))
