@@ -90,6 +90,13 @@ object MediaRouter {
         WarcOps.decodeWarc(sub("warc_gz"), idCol)
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_records")),
         "warc_gz", col("n_records")))
+      // no silent truncation: payloads no sniffer rule claims still get a
+      // row (format 'unknown', units = byte length) — a crawl pipeline
+      // must ACCOUNT for what it skips, not drop it on the floor
+      .unionByName(norm(
+        tagged.filter(col("format") === "unknown")
+          .select(col(idCol), length(col(payloadCol)).as("n_bytes")),
+        "unknown", col("n_bytes")))
   }
 
   /** One payload per doc, format chosen by doc_id mod 9 — every real

@@ -53,6 +53,17 @@ class MediaRouterSpec extends SparkSpecBase {
     }
   }
 
+  test("routeUnits accounts for unknown payloads instead of dropping them") {
+    val mixed = MediaRouter.encodeMixed(Tables.documents(spark, sf).limit(18))
+      .unionByName(Seq((900L, "junk bytes".getBytes("UTF-8")))
+        .toDF("doc_id", "payload"))
+    val got = MediaRouter.routeUnits(mixed)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got.size === 19, "nothing dropped")
+    assert(got(900L) === (("unknown", 10L)))
+  }
+
   test("the sniff projection plans with no exchange and no UDF") {
     val docs = Tables.documents(spark, sf)
     val plan = MediaRouter.encodeMixed(docs)
