@@ -375,12 +375,13 @@ object Bench {
     // query path loads and probes, nothing trains per query.
     val emb = Tables.embeddings(spark, sfDir)
     val (ivfTrain, ivfPre, sqIvfPre, ivfEqRecall, pqIvfPre, pqIvfStored,
-        hnswPre, hnswJoinFull) =
+        hnswPre, hnswJoinFull, hnswDel, hnswRebuild) =
       gated("ivf",
       Seq("ivf_train_store", "ivf_knn_pretrained", "sq_ivf_knn_pretrained",
         "ivf_knn_eqrecall", "pq_ivf_knn_pretrained", "pq_ivf_knn_stored",
-        "hnsw_knn_pretrained", "hnsw_knn_graph"),
-      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)) {
+        "hnsw_knn_pretrained", "hnsw_knn_graph", "hnsw_delete_1shard",
+        "hnsw_rebuild_full"),
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)) {
       val t = median((1 to runs).map(_ => timed("ivf_train_store") {
         val cents = graft.operators.SimilarityOps.kmeansCentroids(
           emb, 16, iters = 2, trainSample = 512)
@@ -454,7 +455,33 @@ object Bench {
         noop(graft.operators.SimilarityOps.hnswKnnJoin(
           emb, hnswG, emb, k = 5))
       }))
-      (t, p, sq, eq, pqv, pqs, hn, hj)
+      // deletion cost vs the full rebuild the law equates it to: the
+      // tombstone batch lives in ONE shard, so hnswDelete rebuilds 1 of
+      // 4 shards cold and passes 3 through verbatim. HONEST READING at
+      // this fixture (2000 vectors, 500/shard): the pair measures the
+      // crossover, not a win — the delete's fixed plumbing (touched-set
+      // collect, anti-join, stored-edge pass-through scan) exceeds the
+      // ~0.5 s of build compute it skips, so delete reads SLOWER here.
+      // The claim that holds at scale is structural, not this wall
+      // clock: rebuild compute grows with corpus (O(n·efC·log n) per
+      // shard × shards) while delete grows with touched shards + an
+      // edge-table scan — at executor-sized shards (~10⁶ vectors,
+      // hundreds of shards) the skipped compute dwarfs the plumbing.
+      // Same doctrine as span_clean_*: ship the measurement, scope the
+      // claim (the spec law guarantees the output either way).
+      val delIds = graft.operators.SimilarityOps.hnswAssign(emb, 4)
+        .filter(col("shard") === 0).select("vec_id").limit(50)
+      delIds.write.mode("overwrite").parquet(s"$tmpRoot/idx/hnsw_del")
+      val delStored = spark.read.parquet(s"$tmpRoot/idx/hnsw_del")
+      val hd = median((1 to runs).map(_ => timed("hnsw_delete_1shard") {
+        noop(graft.operators.SimilarityOps.hnswDelete(
+          emb, hnswG, delStored))
+      }))
+      val remaining = emb.join(delStored, Seq("vec_id"), "left_anti")
+      val hb = median((1 to runs).map(_ => timed("hnsw_rebuild_full") {
+        noop(graft.operators.SimilarityOps.hnswBuild(remaining))
+      }))
+      (t, p, sq, eq, pqv, pqs, hn, hj, hd, hb)
     }
 
     // ---- skewed-key join: plain vs salted (VERDICT r3 #5) -------------
@@ -881,6 +908,8 @@ object Bench {
       "pq_ivf_knn_stored" -> pqIvfStored,
       "hnsw_knn_pretrained" -> hnswPre,
       "hnsw_knn_graph" -> hnswJoinFull,
+      "hnsw_delete_1shard" -> hnswDel,
+      "hnsw_rebuild_full" -> hnswRebuild,
       "join_skew_plain" -> skewPlain,
       "join_skew_salted" -> skewSalted,
       "span_clean_passthrough" -> tSpanPt,

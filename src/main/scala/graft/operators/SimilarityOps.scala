@@ -1405,10 +1405,17 @@ object SimilarityOps {
     * (spec-pinned): `hnswDelete(corpus, graph, del) ≡ hnswBuild(corpus
     * anti-join del)` — not an approximation with tombstone markers the
     * walk must skip, so recall after deletion is the rebuilt graph's
-    * recall by construction. Cost ∝ touched shards; a delete batch
-    * clustered on few shards (or a shard-partitioned edge table) prunes
-    * the rest at the scan. Idempotent: ids absent from the corpus only
-    * mark shards touched, the rebuild just replays them. */
+    * recall by construction. Cost ∝ touched shards + one pass-through
+    * scan of the untouched edges; a delete batch clustered on few shards
+    * (or a shard-partitioned edge table) prunes the rest at the scan.
+    * Scale scoping (measured, Bench hnsw_delete_1shard vs
+    * hnsw_rebuild_full): at the 2000-vector fixture the fixed plumbing
+    * (touched-set collect, anti-join, edge scan) exceeds the skipped
+    * build compute, so delete reads SLOWER than a full rebuild there —
+    * the win is structural and appears when shards are executor-sized
+    * (build compute O(n·efC·log n) per shard dwarfs one edge-table
+    * read). Idempotent: ids absent from the corpus only mark shards
+    * touched, the rebuild just replays them. */
   def hnswDelete(corpus: DataFrame, graph: DataFrame, deleted: DataFrame,
                  nShards: Int = 4, m: Int = 8, efC: Int = 64,
                  idCol: String = "vec_id",
