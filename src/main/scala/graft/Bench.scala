@@ -457,18 +457,15 @@ object Bench {
       }))
       // deletion cost vs the full rebuild the law equates it to: the
       // tombstone batch lives in ONE shard, so hnswDelete rebuilds 1 of
-      // 4 shards cold and passes 3 through verbatim. HONEST READING at
-      // this fixture (2000 vectors, 500/shard): the pair measures the
-      // crossover, not a win — the delete's fixed plumbing (touched-set
-      // collect, anti-join, stored-edge pass-through scan) exceeds the
-      // ~0.5 s of build compute it skips, so delete reads SLOWER here.
-      // The claim that holds at scale is structural, not this wall
-      // clock: rebuild compute grows with corpus (O(n·efC·log n) per
-      // shard × shards) while delete grows with touched shards + an
-      // edge-table scan — at executor-sized shards (~10⁶ vectors,
-      // hundreds of shards) the skipped compute dwarfs the plumbing.
-      // Same doctrine as span_clean_*: ship the measurement, scope the
-      // claim (the spec law guarantees the output either way).
+      // 4 shards cold and passes 3 through verbatim. Medianed, the
+      // delete wins even at this small fixture (r10 artifact: 0.31 vs
+      // 0.49 s — a cold single shot inverted to 1.15/0.77, so medians
+      // matter here as everywhere). The structural claim is stronger
+      // than the fixture shows: rebuild compute grows with corpus
+      // (O(n·efC·log n) per shard × shards) while delete grows with
+      // touched shards + one edge-table scan — at executor-sized shards
+      // the gap is orders of magnitude, and the delete(X) ≡
+      // rebuild-without-X spec law guarantees output either way.
       val delIds = graft.operators.SimilarityOps.hnswAssign(emb, 4)
         .filter(col("shard") === 0).select("vec_id").limit(50)
       delIds.write.mode("overwrite").parquet(s"$tmpRoot/idx/hnsw_del")
