@@ -131,10 +131,11 @@ object Bench {
       total: String, queryTotal: String, structuralTotal: String,
       queries: Seq[(String, String)], upsertRps: Long, dedup10kRps: Long,
       scaleRatios: Seq[(String, String)], failed: Seq[String],
-      skipped: Seq[String], sf: String): String = {
+      skipped: Seq[String], sf: String,
+      canaryDrift: String = "null"): String = {
     val skippedJson =
       if (skipped.isEmpty) "" else ",\"skipped\":" + capList(skipped)
-    s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"structural_total":$structuralTotal,"queries":${jsonObj(queries)},"stream":{"upsert_rps":$upsertRps,"dedup_10k_rps":$dedup10kRps},"scale10":${jsonObj(scaleRatios)},"failed":${capList(failed)}$skippedJson,"full":"BENCH_FULL.json","sf":"$sf"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","query_total":$queryTotal,"structural_total":$structuralTotal,"queries":${jsonObj(queries)},"stream":{"upsert_rps":$upsertRps,"dedup_10k_rps":$dedup10kRps},"scale10":${jsonObj(scaleRatios)},"failed":${capList(failed)}$skippedJson,"canary_drift":$canaryDrift,"full":"BENCH_FULL.json","sf":"$sf"}"""
   }
 
   /** The exact line shape the shipped run emits, rendered at worst-
@@ -145,7 +146,11 @@ object Bench {
     renderStdoutLine("99999.99", "99999.99", "99999.99",
       (stdoutQueryKeys ++ stdoutStructuralKeys).map(_ -> "9999.99"),
       99999999L, 99999999L, stdoutScaleKeys.map(_ -> "999.99"),
-      Seq.fill(7)("dedup_incremental_delta"), Nil, "/root/testdata/sf0.1")
+      // the failed list renders the LONGEST key any timed()/gated() call
+      // can emit (scale10_dedup_incremental_delta, 31 chars) so the pinned
+      // width is a true upper bound (ADVICE r10)
+      Seq.fill(7)("scale10_dedup_incremental_delta"), Nil,
+      "/root/testdata/sf0.1", "999.99")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -170,20 +175,79 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").trim.toInt
     def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     var failed = List.empty[String]
+    // ---- r11 self-defense instrumentation (VERDICT r10 #1) -------------
+    // The r10 driver artifact read pipeline_full 42 s / scale10 q1_agg
+    // 41.9× where the committed run read 8.2 s / 4.7×, and nothing in the
+    // artifact could prove which was real. Three additions, all riding in
+    // BENCH_FULL.json: (a) per-run RAW timings for every medianed entry;
+    // (b) per-run task-metric I/O counters per entry (bytes read/written,
+    // shuffle bytes, summed executor run time) — bytes identical across
+    // runs with wall time diverging is the contention signature, bytes
+    // moving with wall time is a code regression; (c) an A/B/A canary (one
+    // cheap pinned query re-timed between sections) so mid-run host drift
+    // is visible in the data. A drained listener bus replaces the old
+    // per-probe Thread.sleep(1000) so attribution is exact, not raced.
+    val rawTimings =
+      scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    final class Io {
+      var in = 0L; var out = 0L; var shw = 0L; var shr = 0L; var cpuMs = 0L
+    }
+    val ioRuns = scala.collection.mutable.LinkedHashMap
+      .empty[String, List[Io]]
+    val curIo = new java.util.concurrent.atomic.AtomicReference[Io](null)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val io = curIo.get
+          if (io != null && e.taskMetrics != null) {
+            val m = e.taskMetrics
+            io.in += m.inputMetrics.bytesRead
+            io.out += m.outputMetrics.bytesWritten
+            io.shw += m.shuffleWriteMetrics.bytesWritten
+            io.shr += m.shuffleReadMetrics.totalBytesRead
+            io.cpuMs += m.executorRunTime
+          }
+        }
+      })
+    def drainBus(): Unit =
+      org.apache.spark.sql.graftshim.ListenerBusBridge
+        .waitUntilEmpty(spark.sparkContext)
     def timed(name: String)(body: => Unit): Double = {
       // every query starts from a cold cache: operators that return cached
       // results (dedup pair sets, CC labels) must not contaminate whichever
       // query runs next alphabetically (the round-2 bench artifact)
       spark.catalog.clearCache()
+      drainBus() // flush straggler events from the PREVIOUS entry
+      val io = new Io
+      curIo.set(io)
       val t0 = System.nanoTime()
       try body
       catch { case scala.util.control.NonFatal(t) =>
         System.err.println(s"[bench] $name failed: $t")
         if (!failed.contains(name)) failed ::= name }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      drainBus() // this entry's events are all attributed before detaching
+      curIo.set(null)
+      rawTimings(name) = rawTimings.getOrElse(name, Nil) :+ dt
+      ioRuns(name) = ioRuns.getOrElse(name, Nil) :+ io
+      dt
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // A/B/A canary: the same cheap pinned query re-timed between sections.
+    // If the host degrades mid-run (the r10 divergence signature), the
+    // canary series shows WHEN; if it stays flat while a section's raw
+    // runs blow up, the regression is the section's own.
+    val canaries =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def canary(tag: String): Unit = canaries += tag -> timed("canary")(
+      noop(SparkEntry.queries("q_events_sessions")(spark, sfDir)))
+    // warm the canary's own codegen/JIT untimed: the first timed canary
+    // otherwise reads ~5× slow and fakes exactly the drift it exists to
+    // detect (measured 1.94 s cold vs 0.31 s steady at sf0.01)
+    noop(SparkEntry.queries("q_events_sessions")(spark, sfDir))
+    canary("start")
     // multi-metric sections have dependencies BETWEEN timed calls (an index
     // build feeding the reads that feed the delta pass): timed() swallows a
     // body failure, so the next dependent read would otherwise throw out of
@@ -222,6 +286,7 @@ object Bench {
       // time only the scan.
       name -> median((1 to runs).map(_ => timed(name) { noop(fn(spark, sfDir)) }))
     }
+    canary("after_queries")
 
     // ---- two-phase incremental dedup (VERDICT r3 #2) ------------------
     // The operator's value is delta cost ≪ corpus cost; the old combined
@@ -247,7 +312,7 @@ object Bench {
     def bytesOf(body: => Unit): Long = {
       spark.sparkContext.addSparkListener(byteLst)
       inBytes.set(0L)
-      try { body; Thread.sleep(1000) } // listener bus drains async
+      try { body; drainBus() } // attribute every queued task-end first
       finally spark.sparkContext.removeSparkListener(byteLst)
       inBytes.get
     }
@@ -315,7 +380,7 @@ object Bench {
     def shuffleOf(body: => Unit): Long = {
       spark.sparkContext.addSparkListener(shufLst)
       shufBytes.set(0L)
-      try { body; Thread.sleep(1000) } // listener bus drains async
+      try { body; drainBus() } // attribute every queued task-end first
       finally spark.sparkContext.removeSparkListener(shufLst)
       shufBytes.get
     }
@@ -369,6 +434,7 @@ object Bench {
         (tb, tp, tForced, bShuf, pShuf)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     }
+    canary("after_dedup")
 
     // ---- IVF: train+store vs pretrained query — the ANN twin of the
     // dedup index split: centroid training runs once and persists; the
@@ -480,6 +546,7 @@ object Bench {
       }))
       (t, p, sq, eq, pqv, pqs, hn, hj, hd, hb)
     }
+    canary("after_ann")
 
     // ---- skewed-key join: plain vs salted (VERDICT r3 #5) -------------
     // Deterministic skew fixture: lineitem replicated 8× with 95% of its
@@ -597,6 +664,7 @@ object Bench {
         math.max(docs.count(), 1L)
       (pt, no, frac)
     }
+    canary("after_span")
 
     // ---- streaming throughput (VERDICT r3 #6) -------------------------
     // Feed the real tables through the exactly-once sinks as file-source
@@ -699,6 +767,7 @@ object Bench {
           checkpointDir = s"$tmpRoot/ckpt/stream_dedup_10k")
       }(n10k)
     }
+    canary("after_stream")
 
     // ---- 10x scale tier (VERDICT r6 #5) -------------------------------
     // Per-query SCALING stays measured, not asserted: replicate sf0.1
@@ -835,6 +904,7 @@ object Bench {
         s"scale10_$name" -> t
       } ++ dedupScale ++ annScale
     }
+    canary("after_scale10")
 
     // end-to-end medallion pipeline (bronze→silver→gold incl. indicators,
     // VWAP, pattern tables) — comparable to the reference's full-rewrite run.
@@ -891,6 +961,7 @@ object Bench {
     val stageAvg = graft.pipeline.Timing.snapshot("pipeline")
       .map { case (k, v) => k -> v / runs }
     graft.pipeline.Timing.record(false)
+    canary("end")
     val results = queryResults ++ Seq(
       "dedup_index_build" -> idxBuild,
       "dedup_incremental_delta" -> idxDelta,
@@ -979,8 +1050,36 @@ object Bench {
     val skippedFull = if (skipped.isEmpty) ""
       else skipped.reverse.map("\"" + _ + "\"")
         .mkString(",\"skipped\":[", ",", "]")
+    // r11 evidence tier: per-run raws, per-run I/O counters, canary series.
+    // "raw" carries every timed() call's wall seconds in run order — the
+    // medians above are derived from exactly these values. "io" carries the
+    // matching task-metric sums per run (MB read/written, shuffle write/
+    // read MB, summed executor-run seconds): near-equal bytes with
+    // diverging wall time names host contention; bytes moving with wall
+    // time names the code. "canary" is the A/B/A series; canary_drift =
+    // max/min of it (1.0x = a quiet host end to end).
+    val rawJson = rawTimings.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(ms).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    def mbList(xs: Seq[Long]): String =
+      xs.map(b => f"${b / 1048576.0}%.1f").mkString("[", ",", "]")
+    val ioJson = ioRuns.map { case (k, ios) =>
+      "\"" + k + "\":{\"in_mb\":" + mbList(ios.map(_.in)) +
+        ",\"out_mb\":" + mbList(ios.map(_.out)) +
+        ",\"shw_mb\":" + mbList(ios.map(_.shw)) +
+        ",\"shr_mb\":" + mbList(ios.map(_.shr)) +
+        ",\"task_s\":[" + ios.map(i => ms(i.cpuMs / 1000.0)).mkString(",") +
+        "]}"
+    }.mkString("{", ",", "}")
+    val canaryJson = canaries
+      .map { case (t, v) => "\"" + t + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val canaryVals = canaries.map(_._2).filter(_ > 0)
+    val canaryDrift =
+      if (canaryVals.size >= 2) f"${canaryVals.max / canaryVals.min}%.2f"
+      else "null"
     val fullJson =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","query_total":${ms(headlineTotal)},"structural_total":${ms(total - headlineTotal)},"queries":$fullQs,"stream":$streamJson,"dedup_prune":$pruneJson,"span_touched_frac":${f"$spanTouchedFrac%.3f"},"scale10":$scaleFullJson,"pipeline_stages":$stagesJson,"failed":$failedFull$skippedFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","query_total":${ms(headlineTotal)},"structural_total":${ms(total - headlineTotal)},"queries":$fullQs,"stream":$streamJson,"dedup_prune":$pruneJson,"span_touched_frac":${f"$spanTouchedFrac%.3f"},"scale10":$scaleFullJson,"pipeline_stages":$stagesJson,"raw":$rawJson,"io":$ioJson,"canary":$canaryJson,"canary_drift":$canaryDrift,"failed":$failedFull$skippedFull,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // ---- the stdout line the driver captures ---------------------------
@@ -995,7 +1094,7 @@ object Bench {
     val line = renderStdoutLine(ms(total), ms(headlineTotal),
       ms(total - headlineTotal), stdoutQs,
       rps(upsertRows, tUpsert), rps(dedupRows10k, tDedup10k),
-      scaleRatios, failed.reverse, skipped.reverse, sfDir)
+      scaleRatios, failed.reverse, skipped.reverse, sfDir, canaryDrift)
     // runtime twin of BenchLineSpec's worst-case assert: never ship an
     // unparseable round again
     require(line.length <= stdoutLineBudget,

@@ -62,32 +62,36 @@ object MediaRouter {
     * branch's per-doc record count. */
   def routeUnits(payloads: DataFrame, idCol: String = "doc_id",
                  payloadCol: String = "payload"): DataFrame = {
-    val tagged = payloads.select(col(idCol).cast("long").as(idCol),
-      col(payloadCol).as(payloadCol),
+    // every decoder emits a FIXED doc_id output column regardless of its
+    // input id name, so a custom idCol used to fail at analysis time in
+    // norm() (ADVICE r10): normalize the id/payload names ONCE up front
+    // and use doc_id/payload consistently in every branch.
+    val tagged = payloads.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).as("payload"),
       sniffFormat(col(payloadCol)).as("format"))
     def sub(f: String): DataFrame =
-      tagged.filter(col("format") === f).select(col(idCol), col(payloadCol))
+      tagged.filter(col("format") === f).select(col("doc_id"), col("payload"))
     def norm(df: DataFrame, f: String, units: Column): DataFrame =
-      df.select(col(idCol), lit(f).as("format"),
+      df.select(col("doc_id"), lit(f).as("format"),
         units.cast("long").as("units"))
-    norm(MultimodalOps.decodeBmp(sub("bmp"), idCol), "bmp",
+    norm(MultimodalOps.decodeBmp(sub("bmp")), "bmp",
         col("width") * col("height"))
-      .unionByName(norm(MultimodalOps.decodePng(sub("png"), idCol), "png",
+      .unionByName(norm(MultimodalOps.decodePng(sub("png")), "png",
         col("width") * col("height")))
-      .unionByName(norm(MultimodalOps.decodeJpeg(sub("jpeg"), idCol), "jpeg",
+      .unionByName(norm(MultimodalOps.decodeJpeg(sub("jpeg")), "jpeg",
         col("width") * col("height")))
-      .unionByName(norm(GifOps.decodeGif(sub("gif"), idCol), "gif",
+      .unionByName(norm(GifOps.decodeGif(sub("gif")), "gif",
         col("width") * col("height")))
-      .unionByName(norm(MultimodalOps.decodeWav(sub("wav"), idCol), "wav",
+      .unionByName(norm(MultimodalOps.decodeWav(sub("wav")), "wav",
         col("n_samples")))
-      .unionByName(norm(Mp3Ops.parseMp3Frames(sub("mp3"), idCol), "mp3",
+      .unionByName(norm(Mp3Ops.parseMp3Frames(sub("mp3")), "mp3",
         col("n_frames")))
-      .unionByName(norm(Mp4Ops.parseMp4Boxes(sub("mp4"), idCol), "mp4",
+      .unionByName(norm(Mp4Ops.parseMp4Boxes(sub("mp4")), "mp4",
         col("duration_units")))
-      .unionByName(norm(PdfOps.extractPdfText(sub("pdf"), idCol), "pdf",
+      .unionByName(norm(PdfOps.extractPdfText(sub("pdf")), "pdf",
         col("n_pages")))
       .unionByName(norm(
-        WarcOps.decodeWarc(sub("warc_gz"), idCol)
+        WarcOps.decodeWarc(sub("warc_gz"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_records")),
         "warc_gz", col("n_records")))
       // no silent truncation: payloads no sniffer rule claims still get a
@@ -95,7 +99,7 @@ object MediaRouter {
       // must ACCOUNT for what it skips, not drop it on the floor
       .unionByName(norm(
         tagged.filter(col("format") === "unknown")
-          .select(col(idCol), length(col(payloadCol)).as("n_bytes")),
+          .select(col("doc_id"), length(col("payload")).as("n_bytes")),
         "unknown", col("n_bytes")))
   }
 

@@ -155,14 +155,21 @@ object Mp4Ops {
             while (pos < to) {
               val size0 = u32(pos)
               val tpe = boxType(pos)
+              // bound the size BEFORE the Int narrowing: a corrupt size
+              // above Int.MaxValue would overflow negative, slip past the
+              // end <= to check below and die with an
+              // ArrayIndexOutOfBoundsException instead of the documented
+              // doc-id-tagged failure (ADVICE r10)
               val (start, end) = size0 match {
                 case 0 => (pos + 8, to) // box extends to the parent's end
                 case 1 =>
                   val sz = u64(pos + 8)
-                  require(sz >= 16, s"bad extended box size $sz: doc $id")
+                  require(sz >= 16 && sz <= (to - pos).toLong,
+                    s"bad extended box size $sz: doc $id")
                   (pos + 16, pos + sz.toInt)
                 case sz =>
-                  require(sz >= 8, s"bad box size $sz ($tpe): doc $id")
+                  require(sz >= 8 && sz <= (to - pos).toLong,
+                    s"bad box size $sz ($tpe): doc $id")
                   (pos + 8, pos + sz.toInt)
               }
               require(end <= to,

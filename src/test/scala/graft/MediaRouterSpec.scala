@@ -30,6 +30,18 @@ class MediaRouterSpec extends SparkSpecBase {
     assert(got.forall(_ == "unknown"))
   }
 
+  test("routeUnits accepts a custom id column name (ADVICE r10)") {
+    val docs = Tables.documents(spark, sf).limit(18)
+    val renamed = MediaRouter.encodeMixed(docs)
+      .withColumnRenamed("doc_id", "asset_id")
+    val got = MediaRouter.routeUnits(renamed, idCol = "asset_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 18, "one row per doc under a custom id name")
+    val viaDefault = MediaRouter.routeUnits(MediaRouter.encodeMixed(docs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === viaDefault, "custom idCol must not change the routing")
+  }
+
   test("routeUnits dispatches every doc to its parser and normalizes") {
     val docs = Tables.documents(spark, sf).limit(90)
     val got = MediaRouter.routeUnits(MediaRouter.encodeMixed(docs))

@@ -80,6 +80,33 @@ class Mp4OpsSpec extends SparkSpecBase {
     assert(e3.getCause.getMessage.contains("unknown handler"))
   }
 
+  test("box size above Int.MaxValue fails by doc id, not AIOOBE (ADVICE r10)") {
+    val p = Mp4Ops.encodeMp4(corpus.filter($"doc_id" === 2L))
+      .collect()(0).getAs[Array[Byte]](1)
+    // 32-bit size with the 2^31 bit set: the old sz.toInt narrowing made
+    // end negative, end <= to passed, and the walk indexed at a negative
+    // offset (ArrayIndexOutOfBoundsException) instead of failing loudly
+    val bad32 = p.clone(); bad32(20) = 0x80.toByte
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Mp4Ops.parseMp4Boxes(Seq((2L, bad32)).toDF("doc_id", "payload"))
+        .collect()
+    }
+    assert(e1.getCause.isInstanceOf[IllegalArgumentException] &&
+      e1.getCause.getMessage.contains("doc 2"), s"got: ${e1.getCause}")
+    // 64-bit extended size above Int.MaxValue: same contract
+    val ext = new java.io.ByteArrayOutputStream()
+    ext.write(Array[Byte](0, 0, 0, 1))
+    ext.write("ftyp".getBytes("US-ASCII"))
+    ext.write(Array[Byte](0, 0, 0, 1, 0, 0, 0, 0)) // 2^32
+    ext.write(p, 8, p.length - 8)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Mp4Ops.parseMp4Boxes(Seq((2L, ext.toByteArray)).toDF("doc_id", "payload"))
+        .collect()
+    }
+    assert(e2.getCause.isInstanceOf[IllegalArgumentException] &&
+      e2.getCause.getMessage.contains("doc 2"), s"got: ${e2.getCause}")
+  }
+
   test("parses the fixture corpus end to end, one row per doc") {
     val docs = Tables.documents(spark, sf)
     val out = Mp4Ops.parseMp4Boxes(Mp4Ops.encodeMp4(docs))
