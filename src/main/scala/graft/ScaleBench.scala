@@ -102,12 +102,13 @@ object ScaleBench {
       // let Catalyst prune the projections), PII screen likewise
       import graft.operators.TextOps
       val (nKeep, tQual) = timed {
-        val m = TextOps.qualityMetrics(docs)
+        // quality + PII metrics composed into one per-row projection —
+        // the CurationPipeline r11 gate shape (one join dropped)
+        val m = TextOps.piiStats(TextOps.qualityMetrics(docs))
           .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-            col("punct_ratio"))
+            col("punct_ratio"), col("n_pii"))
         val w = TextOps.wordStats(docs).select(col("doc_id"), col("rep_ratio"))
-        val p = TextOps.piiStats(docs).select(col("doc_id"), col("n_pii"))
-        m.join(w, Seq("doc_id")).join(p, Seq("doc_id"))
+        m.join(w, Seq("doc_id"))
           .filter(col("n_words") >= 10 && col("mean_word_len") >= 2 &&
             col("mean_word_len") <= 12 && col("punct_ratio") <= 0.2 &&
             col("rep_ratio") <= 0.4 && col("n_pii") === 0)

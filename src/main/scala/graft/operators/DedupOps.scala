@@ -658,7 +658,7 @@ object DedupOps {
     * ONLY the surviving positions, a small fraction of the lattice in a
     * clean corpus. */
   /** The overlapping word-gram lattice: one row per (doc, 0-based word
-    * position), `h` = md5 of the n-gram starting there. Shared by
+    * position), `h` = 64-bit hash of the n-gram starting there. Shared by
     * [[duplicatedSpans]] / [[removeDuplicatedSpans]]; persisted because
     * both consumers (df aggregate, join-back) read it twice. */
   private def gramLattice(docs: DataFrame, n: Int, textCol: String,
@@ -672,7 +672,13 @@ object DedupOps {
           i => concat_ws(" ",
             (0 until n).map(k => element_at(col("w"), i + k)): _*))))
       .select(col("doc_id"), col("pos"),
-        md5(col("col").cast("binary")).as("h"))
+        // 64-bit gram key, not an md5 hex string: `h` never reaches any
+        // output (spans are (doc, start, len); the df filter only needs
+        // hash equality), so the narrowest collision-free key wins — it
+        // quarters the bytes through the df-aggregate and semi-join
+        // exchanges and skips the digest→hex materialization per gram
+        // (optimization guide §2.3 "narrower types"; r11, measured).
+        xxhash64(col("col")).as("h"))
     // single-consumer callers (buildSpanIndex — run per micro-batch by
     // spanDedupSink) pass cache=false: an unreleased per-batch cache of a
     // batch-words-sized lattice would leak across a stream's lifetime
@@ -737,7 +743,7 @@ object DedupOps {
     val grams = gramLattice(delta, n, textCol, idCol)
     try {
       val keys = grams.select(col("h")).distinct()
-        .limit(maxPushdownKeys + 1).collect().map(_.getString(0)).toIndexedSeq
+        .limit(maxPushdownKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
       val stored =
         if (keys.size > maxPushdownKeys) storedIndex
         else prunedByKeys(storedIndex, "h", keys)
@@ -1102,12 +1108,16 @@ object DedupOps {
     jaccardFromSets(p, sets, minJaccard, sets +: release: _*)
   }
 
-  /** 60-bit md5 slice of a shingle — the element hash the sorted-set
-    * intersection runs on (15 hex chars parse into a non-negative long
-    * exactly). */
+  /** 64-bit shingle-element hash the sorted-set intersection runs on.
+    * xxhash64 instead of the old conv(md5-hex-slice) (r11): the hash never
+    * reaches any output — Jaccard/containment only need hash EQUALITY over
+    * per-doc sets, and both forms are collision-free at corpus scale
+    * (64 vs 60 bits, if anything fewer collisions now) — so the cheap
+    * non-cryptographic hash replaces a full md5 digest + hex render + a
+    * base-16 string parse per shingle row (guide §1.2 step 2: per-task
+    * work; the verification sets stage was CPU-bound, not I/O-bound). */
   private def shingleHash: org.apache.spark.sql.Column =
-    conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    xxhash64(col("sh"))
 
   /** The verification tail shared by every near-dup path: join each
     * (already-checkpointed) pair to its two per-doc sets, codegen-merge the

@@ -74,8 +74,22 @@ object TextOps {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column = size(words(text))
+  /** Whitespace token count. Value-identical to size([[words]](text)) —
+    * split keeps leading/trailing empty tokens (Spark split limit = -1)
+    * and yields [""] (size 1) on an empty input, so for s = trim(text):
+    * size(split(s)) = (number of \s+ runs in s) + 1, including the
+    * whitespace-only and empty cases (PropertySpec pins the equality over
+    * generated corpora). Counted that way (r11): one collapsed copy via
+    * regexp_replace + a translate length instead of materializing the
+    * lowered copy AND the whole word array per row just to take its size
+    * (guide §1.2 step 2 — this projection is the hot loop of
+    * q_text_quality/corpus accounting; lower() can't change \s chars, so
+    * dropping it is free). */
+  def tokenCountWs(text: Column): Column = {
+    val s = trim(text)
+    val collapsed = regexp_replace(s, "\\s+", " ")
+    (length(collapsed) - length(translate(collapsed, " ", ""))) + 1
+  }
 
   /** BPE-ish token count: runs of letters or digits (a cheap proxy for
     * subword tokenizers when estimating corpus token budgets). */
@@ -89,15 +103,27 @@ object TextOps {
     val t = col(textCol)
     val nChars = length(t)
     val nWords = tokenCountWs(t)
+    // translate, not regex (r11): both single-char classes here (\s and
+    // [a-zA-Z0-9\s]) are finite character SETS, so stripping them is a
+    // per-char table lookup — no regex engine, no rewritten-copy-per-
+    // metric. length(regexp_replace(t, C, "")) ≡ length(translate(t,
+    // <chars of C>, "")) char for char (Java \s = exactly these six), so
+    // the integers — and the IEEE divisions over them — are unchanged.
+    // (regexp_count was tried first and is WORSE: Spark expands it to
+    // size(regexp_extract_all(…)), allocating a 1-char string per match —
+    // measured 2× q_text_quality. Guide §1.2 step 2: per-task work.)
+    val wsChars = " \t\n\u000B\f\r"
+    val alnumWs =
+      (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString + wsChars
+    val nNonSpace = length(translate(t, wsChars, ""))
+    val nPunct = length(translate(t, alnumWs, ""))
     df
       .withColumn("n_chars_calc", nChars)
       .withColumn("n_words", nWords)
-      .withColumn("mean_word_len",
-        length(regexp_replace(t, "\\s", "")).cast("double") / nWords)
-      .withColumn("punct_ratio",
-        length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).cast("double") / nChars)
+      .withColumn("mean_word_len", nNonSpace.cast("double") / nWords)
+      .withColumn("punct_ratio", nPunct.cast("double") / nChars)
       .withColumn("space_ratio",
-        (nChars - length(regexp_replace(t, "\\s", ""))).cast("double") / nChars)
+        (nChars - nNonSpace).cast("double") / nChars)
   }
 
   /** Word-repetition statistics — the Gopher-style quality signal for
@@ -326,12 +352,16 @@ object TextOps {
   }
 
   /** Marker-word occurrence count: occurrences of ` pat ` in ` text `
-    * (space-padded so word boundaries are exact, replace-based so it is
-    * expressible identically in any SQL dialect). */
+    * (space-padded so word boundaries are exact). Counted with
+    * regexp_count (r11), not the replace-and-measure form the oracle
+    * keeps: both count the same left-to-right non-overlapping matches of
+    * the same literal needle, so the integers are identical, and counting
+    * skips materializing a rewritten copy of the doc per marker — langId
+    * runs 12 markers, so this drops 12 full-text rewrites per row
+    * (guide §1.2 step 2). */
   private def markerCount(t: Column, pat: String): Column = {
     val padded = concat(lit(" "), lower(t), lit(" "))
-    val needle = s" $pat "
-    (length(padded) - length(regexp_replace(padded, needle, ""))) / needle.length
+    regexp_count(padded, lit(s" $pat "))
   }
 
   /** Language markers per language — tiny stopword lists. A real system

@@ -78,14 +78,20 @@ object CurationPipeline {
       val docs = track(input)
       val nInput = docs.count() // materialize before the gate's 3 consumers
 
-      // 1. quality + PII gate (inner joins also drop zero-word docs, which
-      // wordStats cannot score — the strictest reading of the gate)
-      val m = TextOps.qualityMetrics(docs)
+      // 1. quality + PII gate (the inner join with the word stats also
+      // drops zero-word docs, which wordStats cannot score — the
+      // strictest reading of the gate). qualityMetrics and piiStats are
+      // both PER-ROW projections over the same docs, so they compose into
+      // ONE projection (r11): the old m ⋈ p equi-join was a whole extra
+      // exchange of corpus-rows metric tuples that computed nothing the
+      // composed projection doesn't (guide §2.4 "remove shuffles
+      // outright"; gate plan: 3 joins → 2, one of them the unavoidable
+      // word-stats aggregate).
+      val mp = TextOps.piiStats(TextOps.qualityMetrics(docs))
         .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-          col("punct_ratio"))
+          col("punct_ratio"), col("n_pii"))
       val w = TextOps.wordStats(docs).select(col("doc_id"), col("rep_ratio"))
-      val p = TextOps.piiStats(docs).select(col("doc_id"), col("n_pii"))
-      val keep = m.join(w, Seq("doc_id")).join(p, Seq("doc_id"))
+      val keep = mp.join(w, Seq("doc_id"))
         .filter(col("n_words") >= 10 && col("mean_word_len") >= 2 &&
           col("mean_word_len") <= 12 && col("punct_ratio") <= 0.2 &&
           col("rep_ratio") <= 0.4 && col("n_pii") === 0)

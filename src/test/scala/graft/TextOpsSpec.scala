@@ -1154,4 +1154,63 @@ class TextOpsSpec extends SparkSpecBase {
     assert(out(1L) < out(2L), s"repetition should be cheap: $out")
     assert(out(3L) < out(2L), s"seen bigrams should beat unseen: $out")
   }
+
+  test("r11 metric rewrites equal their replace/split-based reference forms") {
+    import spark.implicits._
+    // adversarial strings for the translate/collapsed-count rewrites of
+    // tokenCountWs and qualityMetrics: empty, whitespace-only (space and
+    // non-space \s chars — Spark trim() strips only 0x20, so tabs/newlines
+    // survive trimming and split() then yields leading/trailing empty
+    // tokens), every Java \s char, multi-char runs, unicode text, and
+    // punctuation-heavy rows. Reference = the exact expressions shipped
+    // through r10 (size-of-split and length-of-regexp_replace).
+    val rows = Seq("", " ", "   ", "\t", "\n \t", "a", " a ", "a b",
+      "a  b\tc\nde\ff\rg", "\ta b\n", "héllo wörld ünïcode",
+      "a,b;c!d?e...f--g(h)i[j]k", "  lots   of    spaces   ",
+      "MiXeD CaSe WORDS lower", "1 22 333 4444", "trailing space ",
+      "", "a\r\nb", "末 のつ 漢字テキスト")
+    val df = rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val t = col("text")
+    val ref = df.select(col("doc_id"),
+      size(split(lower(trim(t)), "\\s+")).as("ws_ref"),
+      length(regexp_replace(t, "\\s", "")).as("nonspace_ref"),
+      length(regexp_replace(t, "[a-zA-Z0-9\\s]", "")).as("punct_ref"))
+    val neu = TextOps.qualityMetrics(df)
+      .select(col("doc_id"), TextOps.tokenCountWs(t).as("ws"),
+        col("n_chars_calc"), col("n_words"), col("mean_word_len"),
+        col("punct_ratio"), col("space_ratio"))
+    val joined = ref.join(neu, Seq("doc_id")).collect()
+    joined.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(r.fieldIndex("ws")) === r.getInt(r.fieldIndex("ws_ref")),
+        s"tokenCountWs drifted from size(split(...)) on doc $id")
+      assert(r.getInt(r.fieldIndex("n_words")) ===
+        r.getInt(r.fieldIndex("ws_ref")), s"n_words drifted on doc $id")
+      val nChars = r.getInt(r.fieldIndex("n_chars_calc"))
+      val nonspaceRef = r.getInt(r.fieldIndex("nonspace_ref"))
+      val punctRef = r.getInt(r.fieldIndex("punct_ref"))
+      def refDiv(a: Int, b: Int): Any =
+        if (b == 0) null else a.toDouble / b
+      def got(name: String): Any =
+        if (r.isNullAt(r.fieldIndex(name))) null
+        else r.getDouble(r.fieldIndex(name))
+      // NaN/null-safe exact compare: the rewrite must reproduce the
+      // replace-based ratios BIT FOR BIT (same ints, same one division)
+      def same(a: Any, b: Any): Boolean = (a, b) match {
+        case (null, null) => true
+        case (x: Double, y: Double) =>
+          java.lang.Double.doubleToLongBits(x) ==
+            java.lang.Double.doubleToLongBits(y)
+        case _ => false
+      }
+      val wsRef = r.getInt(r.fieldIndex("ws_ref"))
+      assert(same(got("mean_word_len"), refDiv(nonspaceRef, wsRef)),
+        s"mean_word_len drifted on doc $id")
+      assert(same(got("punct_ratio"), refDiv(punctRef, nChars)),
+        s"punct_ratio drifted on doc $id")
+      assert(same(got("space_ratio"), refDiv(nChars - nonspaceRef, nChars)),
+        s"space_ratio drifted on doc $id")
+    }
+  }
 }
