@@ -973,14 +973,22 @@ object DedupOps {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val shr = shingleRows(docs, shingleN, textCol, idCol).persist(disk)
     val capped = maxDf != Int.MaxValue
+    // the inverted-index key is [[shingleHash]], not the shingle string
+    // (r11): the df window and the self-join only need shingle EQUALITY,
+    // the hash is collision-free at corpus scale (the same bet every
+    // Jaccard verification in this file already makes), and an 8-byte key
+    // through the window exchange + both self-join sides replaces a
+    // multi-word string (guide §2.3 "narrower types" — this exchange
+    // carries the whole shingle table)
+    val hashed = shr.select(col("doc_id"), shingleHash.as("shh"))
     val candSource =
-      if (!capped) shr
+      if (!capped) hashed
       else {
-        // df via a window on sh: same shuffle key the join needs anyway.
-        // Persisted: both sides of the inverted-index self-join consume it,
-        // and the df window must not run once per side.
-        val bySh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-        shr.withColumn("df", count(lit(1)).over(bySh))
+        // df via a window on the hash: same shuffle key the join needs
+        // anyway. Persisted: both sides of the inverted-index self-join
+        // consume it, and the df window must not run once per side.
+        val bySh = org.apache.spark.sql.expressions.Window.partitionBy(col("shh"))
+        hashed.withColumn("df", count(lit(1)).over(bySh))
           .filter(col("df") <= maxDf).drop("df")
           .persist(disk)
       }
@@ -989,7 +997,7 @@ object DedupOps {
     candSource.count()
     val cand = candSource.as("a")
       .join(candSource.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     jaccardVerified(cand, shr, minJaccard,
@@ -1021,18 +1029,20 @@ object DedupOps {
     def track(df: DataFrame): DataFrame = { tracked += df.persist(disk); df }
     try {
       val shr = track(shingleRows(docs, shingleN, textCol, idCol))
+      // hashed inverted-index key — see ngramJaccardPairs (r11)
+      val hashed = shr.select(col("doc_id"), shingleHash.as("shh"))
       val candSource =
-        if (maxDf == Int.MaxValue) shr
+        if (maxDf == Int.MaxValue) hashed
         else {
           val bySh =
-            org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-          track(shr.withColumn("df", count(lit(1)).over(bySh))
+            org.apache.spark.sql.expressions.Window.partitionBy(col("shh"))
+          track(hashed.withColumn("df", count(lit(1)).over(bySh))
             .filter(col("df") <= maxDf).drop("df"))
         }
       candSource.count() // materialize: both self-join sides consume it
       val cand = candSource.as("a")
         .join(candSource.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
       val p = cand.localCheckpoint()

@@ -825,9 +825,13 @@ object TextQueries {
     // reaches a compared value).
     "q_corpus_card" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // lang rides in the metrics projection (r11): qualityMetrics is
+      // per-row over docs, so joining it back to a bare docs projection
+      // was a whole corpus-rows exchange for columns the projection
+      // already had (guide §2.4; card plan: 4 joins → 3)
       val m = TextOps.qualityMetrics(docs)
-        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
-          col("punct_ratio"))
+        .select(col("doc_id"), col("lang"), col("n_words"),
+          col("mean_word_len"), col("punct_ratio"))
       val w = TextOps.wordStats(docs).select(col("doc_id"), col("rep_ratio"))
       val pii = TextOps.piiStats(piiSalted(s, dir))
         .select(col("doc_id"), col("n_pii"))
@@ -836,8 +840,7 @@ object TextQueries {
       val keep = col("n_words") >= 10 && col("mean_word_len") >= 2 &&
         col("mean_word_len") <= 12 && col("punct_ratio") <= 0.2 &&
         col("rep_ratio") <= 0.4
-      docs.select(col("doc_id"), col("lang"))
-        .join(m, Seq("doc_id")).join(w, Seq("doc_id")).join(pii, Seq("doc_id"))
+      m.join(w, Seq("doc_id")).join(pii, Seq("doc_id"))
         .join(dup, Seq("doc_id"), "left")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
