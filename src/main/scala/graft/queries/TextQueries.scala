@@ -421,10 +421,13 @@ object TextQueries {
     // uniqueness signal dual to the duplication stats. df-agg + join-back
     // on the gram key (the measured-faster chunk_dedup shape), then one
     // doc_id rollup.
+    // keyed on the 64-bit shingle hash, not the gram string (r12): df and
+    // the join-back need gram EQUALITY only — same collision bet as every
+    // dedup verification; the df exchange and join carry 8-byte keys
     "q_novelty" -> ((s, dir) => {
-      val shr = DedupOps.shingleRows(Tables.documents(s, dir), 3)
-      val dfreq = shr.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      shr.join(dfreq, Seq("sh"))
+      val shr = DedupOps.shingleHashRows(Tables.documents(s, dir), 3)
+      val dfreq = shr.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+      shr.join(dfreq, Seq("shh"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))

@@ -342,22 +342,32 @@ object StreamingOps {
         // micro-batch outputs are small cached frames: coalesce before the
         // append so each write commits a handful of files, not one per
         // shuffle partition — 3 tables × 32 task-files per batch was a
-        // measurable slice of the per-batch fixed cost
-        idempotentBatchAppend(pairs.coalesce(4), pairsRef, batchId)
+        // measurable slice of the per-batch fixed cost.
+        // The three appends run CONCURRENTLY (r12, guide §2.6): each is a
+        // tiny job with a fixed commit tail, and serialized they were the
+        // dominant slice of the ~3 s/batch fixed cost. Safe because the
+        // pairing already materialized every input (pairs is counted,
+        // newBands/newSets persisted — the index tables never see the
+        // in-flight batch: reads filter batch_id < current), the three
+        // targets are disjoint directories, and replay idempotency is
+        // per-table partition overwrite, independent of append order
+        // within the batch. "Grow the index after pairing" still holds —
+        // pairing COMPUTED before any append starts; only the writes
+        // overlap.
+        locally {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future.sequence(Seq(
+            Future(idempotentBatchAppend(pairs.coalesce(4), pairsRef, batchId)),
+            Future(idempotentBatchAppend(
+              newBands.coalesce(4).sortWithinPartitions("bucket"),
+              bandsRef, batchId)),
+            Future(idempotentBatchAppend(
+              newSets.coalesce(4).sortWithinPartitions("doc_id"),
+              setsRef, batchId)))), Duration.Inf)
+        }
         pairs.unpersist(false)
-        // grow the index AFTER pairing, so the batch never matches itself
-        // through the stored side (within-batch pairs come from the delta
-        // self-join inside the pairing). Appends keep the index's
-        // clustering contract cheaply: an IN-PARTITION sort on the lookup
-        // key (no shuffle — the batch is already coalesced small) so each
-        // appended file's row groups stay narrow and later batches' pushed
-        // IN filters can skip them as the index grows
-        idempotentBatchAppend(
-          newBands.coalesce(4).sortWithinPartitions("bucket"),
-          bandsRef, batchId)
-        idempotentBatchAppend(
-          newSets.coalesce(4).sortWithinPartitions("doc_id"),
-          setsRef, batchId)
         newBands.unpersist(false)
         newSets.unpersist(false)
         ()

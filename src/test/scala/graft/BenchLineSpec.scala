@@ -37,7 +37,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.count(_ == '[') == line.count(_ == ']'))
     for (k <- Seq("\"metric\":", "\"value\":", "\"unit\":\"sec\"",
         "\"queries\":", "\"scale10\":", "\"failed\":", "\"sf\":",
-        "\"full\":\"BENCH_FULL.json\""))
+        "\"canary\":", "\"full\":\"BENCH_FULL_c"))
       assert(line.contains(k), s"missing contract key $k")
   }
 
