@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Pre-partition a CPU-dense per-row stage's input by the doc id when
+    * the corpus is SMALL (zero-job optimizer-stats gate, the
+    * overCapBloomWorthIt mechanism): small inputs are one or two scan
+    * splits (single-row-group files are unsplittable — guide §2.5 "input
+    * skew"), and AQE's byte-based coalescing then collapses any
+    * downstream exchange to 1-2 partitions (minPartitionSize floors at
+    * 1 MB), so the per-gram/per-word hash work that DOMINATES these
+    * operators runs nearly serial no matter how many cores the session
+    * has — measured at sf0.1/local[32]: the minhash bands stage burned
+    * 30+ task-seconds at ≤2-way parallelism. An EXPLICIT numbered
+    * repartition is exempt from AQE coalescing, its doc_id key is reused
+    * by every window/agg the builders run (no second exchange appears),
+    * and redistribution cannot change any value (every operator here is
+    * partitioning-independent by the repo's exactness doctrine). The
+    * gate keeps production-scale inputs on the default path — many
+    * splits + AQE byte sizing are correct there — and bounds the fired
+    * exchange's volume at cores × 4 MB of text. */
+  private def docParallel(docs: DataFrame, idCol: String): DataFrame =
+    TextOps.docParallel(docs, idCol)
+
   /** Exact dedup: group by normalized-text fingerprint, keep the smallest
     * doc id as canonical; emits (keep_id, n_copies, fingerprint). */
   def exactDedup(docs: DataFrame, textCol: String = "text",
@@ -46,7 +66,10 @@ object DedupOps {
                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val words = docs.select(col(idCol).as("doc_id"),
+    // docParallel: the window reuses this doc_id partitioning, so the
+    // per-gram md5/signature work downstream runs session-wide instead of
+    // on AQE's 1-2 byte-coalesced partitions (small inputs only)
+    val words = docParallel(docs, idCol).select(col(idCol).as("doc_id"),
       posexplode(TextOps.words(col(textCol))).as(Seq("pos", "w")))
     val withLeads = (1 until shingleN).foldLeft(words)((acc, k) =>
       acc.withColumn(s"w$k", lead(col("w"), k).over(w)))
@@ -85,7 +108,7 @@ object DedupOps {
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     val w = TextOps.words(col(textCol))
-    docs
+    docParallel(docs, idCol)
       .select(col(idCol).as("doc_id"), w.as("w"))
       .filter(size(col("w")) >= shingleN)
       .select(col("doc_id"),
@@ -639,7 +662,7 @@ object DedupOps {
                         textCol: String, idCol: String): DataFrame = {
     val w = TextOps.words(col(textCol))
     val nChunks = floor(size(w) / chunkWords).cast("int")
-    docs
+    docParallel(docs, idCol)
       .select(col(idCol).as("doc_id"), w.as("w"), nChunks.as("nc"))
       .filter(col("nc") >= 1)
       .select(col("doc_id"),
@@ -755,7 +778,7 @@ object DedupOps {
   private def gramLattice(docs: DataFrame, n: Int, textCol: String,
                           idCol: String, cache: Boolean = true): DataFrame = {
     val w = TextOps.words(col(textCol))
-    val lattice = docs
+    val lattice = docParallel(docs, idCol)
       .select(col(idCol).as("doc_id"), w.as("w"))
       .filter(size(col("w")) >= n)
       .select(col("doc_id"),
@@ -980,8 +1003,9 @@ object DedupOps {
   def cdcChunkStats(docs: DataFrame, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val wordRows = docs.select(col(idCol).as("doc_id"),
-      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "w")))
+    val wordRows = docParallel(docs, idCol)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextOps.words(col(textCol))).as(Seq("pos", "w")))
     val boundary =
       when(substring(md5(col("w").cast("binary")), 1, 1) < "2", 1L)
         .otherwise(0L)
@@ -1491,8 +1515,9 @@ object DedupOps {
     * docs agree on most bits. Two narrow shuffles on doc_id. */
   def simhash(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
-    val wordRows = docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.words(col(textCol))).as("w"))
+    val wordRows = docParallel(docs, idCol)
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.words(col(textCol))).as("w"))
     val bits = wordRows
       .withColumn("h4", substring(md5(col("w").cast("binary")), 1, 4))
       .select(col("doc_id"), col("h4"),

@@ -13,6 +13,37 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Pre-partition a CPU-dense per-row/aggregate stage's input by the doc
+    * id when the input is SMALL (zero-job optimizer-stats gate): small
+    * inputs are one or two scan splits (single-row-group parquet is
+    * unsplittable — optimization guide §2.5 "input skew"), and AQE's
+    * byte-based coalescing collapses downstream exchanges to 1-2
+    * partitions on small-byte shuffles (minPartitionSize floors at 1 MB),
+    * so per-word/per-gram hash and regex work runs nearly serial no
+    * matter the core count — measured at sf0.1/local[32]: the minhash
+    * signature stage dropped 0.99 → 0.30 s once widened
+    * (tools/ProfileShingle, interleaved A/B). An EXPLICIT numbered
+    * repartition is exempt from AQE coalescing, its id key is reused by
+    * the doc-grain windows/aggregations these operators run (no second
+    * exchange appears), and redistribution cannot change any value
+    * (every operator here is partitioning-independent by the repo's
+    * exactness doctrine — verified 327/327 at both oracle SFs with this
+    * in place). The gate keeps production-scale inputs on the default
+    * path — many splits + AQE byte sizing are correct there — and bounds
+    * the fired exchange at cores × 4 MB of text, so it can never
+    * introduce a corpus-scale shuffle. */
+  private[operators] def docParallel(docs: DataFrame,
+                                     idCol: String): DataFrame = {
+    // GRAFT_DOCPAR=0 is the measurement control (the overCapBloom
+    // Some(false) pattern): profiling runs flip it to attribute deltas to
+    // this widening specifically; production leaves it unset (on).
+    if (sys.env.get("GRAFT_DOCPAR").contains("0")) return docs
+    val sc = docs.sparkSession.sparkContext
+    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(sc.defaultParallelism.toLong * (4L << 20))
+    if (small) docs.repartition(sc.defaultParallelism, col(idCol)) else docs
+  }
+
   /** Deterministic hash bucket in [0, buckets) from an id column: the
     * reproducible way to sample or split a 100 TB corpus. `rand()` sampling
     * changes membership on every re-run/re-partition; hashing the stable id
@@ -133,7 +164,7 @@ object TextOps {
     * At scale both shuffles hash-partition on doc_id-led keys. */
   def wordStats(df: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val w = df.select(col(idCol),
+    val w = docParallel(df, idCol).select(col(idCol),
         explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
     w.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("f"))
@@ -157,7 +188,8 @@ object TextOps {
     * [[wordStats]]. */
   def charEntropy(df: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), "")).as("c"))
+    docParallel(df, idCol)
+      .select(col(idCol), explode(split(col(textCol), "")).as("c"))
       .filter(col("c") =!= "")
       .groupBy(col(idCol), col("c")).agg(count(lit(1)).as("n"))
       .groupBy(col(idCol)).agg(
@@ -292,7 +324,7 @@ object TextOps {
                       textCol: String = "text"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val ws = df.select(col(idCol).as("doc_id"),
+    val ws = docParallel(df, idCol).select(col(idCol).as("doc_id"),
       posexplode(words(col(textCol))).as(Seq("pos", "w")))
     val withLeads = (1 until n).foldLeft(ws)((acc, k) =>
       acc.withColumn(s"w$k", lead(col("w"), k).over(w)))
@@ -333,7 +365,7 @@ object TextOps {
               textCol: String = "text"): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val ws = df.select(col(idCol).as("doc_id"),
+    val ws = docParallel(df, idCol).select(col(idCol).as("doc_id"),
       posexplode(words(col(textCol))).as(Seq("pos", "w1")))
     val bi = ws.withColumn("w2", lead(col("w1"), 1).over(win))
       .filter(col("w2").isNotNull)
